@@ -1,0 +1,40 @@
+"""gridcodegenerator_tpu — a TPU-native batched rigid-body dynamics engine.
+
+Brand-new implementation of the capability set of
+``robot-acceleration/GRiDCodeGenerator`` (reference mounted read-only at
+``/root/reference``): where the reference *generates* robot-specialized CUDA
+C++ at Python run time, this framework specializes the same per-joint
+recursions at JAX trace time and runs them on TPU via XLA / Pallas, batched
+with ``vmap`` and sharded over device meshes with ``shard_map``.
+
+Algorithm families (reference ``README.md:33-40``):
+  * inverse dynamics (RNEA)                       → :func:`inverse_dynamics`
+  * analytical mass-matrix inverse                → :func:`direct_minv`
+  * forward dynamics                              → :func:`forward_dynamics`
+  * analytical ∂ID (∂c/∂q, ∂c/∂q̇)                 → :func:`inverse_dynamics_gradient`
+  * analytical ∂FD (−M⁻¹·∂c/∂u)                   → :func:`forward_dynamics_gradient`
+"""
+
+from .api import (
+    bias_force,
+    direct_minv,
+    forward_dynamics,
+    forward_dynamics_gradient,
+    forward_dynamics_gradient_qdd_minv,
+    inverse_dynamics,
+    inverse_dynamics_gradient,
+)
+from .models.robot import RobotModel, load_robot, robot_model_from_description
+from .models.topology import Topology
+from .models.urdf import RobotDescription, parse_urdf
+from .utils.golden import GoldenDynamics
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
+    "load_robot", "parse_urdf", "robot_model_from_description",
+    "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
+    "inverse_dynamics_gradient", "forward_dynamics_gradient",
+    "forward_dynamics_gradient_qdd_minv",
+]

@@ -1,0 +1,261 @@
+"""Built-in robot fixtures.
+
+The reference relies on external URDFs fed through ``URDFParser``
+(``/root/reference/README.md:8,20``); its benchmark configs name iiwa-14
+(7-DoF serial), HyQ (branched quadruped) and Atlas (humanoid). This module
+generates equivalent URDF documents programmatically so the framework and its
+tests are self-contained:
+
+* :func:`iiwa14`        — 7-DoF serial arm (KUKA LBR iiwa 14 style geometry),
+* :func:`hyq`           — 12-DoF quadruped, 4-way branch at the trunk
+                          (exercises repeated-parent scatter-adds, the
+                          reference's atomicAdd path,
+                          ``_inverse_dynamics.py:276-282``),
+* :func:`atlas`         — 28-DoF humanoid, deep + wide tree,
+* :func:`serial_chain`  — parametric n-DoF chain,
+* :func:`random_tree`   — seeded random topology/inertia generator for
+                          property tests (general, non-axis-aligned axes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PI = np.pi
+
+
+class UrdfBuilder:
+    def __init__(self, name: str):
+        self.name = name
+        self.links: list[str] = []
+        self.joints: list[str] = []
+
+    def link(self, name, mass=0.0, com=(0, 0, 0), ixx=0.0, iyy=0.0, izz=0.0,
+             ixy=0.0, ixz=0.0, iyz=0.0, inertial_rpy=(0, 0, 0)):
+        inertial = ""
+        if mass > 0:
+            inertial = f"""
+    <inertial>
+      <origin xyz="{com[0]} {com[1]} {com[2]}" rpy="{inertial_rpy[0]} {inertial_rpy[1]} {inertial_rpy[2]}"/>
+      <mass value="{mass}"/>
+      <inertia ixx="{ixx}" ixy="{ixy}" ixz="{ixz}" iyy="{iyy}" iyz="{iyz}" izz="{izz}"/>
+    </inertial>"""
+        self.links.append(f'  <link name="{name}">{inertial}\n  </link>')
+        return self
+
+    def joint(self, name, parent, child, jtype="revolute", xyz=(0, 0, 0),
+              rpy=(0, 0, 0), axis=(0, 0, 1), damping=0.0, limit=2.96):
+        lim = ""
+        if jtype == "revolute":
+            lim = f'\n    <limit lower="{-limit}" upper="{limit}" effort="300" velocity="10"/>'
+        elif jtype == "prismatic":
+            lim = f'\n    <limit lower="-1" upper="1" effort="300" velocity="10"/>'
+        self.joints.append(f"""  <joint name="{name}" type="{jtype}">
+    <parent link="{parent}"/>
+    <child link="{child}"/>
+    <origin xyz="{xyz[0]} {xyz[1]} {xyz[2]}" rpy="{rpy[0]} {rpy[1]} {rpy[2]}"/>
+    <axis xyz="{axis[0]} {axis[1]} {axis[2]}"/>
+    <dynamics damping="{damping}" friction="0"/>{lim}
+  </joint>""")
+        return self
+
+    def build(self) -> str:
+        body = "\n".join(self.links + self.joints)
+        return f'<robot name="{self.name}">\n{body}\n</robot>\n'
+
+
+def iiwa14(damping: float = 0.0) -> str:
+    """7-DoF serial arm with KUKA LBR iiwa 14 R820 style kinematics/inertias."""
+    b = UrdfBuilder("iiwa14")
+    b.link("link_0", mass=5.0, com=(-0.1, 0, 0.07), ixx=0.05, iyy=0.06, izz=0.03)
+    masses = [3.4525, 3.4821, 4.05623, 3.4822, 2.1633, 2.3466, 3.129]
+    coms = [(0, -0.03, 0.12), (0.0003, 0.059, 0.042), (0, 0.03, 0.13),
+            (0, 0.067, 0.034), (0.0001, 0.021, 0.076), (0, 0.0006, 0.0004),
+            (0, 0, 0.02)]
+    diags = [(0.02183, 0.007703, 0.02083), (0.02076, 0.02179, 0.00779),
+             (0.03204, 0.00972, 0.03042), (0.02178, 0.02075, 0.007785),
+             (0.01287, 0.005708, 0.01112), (0.006509, 0.006259, 0.004527),
+             (0.01464, 0.01465, 0.002872)]
+    for i in range(7):
+        d = diags[i]
+        b.link(f"link_{i+1}", mass=masses[i], com=coms[i],
+               ixx=d[0], iyy=d[1], izz=d[2])
+    origins = [((0, 0, 0.1575), (0, 0, 0)),
+               ((0, 0, 0.2025), (_PI / 2, 0, _PI)),
+               ((0, 0.2045, 0), (_PI / 2, 0, _PI)),
+               ((0, 0, 0.2155), (_PI / 2, 0, 0)),
+               ((0, 0.1845, 0), (-_PI / 2, _PI, 0)),
+               ((0, 0, 0.2155), (_PI / 2, 0, 0)),
+               ((0, 0.081, 0), (-_PI / 2, _PI, 0))]
+    for i, (xyz, rpy) in enumerate(origins):
+        b.joint(f"joint_{i+1}", f"link_{i}", f"link_{i+1}",
+                xyz=xyz, rpy=rpy, axis=(0, 0, 1), damping=damping)
+    return b.build()
+
+
+def hyq(damping: float = 0.0) -> str:
+    """12-DoF fixed-trunk quadruped (HyQ-style): 4 legs × (HAA, HFE, KFE)."""
+    b = UrdfBuilder("hyq")
+    b.link("trunk", mass=60.96, com=(0.0, 0.0, 0.02),
+           ixx=1.5, iyy=8.5, izz=9.2)
+    legs = {"lf": (0.3735, 0.207), "rf": (0.3735, -0.207),
+            "lh": (-0.3735, 0.207), "rh": (-0.3735, -0.207)}
+    for leg, (x, y) in legs.items():
+        mirror = -1.0 if y < 0 else 1.0
+        b.link(f"{leg}_hipassembly", mass=2.93, com=(0.04, 0.0, 0.0),
+               ixx=0.005, iyy=0.0087, izz=0.0069)
+        b.link(f"{leg}_upperleg", mass=2.638, com=(0.15, mirror * 0.026, 0.0),
+               ixx=0.0046, iyy=0.0535, izz=0.0548)
+        b.link(f"{leg}_lowerleg", mass=0.881, com=(0.125, 0.0001, -0.0003),
+               ixx=0.0007, iyy=0.0128, izz=0.0127)
+        b.joint(f"{leg}_haa_joint", "trunk", f"{leg}_hipassembly",
+                xyz=(x, y, 0.0), rpy=(0, _PI / 2, 0), axis=(0, 0, 1),
+                damping=damping)
+        b.joint(f"{leg}_hfe_joint", f"{leg}_hipassembly", f"{leg}_upperleg",
+                xyz=(0.08, 0, 0), rpy=(-_PI / 2 * mirror, 0, 0), axis=(0, 0, 1),
+                damping=damping)
+        b.joint(f"{leg}_kfe_joint", f"{leg}_upperleg", f"{leg}_lowerleg",
+                xyz=(0.35, 0, 0), rpy=(0, 0, 0), axis=(0, 0, 1),
+                damping=damping)
+    return b.build()
+
+
+def atlas(damping: float = 0.0) -> str:
+    """28-DoF stylized humanoid (Atlas-scale tree: torso chain, neck, two
+    6-DoF arms, two 6-DoF legs; wide waves + depth 9)."""
+    b = UrdfBuilder("atlas")
+    b.link("pelvis", mass=17.88, com=(0.01, 0, 0.03), ixx=0.12, iyy=0.11, izz=0.11)
+
+    def seg(name, mass, com, d):
+        b.link(name, mass=mass, com=com, ixx=d[0], iyy=d[1], izz=d[2])
+
+    # torso chain: pelvis → ltorso → mtorso → utorso
+    seg("ltorso", 2.4, (-0.01, 0, 0.07), (0.0039, 0.0034, 0.0031))
+    seg("mtorso", 0.69, (-0.008, -0.01, 0.3), (0.00045, 0.00041, 0.00041))
+    seg("utorso", 52.0, (-0.08, 0, 0.29), (1.47, 1.42, 0.83))
+    b.joint("back_bkz", "pelvis", "ltorso", xyz=(-0.0125, 0, 0), axis=(0, 0, 1), damping=damping, limit=0.66)
+    b.joint("back_bky", "ltorso", "mtorso", xyz=(0, 0, 0.162), axis=(0, 1, 0), damping=damping)
+    b.joint("back_bkx", "mtorso", "utorso", xyz=(0, 0, 0.05), axis=(1, 0, 0), damping=damping)
+    # neck
+    seg("head", 1.42, (-0.008, 0, 0.03), (0.0042, 0.0057, 0.0045))
+    b.joint("neck_ry", "utorso", "head", xyz=(0.2546, 0, 0.6215), axis=(0, 1, 0), damping=damping)
+    # arms
+    arm_masses = [4.47, 3.45, 3.01, 3.39, 2.58, 0.65]
+    arm_diags = [(0.011, 0.009, 0.004), (0.015, 0.007, 0.012), (0.004, 0.003, 0.003),
+                 (0.004, 0.003, 0.003), (0.002, 0.002, 0.001), (0.001, 0.001, 0.001)]
+    for side, m in (("l", 1.0), ("r", -1.0)):
+        names = [f"{side}_clav", f"{side}_scap", f"{side}_uarm",
+                 f"{side}_larm", f"{side}_farm", f"{side}_hand"]
+        for nm, mass, d in zip(names, arm_masses, arm_diags):
+            seg(nm, mass, (0, m * 0.05, -0.02), d)
+        b.joint(f"{side}_arm_shz", "utorso", names[0],
+                xyz=(0.1406, m * 0.2256, 0.4776), axis=(0, 0, 1), damping=damping)
+        b.joint(f"{side}_arm_shx", names[0], names[1],
+                xyz=(0, m * 0.11, -0.245), axis=(1, 0, 0), damping=damping)
+        b.joint(f"{side}_arm_ely", names[1], names[2],
+                xyz=(0, m * 0.187, -0.016), axis=(0, 1, 0), damping=damping)
+        b.joint(f"{side}_arm_elx", names[2], names[3],
+                xyz=(0, m * 0.119, 0.0092), axis=(1, 0, 0), damping=damping)
+        b.joint(f"{side}_arm_wry", names[3], names[4],
+                xyz=(0, m * 0.29955, -0.0092), axis=(0, 1, 0), damping=damping)
+        b.joint(f"{side}_arm_wrx", names[4], names[5],
+                xyz=(0, m * 0.1, 0), axis=(1, 0, 0), damping=damping)
+    # legs
+    leg_masses = [3.69, 3.41, 8.21, 4.52, 4.1, 2.41]
+    leg_diags = [(0.008, 0.007, 0.008), (0.009, 0.008, 0.007), (0.09, 0.09, 0.02),
+                 (0.077, 0.076, 0.01), (0.002, 0.002, 0.002), (0.002, 0.007, 0.008)]
+    for side, m in (("l", 1.0), ("r", -1.0)):
+        names = [f"{side}_uglut", f"{side}_lglut", f"{side}_uleg",
+                 f"{side}_lleg", f"{side}_talus", f"{side}_foot"]
+        for nm, mass, d in zip(names, leg_masses, leg_diags):
+            seg(nm, mass, (0.005, m * 0.01, -0.03), d)
+        b.joint(f"{side}_leg_hpz", "pelvis", names[0],
+                xyz=(0, m * 0.089, 0), axis=(0, 0, 1), damping=damping, limit=0.78)
+        b.joint(f"{side}_leg_hpx", names[0], names[1],
+                xyz=(0, 0, 0), axis=(1, 0, 0), damping=damping, limit=0.52)
+        b.joint(f"{side}_leg_hpy", names[1], names[2],
+                xyz=(0.05, m * 0.0225, -0.066), axis=(0, 1, 0), damping=damping)
+        b.joint(f"{side}_leg_kny", names[2], names[3],
+                xyz=(-0.05, 0, -0.374), axis=(0, 1, 0), damping=damping)
+        b.joint(f"{side}_leg_aky", names[3], names[4],
+                xyz=(0, 0, -0.422), axis=(0, 1, 0), damping=damping)
+        b.joint(f"{side}_leg_akx", names[4], names[5],
+                xyz=(0, 0, 0), axis=(1, 0, 0), damping=damping, limit=0.8)
+    return b.build()
+
+
+def serial_chain(n: int, damping: float = 0.0, prismatic_every: int = 0) -> str:
+    """Parametric n-DoF serial chain with alternating axes."""
+    b = UrdfBuilder(f"chain{n}")
+    b.link("base", mass=1.0, ixx=0.01, iyy=0.01, izz=0.01)
+    axes = [(0, 0, 1), (0, 1, 0), (1, 0, 0)]
+    for i in range(n):
+        b.link(f"l{i+1}", mass=1.0 + 0.1 * i, com=(0.02, 0.01, 0.15),
+               ixx=0.02 + 0.001 * i, iyy=0.018, izz=0.006, ixy=0.0005)
+        jtype = "prismatic" if (prismatic_every and (i + 1) % prismatic_every == 0) else "revolute"
+        b.joint(f"j{i+1}", "base" if i == 0 else f"l{i}", f"l{i+1}",
+                jtype=jtype, xyz=(0.01 * (i % 3), 0.02, 0.25),
+                rpy=(0.1 * (i % 5), -0.07 * (i % 3), 0.05 * i),
+                axis=axes[i % 3], damping=damping)
+    return b.build()
+
+
+def random_tree(n: int, seed: int = 0, branch_prob: float = 0.35,
+                with_damping: bool = True, general_axes: bool = True) -> str:
+    """Seeded random kinematic tree with physically valid (PD) inertias.
+
+    Exercises branched topologies, repeated parents, general (non-one-hot)
+    joint axes, and mixed revolute/prismatic joints — a strict superset of
+    what the reference supports (it requires one-hot S,
+    ``/root/reference/helpers/_spatial_algebra_helpers.py:13``).
+    """
+    rng = np.random.default_rng(seed)
+    b = UrdfBuilder(f"rand{n}_{seed}")
+    b.link("base", mass=2.0, ixx=0.02, iyy=0.02, izz=0.02)
+    parents = []
+    for i in range(n):
+        if i == 0 or rng.random() > branch_prob:
+            parents.append(i - 1)  # extend the chain
+        else:
+            parents.append(int(rng.integers(-1, i)))
+    for i in range(n):
+        mass = float(rng.uniform(0.5, 4.0))
+        com = rng.uniform(-0.1, 0.1, 3)
+        A = rng.uniform(-0.1, 0.1, (3, 3))
+        I = A @ A.T + 0.01 * np.eye(3)
+        b.link(f"l{i+1}", mass=mass, com=com,
+               ixx=I[0, 0], iyy=I[1, 1], izz=I[2, 2],
+               ixy=I[0, 1], ixz=I[0, 2], iyz=I[1, 2])
+        if general_axes and rng.random() < 0.3:
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+        else:
+            ax = np.eye(3)[rng.integers(0, 3)]
+        jtype = "prismatic" if rng.random() < 0.15 else "revolute"
+        parent_link = "base" if parents[i] == -1 else f"l{parents[i]+1}"
+        b.joint(f"j{i+1}", parent_link, f"l{i+1}", jtype=jtype,
+                xyz=rng.uniform(-0.3, 0.3, 3), rpy=rng.uniform(-_PI, _PI, 3),
+                axis=tuple(ax),
+                damping=float(rng.uniform(0.0, 0.5)) if with_damping else 0.0)
+    return b.build()
+
+
+def double_pendulum(l1: float = 1.0, l2: float = 1.0,
+                    m1: float = 1.0, m2: float = 1.0) -> str:
+    """Planar double pendulum (point masses, rotation about y) — used for
+    closed-form analytic validation of the dynamics conventions."""
+    b = UrdfBuilder("double_pendulum")
+    b.link("base")
+    b.link("rod1", mass=m1, com=(0, 0, -l1))
+    b.link("rod2", mass=m2, com=(0, 0, -l2))
+    b.joint("hinge1", "base", "rod1", axis=(0, 1, 0), limit=10)
+    b.joint("hinge2", "rod1", "rod2", xyz=(0, 0, -l1), axis=(0, 1, 0), limit=10)
+    return b.build()
+
+
+ZOO = {
+    "iiwa14": iiwa14,
+    "hyq": hyq,
+    "atlas": atlas,
+    "double_pendulum": double_pendulum,
+}

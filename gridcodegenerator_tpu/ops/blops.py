@@ -1,0 +1,395 @@
+"""Batch-last ("structure of arrays") implementations of all algorithms.
+
+Performance layer. The reference maps one CUDA block per state and threads
+over the 6·k work items inside a state (``_code_generation_helpers.py:41-55``).
+The TPU equivalent of that mapping is to put the **batch** in the vector-lane
+dimension: every spatial quantity is stored with a trailing batch axis
+(``v: (6, B)``, ``X_i: (6, 6, B)``, ``∂v_i: (6, n, B)``), so each per-joint
+recursion step is a handful of full-width VPU multiply-adds over B lanes —
+no lane-padding waste from tiny minor dimensions (a ``(B, n, 6)`` layout pads
+6 → 128 lanes; ``(…, B)`` wastes nothing).
+
+Every contraction is expressed as an explicit unrolled sum over the small
+(≤6) contraction index with broadcasting multiplies. This form is exactly
+what the VPU wants, lowers identically under plain XLA *and* inside Pallas
+kernel bodies (no >2-D ``dot_general``), so the fused Pallas kernels in
+:mod:`.kernels` reuse these functions verbatim on VMEM-resident batch tiles.
+
+All functions take/return arrays whose **last** axis is the batch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.robot import RobotModel
+
+# --------------------------------------------------------------------------
+# batch-last primitives
+# --------------------------------------------------------------------------
+
+
+def matvec6(X, v):
+    """(6,6,B) · (6,B) → (6,B): out[r,b] = Σ_c X[r,c,b]·v[c,b]."""
+    return sum(X[:, c, :] * v[c][None, :] for c in range(6))
+
+
+def matvec6_T(X, v):
+    """Xᵀ·v: out[r,b] = Σ_c X[c,r,b]·v[c,b]."""
+    return sum(X[c, :, :] * v[c][None, :] for c in range(6))
+
+
+def matmat6(X, D):
+    """(6,6,B) · (6,k,B) → (6,k,B)."""
+    return sum(X[:, c, :][:, None, :] * D[c][None, :, :] for c in range(6))
+
+
+def matmat6_T(X, D):
+    """Xᵀ·D: (6,6,B)ᵀ · (6,k,B) → (6,k,B)."""
+    return sum(X[c, :, :][:, None, :] * D[c][None, :, :] for c in range(6))
+
+
+def cmatvec6(M, v):
+    """Constant (6,6) · (6,B) → (6,B)."""
+    return sum(M[:, c, None] * v[c][None, :] for c in range(6))
+
+
+def cmatmat6(M, D):
+    """Constant (6,6) · (6,k,B) → (6,k,B)."""
+    return sum(M[:, c, None, None] * D[c][None, :, :] for c in range(6))
+
+
+def cross3_bl(a, b):
+    """(3,B) × (3,B) → (3,B)."""
+    return jnp.stack([
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ])
+
+
+def crm_apply_bl(m, x):
+    """m × x on (6,B): [ω_m×x_ω ; ω_m×x_v + v_m×x_ω]."""
+    return jnp.concatenate([
+        cross3_bl(m[:3], x[:3]),
+        cross3_bl(m[:3], x[3:]) + cross3_bl(m[3:], x[:3]),
+    ])
+
+
+def crf_apply_bl(m, x):
+    """m ×* x on (6,B): [ω_m×x_ω + v_m×x_v ; ω_m×x_v]."""
+    return jnp.concatenate([
+        cross3_bl(m[:3], x[:3]) + cross3_bl(m[3:], x[3:]),
+        cross3_bl(m[:3], x[3:]),
+    ])
+
+
+from .spatial import crm as const_crm_cols  # crm of a (6,) vector → (6,6)
+
+
+# --------------------------------------------------------------------------
+# joint transforms
+# --------------------------------------------------------------------------
+def joint_transforms_bl(model: RobotModel, q):
+    """q (n, B) → list of n (6, 6, B) transforms (affine in sin/cos — the
+    ``load_update_XImats_helpers`` analog in batch-last form). Joint types
+    are static, so the prismatic/revolute choice specializes at trace time."""
+    if not model.joint_types:  # metadata-less model: runtime select fallback
+        f1 = jnp.where(model.prismatic[:, None], q, jnp.sin(q))
+        f2 = jnp.where(model.prismatic[:, None], jnp.zeros_like(q), jnp.cos(q))
+        return [
+            model.Xb[i][:, :, None]
+            + f1[i][None, None, :] * model.Xs[i][:, :, None]
+            + f2[i][None, None, :] * model.Xc[i][:, :, None]
+            for i in range(model.n)
+        ]
+    out = []
+    for i in range(model.n):
+        if model.joint_types[i] == "prismatic":
+            Xi = (model.Xb[i][:, :, None]
+                  + q[i][None, None, :] * model.Xs[i][:, :, None])
+        else:
+            Xi = (model.Xb[i][:, :, None]
+                  + jnp.sin(q[i])[None, None, :] * model.Xs[i][:, :, None]
+                  + jnp.cos(q[i])[None, None, :] * model.Xc[i][:, :, None])
+        out.append(Xi)
+    return out
+
+
+# --------------------------------------------------------------------------
+# RNEA
+# --------------------------------------------------------------------------
+def rnea_fwd_bl(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None):
+    """Forward sweep, batch-last: qd/qdd (n, B) → v, a, f_body lists of (6, B)."""
+    topo = model.topology
+    n = topo.n
+    B = qd.shape[-1]
+    dtype = qd.dtype
+    v = list(v_known) if v_known is not None else [None] * n
+    a = [None] * n
+    f = [None] * n
+    minus_g = jnp.asarray(-gravity, dtype)
+    for i in range(n):
+        p = topo.parents[i]
+        S = model.S[i]
+        Sqd = S[:, None] * qd[i][None, :]
+        if v_known is None:
+            v[i] = Sqd if p < 0 else matvec6(X[i], v[p]) + Sqd
+        if p < 0:
+            # X·a_base with a_base = [0,…,0,−gravity]: column 5 of X scaled
+            ai = X[i][:, 5, :] * minus_g
+        else:
+            ai = matvec6(X[i], a[p])
+        ai = ai + crm_apply_bl(v[i], Sqd)
+        if qdd is not None:
+            ai = ai + S[:, None] * qdd[i][None, :]
+        a[i] = ai
+    for i in range(n):
+        Iv = cmatvec6(model.inertia[i], v[i])
+        f[i] = cmatvec6(model.inertia[i], a[i]) + crf_apply_bl(v[i], Iv)
+    return v, a, f
+
+
+def rnea_bwd_bl(model: RobotModel, X, f, qd=None):
+    topo = model.topology
+    n = topo.n
+    f = list(f)
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            f[p] = f[p] + matvec6_T(X[i], f[i])
+    c = jnp.stack([
+        sum(model.S[i][r] * f[i][r] for r in range(6)) for i in range(n)])
+    if qd is not None:
+        c = c + model.damping[:, None] * qd
+    return c, f
+
+
+def rnea_bl(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
+    """Batch-last inverse dynamics: q/qd/qdd (n, B) → c (n, B)."""
+    X = joint_transforms_bl(model, q)
+    v, a, f = rnea_fwd_bl(model, X, qd, qdd, gravity)
+    c, f = rnea_bwd_bl(model, X, f, qd)
+    return c, v, a, f
+
+
+# --------------------------------------------------------------------------
+# direct M⁻¹
+# --------------------------------------------------------------------------
+def minv_bl(model: RobotModel, X, B=None, dtype=None):
+    """Batch-last analytic M⁻¹: returns rows list [n] of (n, B) (upper-tri
+    semantics as in :mod:`.minv`)."""
+    import numpy as np
+
+    topo = model.topology
+    n = topo.n
+    if B is None:
+        B = X[0].shape[-1]
+    if dtype is None:
+        dtype = X[0].dtype
+
+    IA = [jnp.broadcast_to(model.inertia[i][:, :, None], (6, 6, B)).astype(dtype)
+          for i in range(n)]
+    rows = [jnp.zeros((n, B), dtype) for _ in range(n)]
+    F = [jnp.zeros((6, n, B), dtype) for _ in range(n)]
+    U = [None] * n
+    Dinv = [None] * n
+
+    for i in range(n - 1, -1, -1):
+        S = model.S[i]
+        Ui = sum(IA[i][:, c, :] * S[c] for c in range(6))          # (6,B)
+        d = sum(S[c] * Ui[c] for c in range(6))                    # (B,)
+        Di = 1.0 / d
+        U[i], Dinv[i] = Ui, Di
+        SF = sum(S[c] * F[i][c] for c in range(6))                 # (n,B)
+        onei = jnp.asarray(np.eye(n, dtype=np.float32)[:, i:i + 1], dtype)
+        row = onei * Di[None, :] - Di[None, :] * SF
+        rows[i] = row
+        p = topo.parents[i]
+        if p >= 0:
+            Fi = F[i] + Ui[:, None, :] * row[None, :, :]
+            F[i] = Fi
+            F[p] = F[p] + matmat6_T(X[i], Fi)
+            UDU = Ui[:, None, :] * (Di[None, None, :] * Ui[None, :, :])
+            Ia = IA[i] - UDU
+            IA[p] = IA[p] + matmat6_T(X[i], matmat6(Ia, X[i]))
+    # serial forward sweep
+    for i in range(n):
+        p = topo.parents[i]
+        geq = (np.arange(n) >= i)
+        geq = jnp.asarray(geq, dtype)[:, None]                     # (n,1)
+        if p >= 0:
+            UX = matvec6_T(X[i], U[i])                             # Uᵀ·X → (6,B)
+            corr = sum(UX[c] * F[p][c] for c in range(6))          # (n,B)
+            rows[i] = rows[i] - geq * (Dinv[i][None, :] * corr)
+        new_cols = model.S[i][:, None, None] * rows[i][None, :, :]
+        if p >= 0:
+            new_cols = new_cols + matmat6(X[i], F[p])
+        F[i] = geq[None, :, :] * new_cols + (1 - geq)[None, :, :] * F[i]
+    return rows, U, Dinv
+
+
+def densify_rows(rows):
+    """rows list [n] of (n,B) upper-tri → dense symmetric (n,n,B)."""
+    n = len(rows)
+    M = jnp.stack(rows)  # (n, n, B) upper
+    import numpy as np
+    iu = np.triu_indices(n, 0)
+    upper_mask = jnp.asarray(np.triu(np.ones((n, n))), M.dtype)[:, :, None]
+    strict_mask = jnp.asarray(np.triu(np.ones((n, n)), 1), M.dtype)[:, :, None]
+    return M * upper_mask + jnp.swapaxes(M * strict_mask, 0, 1)
+
+
+def matvecN(M, x):
+    """(n,n,B) · (n,B) → (n,B)."""
+    n = M.shape[0]
+    return sum(M[:, c, :] * x[c][None, :] for c in range(n))
+
+
+def fd_bl(model: RobotModel, q, qd, u, gravity=-9.81):
+    """Batch-last forward dynamics."""
+    X = joint_transforms_bl(model, q)
+    v, a, f = rnea_fwd_bl(model, X, qd, None, gravity)
+    c, _ = rnea_bwd_bl(model, X, f, qd)
+    rows, _, _ = minv_bl(model, X)
+    Minv = densify_rows(rows)
+    return matvecN(Minv, u - c)
+
+
+# --------------------------------------------------------------------------
+# ∂ID inner and ∇FD
+# --------------------------------------------------------------------------
+def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
+    """Batch-last analytic ∂ID. Returns (dc_dq, dc_dqd), each (n, n, B)."""
+    topo = model.topology
+    n = topo.n
+    parents = topo.parents
+    B = qd.shape[-1]
+    dtype = qd.dtype
+    minus_g = jnp.asarray(-gravity, dtype)
+
+    Iv = [cmatvec6(model.inertia[i], v[i]) for i in range(n)]
+    Xv = [matvec6(X[i], v[parents[i]]) if parents[i] >= 0
+          else jnp.zeros((6, B), dtype) for i in range(n)]
+    Xa = [matvec6(X[i], a[parents[i]]) if parents[i] >= 0
+          else X[i][:, 5, :] * minus_g for i in range(n)]
+
+    cS = [const_crm_cols(model.S[i]) for i in range(n)]
+    S_bl = [model.S[i][:, None] * jnp.ones((1, B), dtype) for i in range(n)]
+    SxXv = [cmatvec6(cS[i], Xv[i]) for i in range(n)]
+    SxXa = [cmatvec6(cS[i], Xa[i]) for i in range(n)]
+    Sxv = [cmatvec6(cS[i], v[i]) for i in range(n)]
+    # force-cross form for the backward correction (see ops/rnea_grad.py)
+    Sxf = [crf_apply_bl(S_bl[i], f[i]) for i in range(n)]
+
+    def sow(D, i, vec):
+        """Add `vec` (6,B) into column i of D (6,n,B)."""
+        return D.at[:, i, :].add(vec)
+
+    dv_dq = [None] * n
+    dv_dqd = [None] * n
+    for i in range(n):
+        p = parents[i]
+        if p >= 0:
+            dq = matmat6(X[i], dv_dq[p])
+            dqd = matmat6(X[i], dv_dqd[p])
+            dq = sow(dq, i, -SxXv[i])
+        else:
+            dq = jnp.zeros((6, n, B), dtype)
+            dqd = jnp.zeros((6, n, B), dtype)
+        dqd = sow(dqd, i, S_bl[i])
+        dv_dq[i], dv_dqd[i] = dq, dqd
+
+    da_dq = [None] * n
+    da_dqd = [None] * n
+    for i in range(n):
+        qdi = qd[i][None, None, :]
+        da_dq[i] = sow(-qdi * cmatmat6(cS[i], dv_dq[i]), i, -SxXa[i])
+        da_dqd[i] = sow(-qdi * cmatmat6(cS[i], dv_dqd[i]), i, -Sxv[i])
+    for i in range(n):
+        p = parents[i]
+        if p >= 0:
+            da_dq[i] = da_dq[i] + matmat6(X[i], da_dq[p])
+            da_dqd[i] = da_dqd[i] + matmat6(X[i], da_dqd[p])
+
+    def cross3_cols(A, Bc):
+        """Columnwise 3-D cross on (3,k,B) blocks (either arg broadcastable)."""
+        return jnp.stack([
+            A[1] * Bc[2] - A[2] * Bc[1],
+            A[2] * Bc[0] - A[0] * Bc[2],
+            A[0] * Bc[1] - A[1] * Bc[0],
+        ])
+
+    def crf_cols_right(D, x):
+        """crf(D_col)·x per column: D (6,k,B), x (6,B) → (6,k,B)."""
+        xw = x[:3][:, None, :]
+        xv = x[3:][:, None, :]
+        return jnp.concatenate([
+            cross3_cols(D[:3], xw) + cross3_cols(D[3:], xv),
+            cross3_cols(D[:3], xv),
+        ])
+
+    def crf_cols_left(m, D):
+        """crf(m)·D_col per column: m (6,B), D (6,k,B) → (6,k,B)."""
+        w = m[:3][:, None, :]
+        u_ = m[3:][:, None, :]
+        return jnp.concatenate([
+            cross3_cols(w, D[:3]) + cross3_cols(u_, D[3:]),
+            cross3_cols(w, D[3:]),
+        ])
+
+    df_dq = [None] * n
+    df_dqd = [None] * n
+    for i in range(n):
+        # df = crf(dv)·Iv + I·da + crf(v)·(I·dv)
+        # (the reference's FxvI·dv with FxvI = crf(v)·I, ``_test.py:403``,
+        # reassociated as crf(v)·(I·dv) — identical by linearity)
+        Idv_q = cmatmat6(model.inertia[i], dv_dq[i])
+        Idv_qd = cmatmat6(model.inertia[i], dv_dqd[i])
+        df_dq[i] = (crf_cols_right(dv_dq[i], Iv[i])
+                    + cmatmat6(model.inertia[i], da_dq[i])
+                    + crf_cols_left(v[i], Idv_q))
+        df_dqd[i] = (crf_cols_right(dv_dqd[i], Iv[i])
+                     + cmatmat6(model.inertia[i], da_dqd[i])
+                     + crf_cols_left(v[i], Idv_qd))
+
+    for i in range(n - 1, -1, -1):
+        p = parents[i]
+        if p >= 0:
+            df_dq[p] = df_dq[p] + matmat6_T(X[i], df_dq[i])
+            df_dqd[p] = df_dqd[p] + matmat6_T(X[i], df_dqd[i])
+            df_dq[p] = df_dq[p].at[:, i, :].add(matvec6_T(X[i], Sxf[i]))
+
+    dc_dq = jnp.stack([
+        sum(model.S[i][r] * df_dq[i][r] for r in range(6)) for i in range(n)])
+    dc_dqd = jnp.stack([
+        sum(model.S[i][r] * df_dqd[i][r] for r in range(6)) for i in range(n)])
+    damp = model.damping[:, None, None] * jnp.eye(n, dtype=dtype)[:, :, None]
+    dc_dqd = dc_dqd + damp
+    return dc_dq, dc_dqd
+
+
+def fd_grad_bl(model: RobotModel, q, qd, u, gravity=-9.81):
+    """Batch-last ∇FD: q/qd/u (n, B) → (ddq, ddqd), each (n, n, B).
+
+    Same pipeline as :func:`..ops.fd_grad.forward_dynamics_gradient` (one X
+    evaluation, v reused across the two RNEA sweeps)."""
+    X = joint_transforms_bl(model, q)
+    v, a0, f0 = rnea_fwd_bl(model, X, qd, None, gravity)
+    c, _ = rnea_bwd_bl(model, X, f0, qd)
+    rows, _, _ = minv_bl(model, X)
+    Minv = densify_rows(rows)                       # (n,n,B)
+    qdd = matvecN(Minv, u - c)
+    _, a, f = rnea_fwd_bl(model, X, qd, qdd, gravity, v_known=v)
+    _, f = rnea_bwd_bl(model, X, f, None)
+    dc_dq, dc_dqd = rnea_grad_inner_bl(model, X, qd, v, a, f, gravity)
+    ddq = matmatN(Minv, dc_dq, negate=True)
+    ddqd = matmatN(Minv, dc_dqd, negate=True)
+    return ddq, ddqd
+
+
+def matmatN(M, D, negate=False):
+    """(n,n,B) · (n,k,B) → (n,k,B)."""
+    n = M.shape[0]
+    out = sum(M[:, c, :][:, None, :] * D[c][None, :, :] for c in range(n))
+    return -out if negate else out

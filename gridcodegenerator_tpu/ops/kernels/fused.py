@@ -1,0 +1,196 @@
+"""Fused Pallas TPU kernels for the hot algorithm paths.
+
+The native-code obligation of the build (SURVEY.md §2 note): the reference's
+only native component is the generated CUDA itself — one fused kernel per
+algorithm that stages robot constants and state into shared memory and runs
+the whole recursion on-chip (``_inverse_dynamics.py:354-421`` etc.). The TPU
+equivalent: one ``pallas_call`` per algorithm whose grid tiles the batch;
+each grid step loads a ``(n, block_b)`` state tile plus the (replicated)
+robot constants into VMEM and executes the complete batch-last recursion
+from :mod:`..blops` on-chip — VMEM plays the role of CUDA shared memory, the
+batch tile fills the VPU lanes (the role of the thread block), and Mosaic
+pipelines the HBM↔VMEM tile transfers (the role of ``cgrps::memcpy_async``
+double-buffering, ``_topology_helpers.py:121-124``).
+
+All kernels share the exact compute bodies with the plain-XLA batch-last
+path, so the two are equivalence-tested against each other and against the
+golden model.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.robot import RobotModel
+from .. import blops
+
+# model arrays passed into every kernel, in this order
+_MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping")
+
+
+def _default_block(n: int) -> int:
+    """Batch-tile width: keep the ∂-tensor working set well inside VMEM.
+
+    Live set ≈ 6 joint-major lists of (6, n, block) floats per joint plus
+    X/IA/F — roughly ``40·n² · block`` bytes; target ≤ ~4 MB.
+    """
+    if n <= 10:
+        return 512
+    if n <= 16:
+        return 256
+    if n <= 24:
+        return 128
+    return 128
+
+
+def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
+    """Duck-typed RobotModel over VMEM-resident constant refs."""
+    vals = {f: r[:] for f, r in zip(_MODEL_FIELDS, refs)}
+    return SimpleNamespace(
+        n=model.n, topology=model.topology, joint_types=model.joint_types,
+        prismatic=None, **vals)
+
+
+def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
+                       interpret=False):
+    """Run ``body(kmodel, *state_tiles) -> tuple`` over batch tiles.
+
+    states: arrays (n, B); out_shapes: list of (leading_shape, ) without B.
+    """
+    n = model.n
+    B = states[0].shape[-1]
+    pad = (-B) % block_b
+    if pad:
+        states = [jnp.pad(s, ((0, 0),) * (s.ndim - 1) + ((0, pad),)) for s in states]
+    Bp = B + pad
+    grid = (Bp // block_b,)
+
+    model_args = [getattr(model, f) for f in _MODEL_FIELDS]
+    n_model = len(model_args)
+
+    def kernel(*refs):
+        mrefs = refs[:n_model]
+        srefs = refs[n_model:n_model + len(states)]
+        orefs = refs[n_model + len(states):]
+        km = _kernel_model(model, mrefs)
+        outs = body(km, *[r[:] for r in srefs])
+        for o_ref, o in zip(orefs, outs):
+            o_ref[:] = o
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_model
+        + [pl.BlockSpec(s.shape[:-1] + (block_b,),
+                        (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
+                        memory_space=pltpu.VMEM) for s in states]
+    )
+    out_specs = [
+        pl.BlockSpec(shp + (block_b,), (lambda i, nd=len(shp): (0,) * nd + (i,)),
+                     memory_space=pltpu.VMEM)
+        for shp in out_shapes
+    ]
+    out_shape = [jax.ShapeDtypeStruct(shp + (Bp,), states[0].dtype)
+                 for shp in out_shapes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*model_args, *states)
+    if pad:
+        outs = [o[..., :B] for o in outs]
+    return outs
+
+
+# --------------------------------------------------------------------------
+# public fused kernels (batch-last signatures: state arrays are (n, B))
+# --------------------------------------------------------------------------
+def inverse_dynamics_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
+                           block_b=None, interpret=False):
+    """Fused RNEA: (n,B)³ → c (n,B)."""
+    block_b = block_b or _default_block(model.n)
+
+    if qdd is None:
+        def body(km, q, qd):
+            c, *_ = blops.rnea_bl(km, q, qd, None, gravity)
+            return (c,)
+        states = [q, qd]
+    else:
+        def body(km, q, qd, qdd):
+            c, *_ = blops.rnea_bl(km, q, qd, qdd, gravity)
+            return (c,)
+        states = [q, qd, qdd]
+    (c,) = _pallas_batch_call(model, body, states, [(model.n,)], block_b,
+                              interpret)
+    return c
+
+
+def minv_fused(model: RobotModel, q, gravity=-9.81, block_b=None,
+               interpret=False):
+    """Fused analytic M⁻¹: q (n,B) → dense symmetric (n,n,B)."""
+    block_b = block_b or _default_block(model.n)
+
+    def body(km, q):
+        X = blops.joint_transforms_bl(km, q)
+        rows, _, _ = blops.minv_bl(km, X)
+        return (blops.densify_rows(rows),)
+
+    (M,) = _pallas_batch_call(model, body, [q], [(model.n, model.n)], block_b,
+                              interpret)
+    return M
+
+
+def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
+                           block_b=None, interpret=False):
+    """Fused FD: (n,B)³ → q̈ (n,B)."""
+    block_b = block_b or _default_block(model.n)
+
+    def body(km, q, qd, u):
+        return (blops.fd_bl(km, q, qd, u, gravity),)
+
+    (qdd,) = _pallas_batch_call(model, body, [q, qd, u], [(model.n,)], block_b,
+                                interpret)
+    return qdd
+
+
+def fd_grad_fused(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
+                  interpret=False):
+    """Fused ∇FD — the north-star kernel: the full pipeline
+    (X → RNEA → M⁻¹ → q̈ → vaf → ∂ID → −M⁻¹·∂c) in ONE kernel launch per
+    batch tile, everything VMEM-resident. Returns (ddq, ddqd), each (n,n,B)."""
+    block_b = block_b or _default_block(model.n)
+
+    def body(km, q, qd, u):
+        return blops.fd_grad_bl(km, q, qd, u, gravity)
+
+    n = model.n
+    ddq, ddqd = _pallas_batch_call(model, body, [q, qd, u],
+                                   [(n, n), (n, n)], block_b, interpret)
+    return ddq, ddqd
+
+
+def id_grad_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
+                  block_b=None, interpret=False):
+    """Fused ∂ID: returns (dc_dq, dc_dqd), each (n,n,B)."""
+    block_b = block_b or _default_block(model.n)
+
+    def body(km, q, qd, qdd):
+        X = blops.joint_transforms_bl(km, q)
+        v, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity)
+        _, f = blops.rnea_bwd_bl(km, X, f, None)
+        return blops.rnea_grad_inner_bl(km, X, qd, v, a, f, gravity)
+
+    n = model.n
+    if qdd is None:
+        qdd = jnp.zeros_like(q)
+    dq, dqd = _pallas_batch_call(model, body, [q, qd, qdd],
+                                 [(n, n), (n, n)], block_b, interpret)
+    return dq, dqd

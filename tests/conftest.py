@@ -1,0 +1,88 @@
+"""Test configuration: CPU backend with 8 virtual devices (for mesh/sharding
+tests) and float64 enabled so parity tolerances can be driven to ~1e-12."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_num_cpu_devices", 8)  # virtual devices for mesh tests
+# Some environments force a TPU plugin as the default backend regardless of
+# JAX_PLATFORMS (observed with the 'axon' tunnel plugin); tests must run on
+# CPU in float64, so pin the default device explicitly.
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except RuntimeError:
+    pass
+# persistent compilation cache: the unrolled-graph compiles dominate test
+# time on small CPU hosts; cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+import gridcodegenerator_tpu as g  # noqa: E402
+from gridcodegenerator_tpu.models import zoo  # noqa: E402
+
+# robots used across the suite; AD cross-checks restrict to the smaller ones
+# (jacfwd over the unrolled graphs is compile-heavy for n≳20)
+ROBOTS = {
+    "iiwa14": zoo.iiwa14(damping=0.1),
+    "hyq": zoo.hyq(damping=0.2),
+    "atlas": zoo.atlas(damping=0.05),
+    "rand12": zoo.random_tree(12, seed=3),
+    "chain5p": zoo.serial_chain(5, damping=0.1, prismatic_every=2),
+    "dpend": zoo.double_pendulum(),
+}
+# AD cross-checks (jacfwd of the whole unrolled pipeline) are compile-heavy;
+# restrict them to small-n robots. GRAD_ROBOTS drops only atlas (n=28), whose
+# analytic-gradient parity runs as a @slow test instead.
+SMALL_ROBOTS = ["iiwa14", "chain5p", "dpend"]
+GRAD_ROBOTS = ["iiwa14", "hyq", "rand12", "chain5p", "dpend"]
+
+_cache: dict = {}
+
+
+def get_setup(name: str):
+    if name not in _cache:
+        desc = g.parse_urdf(ROBOTS[name])
+        _cache[name] = (
+            desc,
+            g.GoldenDynamics(desc),
+            g.robot_model_from_description(desc, dtype=jnp.float64),
+        )
+    return _cache[name]
+
+
+@pytest.fixture(params=list(ROBOTS))
+def robot(request):
+    return get_setup(request.param)
+
+
+@pytest.fixture(params=SMALL_ROBOTS)
+def small_robot(request):
+    return get_setup(request.param)
+
+
+@pytest.fixture(params=GRAD_ROBOTS)
+def grad_robot(request):
+    return get_setup(request.param)
+
+
+@pytest.fixture
+def iiwa():
+    return get_setup("iiwa14")
+
+
+def random_state(n, seed=0, batch=()):
+    rng = np.random.default_rng(seed)
+    shape = tuple(batch) + (n,)
+    return (rng.uniform(-2.0, 2.0, shape), rng.uniform(-1.5, 1.5, shape),
+            rng.uniform(-8.0, 8.0, shape))

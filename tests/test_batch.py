@@ -1,0 +1,63 @@
+"""Batching: the api layer's vmap lifting (the reference's NUM_TIMESTEPS
+trajectory axis, one block per state → one vmap lane per state)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import gridcodegenerator_tpu as g
+from conftest import get_setup, random_state
+
+
+def test_batch_matches_loop(iiwa):
+    desc, gold, model = iiwa
+    n = desc.n
+    B = 9
+    q, qd, u = random_state(n, seed=41, batch=(B,))
+    got = np.asarray(g.forward_dynamics(model, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u)))
+    for k in range(B):
+        np.testing.assert_allclose(got[k], gold.fd(q[k], qd[k], u[k]), atol=1e-9)
+
+
+def test_unbatched_and_multidim_batch(iiwa):
+    desc, gold, model = iiwa
+    n = desc.n
+    q, qd, u = random_state(n, seed=42, batch=(2, 3))
+    got = np.asarray(g.forward_dynamics_gradient(
+        model, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u)))
+    assert got.shape == (2, 3, n, 2 * n)
+    single = np.asarray(g.forward_dynamics_gradient(
+        model, jnp.asarray(q[1, 2]), jnp.asarray(qd[1, 2]), jnp.asarray(u[1, 2])))
+    np.testing.assert_allclose(got[1, 2], single, atol=1e-11)
+
+
+def test_all_api_entry_points_batched(iiwa):
+    desc, gold, model = iiwa
+    n = desc.n
+    B = 4
+    q, qd, u = map(jnp.asarray, random_state(n, seed=43, batch=(B,)))
+    assert g.inverse_dynamics(model, q, qd, u).shape == (B, n)
+    assert g.bias_force(model, q, qd).shape == (B, n)
+    assert g.direct_minv(model, q).shape == (B, n, n)
+    assert g.forward_dynamics(model, q, qd, u).shape == (B, n)
+    assert g.inverse_dynamics_gradient(model, q, qd, u).shape == (B, n, 2 * n)
+    assert g.forward_dynamics_gradient(model, q, qd, u).shape == (B, n, 2 * n)
+    qdd = g.forward_dynamics(model, q, qd, u)
+    Minv = g.direct_minv(model, q)
+    got = g.forward_dynamics_gradient_qdd_minv(model, q, qd, qdd, Minv)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(g.forward_dynamics_gradient(model, q, qd, u)),
+                               atol=1e-10)
+
+
+def test_f32_accuracy(iiwa):
+    """float32 (the TPU production dtype) stays within ~1e-5 of the f64
+    golden on iiwa-scale robots."""
+    desc, gold, model64 = iiwa
+    model32 = model64.astype(jnp.float32)
+    q, qd, u = random_state(desc.n, seed=44)
+    got = np.asarray(g.forward_dynamics(
+        model32, jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32),
+        jnp.asarray(u, jnp.float32)))
+    ref = gold.fd(q, qd, u)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(got - ref).max() / scale < 2e-5

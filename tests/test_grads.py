@@ -1,0 +1,132 @@
+"""Analytical gradients: parity vs golden, cross-validation vs jax autodiff,
+column-blocked computation, and the qdd+Minv input mode."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+import numpy as np
+
+from conftest import get_setup, random_state
+from gridcodegenerator_tpu.ops import fd, fd_grad, minv, rnea, rnea_grad
+
+TOL = 1e-9
+
+
+def test_id_grad_parity(grad_robot):
+    desc, gold, model = grad_robot
+    q, qd, qdd = random_state(desc.n, seed=31)
+    got = np.asarray(rnea_grad.inverse_dynamics_gradient(
+        model, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(qdd)))
+    dq, dqd = gold.rnea_grad(q, qd, qdd)
+    np.testing.assert_allclose(got, np.hstack([dq, dqd]), atol=TOL)
+
+
+def test_id_grad_vs_autodiff(small_robot):
+    """Analytic ∂ID vs jax.jacfwd of the RNEA implementation — two completely
+    different derivations of the same Jacobian."""
+    desc, gold, model = small_robot
+    q, qd, qdd = map(jnp.asarray, random_state(desc.n, seed=32))
+    got = np.asarray(rnea_grad.inverse_dynamics_gradient(model, q, qd, qdd))
+    jq = jax.jacfwd(lambda x: rnea.inverse_dynamics(model, x, qd, qdd))(q)
+    jqd = jax.jacfwd(lambda x: rnea.inverse_dynamics(model, q, x, qdd))(qd)
+    np.testing.assert_allclose(got, np.hstack([np.asarray(jq), np.asarray(jqd)]),
+                               atol=1e-8)
+
+
+def test_fd_grad_parity(grad_robot):
+    desc, gold, model = grad_robot
+    q, qd, u = random_state(desc.n, seed=33)
+    got = np.asarray(fd_grad.forward_dynamics_gradient(
+        model, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u)))
+    np.testing.assert_allclose(got, gold.fd_grad(q, qd, u), atol=TOL)
+
+
+def test_fd_grad_vs_autodiff(small_robot):
+    desc, gold, model = small_robot
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=34))
+    got = np.asarray(fd_grad.forward_dynamics_gradient(model, q, qd, u))
+    jq = jax.jacfwd(lambda x: fd.forward_dynamics(model, x, qd, u))(q)
+    jqd = jax.jacfwd(lambda x: fd.forward_dynamics(model, q, x, u))(qd)
+    np.testing.assert_allclose(got, np.hstack([np.asarray(jq), np.asarray(jqd)]),
+                               atol=1e-7)
+
+
+def test_fd_grad_wrt_u_is_minv(iiwa):
+    """∂q̈/∂u = M⁻¹ exactly (the Carpentier/Mansard structure)."""
+    desc, gold, model = iiwa
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=35))
+    ju = jax.jacfwd(lambda x: fd.forward_dynamics(model, q, qd, x))(u)
+    Minv = minv.direct_minv(model, q, dense=True)
+    np.testing.assert_allclose(np.asarray(ju), np.asarray(Minv), atol=1e-10)
+
+
+def test_fd_grad_qdd_minv_mode(small_robot):
+    """The USE_QDD_MINV host mode must agree with the recomputing mode."""
+    desc, gold, model = small_robot
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=36))
+    full = fd_grad.forward_dynamics_gradient(model, q, qd, u)
+    qdd = fd.forward_dynamics(model, q, qd, u)
+    Minv = minv.direct_minv(model, q, dense=True)
+    given = fd_grad.forward_dynamics_gradient_qdd_minv(model, q, qd, qdd, Minv)
+    np.testing.assert_allclose(np.asarray(given), np.asarray(full), atol=1e-10)
+
+
+def test_column_blocked_grad(small_robot):
+    """Column blocks reassemble the full Jacobian (the cp-sharding substrate)."""
+    desc, gold, model = small_robot
+    n = desc.n
+    q, qd, u = map(jnp.asarray, random_state(n, seed=37))
+    full = np.asarray(fd_grad.forward_dynamics_gradient(model, q, qd, u))
+    blk = 3
+    ddq_parts, ddqd_parts = [], []
+    for off in range(0, blk * (-(-n // blk)), blk):
+        ddq, ddqd = fd_grad.forward_dynamics_gradient_cols(
+            model, q, qd, u, col_offset=off, col_count=blk)
+        ddq_parts.append(np.asarray(ddq))
+        ddqd_parts.append(np.asarray(ddqd))
+    ddq = np.concatenate(ddq_parts, axis=1)[:, :n]
+    ddqd = np.concatenate(ddqd_parts, axis=1)[:, :n]
+    np.testing.assert_allclose(np.hstack([ddq, ddqd]), full, atol=1e-10)
+
+
+def test_column_block_traced_offset(iiwa):
+    """col_offset may be a traced value (required for shard_map usage)."""
+    desc, gold, model = iiwa
+    n = desc.n
+    q, qd, u = map(jnp.asarray, random_state(n, seed=38))
+    full = np.asarray(fd_grad.forward_dynamics_gradient(model, q, qd, u))
+
+    @jax.jit
+    def blocked(off):
+        return fd_grad.forward_dynamics_gradient_cols(
+            model, q, qd, u, col_offset=off, col_count=4)
+
+    ddq0, _ = blocked(jnp.asarray(0))
+    ddq4, _ = blocked(jnp.asarray(4))
+    got = np.concatenate([np.asarray(ddq0), np.asarray(ddq4)], axis=1)[:, :n]
+    np.testing.assert_allclose(got, full[:, :n], atol=1e-10)
+
+
+def test_damping_in_dc_dqd(iiwa):
+    """∂c/∂q̇ carries damping on its diagonal (golden ``_test.py:486``)."""
+    desc, gold, model = iiwa
+    q, qd, qdd = map(jnp.asarray, random_state(desc.n, seed=39))
+    base = np.asarray(rnea_grad.inverse_dynamics_gradient(model, q, qd, qdd))
+    import dataclasses
+    model0 = dataclasses.replace(model, damping=jnp.zeros_like(model.damping))
+    nod = np.asarray(rnea_grad.inverse_dynamics_gradient(model0, q, qd, qdd))
+    diff = base - nod
+    np.testing.assert_allclose(diff[:, desc.n:], np.diag(np.asarray(model.damping)),
+                               atol=1e-12)
+    np.testing.assert_allclose(diff[:, :desc.n], 0.0, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_grad_parity_atlas():
+    """Full analytic-gradient parity on the 28-DoF humanoid (compile-heavy)."""
+    from conftest import get_setup
+    desc, gold, model = get_setup("atlas")
+    q, qd, u = random_state(desc.n, seed=61)
+    got = np.asarray(fd_grad.forward_dynamics_gradient(
+        model, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u)))
+    np.testing.assert_allclose(got, gold.fd_grad(q, qd, u), atol=1e-8)

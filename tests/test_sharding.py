@@ -1,0 +1,68 @@
+"""Mesh sharding (8 virtual CPU devices): dp batch sharding and the 2-D
+dp × cp (batch × Jacobian-column) layout must reproduce single-device
+results exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gridcodegenerator_tpu as g
+from conftest import get_setup, random_state
+from gridcodegenerator_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    try:
+        devs = jax.devices("cpu")
+    except RuntimeError:
+        devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return devs[:8]
+
+
+def test_dp_sharded_matches_local(eight_devices, iiwa):
+    desc, gold, model = iiwa
+    m = pmesh.make_mesh(dp=8, cp=1, devices=eight_devices)
+    api = pmesh.sharded_api(model, m)
+    B = 32
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=51, batch=(B,)))
+    got = np.asarray(api["forward_dynamics"](model, q, qd, u))
+    ref = np.asarray(g.forward_dynamics(model, q, qd, u))
+    np.testing.assert_allclose(got, ref, atol=1e-11)
+    got_g = np.asarray(api["forward_dynamics_gradient"](model, q, qd, u))
+    ref_g = np.asarray(g.forward_dynamics_gradient(model, q, qd, u))
+    np.testing.assert_allclose(got_g, ref_g, atol=1e-11)
+
+
+def test_2d_mesh_fd_grad(eight_devices, iiwa):
+    """dp=4 × cp=2: batch sharded over dp, Jacobian columns over cp."""
+    desc, gold, model = iiwa
+    m = pmesh.make_mesh(dp=4, cp=2, devices=eight_devices)
+    fn = pmesh.sharded_fd_grad(model, m)
+    B = 8
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=52, batch=(B,)))
+    got = np.asarray(fn(q, qd, u))
+    ref = np.asarray(g.forward_dynamics_gradient(model, q, qd, u))
+    np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_2d_mesh_branched(eight_devices):
+    desc, gold, model = get_setup("hyq")
+    m = pmesh.make_mesh(dp=2, cp=4, devices=eight_devices)
+    fn = pmesh.sharded_fd_grad(model, m)
+    B = 4
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=53, batch=(B,)))
+    got = np.asarray(fn(q, qd, u))
+    ref = np.asarray(g.forward_dynamics_gradient(model, q, qd, u))
+    np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_replicate_model(eight_devices, iiwa):
+    desc, gold, model = iiwa
+    m = pmesh.make_mesh(dp=8, cp=1, devices=eight_devices)
+    rep = pmesh.replicate_model(model, m)
+    assert rep.n == model.n
+    np.testing.assert_allclose(np.asarray(rep.Xb), np.asarray(model.Xb))
