@@ -20,6 +20,7 @@ All functions take/return arrays whose **last** axis is the batch.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.robot import RobotModel
@@ -29,14 +30,19 @@ from ..models.robot import RobotModel
 # --------------------------------------------------------------------------
 
 
+# NOTE on indexing style: everything stays ≥2-D. Mosaic's layout inference
+# crashes on 1-D (B,) values extracted from computed/stacked arrays, so all
+# contractions use `v[c:c+1, :]` slices ((1,B)) rather than `v[c]` ((B,)).
+
+
 def matvec6(X, v):
     """(6,6,B) · (6,B) → (6,B): out[r,b] = Σ_c X[r,c,b]·v[c,b]."""
-    return sum(X[:, c, :] * v[c][None, :] for c in range(6))
+    return sum(X[:, c, :] * v[c:c + 1, :] for c in range(6))
 
 
 def matvec6_T(X, v):
     """Xᵀ·v: out[r,b] = Σ_c X[c,r,b]·v[c,b]."""
-    return sum(X[c, :, :] * v[c][None, :] for c in range(6))
+    return sum(X[c, :, :] * v[c:c + 1, :] for c in range(6))
 
 
 def matmat6(X, D):
@@ -50,13 +56,16 @@ def matmat6_T(X, D):
 
 
 def cmatvec6(M, v):
-    """Constant (6,6) · (6,B) → (6,B)."""
-    return sum(M[:, c, None] * v[c][None, :] for c in range(6))
+    """Constant (6,6) · (6,B) → (6,B).
+
+    Slice (not integer-index-plus-newaxis) form: Mosaic lowers static slices
+    directly but turns ``M[:, c, None]`` into an unsupported gather."""
+    return sum(M[:, c:c + 1] * v[c:c + 1, :] for c in range(6))
 
 
 def cmatmat6(M, D):
     """Constant (6,6) · (6,k,B) → (6,k,B)."""
-    return sum(M[:, c, None, None] * D[c][None, :, :] for c in range(6))
+    return sum(M[:, c:c + 1][:, :, None] * D[c:c + 1, :, :] for c in range(6))
 
 
 def cross3_bl(a, b):
@@ -87,6 +96,49 @@ def crf_apply_bl(m, x):
 from .spatial import crm as const_crm_cols  # crm of a (6,) vector → (6,6)
 
 
+def _damping_col(model):
+    """Damping as an (n, 1) column regardless of stored rank (kernels ship it
+    2-D; the public RobotModel stores it 1-D)."""
+    d = model.damping
+    return d if d.ndim == 2 else d[:, None]
+
+
+def batchify1(v, ones1B):
+    """(k,) constant vector → (k, B): Mosaic cannot broadcast size-1 1-D
+    operands against tiled 2-D values, so per-joint constants are expanded
+    into lane-resident (k, B) arrays once per kernel invocation. Values that
+    are already batchified (the fused kernels pass S/inertia pre-expanded —
+    purely constant-derived values crash Mosaic's layout inference) pass
+    through unchanged."""
+    return v if v.ndim == 2 else v[:, None] * ones1B
+
+
+def batchify2(M, ones1B):
+    """(6,6) constant matrix → (6,6,B) via row-wise outer products (every
+    step uses Mosaic-supported broadcast patterns). (6,6,B) inputs pass
+    through."""
+    return M if M.ndim == 3 else jnp.stack([M[r][:, None] * ones1B for r in range(6)])
+
+
+def crm_cols_left(m, D):
+    """crm(m)·D per column: m (6,B), D (6,k,B) → (6,k,B)
+    ([ω×D_ω ; ω×D_v + v×D_ω])."""
+    w = m[:3][:, None, :]
+    u_ = m[3:][:, None, :]
+    return jnp.concatenate([
+        _cross3_cols(w, D[:3]),
+        _cross3_cols(w, D[3:]) + _cross3_cols(u_, D[:3]),
+    ])
+
+
+def _cross3_cols(A, Bc):
+    return jnp.stack([
+        A[1] * Bc[2] - A[2] * Bc[1],
+        A[2] * Bc[0] - A[0] * Bc[2],
+        A[0] * Bc[1] - A[1] * Bc[0],
+    ])
+
+
 # --------------------------------------------------------------------------
 # joint transforms
 # --------------------------------------------------------------------------
@@ -94,26 +146,28 @@ def joint_transforms_bl(model: RobotModel, q):
     """q (n, B) → list of n (6, 6, B) transforms (affine in sin/cos — the
     ``load_update_XImats_helpers`` analog in batch-last form). Joint types
     are static, so the prismatic/revolute choice specializes at trace time."""
+    ones1B = jnp.ones((1, q.shape[-1]), q.dtype)
+
+    def affine(i, f1, f2=None):
+        # stack of (6,B) rows: every broadcast is a Mosaic-supported pattern
+        rows = []
+        for r in range(6):
+            row = (batchify1(model.Xb[i][r], ones1B)
+                   + batchify1(model.Xs[i][r], ones1B) * f1)
+            if f2 is not None:
+                row = row + batchify1(model.Xc[i][r], ones1B) * f2
+            rows.append(row)
+        return jnp.stack(rows)
+
     if not model.joint_types:  # metadata-less model: runtime select fallback
         f1 = jnp.where(model.prismatic[:, None], q, jnp.sin(q))
         f2 = jnp.where(model.prismatic[:, None], jnp.zeros_like(q), jnp.cos(q))
-        return [
-            model.Xb[i][:, :, None]
-            + f1[i][None, None, :] * model.Xs[i][:, :, None]
-            + f2[i][None, None, :] * model.Xc[i][:, :, None]
-            for i in range(model.n)
-        ]
-    out = []
-    for i in range(model.n):
-        if model.joint_types[i] == "prismatic":
-            Xi = (model.Xb[i][:, :, None]
-                  + q[i][None, None, :] * model.Xs[i][:, :, None])
-        else:
-            Xi = (model.Xb[i][:, :, None]
-                  + jnp.sin(q[i])[None, None, :] * model.Xs[i][:, :, None]
-                  + jnp.cos(q[i])[None, None, :] * model.Xc[i][:, :, None])
-        out.append(Xi)
-    return out
+        return [affine(i, f1[i:i + 1], f2[i:i + 1]) for i in range(model.n)]
+    return [
+        affine(i, q[i:i + 1]) if model.joint_types[i] == "prismatic"
+        else affine(i, jnp.sin(q[i:i + 1]), jnp.cos(q[i:i + 1]))
+        for i in range(model.n)
+    ]
 
 
 # --------------------------------------------------------------------------
@@ -129,10 +183,11 @@ def rnea_fwd_bl(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None)
     a = [None] * n
     f = [None] * n
     minus_g = jnp.asarray(-gravity, dtype)
+    ones1B = jnp.ones((1, B), dtype)
     for i in range(n):
         p = topo.parents[i]
-        S = model.S[i]
-        Sqd = S[:, None] * qd[i][None, :]
+        Sb = batchify1(model.S[i], ones1B)
+        Sqd = Sb * qd[i:i + 1, :]
         if v_known is None:
             v[i] = Sqd if p < 0 else matvec6(X[i], v[p]) + Sqd
         if p < 0:
@@ -142,11 +197,12 @@ def rnea_fwd_bl(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None)
             ai = matvec6(X[i], a[p])
         ai = ai + crm_apply_bl(v[i], Sqd)
         if qdd is not None:
-            ai = ai + S[:, None] * qdd[i][None, :]
+            ai = ai + Sb * qdd[i:i + 1, :]
         a[i] = ai
     for i in range(n):
-        Iv = cmatvec6(model.inertia[i], v[i])
-        f[i] = cmatvec6(model.inertia[i], a[i]) + crf_apply_bl(v[i], Iv)
+        Ib = batchify2(model.inertia[i], ones1B)
+        Iv = matvec6(Ib, v[i])
+        f[i] = matvec6(Ib, a[i]) + crf_apply_bl(v[i], Iv)
     return v, a, f
 
 
@@ -158,10 +214,17 @@ def rnea_bwd_bl(model: RobotModel, X, f, qd=None):
         p = topo.parents[i]
         if p >= 0:
             f[p] = f[p] + matvec6_T(X[i], f[i])
-    c = jnp.stack([
-        sum(model.S[i][r] * f[i][r] for r in range(6)) for i in range(n)])
+    # c[i] = S_iᵀ f_i for all joints at once: stack the wrenches to (n,6,B)
+    # and contract with the (n,6) S matrix row-wise — every op is a
+    # Mosaic-supported (n,1)×(n,B) broadcast (per-joint concat/stack forms
+    # crash Mosaic's layout inference).
+    F_all = jnp.stack(f)                                   # (n, 6, B)
+    if model.S.ndim == 3:  # pre-batchified (n,6,B) S from the fused kernels
+        c = sum(model.S[:, r, :] * F_all[:, r, :] for r in range(6))
+    else:
+        c = sum(model.S[:, r:r + 1] * F_all[:, r, :] for r in range(6))
     if qd is not None:
-        c = c + model.damping[:, None] * qd
+        c = c + _damping_col(model) * qd
     return c, f
 
 
@@ -188,41 +251,45 @@ def minv_bl(model: RobotModel, X, B=None, dtype=None):
     if dtype is None:
         dtype = X[0].dtype
 
-    IA = [jnp.broadcast_to(model.inertia[i][:, :, None], (6, 6, B)).astype(dtype)
-          for i in range(n)]
+    ones1B = jnp.ones((1, B), dtype)
+    IA = [batchify2(model.inertia[i], ones1B) for i in range(n)]
+    Sb = [batchify1(model.S[i], ones1B) for i in range(n)]
     rows = [jnp.zeros((n, B), dtype) for _ in range(n)]
     F = [jnp.zeros((6, n, B), dtype) for _ in range(n)]
     U = [None] * n
     Dinv = [None] * n
 
     for i in range(n - 1, -1, -1):
-        S = model.S[i]
-        Ui = sum(IA[i][:, c, :] * S[c] for c in range(6))          # (6,B)
-        d = sum(S[c] * Ui[c] for c in range(6))                    # (B,)
+        S = Sb[i]
+        Ui = sum(IA[i][:, c, :] * S[c:c + 1, :] for c in range(6))   # (6,B)
+        d = sum(S[c:c + 1, :] * Ui[c:c + 1, :] for c in range(6))    # (1,B)
         Di = 1.0 / d
         U[i], Dinv[i] = Ui, Di
-        SF = sum(S[c] * F[i][c] for c in range(6))                 # (n,B)
-        onei = jnp.asarray(np.eye(n, dtype=np.float32)[:, i:i + 1], dtype)
-        row = onei * Di[None, :] - Di[None, :] * SF
+        SF = sum(S[c:c + 1, :] * F[i][c] for c in range(6))          # (n,B)
+        # row = e_i·D⁻¹ − D⁻¹·SᵀF — mask-add form (Mosaic has no
+        # scatter-add; an iota-mask multiply lowers everywhere)
+        ei = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == i).astype(dtype)
+        row = ei * Di - Di * SF
         rows[i] = row
         p = topo.parents[i]
         if p >= 0:
             Fi = F[i] + Ui[:, None, :] * row[None, :, :]
             F[i] = Fi
             F[p] = F[p] + matmat6_T(X[i], Fi)
-            UDU = Ui[:, None, :] * (Di[None, None, :] * Ui[None, :, :])
+            UDU = Ui[:, None, :] * (Di[:, None, :] * Ui[None, :, :])
             Ia = IA[i] - UDU
             IA[p] = IA[p] + matmat6_T(X[i], matmat6(Ia, X[i]))
     # serial forward sweep
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)       # (n,1)
     for i in range(n):
         p = topo.parents[i]
-        geq = (np.arange(n) >= i)
-        geq = jnp.asarray(geq, dtype)[:, None]                     # (n,1)
+        geq = (col_ids >= i).astype(dtype)                         # (n,1)
         if p >= 0:
             UX = matvec6_T(X[i], U[i])                             # Uᵀ·X → (6,B)
-            corr = sum(UX[c] * F[p][c] for c in range(6))          # (n,B)
-            rows[i] = rows[i] - geq * (Dinv[i][None, :] * corr)
-        new_cols = model.S[i][:, None, None] * rows[i][None, :, :]
+            corr = sum(UX[c:c + 1, :] * F[p][c] for c in range(6)) # (n,B)
+            rows[i] = rows[i] - geq * (Dinv[i] * corr)
+        # outer(S, row) without a (6,1,1) reshape (unsupported in Mosaic)
+        new_cols = jnp.stack([Sb[i][r:r + 1, :] * rows[i] for r in range(6)])
         if p >= 0:
             new_cols = new_cols + matmat6(X[i], F[p])
         F[i] = geq[None, :, :] * new_cols + (1 - geq)[None, :, :] * F[i]
@@ -230,20 +297,23 @@ def minv_bl(model: RobotModel, X, B=None, dtype=None):
 
 
 def densify_rows(rows):
-    """rows list [n] of (n,B) upper-tri → dense symmetric (n,n,B)."""
+    """rows list [n] of (n,B) upper-tri → dense symmetric (n,n,B).
+
+    Masks built from iota (not captured numpy constants) so this lowers
+    inside Pallas kernel bodies."""
     n = len(rows)
     M = jnp.stack(rows)  # (n, n, B) upper
-    import numpy as np
-    iu = np.triu_indices(n, 0)
-    upper_mask = jnp.asarray(np.triu(np.ones((n, n))), M.dtype)[:, :, None]
-    strict_mask = jnp.asarray(np.triu(np.ones((n, n)), 1), M.dtype)[:, :, None]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    upper_mask = (c >= r).astype(M.dtype)
+    strict_mask = (c > r).astype(M.dtype)
     return M * upper_mask + jnp.swapaxes(M * strict_mask, 0, 1)
 
 
 def matvecN(M, x):
     """(n,n,B) · (n,B) → (n,B)."""
     n = M.shape[0]
-    return sum(M[:, c, :] * x[c][None, :] for c in range(n))
+    return sum(M[:, c, :] * x[c:c + 1, :] for c in range(n))
 
 
 def fd_bl(model: RobotModel, q, qd, u, gravity=-9.81):
@@ -268,23 +338,28 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
     dtype = qd.dtype
     minus_g = jnp.asarray(-gravity, dtype)
 
-    Iv = [cmatvec6(model.inertia[i], v[i]) for i in range(n)]
+    ones1B = jnp.ones((1, B), dtype)
+    Ib = [batchify2(model.inertia[i], ones1B) for i in range(n)]
+    S_bl = [batchify1(model.S[i], ones1B) for i in range(n)]
+
+    Iv = [matvec6(Ib[i], v[i]) for i in range(n)]
     Xv = [matvec6(X[i], v[parents[i]]) if parents[i] >= 0
           else jnp.zeros((6, B), dtype) for i in range(n)]
     Xa = [matvec6(X[i], a[parents[i]]) if parents[i] >= 0
           else X[i][:, 5, :] * minus_g for i in range(n)]
 
-    cS = [const_crm_cols(model.S[i]) for i in range(n)]
-    S_bl = [model.S[i][:, None] * jnp.ones((1, B), dtype) for i in range(n)]
-    SxXv = [cmatvec6(cS[i], Xv[i]) for i in range(n)]
-    SxXa = [cmatvec6(cS[i], Xa[i]) for i in range(n)]
-    Sxv = [cmatvec6(cS[i], v[i]) for i in range(n)]
+    SxXv = [crm_apply_bl(S_bl[i], Xv[i]) for i in range(n)]
+    SxXa = [crm_apply_bl(S_bl[i], Xa[i]) for i in range(n)]
+    Sxv = [crm_apply_bl(S_bl[i], v[i]) for i in range(n)]
     # force-cross form for the backward correction (see ops/rnea_grad.py)
     Sxf = [crf_apply_bl(S_bl[i], f[i]) for i in range(n)]
 
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
     def sow(D, i, vec):
-        """Add `vec` (6,B) into column i of D (6,n,B)."""
-        return D.at[:, i, :].add(vec)
+        """Add `vec` (6,B) into column i of D (6,n,B) — mask-add form
+        (Mosaic has no scatter-add)."""
+        return D + (col_iota == i).astype(D.dtype) * vec[:, None, :]
 
     dv_dq = [None] * n
     dv_dqd = [None] * n
@@ -303,9 +378,9 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
     da_dq = [None] * n
     da_dqd = [None] * n
     for i in range(n):
-        qdi = qd[i][None, None, :]
-        da_dq[i] = sow(-qdi * cmatmat6(cS[i], dv_dq[i]), i, -SxXa[i])
-        da_dqd[i] = sow(-qdi * cmatmat6(cS[i], dv_dqd[i]), i, -Sxv[i])
+        qdi = qd[i:i + 1, :][:, None, :]
+        da_dq[i] = sow(-qdi * crm_cols_left(S_bl[i], dv_dq[i]), i, -SxXa[i])
+        da_dqd[i] = sow(-qdi * crm_cols_left(S_bl[i], dv_dqd[i]), i, -Sxv[i])
     for i in range(n):
         p = parents[i]
         if p >= 0:
@@ -344,13 +419,13 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
         # df = crf(dv)·Iv + I·da + crf(v)·(I·dv)
         # (the reference's FxvI·dv with FxvI = crf(v)·I, ``_test.py:403``,
         # reassociated as crf(v)·(I·dv) — identical by linearity)
-        Idv_q = cmatmat6(model.inertia[i], dv_dq[i])
-        Idv_qd = cmatmat6(model.inertia[i], dv_dqd[i])
+        Idv_q = matmat6(Ib[i], dv_dq[i])
+        Idv_qd = matmat6(Ib[i], dv_dqd[i])
         df_dq[i] = (crf_cols_right(dv_dq[i], Iv[i])
-                    + cmatmat6(model.inertia[i], da_dq[i])
+                    + matmat6(Ib[i], da_dq[i])
                     + crf_cols_left(v[i], Idv_q))
         df_dqd[i] = (crf_cols_right(dv_dqd[i], Iv[i])
-                     + cmatmat6(model.inertia[i], da_dqd[i])
+                     + matmat6(Ib[i], da_dqd[i])
                      + crf_cols_left(v[i], Idv_qd))
 
     for i in range(n - 1, -1, -1):
@@ -358,14 +433,17 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
         if p >= 0:
             df_dq[p] = df_dq[p] + matmat6_T(X[i], df_dq[i])
             df_dqd[p] = df_dqd[p] + matmat6_T(X[i], df_dqd[i])
-            df_dq[p] = df_dq[p].at[:, i, :].add(matvec6_T(X[i], Sxf[i]))
+            df_dq[p] = sow(df_dq[p], i, matvec6_T(X[i], Sxf[i]))
 
     dc_dq = jnp.stack([
-        sum(model.S[i][r] * df_dq[i][r] for r in range(6)) for i in range(n)])
+        sum(S_bl[i][r:r + 1, :] * df_dq[i][r] for r in range(6)) for i in range(n)])
     dc_dqd = jnp.stack([
-        sum(model.S[i][r] * df_dqd[i][r] for r in range(6)) for i in range(n)])
-    damp = model.damping[:, None, None] * jnp.eye(n, dtype=dtype)[:, :, None]
-    dc_dqd = dc_dqd + damp
+        sum(S_bl[i][r:r + 1, :] * df_dqd[i][r] for r in range(6)) for i in range(n)])
+    # damping on the diagonal, via Mosaic-supported shapes only
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    damp_b = (_damping_col(model) * ones1B)[:, None, :]      # (n,1,B)
+    dc_dqd = dc_dqd + (r == c_).astype(dtype) * damp_b
     return dc_dq, dc_dqd
 
 

@@ -52,6 +52,8 @@ def _default_block(n: int) -> int:
 def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
     """Duck-typed RobotModel over VMEM-resident constant refs."""
     vals = {f: r[:] for f, r in zip(_MODEL_FIELDS, refs)}
+    # damping is shipped as (n, 1) — 1-D VMEM operands break Mosaic layout
+    # inference; blops accepts either shape via _damping_col
     return SimpleNamespace(
         n=model.n, topology=model.topology, joint_types=model.joint_types,
         prismatic=None, **vals)
@@ -72,6 +74,17 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
     grid = (Bp // block_b,)
 
     model_args = [getattr(model, f) for f in _MODEL_FIELDS]
+    # no 1-D VMEM inputs: damping (n,) → (n, 1)
+    model_args[_MODEL_FIELDS.index("damping")] = model_args[
+        _MODEL_FIELDS.index("damping")][:, None]
+    # S and inertia enter pre-batchified to the tile width: values derived
+    # purely from constants inside a kernel get replicated layouts that crash
+    # Mosaic's layout inference ("Check failed: limits[i] <= dim(i)"); as
+    # real inputs they carry ordinary tiled layouts.
+    model_args[_MODEL_FIELDS.index("S")] = jnp.broadcast_to(
+        model.S[:, :, None], model.S.shape + (block_b,))
+    model_args[_MODEL_FIELDS.index("inertia")] = jnp.broadcast_to(
+        model.inertia[..., None], model.inertia.shape + (block_b,))
     n_model = len(model_args)
 
     def kernel(*refs):

@@ -1,0 +1,92 @@
+"""Batch-last implementations and fused Pallas kernels (interpret mode) vs
+the golden model — the 'Pallas-vs-pure-jnp equivalence' leg of the test
+strategy (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import get_setup, random_state
+from gridcodegenerator_tpu.ops import blops
+from gridcodegenerator_tpu.ops.kernels import fused
+
+ROBOTS = ["iiwa14", "hyq", "chain5p"]
+
+
+@pytest.fixture(params=ROBOTS)
+def bl_setup(request):
+    desc, gold, model = get_setup(request.param)
+    B = 5
+    q, qd, u = random_state(desc.n, seed=71, batch=(B,))
+    return desc, gold, model, q.T, qd.T, u.T  # batch-last (n, B)
+
+
+def _check_cols(gold_fn, got, q, qd, u, tol):
+    B = q.shape[-1]
+    for k in range(B):
+        ref = gold_fn(q[:, k], qd[:, k], u[:, k])
+        np.testing.assert_allclose(np.asarray(got)[..., k], ref, atol=tol)
+
+
+def test_blops_rnea(bl_setup):
+    desc, gold, model, q, qd, u = bl_setup
+    c, v, a, f = jax.jit(lambda *s: blops.rnea_bl(model, *s))(
+        jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u))
+    _check_cols(lambda a_, b_, c_: gold.rnea(a_, b_, c_)[0], c, q, qd, u, 1e-9)
+
+
+def test_blops_fd(bl_setup):
+    desc, gold, model, q, qd, u = bl_setup
+    qdd = jax.jit(lambda *s: blops.fd_bl(model, *s))(
+        jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u))
+    _check_cols(gold.fd, qdd, q, qd, u, 1e-9)
+
+
+def test_blops_minv(bl_setup):
+    desc, gold, model, q, qd, u = bl_setup
+    rows, _, _ = jax.jit(
+        lambda qq: blops.minv_bl(model, blops.joint_transforms_bl(model, qq)))(
+            jnp.asarray(q))
+    M = blops.densify_rows(rows)
+    for k in range(q.shape[-1]):
+        np.testing.assert_allclose(np.asarray(M)[:, :, k], gold.minv(q[:, k], True),
+                                   atol=1e-9)
+
+
+def test_blops_fd_grad(bl_setup):
+    desc, gold, model, q, qd, u = bl_setup
+    ddq, ddqd = jax.jit(lambda *s: blops.fd_grad_bl(model, *s))(
+        jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u))
+    J = jnp.concatenate([ddq, ddqd], axis=1)
+    _check_cols(gold.fd_grad, J, q, qd, u, 1e-8)
+
+
+def test_pallas_interpret_fd_grad(bl_setup):
+    """Fused kernel (interpreter mode — same lowering path as TPU, runnable
+    on CPU) matches the golden model, including batch padding."""
+    desc, gold, model, q, qd, u = bl_setup
+    model32 = model.astype(jnp.float32)
+    qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
+    ddq, ddqd = fused.fd_grad_fused(model32, qa, qda, ua, block_b=4,
+                                    interpret=True)  # 5 states, block 4 → pad
+    J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
+    for k in range(q.shape[-1]):
+        ref = gold.fd_grad(q[:, k], qd[:, k], u[:, k])
+        np.testing.assert_allclose(J[..., k], ref,
+                                   atol=2e-4 * max(1, np.abs(ref).max()))
+
+
+def test_pallas_interpret_rnea_and_minv(bl_setup):
+    desc, gold, model, q, qd, u = bl_setup
+    model32 = model.astype(jnp.float32)
+    qa, qda = jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32)
+    c = fused.inverse_dynamics_fused(model32, qa, qda, None, block_b=4,
+                                     interpret=True)
+    M = fused.minv_fused(model32, qa, block_b=4, interpret=True)
+    for k in range(q.shape[-1]):
+        cr, *_ = gold.rnea(q[:, k], qd[:, k], None)
+        np.testing.assert_allclose(np.asarray(c)[:, k], cr,
+                                   atol=1e-4 * max(1, np.abs(cr).max()))
+        Mr = gold.minv(q[:, k], True)
+        np.testing.assert_allclose(np.asarray(M)[:, :, k], Mr, atol=1e-5)
