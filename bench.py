@@ -6,7 +6,7 @@ on the 7-DoF iiwa-14, target ≥ 1e6 on one TPU chip at ≤1e-6 parity with the
 float64 NumPy golden model. The reference publishes no numbers
 (``/root/reference/README.md``); its timing machinery is the
 ``*_single_timing`` kernel/host pair (``_inverse_dynamics.py:483-494``),
-replaced here by ``block_until_ready`` walltiming.
+replaced here by ``block_until_ready`` walltiming of the fused Pallas kernel.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": "evals/sec", "vs_baseline": N/1e6}
@@ -24,11 +24,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax as _jax
-    _jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def timeit(fn, args, reps):
     import jax
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), float(np.min(ts))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import gridcodegenerator_tpu as g
@@ -42,37 +51,44 @@ def main():
     gold = g.GoldenDynamics(desc)
     n = desc.n
 
-    BATCH = 16384
+    BATCH = 1 << 20  # 1,048,576 states
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.uniform(-2, 2, (BATCH, n)), jnp.float32)
     qd = jnp.asarray(rng.uniform(-1, 1, (BATCH, n)), jnp.float32)
     u = jnp.asarray(rng.uniform(-8, 8, (BATCH, n)), jnp.float32)
 
-    fn = jax.jit(lambda q, qd, u: g.forward_dynamics_gradient(model, q, qd, u))
+    fn = lambda q, qd, u: g.forward_dynamics_gradient(model, q, qd, u)
 
-    # compile + parity check on a small slice against the f64 golden model
+    # compile + parity check against the f64 golden model (several states)
     t0 = time.perf_counter()
     out = jax.block_until_ready(fn(q, qd, u))
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-    ref = gold.fd_grad(np.asarray(q[0], np.float64), np.asarray(qd[0], np.float64),
-                       np.asarray(u[0], np.float64))
-    err = np.abs(np.asarray(out[0], np.float64) - ref).max() / max(1.0, np.abs(ref).max())
-    log(f"f32-vs-golden relative parity (state 0): {err:.3e}")
+    errs = []
+    for k in (0, BATCH // 2, BATCH - 1):
+        ref = gold.fd_grad(np.asarray(q[k], np.float64),
+                           np.asarray(qd[k], np.float64),
+                           np.asarray(u[k], np.float64))
+        errs.append(np.abs(np.asarray(out[k], np.float64) - ref).max()
+                    / max(1.0, np.abs(ref).max()))
+    log(f"f32-vs-golden relative parity (3 states): {max(errs):.3e}")
 
-    # timed runs
-    reps = 30
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(q, qd, u))
-        times.append(time.perf_counter() - t0)
-    t_med = float(np.median(times))
-    evals_per_sec = BATCH / t_med
-    log(f"batch={BATCH} median={t_med*1e3:.3f}ms  min={min(times)*1e3:.3f}ms  "
+    med, mn = timeit(fn, (q, qd, u), reps=12)
+    evals_per_sec = BATCH / med
+    log(f"batch={BATCH} median={med*1e3:.3f}ms min={mn*1e3:.3f}ms "
         f"evals/sec={evals_per_sec:.3e}")
 
+    # secondary diagnostics: smaller batch + per-call overhead attribution
+    B2 = 16384
+    med2, _ = timeit(fn, (q[:B2], qd[:B2], u[:B2]), reps=12)
+    triv = jax.jit(lambda x: x * 2 + 1)
+    med_t, _ = timeit(triv, (q[:B2],), reps=12)
+    log(f"batch={B2}: {B2/med2:.3e} evals/sec; trivial-op per-call floor: "
+        f"{med_t*1e3:.3f}ms (this environment has a variable flat per-call "
+        f"runtime overhead of tens of ms that dominates small batches; the "
+        f"marginal kernel cost is {med/BATCH*1e9:.0f}ns/state)")
+
     print(json.dumps({
-        "metric": f"batched fwd-dynamics-gradient evals/sec, iiwa-14, batch={BATCH}, f32",
+        "metric": f"batched fwd-dynamics-gradient evals/sec, iiwa-14, batch={BATCH}, f32, fused pallas kernel",
         "value": evals_per_sec,
         "unit": "evals/sec",
         "vs_baseline": evals_per_sec / 1e6,

@@ -6,9 +6,15 @@ This is the TPU-native replacement for the reference's generated host API
 launch + memcpy, every function is a jitted JAX computation that accepts a
 single state ``(n,)`` or any batch ``(..., n)`` of states. The batch axis
 plays the role of the reference's ``NUM_TIMESTEPS`` trajectory axis (one CUDA
-block per state, ``_code_generation_helpers.py:41-47``) and is supplied by
-``vmap``; sharding it across a TPU mesh lives in
-:mod:`gridcodegenerator_tpu.parallel`.
+block per state, ``_code_generation_helpers.py:41-47``); sharding it across a
+TPU mesh lives in :mod:`gridcodegenerator_tpu.parallel`.
+
+Implementation selection (``impl=``):
+  * ``"auto"``   — fused Pallas kernels on TPU, the vmap path elsewhere.
+  * ``"pallas"`` — one fused TPU kernel per batch tile (fastest; TPU only).
+  * ``"vmap"``   — per-state trace-unrolled jnp, vmap-batched: runs on any
+    backend and is differentiable through ``jax.grad``/``jacfwd`` (the
+    always-correct reference path the kernels are tested against).
 """
 
 from __future__ import annotations
@@ -20,6 +26,18 @@ import jax.numpy as jnp
 
 from .models.robot import RobotModel, load_robot  # re-export  # noqa: F401
 from .ops import fd, fd_grad, minv, rnea, rnea_grad
+from .ops.kernels import fused
+
+
+def _resolve_impl(impl: str, x=None) -> str:
+    if impl != "auto":
+        return impl
+    platform = None
+    try:  # committed arrays know their device; tracers/numpy fall through
+        platform = next(iter(x.devices())).platform
+    except Exception:
+        platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "vmap"
 
 
 def _batchify(fn, n_state_args: int):
@@ -36,12 +54,54 @@ def _batchify(fn, n_state_args: int):
             batch_shape = jnp.shape(states[0])[:-1]
             if not batch_shape:
                 return fn(model, *args, **kwargs)
-            f = fn
+            # close over kwargs (static scalars like gravity) so vmap only
+            # maps the state arguments
+            f = lambda m, *s: fn(m, *s, **kwargs)
             for _ in batch_shape:
                 f = jax.vmap(f, in_axes=(None,) + (0,) * n_state_args)
-            return f(model, *states, **kwargs)
+            return f(model, *states)
 
     return wrapped
+
+
+# ------------------------------------------------------------------ pallas
+# Module-level kernel adapters (stable identities → stable jit cache keys).
+def _k_id(m, q, qd, qdd, gravity):
+    return fused.inverse_dynamics_fused(m, q, qd, qdd, gravity)
+
+
+def _k_bias(m, q, qd, gravity):
+    return fused.inverse_dynamics_fused(m, q, qd, None, gravity)
+
+
+def _k_minv(m, q, gravity):
+    return fused.minv_fused(m, q, gravity)
+
+
+def _k_fd(m, q, qd, u, gravity):
+    return fused.forward_dynamics_fused(m, q, qd, u, gravity)
+
+
+def _k_id_grad(m, q, qd, qdd, gravity):
+    dq, dqd = fused.id_grad_fused(m, q, qd, qdd, gravity)
+    return jnp.concatenate([dq, dqd], axis=1)
+
+
+def _k_fd_grad(m, q, qd, u, gravity):
+    ddq, ddqd = fused.fd_grad_fused(m, q, qd, u, gravity)
+    return jnp.concatenate([ddq, ddqd], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "gravity"))
+def _pallas_run(model, states, *, kernel, gravity):
+    """Boundary adapter: (..., n) batch-first user arrays → (n, B) batch-last
+    kernel layout and back."""
+    n = model.n
+    batch_shape = states[0].shape[:-1]
+    bl = [s.reshape(-1, n).T for s in states]
+    out = kernel(model, *bl, gravity)
+    moved = jnp.moveaxis(out, -1, 0)
+    return moved.reshape(batch_shape + moved.shape[1:])
 
 
 # --------------------------------------------------------------------------
@@ -49,48 +109,90 @@ def _batchify(fn, n_state_args: int):
 # --------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=("gravity",))
 @functools.partial(_batchify, n_state_args=3)
-def inverse_dynamics(model: RobotModel, q, qd, qdd, *, gravity: float = -9.81):
-    """c(q, q̇, q̈): joint torques. RNEA."""
+def _inverse_dynamics_vmap(model, q, qd, qdd, *, gravity=-9.81):
     return rnea.inverse_dynamics(model, q, qd, qdd, gravity)
+
+
+def inverse_dynamics(model: RobotModel, q, qd, qdd, *, gravity: float = -9.81,
+                     impl: str = "auto"):
+    """c(q, q̇, q̈): joint torques. RNEA."""
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _pallas_run(model, (q, qd, qdd), kernel=_k_id, gravity=gravity)
+    return _inverse_dynamics_vmap(model, q, qd, qdd, gravity=gravity)
 
 
 @functools.partial(jax.jit, static_argnames=("gravity",))
 @functools.partial(_batchify, n_state_args=2)
-def bias_force(model: RobotModel, q, qd, *, gravity: float = -9.81):
+def _bias_force_vmap(model, q, qd, *, gravity=-9.81):
+    return rnea.inverse_dynamics(model, q, qd, None, gravity)
+
+
+def bias_force(model: RobotModel, q, qd, *, gravity: float = -9.81,
+               impl: str = "auto"):
     """c(q, q̇) with q̈ = 0 — the reference's no-qdd ID variant
     (``_inverse_dynamics.py:499-502``)."""
-    return rnea.inverse_dynamics(model, q, qd, None, gravity)
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _pallas_run(model, (q, qd), kernel=_k_bias, gravity=gravity)
+    return _bias_force_vmap(model, q, qd, gravity=gravity)
 
 
 @functools.partial(jax.jit, static_argnames=("dense",))
 @functools.partial(_batchify, n_state_args=1)
-def direct_minv(model: RobotModel, q, *, dense: bool = True):
-    """Analytic M⁻¹(q). ``dense=False`` returns the raw upper triangle (the
-    reference's native output convention, ``_direct_minv.py:32,390``)."""
+def _direct_minv_vmap(model, q, *, dense=True):
     return minv.direct_minv(model, q, dense=dense)
 
 
+def direct_minv(model: RobotModel, q, *, dense: bool = True,
+                impl: str = "auto"):
+    """Analytic M⁻¹(q). ``dense=False`` returns the raw upper triangle (the
+    reference's native output convention, ``_direct_minv.py:32,390``)."""
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1 and dense:
+        return _pallas_run(model, (q,), kernel=_k_minv, gravity=-9.81)
+    return _direct_minv_vmap(model, q, dense=dense)
+
+
 @functools.partial(jax.jit, static_argnames=("gravity",))
 @functools.partial(_batchify, n_state_args=3)
-def forward_dynamics(model: RobotModel, q, qd, u, *, gravity: float = -9.81):
-    """q̈ = M⁻¹ (u − c(q, q̇))."""
+def _forward_dynamics_vmap(model, q, qd, u, *, gravity=-9.81):
     return fd.forward_dynamics(model, q, qd, u, gravity)
 
 
+def forward_dynamics(model: RobotModel, q, qd, u, *, gravity: float = -9.81,
+                     impl: str = "auto"):
+    """q̈ = M⁻¹ (u − c(q, q̇))."""
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _pallas_run(model, (q, qd, u), kernel=_k_fd, gravity=gravity)
+    return _forward_dynamics_vmap(model, q, qd, u, gravity=gravity)
+
+
 @functools.partial(jax.jit, static_argnames=("gravity",))
 @functools.partial(_batchify, n_state_args=3)
-def inverse_dynamics_gradient(model: RobotModel, q, qd, qdd, *,
-                              gravity: float = -9.81):
-    """[∂c/∂q | ∂c/∂q̇] as (..., n, 2n)."""
+def _inverse_dynamics_gradient_vmap(model, q, qd, qdd, *, gravity=-9.81):
     return rnea_grad.inverse_dynamics_gradient(model, q, qd, qdd, gravity)
 
 
+def inverse_dynamics_gradient(model: RobotModel, q, qd, qdd, *,
+                              gravity: float = -9.81, impl: str = "auto"):
+    """[∂c/∂q | ∂c/∂q̇] as (..., n, 2n)."""
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _pallas_run(model, (q, qd, qdd), kernel=_k_id_grad,
+                           gravity=gravity)
+    return _inverse_dynamics_gradient_vmap(model, q, qd, qdd, gravity=gravity)
+
+
 @functools.partial(jax.jit, static_argnames=("gravity",))
 @functools.partial(_batchify, n_state_args=3)
-def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
-                              gravity: float = -9.81):
-    """[∂q̈/∂q | ∂q̈/∂q̇] as (..., n, 2n) — the north-star op."""
+def _forward_dynamics_gradient_vmap(model, q, qd, u, *, gravity=-9.81):
     return fd_grad.forward_dynamics_gradient(model, q, qd, u, gravity)
+
+
+def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
+                              gravity: float = -9.81, impl: str = "auto"):
+    """[∂q̈/∂q | ∂q̈/∂q̇] as (..., n, 2n) — the north-star op."""
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _pallas_run(model, (q, qd, u), kernel=_k_fd_grad,
+                           gravity=gravity)
+    return _forward_dynamics_gradient_vmap(model, q, qd, u, gravity=gravity)
 
 
 @functools.partial(jax.jit, static_argnames=("gravity",))

@@ -15,7 +15,11 @@ what the VPU wants, lowers identically under plain XLA *and* inside Pallas
 kernel bodies (no >2-D ``dot_general``), so the fused Pallas kernels in
 :mod:`.kernels` reuse these functions verbatim on VMEM-resident batch tiles.
 
-All functions take/return arrays whose **last** axis is the batch.
+All functions take/return arrays whose **trailing** axes are the batch.
+The batch may be 1-D ``(B,)`` or 2-D ``(S, L)`` — the 2-D form maps one
+(sublane, lane) = (8, 128) vector register per scalar quantity per tile, so
+every FMA runs at full vector width (the production layout for the fused
+kernels and the fast XLA path).
 """
 
 from __future__ import annotations
@@ -96,28 +100,32 @@ def crf_apply_bl(m, x):
 from .spatial import crm as const_crm_cols  # crm of a (6,) vector → (6,6)
 
 
-def _damping_col(model):
-    """Damping as an (n, 1) column regardless of stored rank (kernels ship it
-    2-D; the public RobotModel stores it 1-D)."""
+def _damping_col(model, bnd=1):
+    """Damping broadcastable against (n, *batch) regardless of stored rank
+    (kernels ship it pre-shaped; the public RobotModel stores it 1-D)."""
     d = model.damping
-    return d if d.ndim == 2 else d[:, None]
+    return d if d.ndim == 1 + bnd else d.reshape(d.shape[:1] + (1,) * bnd)
 
 
 def batchify1(v, ones1B):
-    """(k,) constant vector → (k, B): Mosaic cannot broadcast size-1 1-D
-    operands against tiled 2-D values, so per-joint constants are expanded
-    into lane-resident (k, B) arrays once per kernel invocation. Values that
-    are already batchified (the fused kernels pass S/inertia pre-expanded —
-    purely constant-derived values crash Mosaic's layout inference) pass
+    """(k,) constant vector → (k, *batch): per-joint constants are expanded
+    into lane-resident arrays once per invocation (Mosaic cannot broadcast
+    size-1 1-D operands against tiled values). Already-batchified values
+    (the fused kernels pass every constant pre-expanded — purely
+    constant-derived value chains crash Mosaic's layout inference) pass
     through unchanged."""
-    return v if v.ndim == 2 else v[:, None] * ones1B
+    bnd = ones1B.ndim - 1
+    if v.ndim == 1 + bnd:
+        return v
+    return v.reshape(v.shape + (1,) * bnd) * ones1B  # plain-XLA path only
 
 
 def batchify2(M, ones1B):
-    """(6,6) constant matrix → (6,6,B) via row-wise outer products (every
-    step uses Mosaic-supported broadcast patterns). (6,6,B) inputs pass
-    through."""
-    return M if M.ndim == 3 else jnp.stack([M[r][:, None] * ones1B for r in range(6)])
+    """(6,6) constant matrix → (6,6,*batch); batchified inputs pass through."""
+    bnd = ones1B.ndim - 1
+    if M.ndim == 2 + bnd:
+        return M
+    return jnp.stack([batchify1(M[r], ones1B) for r in range(6)])
 
 
 def crm_cols_left(m, D):
@@ -146,7 +154,7 @@ def joint_transforms_bl(model: RobotModel, q):
     """q (n, B) → list of n (6, 6, B) transforms (affine in sin/cos — the
     ``load_update_XImats_helpers`` analog in batch-last form). Joint types
     are static, so the prismatic/revolute choice specializes at trace time."""
-    ones1B = jnp.ones((1, q.shape[-1]), q.dtype)
+    ones1B = jnp.ones((1,) + q.shape[1:], q.dtype)
 
     def affine(i, f1, f2=None):
         # stack of (6,B) rows: every broadcast is a Mosaic-supported pattern
@@ -183,11 +191,11 @@ def rnea_fwd_bl(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None)
     a = [None] * n
     f = [None] * n
     minus_g = jnp.asarray(-gravity, dtype)
-    ones1B = jnp.ones((1, B), dtype)
+    ones1B = jnp.ones((1,) + qd.shape[1:], dtype)
     for i in range(n):
         p = topo.parents[i]
         Sb = batchify1(model.S[i], ones1B)
-        Sqd = Sb * qd[i:i + 1, :]
+        Sqd = Sb * qd[i:i + 1]
         if v_known is None:
             v[i] = Sqd if p < 0 else matvec6(X[i], v[p]) + Sqd
         if p < 0:
@@ -197,7 +205,7 @@ def rnea_fwd_bl(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None)
             ai = matvec6(X[i], a[p])
         ai = ai + crm_apply_bl(v[i], Sqd)
         if qdd is not None:
-            ai = ai + Sb * qdd[i:i + 1, :]
+            ai = ai + Sb * qdd[i:i + 1]
         a[i] = ai
     for i in range(n):
         Ib = batchify2(model.inertia[i], ones1B)
@@ -218,13 +226,15 @@ def rnea_bwd_bl(model: RobotModel, X, f, qd=None):
     # and contract with the (n,6) S matrix row-wise — every op is a
     # Mosaic-supported (n,1)×(n,B) broadcast (per-joint concat/stack forms
     # crash Mosaic's layout inference).
-    F_all = jnp.stack(f)                                   # (n, 6, B)
-    if model.S.ndim == 3:  # pre-batchified (n,6,B) S from the fused kernels
-        c = sum(model.S[:, r, :] * F_all[:, r, :] for r in range(6))
+    bnd = f[0].ndim - 1
+    F_all = jnp.stack(f)                                   # (n, 6, *batch)
+    if model.S.ndim == 2 + bnd:  # pre-batchified S from the fused kernels
+        c = sum(model.S[:, r] * F_all[:, r] for r in range(6))
     else:
-        c = sum(model.S[:, r:r + 1] * F_all[:, r, :] for r in range(6))
+        S_r = model.S.reshape(model.S.shape + (1,) * (bnd - 1))
+        c = sum(S_r[:, r:r + 1] * F_all[:, r] for r in range(6))
     if qd is not None:
-        c = c + _damping_col(model) * qd
+        c = c + _damping_col(model, bnd) * qd
     return c, f
 
 
@@ -240,59 +250,57 @@ def rnea_bl(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
 # direct M⁻¹
 # --------------------------------------------------------------------------
 def minv_bl(model: RobotModel, X, B=None, dtype=None):
-    """Batch-last analytic M⁻¹: returns rows list [n] of (n, B) (upper-tri
-    semantics as in :mod:`.minv`)."""
-    import numpy as np
-
+    """Batch-last analytic M⁻¹: returns rows list [n] of (n, *batch)
+    (upper-tri semantics as in :mod:`.minv`)."""
     topo = model.topology
     n = topo.n
-    if B is None:
-        B = X[0].shape[-1]
+    bshape = X[0].shape[2:]
+    bnd = len(bshape)
     if dtype is None:
         dtype = X[0].dtype
 
-    ones1B = jnp.ones((1, B), dtype)
+    ones1B = jnp.ones((1,) + bshape, dtype)
     IA = [batchify2(model.inertia[i], ones1B) for i in range(n)]
     Sb = [batchify1(model.S[i], ones1B) for i in range(n)]
-    rows = [jnp.zeros((n, B), dtype) for _ in range(n)]
-    F = [jnp.zeros((6, n, B), dtype) for _ in range(n)]
+    rows = [jnp.zeros((n,) + bshape, dtype) for _ in range(n)]
+    F = [jnp.zeros((6, n) + bshape, dtype) for _ in range(n)]
     U = [None] * n
     Dinv = [None] * n
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * bnd, 0)
 
     for i in range(n - 1, -1, -1):
         S = Sb[i]
-        Ui = sum(IA[i][:, c, :] * S[c:c + 1, :] for c in range(6))   # (6,B)
-        d = sum(S[c:c + 1, :] * Ui[c:c + 1, :] for c in range(6))    # (1,B)
+        Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))     # (6,*b)
+        d = sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))      # (1,*b)
         Di = 1.0 / d
         U[i], Dinv[i] = Ui, Di
-        SF = sum(S[c:c + 1, :] * F[i][c] for c in range(6))          # (n,B)
+        SF = sum(S[c:c + 1] * F[i][c] for c in range(6))         # (n,*b)
         # row = e_i·D⁻¹ − D⁻¹·SᵀF — mask-add form (Mosaic has no
         # scatter-add; an iota-mask multiply lowers everywhere)
-        ei = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) == i).astype(dtype)
+        ei = (iota_n == i).astype(dtype)
         row = ei * Di - Di * SF
         rows[i] = row
         p = topo.parents[i]
         if p >= 0:
-            Fi = F[i] + Ui[:, None, :] * row[None, :, :]
+            Fi = F[i] + Ui[:, None] * row[None]
             F[i] = Fi
             F[p] = F[p] + matmat6_T(X[i], Fi)
-            UDU = Ui[:, None, :] * (Di[:, None, :] * Ui[None, :, :])
+            UDU = Ui[:, None] * (Di[:, None] * Ui[None])
             Ia = IA[i] - UDU
             IA[p] = IA[p] + matmat6_T(X[i], matmat6(Ia, X[i]))
     # serial forward sweep
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)       # (n,1)
     for i in range(n):
         p = topo.parents[i]
-        geq = (col_ids >= i).astype(dtype)                         # (n,1)
+        geq = (iota_n >= i).astype(dtype)                        # (n,1…)
         if p >= 0:
-            UX = matvec6_T(X[i], U[i])                             # Uᵀ·X → (6,B)
-            corr = sum(UX[c:c + 1, :] * F[p][c] for c in range(6)) # (n,B)
+            UX = matvec6_T(X[i], U[i])                           # Uᵀ·X → (6,*b)
+            corr = sum(UX[c:c + 1] * F[p][c] for c in range(6))  # (n,*b)
             rows[i] = rows[i] - geq * (Dinv[i] * corr)
         # outer(S, row) without a (6,1,1) reshape (unsupported in Mosaic)
-        new_cols = jnp.stack([Sb[i][r:r + 1, :] * rows[i] for r in range(6)])
+        new_cols = jnp.stack([Sb[i][r:r + 1] * rows[i] for r in range(6)])
         if p >= 0:
             new_cols = new_cols + matmat6(X[i], F[p])
-        F[i] = geq[None, :, :] * new_cols + (1 - geq)[None, :, :] * F[i]
+        F[i] = geq[None] * new_cols + (1 - geq)[None] * F[i]
     return rows, U, Dinv
 
 
@@ -302,18 +310,19 @@ def densify_rows(rows):
     Masks built from iota (not captured numpy constants) so this lowers
     inside Pallas kernel bodies."""
     n = len(rows)
-    M = jnp.stack(rows)  # (n, n, B) upper
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    M = jnp.stack(rows)  # (n, n, *batch) upper
+    bnd = M.ndim - 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * bnd, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * bnd, 1)
     upper_mask = (c >= r).astype(M.dtype)
     strict_mask = (c > r).astype(M.dtype)
     return M * upper_mask + jnp.swapaxes(M * strict_mask, 0, 1)
 
 
 def matvecN(M, x):
-    """(n,n,B) · (n,B) → (n,B)."""
+    """(n,n,*b) · (n,*b) → (n,*b)."""
     n = M.shape[0]
-    return sum(M[:, c, :] * x[c:c + 1, :] for c in range(n))
+    return sum(M[:, c] * x[c:c + 1] for c in range(n))
 
 
 def fd_bl(model: RobotModel, q, qd, u, gravity=-9.81):
@@ -329,24 +338,32 @@ def fd_bl(model: RobotModel, q, qd, u, gravity=-9.81):
 # --------------------------------------------------------------------------
 # ∂ID inner and ∇FD
 # --------------------------------------------------------------------------
-def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
-    """Batch-last analytic ∂ID. Returns (dc_dq, dc_dqd), each (n, n, B)."""
+def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
+                       sides=("q", "qd")):
+    """Batch-last analytic ∂ID. Returns a dict with the requested sides:
+    ``{"q": dc_dq, "qd": dc_dqd}``, each (n, n, *batch).
+
+    ``sides`` lets the caller compute one differentiation side at a time —
+    the ∂-tensor working set halves, which is what keeps the fused ∇FD
+    kernel inside VMEM at full (8·k, 128) batch tiles.
+    """
     topo = model.topology
     n = topo.n
     parents = topo.parents
-    B = qd.shape[-1]
+    bshape = qd.shape[1:]
+    bnd = len(bshape)
     dtype = qd.dtype
     minus_g = jnp.asarray(-gravity, dtype)
 
-    ones1B = jnp.ones((1, B), dtype)
+    ones1B = jnp.ones((1,) + bshape, dtype)
     Ib = [batchify2(model.inertia[i], ones1B) for i in range(n)]
     S_bl = [batchify1(model.S[i], ones1B) for i in range(n)]
 
     Iv = [matvec6(Ib[i], v[i]) for i in range(n)]
     Xv = [matvec6(X[i], v[parents[i]]) if parents[i] >= 0
-          else jnp.zeros((6, B), dtype) for i in range(n)]
+          else jnp.zeros((6,) + bshape, dtype) for i in range(n)]
     Xa = [matvec6(X[i], a[parents[i]]) if parents[i] >= 0
-          else X[i][:, 5, :] * minus_g for i in range(n)]
+          else X[i][:, 5] * minus_g for i in range(n)]
 
     SxXv = [crm_apply_bl(S_bl[i], Xv[i]) for i in range(n)]
     SxXa = [crm_apply_bl(S_bl[i], Xa[i]) for i in range(n)]
@@ -354,41 +371,14 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
     # force-cross form for the backward correction (see ops/rnea_grad.py)
     Sxf = [crf_apply_bl(S_bl[i], f[i]) for i in range(n)]
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n) + (1,) * bnd, 1)
 
     def sow(D, i, vec):
-        """Add `vec` (6,B) into column i of D (6,n,B) — mask-add form
+        """Add `vec` (6,*b) into column i of D (6,n,*b) — mask-add form
         (Mosaic has no scatter-add)."""
-        return D + (col_iota == i).astype(D.dtype) * vec[:, None, :]
-
-    dv_dq = [None] * n
-    dv_dqd = [None] * n
-    for i in range(n):
-        p = parents[i]
-        if p >= 0:
-            dq = matmat6(X[i], dv_dq[p])
-            dqd = matmat6(X[i], dv_dqd[p])
-            dq = sow(dq, i, -SxXv[i])
-        else:
-            dq = jnp.zeros((6, n, B), dtype)
-            dqd = jnp.zeros((6, n, B), dtype)
-        dqd = sow(dqd, i, S_bl[i])
-        dv_dq[i], dv_dqd[i] = dq, dqd
-
-    da_dq = [None] * n
-    da_dqd = [None] * n
-    for i in range(n):
-        qdi = qd[i:i + 1, :][:, None, :]
-        da_dq[i] = sow(-qdi * crm_cols_left(S_bl[i], dv_dq[i]), i, -SxXa[i])
-        da_dqd[i] = sow(-qdi * crm_cols_left(S_bl[i], dv_dqd[i]), i, -Sxv[i])
-    for i in range(n):
-        p = parents[i]
-        if p >= 0:
-            da_dq[i] = da_dq[i] + matmat6(X[i], da_dq[p])
-            da_dqd[i] = da_dqd[i] + matmat6(X[i], da_dqd[p])
+        return D + (col_iota == i).astype(D.dtype) * vec[:, None]
 
     def cross3_cols(A, Bc):
-        """Columnwise 3-D cross on (3,k,B) blocks (either arg broadcastable)."""
         return jnp.stack([
             A[1] * Bc[2] - A[2] * Bc[1],
             A[2] * Bc[0] - A[0] * Bc[2],
@@ -396,73 +386,99 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81):
         ])
 
     def crf_cols_right(D, x):
-        """crf(D_col)·x per column: D (6,k,B), x (6,B) → (6,k,B)."""
-        xw = x[:3][:, None, :]
-        xv = x[3:][:, None, :]
+        """crf(D_col)·x per column: D (6,k,*b), x (6,*b) → (6,k,*b)."""
+        xw = x[:3][:, None]
+        xv = x[3:][:, None]
         return jnp.concatenate([
             cross3_cols(D[:3], xw) + cross3_cols(D[3:], xv),
             cross3_cols(D[:3], xv),
         ])
 
     def crf_cols_left(m, D):
-        """crf(m)·D_col per column: m (6,B), D (6,k,B) → (6,k,B)."""
-        w = m[:3][:, None, :]
-        u_ = m[3:][:, None, :]
+        """crf(m)·D_col per column: m (6,*b), D (6,k,*b) → (6,k,*b)."""
+        w = m[:3][:, None]
+        u_ = m[3:][:, None]
         return jnp.concatenate([
             cross3_cols(w, D[:3]) + cross3_cols(u_, D[3:]),
             cross3_cols(w, D[3:]),
         ])
 
-    df_dq = [None] * n
-    df_dqd = [None] * n
-    for i in range(n):
-        # df = crf(dv)·Iv + I·da + crf(v)·(I·dv)
-        # (the reference's FxvI·dv with FxvI = crf(v)·I, ``_test.py:403``,
-        # reassociated as crf(v)·(I·dv) — identical by linearity)
-        Idv_q = matmat6(Ib[i], dv_dq[i])
-        Idv_qd = matmat6(Ib[i], dv_dqd[i])
-        df_dq[i] = (crf_cols_right(dv_dq[i], Iv[i])
-                    + matmat6(Ib[i], da_dq[i])
-                    + crf_cols_left(v[i], Idv_q))
-        df_dqd[i] = (crf_cols_right(dv_dqd[i], Iv[i])
-                     + matmat6(Ib[i], da_dqd[i])
-                     + crf_cols_left(v[i], Idv_qd))
+    def one_side(side):
+        is_q = side == "q"
+        dv = [None] * n
+        for i in range(n):
+            p = parents[i]
+            if p >= 0:
+                d_ = matmat6(X[i], dv[p])
+                if is_q:
+                    d_ = sow(d_, i, -SxXv[i])
+            else:
+                d_ = jnp.zeros((6, n) + bshape, dtype)
+            if not is_q:
+                d_ = sow(d_, i, S_bl[i])
+            dv[i] = d_
 
-    for i in range(n - 1, -1, -1):
-        p = parents[i]
-        if p >= 0:
-            df_dq[p] = df_dq[p] + matmat6_T(X[i], df_dq[i])
-            df_dqd[p] = df_dqd[p] + matmat6_T(X[i], df_dqd[i])
-            df_dq[p] = sow(df_dq[p], i, matvec6_T(X[i], Sxf[i]))
+        da = [None] * n
+        for i in range(n):
+            qdi = qd[i:i + 1][:, None]
+            seed = -SxXa[i] if is_q else -Sxv[i]
+            da[i] = sow(-qdi * crm_cols_left(S_bl[i], dv[i]), i, seed)
+        for i in range(n):
+            p = parents[i]
+            if p >= 0:
+                da[i] = da[i] + matmat6(X[i], da[p])
 
-    dc_dq = jnp.stack([
-        sum(S_bl[i][r:r + 1, :] * df_dq[i][r] for r in range(6)) for i in range(n)])
-    dc_dqd = jnp.stack([
-        sum(S_bl[i][r:r + 1, :] * df_dqd[i][r] for r in range(6)) for i in range(n)])
-    # damping on the diagonal, via Mosaic-supported shapes only
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    c_ = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    damp_b = (_damping_col(model) * ones1B)[:, None, :]      # (n,1,B)
-    dc_dqd = dc_dqd + (r == c_).astype(dtype) * damp_b
-    return dc_dq, dc_dqd
+        df = [None] * n
+        for i in range(n):
+            # df = crf(dv)·Iv + I·da + crf(v)·(I·dv)
+            # (the reference's FxvI·dv with FxvI = crf(v)·I, ``_test.py:403``,
+            # reassociated as crf(v)·(I·dv) — identical by linearity)
+            Idv = matmat6(Ib[i], dv[i])
+            df[i] = (crf_cols_right(dv[i], Iv[i])
+                     + matmat6(Ib[i], da[i])
+                     + crf_cols_left(v[i], Idv))
+
+        for i in range(n - 1, -1, -1):
+            p = parents[i]
+            if p >= 0:
+                df[p] = df[p] + matmat6_T(X[i], df[i])
+                if is_q:
+                    df[p] = sow(df[p], i, matvec6_T(X[i], Sxf[i]))
+
+        dc = jnp.stack([
+            sum(S_bl[i][r:r + 1] * df[i][r] for r in range(6))
+            for i in range(n)])
+        if not is_q:
+            # damping on the ∂c/∂q̇ diagonal, via Mosaic-supported shapes only
+            r = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * bnd, 0)
+            c_ = jax.lax.broadcasted_iota(jnp.int32, (n, n) + (1,) * bnd, 1)
+            damp_b = (_damping_col(model, bnd) * ones1B)[:, None]
+            dc = dc + (r == c_).astype(dtype) * damp_b
+        return dc
+
+    return {side: one_side(side) for side in sides}
 
 
 def fd_grad_bl(model: RobotModel, q, qd, u, gravity=-9.81):
-    """Batch-last ∇FD: q/qd/u (n, B) → (ddq, ddqd), each (n, n, B).
+    """Batch-last ∇FD: q/qd/u (n, *batch) → (ddq, ddqd), each (n, n, *batch).
 
     Same pipeline as :func:`..ops.fd_grad.forward_dynamics_gradient` (one X
-    evaluation, v reused across the two RNEA sweeps)."""
+    evaluation, v reused across the two RNEA sweeps). The q and q̇ sides run
+    sequentially and each is contracted with M⁻¹ immediately, so the two
+    sides' ∂-tensors are never live together (halves peak VMEM in the fused
+    kernel at no extra FLOPs)."""
     X = joint_transforms_bl(model, q)
     v, a0, f0 = rnea_fwd_bl(model, X, qd, None, gravity)
     c, _ = rnea_bwd_bl(model, X, f0, qd)
     rows, _, _ = minv_bl(model, X)
-    Minv = densify_rows(rows)                       # (n,n,B)
+    Minv = densify_rows(rows)                       # (n,n,*b)
     qdd = matvecN(Minv, u - c)
     _, a, f = rnea_fwd_bl(model, X, qd, qdd, gravity, v_known=v)
     _, f = rnea_bwd_bl(model, X, f, None)
-    dc_dq, dc_dqd = rnea_grad_inner_bl(model, X, qd, v, a, f, gravity)
-    ddq = matmatN(Minv, dc_dq, negate=True)
-    ddqd = matmatN(Minv, dc_dqd, negate=True)
+    dq = rnea_grad_inner_bl(model, X, qd, v, a, f, gravity, sides=("q",))["q"]
+    ddq = matmatN(Minv, dq, negate=True)
+    dqd = rnea_grad_inner_bl(model, X, qd, v, a, f, gravity, sides=("qd",))["qd"]
+    ddqd = matmatN(Minv, dqd, negate=True)
     return ddq, ddqd
 
 

@@ -5,21 +5,28 @@ only native component is the generated CUDA itself — one fused kernel per
 algorithm that stages robot constants and state into shared memory and runs
 the whole recursion on-chip (``_inverse_dynamics.py:354-421`` etc.). The TPU
 equivalent: one ``pallas_call`` per algorithm whose grid tiles the batch;
-each grid step loads a ``(n, block_b)`` state tile plus the (replicated)
-robot constants into VMEM and executes the complete batch-last recursion
-from :mod:`..blops` on-chip — VMEM plays the role of CUDA shared memory, the
-batch tile fills the VPU lanes (the role of the thread block), and Mosaic
-pipelines the HBM↔VMEM tile transfers (the role of ``cgrps::memcpy_async``
-double-buffering, ``_topology_helpers.py:121-124``).
+each grid step loads a state tile plus the robot constants into VMEM and
+executes the complete batch-last recursion from :mod:`..blops` on-chip —
+VMEM plays the role of CUDA shared memory and Mosaic pipelines the HBM↔VMEM
+tile transfers (the role of ``cgrps::memcpy_async`` double-buffering,
+``_topology_helpers.py:121-124``).
 
-All kernels share the exact compute bodies with the plain-XLA batch-last
-path, so the two are equivalence-tested against each other and against the
-golden model.
+Batch layout: the batch is shaped **(sublanes, lanes)** = (8·k, 128) inside
+the kernel, so every scalar quantity of a state occupies exactly one vector
+lane and every per-joint recursion step is a set of full-width (8, 128)
+vector-register FMAs — the TPU analog of the reference's one-thread-per-
+work-item mapping (``_code_generation_helpers.py:41-55``), with zero
+sublane/lane padding waste.
+
+All kernels share their compute bodies with the plain-XLA batch-last path
+(:mod:`..blops`), so the two are equivalence-tested against each other and
+against the golden model. Robot constants enter pre-batchified to the tile
+shape: Mosaic miscompiles purely constant-derived value chains (see the
+blops module notes), and real inputs carry ordinary tiled layouts.
 """
 
 from __future__ import annotations
 
-import functools
 from types import SimpleNamespace
 
 import jax
@@ -30,30 +37,25 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.robot import RobotModel
 from .. import blops
 
+_LANES = 128
 # model arrays passed into every kernel, in this order
 _MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping")
 
 
 def _default_block(n: int) -> int:
-    """Batch-tile width: keep the ∂-tensor working set well inside VMEM.
-
-    Live set ≈ 6 joint-major lists of (6, n, block) floats per joint plus
-    X/IA/F — roughly ``40·n² · block`` bytes; target ≤ ~4 MB.
-    """
-    if n <= 10:
-        return 512
+    """Batch-tile size in states. One (8, 128) register row = 1024 states;
+    keep the ∂-tensor working set inside the ~16 MB VMEM."""
+    if n <= 8:
+        return 2048
     if n <= 16:
-        return 256
-    if n <= 24:
-        return 128
-    return 128
+        return 1024
+    return 1024
 
 
 def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
-    """Duck-typed RobotModel over VMEM-resident constant refs."""
+    """Duck-typed RobotModel over VMEM-resident constant refs (all
+    pre-batchified to the tile shape; damping is (n, 1, 1))."""
     vals = {f: r[:] for f, r in zip(_MODEL_FIELDS, refs)}
-    # damping is shipped as (n, 1) — 1-D VMEM operands break Mosaic layout
-    # inference; blops accepts either shape via _damping_col
     return SimpleNamespace(
         n=model.n, topology=model.topology, joint_types=model.joint_types,
         prismatic=None, **vals)
@@ -61,30 +63,33 @@ def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
 
 def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
                        interpret=False):
-    """Run ``body(kmodel, *state_tiles) -> tuple`` over batch tiles.
+    """Run ``body(kmodel, *state_tiles) -> tuple`` over 2-D batch tiles.
 
-    states: arrays (n, B); out_shapes: list of (leading_shape, ) without B.
+    states: arrays (n, B); out_shapes: leading shapes without the batch.
+    ``block_b`` = states per tile (rounded up to a multiple of 128 lanes).
     """
     n = model.n
     B = states[0].shape[-1]
-    pad = (-B) % block_b
+    s_blk = max(1, -(-block_b // _LANES))
+    tile = s_blk * _LANES
+    pad = (-B) % tile
     if pad:
-        states = [jnp.pad(s, ((0, 0),) * (s.ndim - 1) + ((0, pad),)) for s in states]
+        states = [jnp.pad(s, ((0, 0),) * (s.ndim - 1) + ((0, pad),))
+                  for s in states]
     Bp = B + pad
-    grid = (Bp // block_b,)
+    S_tot = Bp // _LANES
+    states = [s.reshape(s.shape[:-1] + (S_tot, _LANES)) for s in states]
+    grid = (S_tot // s_blk,)
 
-    model_args = [getattr(model, f) for f in _MODEL_FIELDS]
-    # no 1-D VMEM inputs: damping (n,) → (n, 1)
-    model_args[_MODEL_FIELDS.index("damping")] = model_args[
-        _MODEL_FIELDS.index("damping")][:, None]
-    # S and inertia enter pre-batchified to the tile width: values derived
-    # purely from constants inside a kernel get replicated layouts that crash
-    # Mosaic's layout inference ("Check failed: limits[i] <= dim(i)"); as
-    # real inputs they carry ordinary tiled layouts.
-    model_args[_MODEL_FIELDS.index("S")] = jnp.broadcast_to(
-        model.S[:, :, None], model.S.shape + (block_b,))
-    model_args[_MODEL_FIELDS.index("inertia")] = jnp.broadcast_to(
-        model.inertia[..., None], model.inertia.shape + (block_b,))
+    btile = (s_blk, _LANES)
+    model_args = []
+    for fname in _MODEL_FIELDS:
+        arr = getattr(model, fname)
+        if fname == "damping":
+            model_args.append(arr[:, None, None])
+        else:
+            model_args.append(jnp.broadcast_to(
+                arr[..., None, None], arr.shape + btile))
     n_model = len(model_args)
 
     def kernel(*refs):
@@ -98,16 +103,17 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
 
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_model
-        + [pl.BlockSpec(s.shape[:-1] + (block_b,),
-                        (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
+        + [pl.BlockSpec(s.shape[:-2] + btile,
+                        (lambda i, nd=s.ndim: (0,) * (nd - 2) + (i, 0)),
                         memory_space=pltpu.VMEM) for s in states]
     )
     out_specs = [
-        pl.BlockSpec(shp + (block_b,), (lambda i, nd=len(shp): (0,) * nd + (i,)),
+        pl.BlockSpec(shp + btile,
+                     (lambda i, nd=len(shp): (0,) * nd + (i, 0)),
                      memory_space=pltpu.VMEM)
         for shp in out_shapes
     ]
-    out_shape = [jax.ShapeDtypeStruct(shp + (Bp,), states[0].dtype)
+    out_shape = [jax.ShapeDtypeStruct(shp + (S_tot, _LANES), states[0].dtype)
                  for shp in out_shapes]
 
     outs = pl.pallas_call(
@@ -118,6 +124,7 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
         out_shape=out_shape,
         interpret=interpret,
     )(*model_args, *states)
+    outs = [o.reshape(o.shape[:-2] + (Bp,)) for o in outs]
     if pad:
         outs = [o[..., :B] for o in outs]
     return outs
@@ -199,11 +206,15 @@ def id_grad_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
         X = blops.joint_transforms_bl(km, q)
         v, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity)
         _, f = blops.rnea_bwd_bl(km, X, f, None)
-        return blops.rnea_grad_inner_bl(km, X, qd, v, a, f, gravity)
+        dq = blops.rnea_grad_inner_bl(km, X, qd, v, a, f, gravity,
+                                      sides=("q",))["q"]
+        dqd = blops.rnea_grad_inner_bl(km, X, qd, v, a, f, gravity,
+                                       sides=("qd",))["qd"]
+        return dq, dqd
 
     n = model.n
     if qdd is None:
-        qdd = jnp.zeros_like(q)
+        qdd = jnp.zeros_like(q)  # S·0 ≡ absent q̈ term: numerically identical
     dq, dqd = _pallas_batch_call(model, body, [q, qd, qdd],
                                  [(n, n), (n, n)], block_b, interpret)
     return dq, dqd
