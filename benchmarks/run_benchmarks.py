@@ -36,6 +36,7 @@ def main(argv=None):
     p.add_argument("--batches", nargs="*", type=int, default=[1024, 16384])
     p.add_argument("--dtype", default="float32")
     p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--impl", default="auto", choices=["auto", "pallas", "vmap"])
     p.add_argument("--profile", action="store_true")
     args = p.parse_args(argv)
 
@@ -49,12 +50,13 @@ def main(argv=None):
     print(f"# backend={jax.default_backend()} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
 
+    impl = args.impl
     algs = {
-        "inverse_dynamics": (lambda m, q, qd, u: g.inverse_dynamics(m, q, qd, u), 3),
-        "direct_minv": (lambda m, q, qd, u: g.direct_minv(m, q), 3),
-        "forward_dynamics": (lambda m, q, qd, u: g.forward_dynamics(m, q, qd, u), 3),
-        "inverse_dynamics_gradient": (lambda m, q, qd, u: g.inverse_dynamics_gradient(m, q, qd, u), 3),
-        "forward_dynamics_gradient": (lambda m, q, qd, u: g.forward_dynamics_gradient(m, q, qd, u), 3),
+        "inverse_dynamics": (lambda m, q, qd, u: g.inverse_dynamics(m, q, qd, u, impl=impl), 3),
+        "direct_minv": (lambda m, q, qd, u: g.direct_minv(m, q, impl=impl), 3),
+        "forward_dynamics": (lambda m, q, qd, u: g.forward_dynamics(m, q, qd, u, impl=impl), 3),
+        "inverse_dynamics_gradient": (lambda m, q, qd, u: g.inverse_dynamics_gradient(m, q, qd, u, impl=impl), 3),
+        "forward_dynamics_gradient": (lambda m, q, qd, u: g.forward_dynamics_gradient(m, q, qd, u, impl=impl), 3),
     }
 
     rows = []
@@ -67,8 +69,9 @@ def main(argv=None):
             qd = jnp.asarray(rng.uniform(-1, 1, (B, n)), dtype)
             u = jnp.asarray(rng.uniform(-8, 8, (B, n)), dtype)
             for name, (fn, _) in algs.items():
-                jfn = jax.jit(fn)
-                med, mn = time_fn(jfn, (model, q, qd, u), args.reps)
+                # api entry points jit internally (and resolve impl from the
+                # concrete inputs) — no outer jit
+                med, mn = time_fn(fn, (model, q, qd, u), args.reps)
                 eps = B / med
                 rows.append(dict(robot=robot, n=n, batch=B, alg=name,
                                  median_ms=med * 1e3, min_ms=mn * 1e3,

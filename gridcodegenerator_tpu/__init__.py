@@ -24,10 +24,17 @@ from .api import (
     inverse_dynamics,
     inverse_dynamics_gradient,
 )
+from .codegen import (
+    CompiledRobot,
+    compile_robot,
+    export_robot,
+    load_exported,
+)
 from .models.robot import RobotModel, load_robot, robot_model_from_description
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
 from .utils.golden import GoldenDynamics
+from .utils.rollout import linearize_trajectory, simulate
 
 __version__ = "0.1.0"
 
@@ -37,4 +44,6 @@ __all__ = [
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
     "inverse_dynamics_gradient", "forward_dynamics_gradient",
     "forward_dynamics_gradient_qdd_minv",
+    "compile_robot", "export_robot", "load_exported", "CompiledRobot",
+    "simulate", "linearize_trajectory",
 ]

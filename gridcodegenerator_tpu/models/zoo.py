@@ -253,9 +253,62 @@ def double_pendulum(l1: float = 1.0, l2: float = 1.0,
     return b.build()
 
 
+def with_floating_base(urdf: str, *, name_suffix: str = "_floating") -> str:
+    """Give a fixed-base URDF a 6-DoF floating base.
+
+    The reference supports only single-dof joints (S is a one-hot 6-vector,
+    ``_spatial_algebra_helpers.py:13``), so floating-base robots (HyQ, Atlas
+    in GRiD's benchmark set) are modeled the standard way: a chain of six
+    single-dof joints — three prismatic (x, y, z translation) then three
+    revolute (z, y, x rotation) — between a massless world anchor and the
+    robot's root link. This is an exact parameterization of free-flyer
+    dynamics away from the Euler-angle singularity at pitch = ±π/2.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(urdf)
+    robot_name = root.get("name", "robot") + name_suffix
+    links = {l.get("name") for l in root.findall("link")}
+    children = {j.find("child").get("link") for j in root.findall("joint")}
+    roots = sorted(links - children)
+    if len(roots) != 1:
+        raise ValueError(f"expected one root link, found {roots}")
+    base = roots[0]
+
+    chain = [("fb_px", "prismatic", (1, 0, 0)), ("fb_py", "prismatic", (0, 1, 0)),
+             ("fb_pz", "prismatic", (0, 0, 1)), ("fb_rz", "revolute", (0, 0, 1)),
+             ("fb_ry", "revolute", (0, 1, 0)), ("fb_rx", "revolute", (1, 0, 0))]
+    extra_links = []
+    extra_joints = []
+    parent = "world"
+    for idx, (jn, jt, ax) in enumerate(chain):
+        child = base if idx == len(chain) - 1 else f"fb_link{idx}"
+        if child != base:
+            extra_links.append(f'  <link name="{child}"/>')
+        lim = ('<limit lower="-100" upper="100" effort="1e6" velocity="1e6"/>'
+               if jt == "prismatic" else
+               '<limit lower="-50" upper="50" effort="1e6" velocity="1e6"/>')
+        extra_joints.append(f"""  <joint name="{jn}" type="{jt}">
+    <parent link="{parent}"/>
+    <child link="{child}"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/>
+    <axis xyz="{ax[0]} {ax[1]} {ax[2]}"/>
+    {lim}
+  </joint>""")
+        parent = child
+
+    body = urdf[urdf.index(">", urdf.index("<robot")) + 1:urdf.rindex("</robot>")]
+    return (f'<robot name="{robot_name}">\n  <link name="world"/>\n'
+            + "\n".join(extra_links) + "\n" + "\n".join(extra_joints)
+            + body + "</robot>\n")
+
+
 ZOO = {
     "iiwa14": iiwa14,
     "hyq": hyq,
     "atlas": atlas,
     "double_pendulum": double_pendulum,
+    "hyq_floating": lambda **kw: with_floating_base(hyq(**kw)),
+    "atlas_floating": lambda **kw: with_floating_base(atlas(**kw)),
 }

@@ -1,0 +1,95 @@
+"""ctypes bindings for the native C++ oracle (``native/grid_oracle.cpp``).
+
+The oracle is an independent float64 implementation of the algorithm family
+(no shared code with the Python/JAX stack) used as a third opinion in the
+test suite and as a fast host-side reference. It is compiled on demand with
+the system C++ compiler and cached next to the source.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import pathlib
+import subprocess
+
+import numpy as np
+
+from ..models.robot import (RobotDescription, joint_motion_subspaces,
+                            joint_xform_coefficients)
+
+_SRC = pathlib.Path(__file__).resolve().parents[2] / "native" / "grid_oracle.cpp"
+_LIB = _SRC.parent / "libgrid_oracle.so"
+
+_D = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_I = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+@functools.lru_cache(maxsize=1)
+def _load():
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+            check=True)
+    lib = ctypes.CDLL(str(_LIB))
+    hdr = [ctypes.c_int, _I, _I, _D, _D, _D, _D, _D, _D]
+    lib.grid_rnea.argtypes = hdr + [_D, _D, ctypes.c_void_p, ctypes.c_double, _D]
+    lib.grid_minv.argtypes = hdr + [_D, _D]
+    lib.grid_fd.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
+    lib.grid_fd_grad.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
+    return lib
+
+
+class NativeOracle:
+    """Single-state float64 dynamics on the host, implemented in C++."""
+
+    def __init__(self, desc: RobotDescription):
+        self.n = desc.n
+        Xb, Xs, Xc = joint_xform_coefficients(desc)
+        self._Xb = np.ascontiguousarray(Xb.reshape(self.n, 36))
+        self._Xs = np.ascontiguousarray(Xs.reshape(self.n, 36))
+        self._Xc = np.ascontiguousarray(Xc.reshape(self.n, 36))
+        self._S = np.ascontiguousarray(joint_motion_subspaces(desc))
+        self._I = np.ascontiguousarray(desc.inertia.reshape(self.n, 36))
+        self._damping = np.ascontiguousarray(desc.damping, np.float64)
+        self._parents = np.asarray(desc.topology.parents, np.int32)
+        self._jtype = np.asarray(
+            [1 if t == "prismatic" else 0 for t in desc.joint_types], np.int32)
+        self._lib = _load()
+
+    def _hdr(self):
+        return (self.n, self._parents, self._jtype, self._Xb, self._Xs,
+                self._Xc, self._S, self._I, self._damping)
+
+    def rnea(self, q, qd, qdd=None, gravity=-9.81):
+        out = np.zeros(self.n)
+        # keep the contiguous copy alive across the call
+        qdd_arr = (np.ascontiguousarray(qdd, np.float64)
+                   if qdd is not None else None)
+        qdd_p = qdd_arr.ctypes.data if qdd_arr is not None else None
+        self._lib.grid_rnea(*self._hdr(), np.ascontiguousarray(q, np.float64),
+                            np.ascontiguousarray(qd, np.float64), qdd_p,
+                            gravity, out)
+        return out
+
+    def minv(self, q):
+        out = np.zeros((self.n, self.n))
+        self._lib.grid_minv(*self._hdr(),
+                            np.ascontiguousarray(q, np.float64), out)
+        return out
+
+    def fd(self, q, qd, u, gravity=-9.81):
+        out = np.zeros(self.n)
+        self._lib.grid_fd(*self._hdr(), np.ascontiguousarray(q, np.float64),
+                          np.ascontiguousarray(qd, np.float64),
+                          np.ascontiguousarray(u, np.float64), gravity, out)
+        return out
+
+    def fd_grad(self, q, qd, u, gravity=-9.81):
+        out = np.zeros((self.n, 2 * self.n))
+        self._lib.grid_fd_grad(*self._hdr(),
+                               np.ascontiguousarray(q, np.float64),
+                               np.ascontiguousarray(qd, np.float64),
+                               np.ascontiguousarray(u, np.float64), gravity,
+                               out)
+        return out

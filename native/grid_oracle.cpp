@@ -1,0 +1,454 @@
+// grid_oracle — native (C++, float64) rigid-body dynamics oracle.
+//
+// An implementation of the framework's algorithm family that shares NO code
+// with the Python/JAX stack: it consumes the same robot description
+// (transform coefficients, joint subspaces, spatial inertias) but implements
+// the recursions independently, in plain C++. Used by the test suite as a
+// third opinion alongside the NumPy golden model and jax autodiff, and
+// usable as a fast host-side reference for data generation.
+//
+// Conventions (identical to gridcodegenerator_tpu): spatial vectors are
+// [angular; linear]; X_i(q) = Xb + f1(q)·Xs + f2(q)·Xc with (f1,f2) =
+// (sin,cos) for revolute and (q,0) for prismatic; gravity enters as the
+// fictitious base acceleration [0,…,0,−gravity].
+//
+// Build: g++ -O2 -shared -fPIC -o libgrid_oracle.so grid_oracle.cpp
+// (done automatically by gridcodegenerator_tpu/utils/native.py).
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using Vec6 = double[6];
+
+struct Mat6 {
+  double m[6][6];
+};
+
+inline void mat6_zero(Mat6& A) { std::memset(A.m, 0, sizeof(A.m)); }
+
+inline void matvec(const Mat6& A, const double* x, double* y) {
+  for (int r = 0; r < 6; ++r) {
+    double acc = 0;
+    for (int c = 0; c < 6; ++c) acc += A.m[r][c] * x[c];
+    y[r] = acc;
+  }
+}
+
+inline void matTvec(const Mat6& A, const double* x, double* y) {
+  for (int r = 0; r < 6; ++r) {
+    double acc = 0;
+    for (int c = 0; c < 6; ++c) acc += A.m[c][r] * x[c];
+    y[r] = acc;
+  }
+}
+
+inline void matmat(const Mat6& A, const Mat6& B, Mat6& C) {
+  for (int r = 0; r < 6; ++r)
+    for (int c = 0; c < 6; ++c) {
+      double acc = 0;
+      for (int k = 0; k < 6; ++k) acc += A.m[r][k] * B.m[k][c];
+      C.m[r][c] = acc;
+    }
+}
+
+inline void matTmat(const Mat6& A, const Mat6& B, Mat6& C) {
+  for (int r = 0; r < 6; ++r)
+    for (int c = 0; c < 6; ++c) {
+      double acc = 0;
+      for (int k = 0; k < 6; ++k) acc += A.m[k][r] * B.m[k][c];
+      C.m[r][c] = acc;
+    }
+}
+
+inline void cross3(const double* a, const double* b, double* out) {
+  out[0] = a[1] * b[2] - a[2] * b[1];
+  out[1] = a[2] * b[0] - a[0] * b[2];
+  out[2] = a[0] * b[1] - a[1] * b[0];
+}
+
+// motion cross product m × x = [w×x_w ; w×x_v + v×x_w]
+inline void crm_apply(const double* m, const double* x, double* out) {
+  double t1[3], t2[3], t3[3];
+  cross3(m, x, t1);
+  cross3(m, x + 3, t2);
+  cross3(m + 3, x, t3);
+  out[0] = t1[0]; out[1] = t1[1]; out[2] = t1[2];
+  out[3] = t2[0] + t3[0]; out[4] = t2[1] + t3[1]; out[5] = t2[2] + t3[2];
+}
+
+// force cross product m ×* x = [w×x_w + v×x_v ; w×x_v]
+inline void crf_apply(const double* m, const double* x, double* out) {
+  double t1[3], t2[3], t3[3];
+  cross3(m, x, t1);
+  cross3(m + 3, x + 3, t2);
+  cross3(m, x + 3, t3);
+  out[0] = t1[0] + t2[0]; out[1] = t1[1] + t2[1]; out[2] = t1[2] + t2[2];
+  out[3] = t3[0]; out[4] = t3[1]; out[5] = t3[2];
+}
+
+struct Robot {
+  int n;
+  const int* parents;
+  const int* jtype;  // 0 = revolute, 1 = prismatic
+  const double* Xb;  // n × 36 row-major
+  const double* Xs;
+  const double* Xc;
+  const double* S;       // n × 6
+  const double* inertia; // n × 36
+  const double* damping; // n
+};
+
+void joint_xforms(const Robot& rb, const double* q, std::vector<Mat6>& X) {
+  X.resize(rb.n);
+  for (int i = 0; i < rb.n; ++i) {
+    double f1, f2;
+    if (rb.jtype[i] == 1) { f1 = q[i]; f2 = 0.0; }
+    else { f1 = std::sin(q[i]); f2 = std::cos(q[i]); }
+    const double* b = rb.Xb + 36 * i;
+    const double* s = rb.Xs + 36 * i;
+    const double* c = rb.Xc + 36 * i;
+    for (int r = 0; r < 6; ++r)
+      for (int cc = 0; cc < 6; ++cc)
+        X[i].m[r][cc] = b[6 * r + cc] + f1 * s[6 * r + cc] + f2 * c[6 * r + cc];
+  }
+}
+
+inline const Mat6& imat(const Robot& rb, int i, Mat6& tmp) {
+  const double* p = rb.inertia + 36 * i;
+  for (int r = 0; r < 6; ++r)
+    for (int c = 0; c < 6; ++c) tmp.m[r][c] = p[6 * r + c];
+  return tmp;
+}
+
+// Forward/backward RNEA. v_out/a_out/f_out may be null if not wanted.
+// If qdd == nullptr the bias-force variant runs. f is backward-accumulated.
+void rnea(const Robot& rb, const std::vector<Mat6>& X, const double* q,
+          const double* qd, const double* qdd, double gravity, double* c_out,
+          double* v_out, double* a_out, double* f_out) {
+  const int n = rb.n;
+  std::vector<double> v(6 * n), a(6 * n), f(6 * n);
+  double a_base[6] = {0, 0, 0, 0, 0, -gravity};
+  for (int i = 0; i < n; ++i) {
+    const int p = rb.parents[i];
+    const double* Si = rb.S + 6 * i;
+    double Sqd[6];
+    for (int r = 0; r < 6; ++r) Sqd[r] = Si[r] * qd[i];
+    if (p < 0) {
+      for (int r = 0; r < 6; ++r) v[6 * i + r] = Sqd[r];
+      matvec(X[i], a_base, &a[6 * i]);
+    } else {
+      matvec(X[i], &v[6 * p], &v[6 * i]);
+      for (int r = 0; r < 6; ++r) v[6 * i + r] += Sqd[r];
+      matvec(X[i], &a[6 * p], &a[6 * i]);
+    }
+    double cor[6];
+    crm_apply(&v[6 * i], Sqd, cor);
+    for (int r = 0; r < 6; ++r) a[6 * i + r] += cor[r];
+    if (qdd)
+      for (int r = 0; r < 6; ++r) a[6 * i + r] += Si[r] * qdd[i];
+  }
+  Mat6 I;
+  for (int i = 0; i < n; ++i) {
+    imat(rb, i, I);
+    double Iv[6], Ia[6], fx[6];
+    matvec(I, &v[6 * i], Iv);
+    matvec(I, &a[6 * i], Ia);
+    crf_apply(&v[6 * i], Iv, fx);
+    for (int r = 0; r < 6; ++r) f[6 * i + r] = Ia[r] + fx[r];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    const int p = rb.parents[i];
+    if (p >= 0) {
+      double up[6];
+      matTvec(X[i], &f[6 * i], up);
+      for (int r = 0; r < 6; ++r) f[6 * p + r] += up[r];
+    }
+  }
+  if (c_out) {
+    for (int i = 0; i < n; ++i) {
+      double acc = 0;
+      for (int r = 0; r < 6; ++r) acc += rb.S[6 * i + r] * f[6 * i + r];
+      c_out[i] = acc + rb.damping[i] * qd[i];
+    }
+  }
+  if (v_out) std::memcpy(v_out, v.data(), sizeof(double) * 6 * n);
+  if (a_out) std::memcpy(a_out, a.data(), sizeof(double) * 6 * n);
+  if (f_out) std::memcpy(f_out, f.data(), sizeof(double) * 6 * n);
+}
+
+// Analytic M^-1 (dense symmetric output).
+void minv(const Robot& rb, const std::vector<Mat6>& X, double* M_out) {
+  const int n = rb.n;
+  std::vector<Mat6> IA(n);
+  Mat6 tmp;
+  for (int i = 0; i < n; ++i) {
+    imat(rb, i, tmp);
+    IA[i] = tmp;
+  }
+  std::vector<double> Minv(n * n, 0.0), F(n * 6 * n, 0.0), U(n * 6, 0.0),
+      Dinv(n, 0.0);
+  auto Fat = [&](int i, int r, int col) -> double& {
+    return F[(i * 6 + r) * n + col];
+  };
+  for (int i = n - 1; i >= 0; --i) {
+    const double* Si = rb.S + 6 * i;
+    double* Ui = &U[6 * i];
+    matvec(IA[i], Si, Ui);
+    double d = 0;
+    for (int r = 0; r < 6; ++r) d += Si[r] * Ui[r];
+    Dinv[i] = 1.0 / d;
+    Minv[i * n + i] = Dinv[i];
+    for (int col = 0; col < n; ++col) {
+      double sf = 0;
+      for (int r = 0; r < 6; ++r) sf += Si[r] * Fat(i, r, col);
+      Minv[i * n + col] -= Dinv[i] * sf;
+    }
+    const int p = rb.parents[i];
+    if (p >= 0) {
+      for (int col = 0; col < n; ++col)
+        for (int r = 0; r < 6; ++r) Fat(i, r, col) += Ui[r] * Minv[i * n + col];
+      for (int col = 0; col < n; ++col) {
+        double fcol[6], up[6];
+        for (int r = 0; r < 6; ++r) fcol[r] = Fat(i, r, col);
+        matTvec(X[i], fcol, up);
+        for (int r = 0; r < 6; ++r) Fat(p, r, col) += up[r];
+      }
+      Mat6 Ia = IA[i], IaX, XIaX;
+      for (int r = 0; r < 6; ++r)
+        for (int c = 0; c < 6; ++c) Ia.m[r][c] -= Ui[r] * Dinv[i] * Ui[c];
+      matmat(Ia, X[i], IaX);
+      matTmat(X[i], IaX, XIaX);
+      for (int r = 0; r < 6; ++r)
+        for (int c = 0; c < 6; ++c) IA[p].m[r][c] += XIaX.m[r][c];
+    }
+  }
+  for (int i = 0; i < n; ++i) {
+    const int p = rb.parents[i];
+    const double* Si = rb.S + 6 * i;
+    if (p >= 0) {
+      double UX[6];
+      matTvec(X[i], &U[6 * i], UX);  // (U^T X)^T
+      for (int col = i; col < n; ++col) {
+        double acc = 0;
+        for (int r = 0; r < 6; ++r) acc += UX[r] * Fat(p, r, col);
+        Minv[i * n + col] -= Dinv[i] * acc;
+      }
+    }
+    for (int col = i; col < n; ++col) {
+      double xf[6] = {0, 0, 0, 0, 0, 0};
+      if (p >= 0) {
+        double fcol[6];
+        for (int r = 0; r < 6; ++r) fcol[r] = Fat(p, r, col);
+        matvec(X[i], fcol, xf);
+      }
+      for (int r = 0; r < 6; ++r)
+        Fat(i, r, col) = Si[r] * Minv[i * n + col] + xf[r];
+    }
+  }
+  // densify (mirror upper into lower)
+  for (int r = 0; r < n; ++r)
+    for (int c = 0; c < n; ++c)
+      M_out[r * n + c] = (c >= r) ? Minv[r * n + c] : Minv[c * n + r];
+}
+
+// Analytic dID: dc_dq, dc_dqd (each n×n row-major).
+void rnea_grad(const Robot& rb, const std::vector<Mat6>& X, const double* qd,
+               const double* v, const double* a, const double* f,
+               double gravity, double* dcdq, double* dcdqd) {
+  const int n = rb.n;
+  Mat6 I;
+  std::vector<double> Iv(6 * n), Xv(6 * n, 0.0), Xa(6 * n);
+  double a_base[6] = {0, 0, 0, 0, 0, -gravity};
+  for (int i = 0; i < n; ++i) {
+    imat(rb, i, I);
+    matvec(I, v + 6 * i, &Iv[6 * i]);
+    const int p = rb.parents[i];
+    if (p >= 0) {
+      matvec(X[i], v + 6 * p, &Xv[6 * i]);
+      matvec(X[i], a + 6 * p, &Xa[6 * i]);
+    } else {
+      matvec(X[i], a_base, &Xa[6 * i]);
+    }
+  }
+  std::vector<double> SxXv(6 * n), SxXa(6 * n), Sxv(6 * n), Sxf(6 * n);
+  for (int i = 0; i < n; ++i) {
+    crm_apply(rb.S + 6 * i, &Xv[6 * i], &SxXv[6 * i]);
+    crm_apply(rb.S + 6 * i, &Xa[6 * i], &SxXa[6 * i]);
+    crm_apply(rb.S + 6 * i, v + 6 * i, &Sxv[6 * i]);
+    // force cross for the backward correction (correct for prismatic too)
+    crf_apply(rb.S + 6 * i, f + 6 * i, &Sxf[6 * i]);
+  }
+  // column-major-ish storage: d[side][i] is 6×n (row r, col j)
+  auto idx = [&](int i, int r, int j) { return (i * 6 + r) * n + j; };
+  for (int side = 0; side < 2; ++side) {
+    const bool is_q = side == 0;
+    std::vector<double> dv(n * 6 * n, 0.0), da(n * 6 * n, 0.0),
+        df(n * 6 * n, 0.0);
+    for (int i = 0; i < n; ++i) {
+      const int p = rb.parents[i];
+      if (p >= 0) {
+        for (int j = 0; j < n; ++j) {
+          double col[6], out[6];
+          for (int r = 0; r < 6; ++r) col[r] = dv[idx(p, r, j)];
+          matvec(X[i], col, out);
+          for (int r = 0; r < 6; ++r) dv[idx(i, r, j)] = out[r];
+        }
+        if (is_q)
+          for (int r = 0; r < 6; ++r) dv[idx(i, r, i)] -= SxXv[6 * i + r];
+      }
+      if (!is_q)
+        for (int r = 0; r < 6; ++r) dv[idx(i, r, i)] += rb.S[6 * i + r];
+    }
+    for (int i = 0; i < n; ++i) {
+      for (int j = 0; j < n; ++j) {
+        double col[6], out[6];
+        for (int r = 0; r < 6; ++r) col[r] = dv[idx(i, r, j)];
+        // crm(S)·col — note da = −qd·crm(S)·dv
+        crm_apply(rb.S + 6 * i, col, out);
+        for (int r = 0; r < 6; ++r) da[idx(i, r, j)] = -qd[i] * out[r];
+      }
+      const double* seed = is_q ? &SxXa[6 * i] : &Sxv[6 * i];
+      for (int r = 0; r < 6; ++r) da[idx(i, r, i)] -= seed[r];
+    }
+    for (int i = 0; i < n; ++i) {
+      const int p = rb.parents[i];
+      if (p < 0) continue;
+      for (int j = 0; j < n; ++j) {
+        double col[6], out[6];
+        for (int r = 0; r < 6; ++r) col[r] = da[idx(p, r, j)];
+        matvec(X[i], col, out);
+        for (int r = 0; r < 6; ++r) da[idx(i, r, j)] += out[r];
+      }
+    }
+    Mat6 Im;
+    for (int i = 0; i < n; ++i) {
+      imat(rb, i, Im);
+      for (int j = 0; j < n; ++j) {
+        double dvc[6], dac[6], t1[6], t2[6], t3[6], Idv[6];
+        for (int r = 0; r < 6; ++r) {
+          dvc[r] = dv[idx(i, r, j)];
+          dac[r] = da[idx(i, r, j)];
+        }
+        crf_apply(dvc, &Iv[6 * i], t1);        // crf(dv)·Iv
+        matvec(Im, dac, t2);                   // I·da
+        matvec(Im, dvc, Idv);
+        crf_apply(v + 6 * i, Idv, t3);         // crf(v)·(I·dv)
+        for (int r = 0; r < 6; ++r) df[idx(i, r, j)] = t1[r] + t2[r] + t3[r];
+      }
+    }
+    for (int i = n - 1; i >= 0; --i) {
+      const int p = rb.parents[i];
+      if (p < 0) continue;
+      for (int j = 0; j < n; ++j) {
+        double col[6], out[6];
+        for (int r = 0; r < 6; ++r) col[r] = df[idx(i, r, j)];
+        matTvec(X[i], col, out);
+        for (int r = 0; r < 6; ++r) df[idx(p, r, j)] += out[r];
+      }
+      if (is_q) {
+        double out[6];
+        matTvec(X[i], &Sxf[6 * i], out);
+        for (int r = 0; r < 6; ++r) df[idx(p, r, i)] += out[r];
+      }
+    }
+    double* dst = is_q ? dcdq : dcdqd;
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) {
+        double acc = 0;
+        for (int r = 0; r < 6; ++r) acc += rb.S[6 * i + r] * df[idx(i, r, j)];
+        dst[i * n + j] = acc;
+      }
+    if (!is_q)
+      for (int i = 0; i < n; ++i) dcdqd[i * n + i] += rb.damping[i];
+  }
+}
+
+Robot make_robot(int n, const int* parents, const int* jtype,
+                 const double* Xb, const double* Xs, const double* Xc,
+                 const double* S, const double* inertia,
+                 const double* damping) {
+  Robot rb;
+  rb.n = n; rb.parents = parents; rb.jtype = jtype;
+  rb.Xb = Xb; rb.Xs = Xs; rb.Xc = Xc;
+  rb.S = S; rb.inertia = inertia; rb.damping = damping;
+  return rb;
+}
+
+}  // namespace
+
+extern "C" {
+
+void grid_rnea(int n, const int* parents, const int* jtype, const double* Xb,
+               const double* Xs, const double* Xc, const double* S,
+               const double* inertia, const double* damping, const double* q,
+               const double* qd, const double* qdd /* nullable */,
+               double gravity, double* c_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  rnea(rb, X, q, qd, qdd, gravity, c_out, nullptr, nullptr, nullptr);
+}
+
+void grid_minv(int n, const int* parents, const int* jtype, const double* Xb,
+               const double* Xs, const double* Xc, const double* S,
+               const double* inertia, const double* damping, const double* q,
+               double* minv_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  minv(rb, X, minv_out);
+}
+
+void grid_fd(int n, const int* parents, const int* jtype, const double* Xb,
+             const double* Xs, const double* Xc, const double* S,
+             const double* inertia, const double* damping, const double* q,
+             const double* qd, const double* u, double gravity,
+             double* qdd_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  std::vector<double> c(n), M(n * n);
+  rnea(rb, X, q, qd, nullptr, gravity, c.data(), nullptr, nullptr, nullptr);
+  minv(rb, X, M.data());
+  for (int i = 0; i < n; ++i) {
+    double acc = 0;
+    for (int j = 0; j < n; ++j) acc += M[i * n + j] * (u[j] - c[j]);
+    qdd_out[i] = acc;
+  }
+}
+
+void grid_fd_grad(int n, const int* parents, const int* jtype,
+                  const double* Xb, const double* Xs, const double* Xc,
+                  const double* S, const double* inertia,
+                  const double* damping, const double* q, const double* qd,
+                  const double* u, double gravity, double* dfdu_out /*n×2n*/) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  std::vector<double> c(n), M(n * n), qdd(n);
+  rnea(rb, X, q, qd, nullptr, gravity, c.data(), nullptr, nullptr, nullptr);
+  minv(rb, X, M.data());
+  for (int i = 0; i < n; ++i) {
+    double acc = 0;
+    for (int j = 0; j < n; ++j) acc += M[i * n + j] * (u[j] - c[j]);
+    qdd[i] = acc;
+  }
+  std::vector<double> v(6 * n), a(6 * n), f(6 * n), dcdq(n * n), dcdqd(n * n);
+  rnea(rb, X, q, qd, qdd.data(), gravity, nullptr, v.data(), a.data(),
+       f.data());
+  rnea_grad(rb, X, qd, v.data(), a.data(), f.data(), gravity, dcdq.data(),
+            dcdqd.data());
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < 2 * n; ++j) {
+      const double* dc = j < n ? dcdq.data() : dcdqd.data();
+      const int jj = j < n ? j : j - n;
+      double acc = 0;
+      for (int k = 0; k < n; ++k) acc += M[i * n + k] * dc[k * n + jj];
+      dfdu_out[i * 2 * n + j] = -acc;
+    }
+}
+
+}  // extern "C"

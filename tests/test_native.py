@@ -1,0 +1,55 @@
+"""Native C++ oracle vs the NumPy golden model — two fully independent
+implementations of the same algorithms must agree to float64 precision."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from conftest import get_setup, random_state
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ compiler")
+
+
+@pytest.fixture(params=["iiwa14", "hyq", "chain5p", "rand12"])
+def oracle_setup(request):
+    from gridcodegenerator_tpu.utils.native import NativeOracle
+    desc, gold, model = get_setup(request.param)
+    return desc, gold, NativeOracle(desc)
+
+
+def test_native_rnea(oracle_setup):
+    desc, gold, orc = oracle_setup
+    q, qd, qdd = random_state(desc.n, seed=91)
+    np.testing.assert_allclose(orc.rnea(q, qd, qdd),
+                               gold.rnea(q, qd, qdd)[0], atol=1e-11)
+    np.testing.assert_allclose(orc.rnea(q, qd, None),
+                               gold.rnea(q, qd, None)[0], atol=1e-11)
+
+
+def test_native_minv(oracle_setup):
+    desc, gold, orc = oracle_setup
+    q, _, _ = random_state(desc.n, seed=92)
+    np.testing.assert_allclose(orc.minv(q), gold.minv(q, True), atol=1e-11)
+
+
+def test_native_fd(oracle_setup):
+    desc, gold, orc = oracle_setup
+    q, qd, u = random_state(desc.n, seed=93)
+    np.testing.assert_allclose(orc.fd(q, qd, u), gold.fd(q, qd, u), atol=1e-10)
+
+
+def test_native_fd_grad(oracle_setup):
+    desc, gold, orc = oracle_setup
+    q, qd, u = random_state(desc.n, seed=94)
+    np.testing.assert_allclose(orc.fd_grad(q, qd, u), gold.fd_grad(q, qd, u),
+                               atol=1e-9)
+
+
+def test_native_gravity_variants(oracle_setup):
+    desc, gold, orc = oracle_setup
+    q, qd, u = random_state(desc.n, seed=95)
+    for grav in (0.0, -3.72):
+        np.testing.assert_allclose(orc.fd(q, qd, u, gravity=grav),
+                                   gold.fd(q, qd, u, grav), atol=1e-10)
