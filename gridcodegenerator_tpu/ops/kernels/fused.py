@@ -42,14 +42,17 @@ _LANES = 128
 _MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping")
 
 
-def _default_block(n: int) -> int:
-    """Batch-tile size in states. One (8, 128) register row = 1024 states;
-    keep the ∂-tensor working set inside the ~16 MB VMEM."""
-    if n <= 8:
-        return 2048
-    if n <= 16:
-        return 1024
-    return 1024
+def _default_block(n: int):
+    """Batch-tile size in states, or None when no valid tile fits.
+
+    Tiles must be whole (8, 128) register rows (1024 states minimum — f32
+    sublane blocks are multiples of 8), and the fused ∇FD working set scales
+    as ~n²·block floats; the empirical VMEM budget on a 16 MB core is
+    n²·block ≲ 2·10⁵·1024. Robots too large for one tile fall back to the
+    plain-XLA batch-last path (same compute bodies, XLA manages HBM spills)."""
+    budget = 205_000  # max n² · block (empirical: n=7@2048 and n=12@1024 fit)
+    blk = (budget // max(1, n * n)) // 1024 * 1024
+    return int(min(blk, 2048)) or None
 
 
 def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
@@ -68,9 +71,15 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
     states: arrays (n, B); out_shapes: leading shapes without the batch.
     ``block_b`` = states per tile (rounded up to a multiple of 128 lanes).
     """
+    if block_b is None:
+        # no VMEM-valid tile for this robot size: run the identical
+        # batch-last bodies as plain XLA on the full batch
+        return list(body(model, *states))
     n = model.n
     B = states[0].shape[-1]
     s_blk = max(1, -(-block_b // _LANES))
+    if not interpret:
+        s_blk = max(8, -(-s_blk // 8) * 8)  # whole (8,128) f32 tiles only
     tile = s_blk * _LANES
     pad = (-B) % tile
     if pad:
