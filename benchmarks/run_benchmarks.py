@@ -13,20 +13,30 @@ Usage:
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-def time_fn(fn, args, reps=20):
-    import jax
-    jax.block_until_ready(fn(*args))  # compile
+
+def time_fn(fn, args, reps=20, trials=4):
+    """Steady-state throughput: enqueue `reps` calls then force one scalar
+    device→host read (``block_until_ready`` does not block through TPU
+    tunnels — it returns on enqueue)."""
+    out = fn(*args)  # compile
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    np.asarray(first[(0,) * first.ndim])
     ts = []
-    for _ in range(reps):
+    for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        ts.append(time.perf_counter() - t0)
+        for _ in range(reps):
+            out = fn(*args)
+        first = out[0] if isinstance(out, (tuple, list)) else out
+        np.asarray(first[(0,) * first.ndim])
+        ts.append((time.perf_counter() - t0) / reps)
     return float(np.median(ts)), float(np.min(ts))
 
 
