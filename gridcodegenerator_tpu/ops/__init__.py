@@ -1,1 +1,2 @@
-from . import fd, fd_grad, minv, rnea, rnea_grad, spatial
+from . import blops, fd, fd_grad, minv, rnea, rnea_grad, spatial
+from . import kernels

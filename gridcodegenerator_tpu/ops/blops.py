@@ -59,19 +59,6 @@ def matmat6_T(X, D):
     return sum(X[c, :, :][:, None, :] * D[c][None, :, :] for c in range(6))
 
 
-def cmatvec6(M, v):
-    """Constant (6,6) · (6,B) → (6,B).
-
-    Slice (not integer-index-plus-newaxis) form: Mosaic lowers static slices
-    directly but turns ``M[:, c, None]`` into an unsupported gather."""
-    return sum(M[:, c:c + 1] * v[c:c + 1, :] for c in range(6))
-
-
-def cmatmat6(M, D):
-    """Constant (6,6) · (6,k,B) → (6,k,B)."""
-    return sum(M[:, c:c + 1][:, :, None] * D[c:c + 1, :, :] for c in range(6))
-
-
 def cross3_bl(a, b):
     """(3,B) × (3,B) → (3,B)."""
     return jnp.stack([
@@ -95,9 +82,6 @@ def crf_apply_bl(m, x):
         cross3_bl(m[:3], x[:3]) + cross3_bl(m[3:], x[3:]),
         cross3_bl(m[:3], x[3:]),
     ])
-
-
-from .spatial import crm as const_crm_cols  # crm of a (6,) vector → (6,6)
 
 
 def _damping_col(model, bnd=1):
