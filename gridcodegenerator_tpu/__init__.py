@@ -30,6 +30,7 @@ from .codegen import (
     export_robot,
     load_exported,
 )
+from .ops.fd import forward_dynamics_diff
 from .models.robot import RobotModel, load_robot, robot_model_from_description
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
@@ -43,7 +44,7 @@ __all__ = [
     "load_robot", "parse_urdf", "robot_model_from_description",
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
     "inverse_dynamics_gradient", "forward_dynamics_gradient",
-    "forward_dynamics_gradient_qdd_minv",
+    "forward_dynamics_gradient_qdd_minv", "forward_dynamics_diff",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "simulate", "linearize_trajectory",
 ]

@@ -31,3 +31,47 @@ def forward_dynamics(model: RobotModel, q, qd, u, gravity=-9.81):
     c, _ = rnea_bwd(model, X, f, qd)
     Minv_u = minv_inner(model, X)
     return fd_finish(Minv_u, u, c)
+
+
+def forward_dynamics_diff(model: RobotModel, q, qd, u, gravity=-9.81):
+    """Forward dynamics with an **analytic custom VJP**.
+
+    ``jax.grad``/``jacrev`` through this function uses the engine's
+    closed-form ∂q̈/∂(q, q̇, u) (Carpentier & Mansard; see
+    :mod:`.fd_grad`) instead of differentiating the unrolled recursions —
+    typically much cheaper and exactly what trajectory-optimization /
+    policy-gradient outer loops want. The primal value is identical to
+    :func:`forward_dynamics`.
+
+    Gradients flow to (q, q̇, u) only; the robot-model parameters are
+    treated as constants (closed over).
+    """
+    import jax
+
+    from . import fd_grad as _fdg
+    from .rnea_grad import rnea_grad_inner
+
+    @jax.custom_vjp
+    def _fd(q, qd, u):
+        return forward_dynamics(model, q, qd, u, gravity)
+
+    def _fwd(q, qd, u):
+        X = model.joint_transforms(q)
+        v, a0, f0 = rnea_fwd(model, X, qd, None, gravity)
+        c, _ = rnea_bwd(model, X, f0, qd)
+        Minv = densify(minv_inner(model, X))
+        qdd = Minv @ (u - c)
+        return qdd, (q, qd, qdd, Minv)
+
+    def _bwd(res, g):
+        q, qd, qdd, Minv = res
+        X = model.joint_transforms(q)
+        v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
+        _, f = rnea_bwd(model, X, f, None)
+        dc_dq, dc_dqd = rnea_grad_inner(model, X, qd, v, a, f, gravity)
+        # q̈ = M⁻¹(u − c):  ḡ_q = −(M⁻¹ ∂c/∂q)ᵀ g,  ḡ_u = M⁻¹ᵀ g = M⁻¹ g
+        Mg = Minv @ g
+        return (-(dc_dq.T @ Mg), -(dc_dqd.T @ Mg), Mg)
+
+    _fd.defvjp(_fwd, _bwd)
+    return _fd(q, qd, u)

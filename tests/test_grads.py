@@ -130,3 +130,24 @@ def test_grad_parity_atlas():
     got = np.asarray(fd_grad.forward_dynamics_gradient(
         model, jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u)))
     np.testing.assert_allclose(got, gold.fd_grad(q, qd, u), atol=1e-8)
+
+
+def test_custom_vjp_forward_dynamics(small_robot):
+    """jax.grad through forward_dynamics_diff (analytic custom VJP) equals
+    jax.grad through the plain autodiff path."""
+    desc, gold, model = small_robot
+    q, qd, u = map(jnp.asarray, random_state(desc.n, seed=41))
+    w = jnp.asarray(np.linspace(0.5, 1.5, desc.n))
+
+    def loss_auto(q, qd, u):
+        return jnp.sum(w * fd.forward_dynamics(model, q, qd, u) ** 2)
+
+    def loss_analytic(q, qd, u):
+        from gridcodegenerator_tpu.ops.fd import forward_dynamics_diff
+        return jnp.sum(w * forward_dynamics_diff(model, q, qd, u) ** 2)
+
+    ga = jax.grad(loss_auto, argnums=(0, 1, 2))(q, qd, u)
+    gn = jax.grad(loss_analytic, argnums=(0, 1, 2))(q, qd, u)
+    for a, b in zip(ga, gn):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8,
+                                   rtol=1e-8)
