@@ -17,7 +17,7 @@ time, exactly as the reference unrolls them at CUDA-emission time
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -9,8 +9,6 @@ kernel)."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..models.robot import RobotModel
 from .minv import densify, minv_inner
 from .rnea import rnea_bwd, rnea_fwd
@@ -48,7 +46,6 @@ def forward_dynamics_diff(model: RobotModel, q, qd, u, gravity=-9.81):
     """
     import jax
 
-    from . import fd_grad as _fdg
     from .rnea_grad import rnea_grad_inner
 
     @jax.custom_vjp

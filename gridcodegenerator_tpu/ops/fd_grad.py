@@ -18,7 +18,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..models.robot import RobotModel
-from .fd import fd_finish
 from .minv import densify, minv_inner
 from .rnea import rnea_bwd, rnea_fwd
 from .rnea_grad import rnea_grad_inner

@@ -22,7 +22,6 @@ import numpy as np
 
 from ..models.robot import RobotModel
 from ..models.urdf import RobotDescription
-from ..ops import minv as minv_ops
 from ..ops import rnea as rnea_ops
 from ..ops.spatial import crm_apply, xform_apply, xform_T_apply
 from .golden import GoldenDynamics, crf, crm
