@@ -93,6 +93,36 @@ def iiwa14(damping: float = 0.0) -> str:
     return b.build()
 
 
+def panda(damping: float = 0.0) -> str:
+    """7-DoF serial arm with Franka Emika Panda style kinematics/inertias."""
+    b = UrdfBuilder("panda")
+    b.link("panda_link0", mass=2.9, com=(-0.03, 0, 0.06), ixx=0.01, iyy=0.01, izz=0.007)
+    masses = [4.97, 0.65, 3.23, 3.59, 1.23, 1.67, 0.735]
+    coms = [(0.0039, 0.0021, -0.0475), (-0.0031, -0.0284, 0.0032),
+            (0.0443, 0.0249, -0.0038), (-0.0386, 0.0395, 0.0249),
+            (-0.0064, 0.0389, -0.1097), (0.0605, 0.0142, 0.0105),
+            (0.0104, -0.0042, 0.0614)]
+    diags = [(0.7035, 0.7066, 0.0091), (0.0079, 0.0280, 0.0256),
+             (0.0373, 0.0362, 0.0109), (0.0256, 0.0196, 0.0128),
+             (0.0357, 0.0291, 0.0086), (0.0019, 0.0044, 0.0054),
+             (0.0125, 0.0103, 0.0049)]
+    for i in range(7):
+        d = diags[i]
+        b.link(f"panda_link{i+1}", mass=masses[i], com=coms[i],
+               ixx=d[0], iyy=d[1], izz=d[2])
+    origins = [((0, 0, 0.333), (0, 0, 0)),
+               ((0, 0, 0), (-_PI / 2, 0, 0)),
+               ((0, -0.316, 0), (_PI / 2, 0, 0)),
+               ((0.0825, 0, 0), (_PI / 2, 0, 0)),
+               ((-0.0825, 0.384, 0), (-_PI / 2, 0, 0)),
+               ((0, 0, 0), (_PI / 2, 0, 0)),
+               ((0.088, 0, 0), (_PI / 2, 0, 0))]
+    for i, (xyz, rpy) in enumerate(origins):
+        b.joint(f"panda_joint{i+1}", f"panda_link{i}", f"panda_link{i+1}",
+                xyz=xyz, rpy=rpy, axis=(0, 0, 1), damping=damping)
+    return b.build()
+
+
 def hyq(damping: float = 0.0) -> str:
     """12-DoF fixed-trunk quadruped (HyQ-style): 4 legs × (HAA, HFE, KFE)."""
     b = UrdfBuilder("hyq")
@@ -306,6 +336,7 @@ def with_floating_base(urdf: str, *, name_suffix: str = "_floating") -> str:
 
 ZOO = {
     "iiwa14": iiwa14,
+    "panda": panda,
     "hyq": hyq,
     "atlas": atlas,
     "double_pendulum": double_pendulum,

@@ -35,6 +35,7 @@ from gridcodegenerator_tpu.models import zoo  # noqa: E402
 # (jacfwd over the unrolled graphs is compile-heavy for n≳20)
 ROBOTS = {
     "iiwa14": zoo.iiwa14(damping=0.1),
+    "panda": zoo.panda(damping=0.15),
     "hyq": zoo.hyq(damping=0.2),
     "atlas": zoo.atlas(damping=0.05),
     "rand12": zoo.random_tree(12, seed=3),
@@ -45,7 +46,7 @@ ROBOTS = {
 # restrict them to small-n robots. GRAD_ROBOTS drops only atlas (n=28), whose
 # analytic-gradient parity runs as a @slow test instead.
 SMALL_ROBOTS = ["iiwa14", "chain5p", "dpend"]
-GRAD_ROBOTS = ["iiwa14", "hyq", "rand12", "chain5p", "dpend"]
+GRAD_ROBOTS = ["iiwa14", "panda", "hyq", "rand12", "chain5p", "dpend"]
 
 _cache: dict = {}
 
