@@ -5,8 +5,17 @@ North-star metric (BASELINE.md / BASELINE.json): batched ∇FD evaluations/sec
 on the 7-DoF iiwa-14, target ≥ 1e6 on one TPU chip at ≤1e-6 parity with the
 float64 NumPy golden model. The reference publishes no numbers
 (``/root/reference/README.md``); its timing machinery is the
-``*_single_timing`` kernel/host pair (``_inverse_dynamics.py:483-494``),
-replaced here by ``block_until_ready`` walltiming of the fused Pallas kernel.
+``*_single_timing`` kernel/host pair (``_inverse_dynamics.py:483-494``) —
+a one-number-and-exit host. This script matches that contract under a hard
+wall-clock budget:
+
+* a watchdog thread prints the best-so-far JSON line and exits the process
+  before any external timeout can kill it silently;
+* the first defensible number (batch 2^18) is measured within seconds of
+  compile; the 2^20 refinement only runs if budget remains;
+* at most 5 kernel calls are ever in flight; inputs are generated on-device
+  (no multi-MB host->device transfers through the TPU tunnel); the parity
+  check transfers a handful of states, never Jacobian rows of the big batch.
 
 Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": "evals/sec", "vs_baseline": N/1e6}
@@ -14,23 +23,66 @@ Diagnostics go to stderr.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "150"))
+_T0 = time.monotonic()
+_BEST = {}          # best-so-far result line, updated after every measurement
+_EMITTED = threading.Event()
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timeit(fn, args, reps, trials=5):
-    """Steady-state throughput: enqueue `reps` calls, then force ONE
-    device→host read of the last result. In this environment
-    ``block_until_ready`` does NOT block through the TPU tunnel (it returns
-    on enqueue), so a real transfer is the only honest sync; a single
-    trailing sync amortizes the tunnel round-trip over the reps. Median and
-    min over `trials` repetitions."""
+def elapsed():
+    return time.monotonic() - _T0
+
+
+def emit_and_exit(code=0):
+    if not _EMITTED.is_set():
+        _EMITTED.set()
+        if _BEST:
+            print(json.dumps(_BEST), flush=True)
+    # os._exit: never wait on wedged device work during interpreter teardown
+    os._exit(code if _BEST else max(code, 3))
+
+
+def _watchdog():
+    """Bound the wall clock: if the main thread wedges (TPU-tunnel hang), the
+    watchdog still holds the GIL periodically and can flush the best-so-far
+    result before the driver's own timeout would produce rc=124/parsed=null."""
+    while True:
+        rem = BUDGET_S - elapsed()
+        if rem <= 0:
+            break
+        time.sleep(min(rem, 1.0))
+    log(f"watchdog: budget {BUDGET_S:.0f}s exhausted at {elapsed():.1f}s, "
+        f"emitting best-so-far ({'yes' if _BEST else 'none'})")
+    emit_and_exit(0)
+
+
+def record(batch, evals_per_sec):
+    _BEST.clear()
+    _BEST.update({
+        "metric": (f"batched fwd-dynamics-gradient evals/sec, iiwa-14, "
+                   f"batch={batch}, f32, fused pallas kernel"),
+        "value": evals_per_sec,
+        "unit": "evals/sec",
+        "vs_baseline": evals_per_sec / 1e6,
+    })
+
+
+def timeit(fn, args, reps, trials):
+    """Steady-state throughput: enqueue `reps` calls, then force ONE scalar
+    device→host read of the last result (``block_until_ready`` does not block
+    through the TPU tunnel — it returns on enqueue — so a real transfer is the
+    only honest sync). Median over `trials`."""
     ts = []
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -43,6 +95,8 @@ def timeit(fn, args, reps, trials=5):
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -52,50 +106,64 @@ def main():
     from gridcodegenerator_tpu.models import zoo
 
     dev = jax.devices()[0]
-    log(f"backend={jax.default_backend()} device={dev.device_kind} ndev={jax.device_count()}")
+    log(f"[{elapsed():.1f}s] backend={jax.default_backend()} "
+        f"device={dev.device_kind} ndev={jax.device_count()}")
 
     desc = g.parse_urdf(zoo.iiwa14())
     model = g.robot_model_from_description(desc, dtype=jnp.float32)
     gold = g.GoldenDynamics(desc)
     n = desc.n
 
-    BATCH = 1 << 20  # 1,048,576 states
-    rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.uniform(-2, 2, (BATCH, n)), jnp.float32)
-    qd = jnp.asarray(rng.uniform(-1, 1, (BATCH, n)), jnp.float32)
-    u = jnp.asarray(rng.uniform(-8, 8, (BATCH, n)), jnp.float32)
+    @jax.jit
+    def make_inputs(batch):
+        ks = jax.random.split(jax.random.key(0), 3)
+        q = jax.random.uniform(ks[0], (batch, n), jnp.float32, -2, 2)
+        qd = jax.random.uniform(ks[1], (batch, n), jnp.float32, -1, 1)
+        u = jax.random.uniform(ks[2], (batch, n), jnp.float32, -8, 8)
+        return q, qd, u
 
     fn = lambda q, qd, u: g.forward_dynamics_gradient(model, q, qd, u)
+    take4 = jax.jit(lambda a: a[:4])  # on-device slice: tiny parity transfer
 
-    # compile + parity check against the f64 golden model (several states)
+    # ---- phase 1: compile + first defensible number at batch 2^18 ----------
+    B1 = 1 << 18
+    q, qd, u = make_inputs(B1)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(fn(q, qd, u))
-    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
-    errs = []
-    for k in (0, BATCH // 2, BATCH - 1):
-        ref = gold.fd_grad(np.asarray(q[k], np.float64),
-                           np.asarray(qd[k], np.float64),
-                           np.asarray(u[k], np.float64))
-        errs.append(np.abs(np.asarray(out[k], np.float64) - ref).max()
-                    / max(1.0, np.abs(ref).max()))
-    log(f"f32-vs-golden relative parity (3 states): {max(errs):.3e}")
+    out = fn(q, qd, u)
+    head = np.asarray(take4(out))  # forces execution + 4-state transfer
+    log(f"[{elapsed():.1f}s] compile+first run (B={B1}): "
+        f"{time.perf_counter() - t0:.2f}s")
 
-    med, mn = timeit(fn, (q, qd, u), reps=20)
-    evals_per_sec = BATCH / med
-    log(f"batch={BATCH} median={med*1e3:.3f}ms/call min={mn*1e3:.3f}ms "
-        f"evals/sec={evals_per_sec:.3e} ({med/BATCH*1e9:.1f} ns/state)")
+    # parity vs the float64 golden model on the first 4 states of the real
+    # batch (same compiled program — no extra compile, ~3 kB transferred)
+    qh, qdh, uh = (np.asarray(take4(x), np.float64) for x in (q, qd, u))
+    err = max(
+        np.abs(head[k].astype(np.float64) - gold.fd_grad(qh[k], qdh[k], uh[k])
+               ).max() / max(1.0, np.abs(gold.fd_grad(qh[k], qdh[k], uh[k])).max())
+        for k in range(4))
+    log(f"[{elapsed():.1f}s] f32-vs-golden relative parity (4 states): {err:.3e}")
 
-    # secondary diagnostic: smaller batch (tunnel latency shows up here)
-    B2 = 16384
-    med2, _ = timeit(fn, (q[:B2], qd[:B2], u[:B2]), reps=20)
-    log(f"batch={B2}: {B2/med2:.3e} evals/sec")
+    med, mn = timeit(fn, (q, qd, u), reps=3, trials=2)
+    record(B1, B1 / med)
+    log(f"[{elapsed():.1f}s] batch={B1} median={med*1e3:.3f}ms/call "
+        f"evals/sec={B1/med:.3e} ({med/B1*1e9:.1f} ns/state)")
 
-    print(json.dumps({
-        "metric": f"batched fwd-dynamics-gradient evals/sec, iiwa-14, batch={BATCH}, f32, fused pallas kernel",
-        "value": evals_per_sec,
-        "unit": "evals/sec",
-        "vs_baseline": evals_per_sec / 1e6,
-    }))
+    # ---- phase 2: refine at 2^20 if budget remains --------------------------
+    if elapsed() < 0.55 * BUDGET_S:
+        B2 = 1 << 20
+        q2, qd2, u2 = make_inputs(B2)
+        t0 = time.perf_counter()
+        np.asarray(take4(fn(q2, qd2, u2)))
+        log(f"[{elapsed():.1f}s] compile+first run (B={B2}): "
+            f"{time.perf_counter() - t0:.2f}s")
+        if elapsed() < 0.75 * BUDGET_S:
+            med2, _ = timeit(fn, (q2, qd2, u2), reps=5, trials=3)
+            if B2 / med2 > _BEST["value"]:
+                record(B2, B2 / med2)
+            log(f"[{elapsed():.1f}s] batch={B2} median={med2*1e3:.3f}ms/call "
+                f"evals/sec={B2/med2:.3e} ({med2/B2*1e9:.1f} ns/state)")
+
+    emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -7,10 +7,18 @@ generates equivalent URDF documents programmatically so the framework and its
 tests are self-contained:
 
 * :func:`iiwa14`        — 7-DoF serial arm (KUKA LBR iiwa 14 style geometry),
-* :func:`hyq`           — 12-DoF quadruped, 4-way branch at the trunk
-                          (exercises repeated-parent scatter-adds, the
-                          reference's atomicAdd path,
-                          ``_inverse_dynamics.py:276-282``),
+* :func:`hyq`           — 12-DoF quadruped, 4-way branch at the trunk.
+                          NOTE: the trunk is the *fixed base*, so the four
+                          sibling HAA joints have parent −1 — no backward-pass
+                          scatter-add fires (``level_has_repeated_parents(0)``
+                          is False). Use :func:`branched_arm` for the
+                          repeated-*moving*-parent case (the reference's
+                          atomicAdd path, ``_inverse_dynamics.py:276-282``),
+* :func:`branched_arm`  — 9-DoF dual-arm torso: two 4-DoF arms fan out of a
+                          single *moving* torso link (the Atlas utorso
+                          pattern), so sibling joints share a moving parent
+                          and every backward sweep exercises the scatter-add
+                          (atomicAdd-analog) accumulation path,
 * :func:`atlas`         — 28-DoF humanoid, deep + wide tree,
 * :func:`serial_chain`  — parametric n-DoF chain,
 * :func:`random_tree`   — seeded random topology/inertia generator for
@@ -147,6 +155,38 @@ def hyq(damping: float = 0.0) -> str:
         b.joint(f"{leg}_kfe_joint", f"{leg}_upperleg", f"{leg}_lowerleg",
                 xyz=(0.35, 0, 0), rpy=(0, 0, 0), axis=(0, 0, 1),
                 damping=damping)
+    return b.build()
+
+
+def branched_arm(damping: float = 0.0) -> str:
+    """9-DoF dual-arm torso: base → torso (moving) → 2 × 4-DoF arms.
+
+    The two shoulder joints share the *moving* torso link as parent (the
+    Atlas utorso fan-out pattern), so the RNEA / M⁻¹ / ∂ID backward sweeps
+    all hit the repeated-parent accumulation path (the reference's atomicAdd
+    sites, ``/root/reference/algorithms/_inverse_dynamics.py:276-282``,
+    ``_direct_minv.py:266-271``, ``_inverse_dynamics_gradient.py:534-539``)
+    on a robot small enough for default-suite ``jax.jacfwd`` cross-checks."""
+    b = UrdfBuilder("branched_arm")
+    b.link("base", mass=4.0, ixx=0.05, iyy=0.05, izz=0.03)
+    b.link("torso", mass=8.0, com=(0.0, 0.01, 0.2), ixx=0.3, iyy=0.28, izz=0.1)
+    b.joint("waist", "base", "torso", xyz=(0, 0, 0.2), axis=(0, 0, 1),
+            damping=damping)
+    arm_masses = [2.2, 1.8, 1.3, 0.6]
+    arm_diags = [(0.012, 0.011, 0.004), (0.009, 0.008, 0.003),
+                 (0.005, 0.005, 0.002), (0.002, 0.002, 0.001)]
+    axes = [(0, 1, 0), (1, 0, 0), (0, 0, 1), (0, 1, 0)]
+    for side, m in (("l", 1.0), ("r", -1.0)):
+        parent = "torso"
+        for k in range(4):
+            nm = f"{side}_arm{k}"
+            b.link(nm, mass=arm_masses[k], com=(0.01, m * 0.02, -0.08),
+                   ixx=arm_diags[k][0], iyy=arm_diags[k][1], izz=arm_diags[k][2])
+            xyz = (0.05, m * 0.18, 0.35) if k == 0 else (0.01, m * 0.02, -0.22)
+            b.joint(f"{side}_j{k}", parent, nm, xyz=xyz,
+                    rpy=(0.1 * m * k, -0.05 * k, 0.0), axis=axes[k],
+                    damping=damping)
+            parent = nm
     return b.build()
 
 
@@ -338,6 +378,7 @@ ZOO = {
     "iiwa14": iiwa14,
     "panda": panda,
     "hyq": hyq,
+    "branched_arm": branched_arm,
     "atlas": atlas,
     "double_pendulum": double_pendulum,
     "hyq_floating": lambda **kw: with_floating_base(hyq(**kw)),

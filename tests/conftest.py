@@ -3,22 +3,21 @@ tests) and float64 enabled so parity tolerances can be driven to ~1e-12."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): this box exports JAX_PLATFORMS=axon and its
+# sitecustomize force-registers the axon TPU-tunnel plugin. The platform set
+# must be pinned to CPU *before any backend initializes* — `jax.devices("cpu")`
+# would initialize every registered plugin including axon, and a wedged tunnel
+# then hangs the whole suite at collection time (round-1 postmortem).
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # axon plugin is never initialized
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_num_cpu_devices", 8)  # virtual devices for mesh tests
-# Some environments force a TPU plugin as the default backend regardless of
-# JAX_PLATFORMS (observed with the 'axon' tunnel plugin); tests must run on
-# CPU in float64, so pin the default device explicitly.
-try:
-    jax.config.update("jax_default_device", jax.devices("cpu")[0])
-except RuntimeError:
-    pass
 # persistent compilation cache: the unrolled-graph compiles dominate test
 # time on small CPU hosts; cache them across runs
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -41,12 +40,15 @@ ROBOTS = {
     "rand12": zoo.random_tree(12, seed=3),
     "chain5p": zoo.serial_chain(5, damping=0.1, prismatic_every=2),
     "dpend": zoo.double_pendulum(),
+    # sibling joints fan out of a *moving* parent link: the backward-sweep
+    # scatter-add (the reference's atomicAdd path) runs in the default suite
+    "barm": zoo.branched_arm(damping=0.12),
 }
 # AD cross-checks (jacfwd of the whole unrolled pipeline) are compile-heavy;
 # restrict them to small-n robots. GRAD_ROBOTS drops only atlas (n=28), whose
 # analytic-gradient parity runs as a @slow test instead.
 SMALL_ROBOTS = ["iiwa14", "chain5p", "dpend"]
-GRAD_ROBOTS = ["iiwa14", "panda", "hyq", "rand12", "chain5p", "dpend"]
+GRAD_ROBOTS = ["iiwa14", "panda", "hyq", "rand12", "chain5p", "dpend", "barm"]
 
 _cache: dict = {}
 

@@ -32,6 +32,20 @@ def test_hyq_branching():
     assert t.max_depth == 2
 
 
+def test_branched_arm_repeated_moving_parent():
+    """`branched_arm` must exercise the repeated-*moving*-parent scatter-add
+    path (the reference's atomicAdd sites, ``_inverse_dynamics.py:276-282``):
+    two sibling shoulder joints whose shared parent is itself a joint."""
+    desc = parse_urdf(zoo.branched_arm())
+    t = desc.topology
+    assert desc.n == 9
+    shoulders = [i for i in range(desc.n) if t.parents[i] == 0]
+    assert len(shoulders) == 2           # both arms hang off the moving torso
+    lvl = t.depths[shoulders[0]]
+    assert t.level_has_repeated_parents(lvl) is True
+    assert t.parents[shoulders[0]] >= 0  # parent is a *moving* link, not base
+
+
 def test_prismatic_parsing():
     desc = parse_urdf(zoo.serial_chain(4, prismatic_every=2))
     assert desc.joint_types == ("revolute", "prismatic", "revolute", "prismatic")
@@ -102,6 +116,36 @@ def test_fixed_merge_preserves_dynamics():
     M = gold.crba(q)
     Minv = gold.minv(q, True)
     np.testing.assert_allclose(Minv @ M, np.eye(7), atol=1e-9)
+
+
+def test_base_inertia_semantics():
+    """``include_base_inertia`` analog (``GRiDCodeGenerator.py:241``,
+    ``_topology_helpers.py:3-54``): in the reference the flag only appends the
+    base link's inertia to the XI memory block — no emitted algorithm reads it
+    (the dynamics loops index I[joint] only). Here the same facts hold and are
+    *proven*: (a) ``base_inertia`` is parsed and exposed, (b) fixed-base
+    dynamics are invariant to it (the base is welded to the world), (c) the
+    floating-base conversion consumes it (the base becomes a moving link)."""
+    light = zoo.iiwa14()
+    heavy = light.replace('<mass value="5.0"/>', '<mass value="50.0"/>')
+    dl, dh = parse_urdf(light), parse_urdf(heavy)
+    # (a) parsed and exposed — the two differ exactly in base inertia
+    assert not np.allclose(dl.base_inertia, dh.base_inertia)
+    assert abs(dh.base_inertia[5, 5] - 50.0) < 1e-9
+    # (b) fixed base: dynamics identical
+    q = np.linspace(-0.8, 0.8, 7)
+    qd = np.linspace(0.5, -0.5, 7)
+    c_l, *_ = g.GoldenDynamics(dl).rnea(q, qd, q * 0.1)
+    c_h, *_ = g.GoldenDynamics(dh).rnea(q, qd, q * 0.1)
+    np.testing.assert_allclose(c_l, c_h, atol=1e-12)
+    # (c) floating base: the base link's inertia enters the dynamics
+    fl = parse_urdf(zoo.with_floating_base(light))
+    fh = parse_urdf(zoo.with_floating_base(heavy))
+    q13 = np.linspace(-0.5, 0.5, 13)
+    qd13 = np.linspace(0.3, -0.3, 13)
+    c_fl, *_ = g.GoldenDynamics(fl).rnea(q13, qd13, q13 * 0.1)
+    c_fh, *_ = g.GoldenDynamics(fh).rnea(q13, qd13, q13 * 0.1)
+    assert np.abs(c_fl - c_fh).max() > 1e-3
 
 
 def test_error_cases():
