@@ -8,16 +8,22 @@ import os
 # must be pinned to CPU *before any backend initializes* — `jax.devices("cpu")`
 # would initialize every registered plugin including axon, and a wedged tunnel
 # then hangs the whole suite at collection time (round-1 postmortem).
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+# Exception: the real-TPU kernel tier (`GRID_TPU_TESTS=1 pytest -m tpu`)
+# keeps the TPU backend and skips the CPU pinning/x64 below.
+_TPU_TIER = os.environ.get("GRID_TPU_TESTS") == "1"
+if not _TPU_TIER:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")  # axon plugin is never initialized
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_num_cpu_devices", 8)  # virtual devices for mesh tests
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")  # axon is never initialized
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_num_cpu_devices", 8)  # virtual mesh devices
 # persistent compilation cache: the unrolled-graph compiles dominate test
 # time on small CPU hosts; cache them across runs
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

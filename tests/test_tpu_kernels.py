@@ -1,0 +1,118 @@
+"""Real-TPU fused-kernel validation tier.
+
+Run with::
+
+    GRID_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+Interpret-mode equivalence (tests/test_blops.py) checks the kernel *math*;
+this tier checks the *Mosaic compilation* of the fused kernels on the real
+chip against the float64 golden model — the miscompile class interpret mode
+cannot catch (see the layout-inference notes at the top of ops/blops.py).
+
+The module is excluded from default runs (pyproject addopts) and, like every
+TPU-touching entry point in this repo, bounds its wall clock: if the TPU
+tunnel wedges during backend init, the watchdog turns a hang into a fast
+failure instead of stalling the whole session.
+"""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+if os.environ.get("GRID_TPU_TESTS") != "1":
+    pytest.skip("TPU tier: set GRID_TPU_TESTS=1 and run -m tpu",
+                allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def tpu_setup():
+    budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "420"))
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(budget):
+            print(f"\nTPU-tier watchdog: exceeded {budget:.0f}s "
+                  "(tunnel wedged?) — aborting", flush=True)
+            os._exit(4)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        done.set()
+        pytest.skip(f"not a TPU backend: {dev.platform}")
+    models = {}
+    for name, urdf in (("iiwa14", zoo.iiwa14(damping=0.1)),
+                       ("barm", zoo.branched_arm(damping=0.12)),
+                       ("rand12", zoo.random_tree(12, seed=3))):
+        desc = g.parse_urdf(urdf)
+        models[name] = (desc, g.GoldenDynamics(desc),
+                        g.robot_model_from_description(desc, dtype=jnp.float32))
+    yield g, jnp, models
+    done.set()
+
+
+def _state(n, B, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(-2, 2, (B, n)).astype(np.float32),
+            rng.uniform(-1, 1, (B, n)).astype(np.float32),
+            rng.uniform(-8, 8, (B, n)).astype(np.float32))
+
+
+@pytest.mark.parametrize("robot", ["iiwa14", "barm", "rand12"])
+def test_fused_kernels_vs_golden_on_tpu(tpu_setup, robot):
+    """Every fused kernel (impl='pallas', real Mosaic lowering) vs the f64
+    golden model at f32 tolerance, on a batch spanning multiple tiles."""
+    g, jnp, models = tpu_setup
+    desc, gold, model = models[robot]
+    n = desc.n
+    B = 2048
+    qh, qdh, uh = _state(n, B, seed=11)
+    q, qd, u = jnp.asarray(qh), jnp.asarray(qdh), jnp.asarray(uh)
+
+    outs = {
+        "id": np.asarray(g.inverse_dynamics(model, q, qd, u, impl="pallas")),
+        "minv": np.asarray(g.direct_minv(model, q, impl="pallas")),
+        "fd": np.asarray(g.forward_dynamics(model, q, qd, u, impl="pallas")),
+        "fd_grad": np.asarray(
+            g.forward_dynamics_gradient(model, q, qd, u, impl="pallas")),
+    }
+    # spot-check states across distinct batch tiles (tile = 1024+ states)
+    for k in (0, 1, B // 2, B - 1):
+        q64, qd64, u64 = (qh[k].astype(np.float64), qdh[k].astype(np.float64),
+                          uh[k].astype(np.float64))
+        refs = {
+            "id": gold.rnea(q64, qd64, u64)[0],
+            "minv": gold.minv(q64, True),
+            "fd": gold.fd(q64, qd64, u64),
+            "fd_grad": gold.fd_grad(q64, qd64, u64),
+        }
+        for name, ref in refs.items():
+            scale = max(1.0, np.abs(ref).max())
+            err = np.abs(outs[name][k].astype(np.float64) - ref).max() / scale
+            assert err < 5e-6, f"{robot}/{name}@state{k}: rel err {err:.3e}"
+
+
+def test_pallas_vs_vmap_on_tpu(tpu_setup):
+    """The two production paths must agree bit-for-bit-ish (both f32, same
+    device) — catches Mosaic miscompiles without any golden transfer."""
+    g, jnp, models = tpu_setup
+    desc, _, model = models["iiwa14"]
+    q, qd, u = map(jnp.asarray, _state(desc.n, 1536, seed=5))
+    a = np.asarray(g.forward_dynamics_gradient(model, q, qd, u, impl="pallas"))
+    b = np.asarray(g.forward_dynamics_gradient(model, q, qd, u, impl="vmap"))
+    scale = max(1.0, np.abs(b).max())
+    assert np.abs(a - b).max() / scale < 2e-6
