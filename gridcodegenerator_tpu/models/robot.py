@@ -117,6 +117,12 @@ class RobotModel:
     # joint types are static (trace-time) information: kernels specialize the
     # sin/cos-vs-linear transform update per joint without runtime selects
     joint_types: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    # use the Cody-Waite/minimax sincos (ops/trig.py) instead of the
+    # backend's: on TPU the stock f32 sin/cos lowerings are the dominant
+    # term of the ∇FD parity budget (PARITY.md, "the f32 floor"). Static so
+    # flipping it retraces every jitted consumer.
+    accurate_trig: bool = dataclasses.field(default=False,
+                                            metadata=dict(static=True))
 
     @property
     def n(self) -> int:
@@ -148,12 +154,18 @@ class RobotModel:
           (..., n, 6, 6) motion transforms (child ← parent coordinates).
         """
         q = q.astype(self.dtype)
-        f1 = jnp.where(self.prismatic, q, jnp.sin(q))[..., None, None]
-        f2 = jnp.where(self.prismatic, jnp.zeros_like(q), jnp.cos(q))[..., None, None]
+        if self.accurate_trig:
+            from ..ops.trig import sincos
+            s, c = sincos(q)
+        else:
+            s, c = jnp.sin(q), jnp.cos(q)
+        f1 = jnp.where(self.prismatic, q, s)[..., None, None]
+        f2 = jnp.where(self.prismatic, jnp.zeros_like(q), c)[..., None, None]
         return self.Xb + f1 * self.Xs + f2 * self.Xc
 
 
-def robot_model_from_description(desc: RobotDescription, dtype=jnp.float32) -> RobotModel:
+def robot_model_from_description(desc: RobotDescription, dtype=jnp.float32,
+                                 accurate_trig: bool = False) -> RobotModel:
     Xb, Xs, Xc = joint_xform_coefficients(desc)
     S = joint_motion_subspaces(desc)
     prism = np.array([t == "prismatic" for t in desc.joint_types])
@@ -162,6 +174,7 @@ def robot_model_from_description(desc: RobotDescription, dtype=jnp.float32) -> R
         S=jnp.asarray(S, dtype), inertia=jnp.asarray(desc.inertia, dtype),
         damping=jnp.asarray(desc.damping, dtype), prismatic=jnp.asarray(prism),
         topology=desc.topology, name=desc.name, joint_types=tuple(desc.joint_types),
+        accurate_trig=accurate_trig,
     )
 
 

@@ -151,13 +151,19 @@ def joint_transforms_bl(model: RobotModel, q):
             rows.append(row)
         return jnp.stack(rows)
 
+    if getattr(model, "accurate_trig", False):
+        from .trig import sincos as _sincos
+    else:
+        _sincos = lambda x: (jnp.sin(x), jnp.cos(x))
+
     if not model.joint_types:  # metadata-less model: runtime select fallback
-        f1 = jnp.where(model.prismatic[:, None], q, jnp.sin(q))
-        f2 = jnp.where(model.prismatic[:, None], jnp.zeros_like(q), jnp.cos(q))
+        s, c = _sincos(q)
+        f1 = jnp.where(model.prismatic[:, None], q, s)
+        f2 = jnp.where(model.prismatic[:, None], jnp.zeros_like(q), c)
         return [affine(i, f1[i:i + 1], f2[i:i + 1]) for i in range(model.n)]
     return [
         affine(i, q[i:i + 1]) if model.joint_types[i] == "prismatic"
-        else affine(i, jnp.sin(q[i:i + 1]), jnp.cos(q[i:i + 1]))
+        else affine(i, *_sincos(q[i:i + 1]))
         for i in range(model.n)
     ]
 

@@ -61,7 +61,8 @@ def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
     vals = {f: r[:] for f, r in zip(_MODEL_FIELDS, refs)}
     return SimpleNamespace(
         n=model.n, topology=model.topology, joint_types=model.joint_types,
-        prismatic=None, **vals)
+        prismatic=None, accurate_trig=getattr(model, "accurate_trig", False),
+        **vals)
 
 
 def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,

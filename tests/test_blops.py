@@ -90,3 +90,35 @@ def test_pallas_interpret_rnea_and_minv(bl_setup):
                                    atol=1e-4 * max(1, np.abs(cr).max()))
         Mr = gold.minv(q[:, k], True)
         np.testing.assert_allclose(np.asarray(M)[:, :, k], Mr, atol=1e-5)
+
+
+def test_accurate_trig_parity(bl_setup):
+    """`accurate_trig=True` (Cody-Waite sincos, ops/trig.py) must agree with
+    the backend sincos at f64 tolerance on every path — vmap, batch-last,
+    and the fused kernel in interpret mode — and improve f32 X accuracy."""
+    import dataclasses
+
+    desc, gold, model, q, qd, u = bl_setup
+    model_at = dataclasses.replace(model, accurate_trig=True)
+    # f64: both sincos implementations are ≥ f32-exact → identical physics
+    ddq, ddqd = jax.jit(lambda *s: blops.fd_grad_bl(model_at, *s))(
+        jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u))
+    J = jnp.concatenate([ddq, ddqd], axis=1)
+    _check_cols(gold.fd_grad, J, q, qd, u, 1e-8)
+    # fused interpret path honors the flag
+    m32 = model_at.astype(jnp.float32)
+    qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
+    ddq32, ddqd32 = fused.fd_grad_fused(m32, qa, qda, ua, block_b=4,
+                                        interpret=True)
+    J32 = np.concatenate([np.asarray(ddq32), np.asarray(ddqd32)], axis=1)
+    for k in range(q.shape[-1]):
+        ref = gold.fd_grad(q[:, k], qd[:, k], u[:, k])
+        np.testing.assert_allclose(J32[..., k], ref,
+                                   atol=2e-4 * max(1, np.abs(ref).max()))
+    # f32 X accuracy: accurate path at least as good as a 2-ulp bound
+    qs = jnp.asarray(np.linspace(-3, 3, 4097, dtype=np.float32))
+    from gridcodegenerator_tpu.ops.trig import sincos
+    s, c = jax.jit(sincos)(qs)
+    q64 = np.asarray(qs, np.float64)
+    assert np.abs(np.asarray(s) - np.sin(q64)).max() < 2.5e-7
+    assert np.abs(np.asarray(c) - np.cos(q64)).max() < 2.5e-7

@@ -116,3 +116,42 @@ def test_pallas_vs_vmap_on_tpu(tpu_setup):
     b = np.asarray(g.forward_dynamics_gradient(model, q, qd, u, impl="vmap"))
     scale = max(1.0, np.abs(b).max())
     assert np.abs(a - b).max() / scale < 2e-6
+
+
+def test_accurate_trig_ab_on_tpu(tpu_setup):
+    """A/B the Cody-Waite sincos (ops/trig.py) against the TPU's stock f32
+    sin/cos, end-to-end on ∇FD vs the f64 golden model. Records which one
+    wins so bench.py's default can follow the hardware evidence."""
+    import dataclasses
+    g, jnp, models = tpu_setup
+    desc, gold, model = models["iiwa14"]
+    n = desc.n
+    B = 1024
+    qh, qdh, uh = _state(n, B, seed=23)
+    q, qd, u = jnp.asarray(qh), jnp.asarray(qdh), jnp.asarray(uh)
+
+    # raw sincos accuracy on hardware
+    s_hw = np.asarray(jnp.ravel(jnp.sin(q)))
+    from gridcodegenerator_tpu.ops.trig import sincos
+    s_cw = np.asarray(np.ravel(np.asarray(sincos(q)[0])))
+    s_ref = np.sin(qh.astype(np.float64)).ravel()
+    e_hw, e_cw = np.abs(s_hw - s_ref).max(), np.abs(s_cw - s_ref).max()
+    print(f"\nTPU sin abs err: stock={e_hw:.2e} cody-waite={e_cw:.2e}")
+
+    errs = {}
+    for label, m in (("stock", model),
+                     ("accurate", dataclasses.replace(model, accurate_trig=True))):
+        out = np.asarray(
+            g.forward_dynamics_gradient(m, q, qd, u, impl="pallas"))
+        es = []
+        for k in range(16):
+            ref = gold.fd_grad(qh[k].astype(np.float64),
+                               qdh[k].astype(np.float64),
+                               uh[k].astype(np.float64))
+            es.append(np.abs(out[k].astype(np.float64) - ref).max()
+                      / max(1.0, np.abs(ref).max()))
+        errs[label] = max(es)
+        print(f"∇FD rel err ({label} sincos): {errs[label]:.3e}")
+    assert errs["accurate"] < 5e-6
+    # the accurate path must never be worse
+    assert errs["accurate"] <= errs["stock"] * 1.5
