@@ -23,6 +23,7 @@ from .api import (
     forward_dynamics_gradient_qdd_minv,
     inverse_dynamics,
     inverse_dynamics_gradient,
+    map_batched,
 )
 from .codegen import (
     CompiledRobot,
@@ -45,6 +46,7 @@ __all__ = [
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
     "inverse_dynamics_gradient", "forward_dynamics_gradient",
     "forward_dynamics_gradient_qdd_minv", "forward_dynamics_diff",
+    "map_batched",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "simulate", "linearize_trajectory",
 ]

@@ -195,6 +195,53 @@ def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
     return _forward_dynamics_gradient_vmap(model, q, qd, u, gravity=gravity)
 
 
+def map_batched(fn, model: RobotModel, *states, chunk_size: int, **kwargs):
+    """Run a public entry point over a large batch in fixed-size on-device
+    chunks within ONE dispatch (``lax.map`` over the chunk axis).
+
+    Two production uses (the TPU analog of the reference's
+    one-launch-many-timesteps grid-stride loop,
+    ``/root/reference/helpers/_code_generation_helpers.py:41-47``):
+
+    * **small-batch dispatch amortization**: a workload that arrives in
+      small batches (e.g. 1 000 states per trajectory-optimizer iteration)
+      pays the per-dispatch host/tunnel cost once per ``lax.map`` rather
+      than once per chunk — the batch-1k rows of BENCHMARKS.md are measured
+      through this entry;
+    * **peak-memory bounding**: for large robots × huge batches the fused
+      working set is ``chunk_size``-proportional, so Atlas-scale robots can
+      stream a 2²⁰ batch without HBM-pressure cliffs.
+
+    ``fn`` is one of the batched entry points in this module (it must accept
+    ``fn(model, *chunk_states, **kwargs)`` with a leading batch axis).
+    The batch is zero-padded up to a multiple of ``chunk_size`` and the
+    padding is sliced off the result.
+    """
+    B = jnp.shape(states[0])[0]
+    pad = (-B) % chunk_size
+    if pad:
+        states = tuple(jnp.pad(s, ((0, pad),) + ((0, 0),) * (s.ndim - 1))
+                       for s in states)
+    chunks = tuple(
+        s.reshape(((B + pad) // chunk_size, chunk_size) + s.shape[1:])
+        for s in states)
+
+    out = _chunked_runner(fn, tuple(sorted(kwargs.items())))(model, *chunks)
+    out = out.reshape((-1,) + out.shape[2:])
+    return out[:B] if pad else out
+
+
+@functools.lru_cache(maxsize=64)
+def _chunked_runner(fn, kw_items):
+    kwargs = dict(kw_items)
+
+    @jax.jit
+    def run(model, *chunks):
+        return jax.lax.map(lambda st: fn(model, *st, **kwargs), chunks)
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("gravity",))
 @functools.partial(_batchify, n_state_args=4)
 def forward_dynamics_gradient_qdd_minv(model: RobotModel, q, qd, qdd, Minv, *,

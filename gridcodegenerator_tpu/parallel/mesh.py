@@ -104,23 +104,63 @@ def sharded_fd_grad(model: RobotModel, mesh: Mesh, gravity: float = -9.81):
     return fd_grad_fn
 
 
+def sharded_fd_grad_fused(model: RobotModel, mesh: Mesh, gravity: float = -9.81,
+                          block_b=None, interpret: bool = False):
+    """dp-sharded batched ∇FD that runs the *same fused Pallas kernel* per
+    shard as the single-chip production path (``ops/kernels/fused.py::
+    fd_grad_fused``) — one code path from one chip to a pod slice (the
+    unification the reference gets for free by having exactly one kernel;
+    its multi-GPU analog would be the 3-stream host overlap,
+    ``GRiDCodeGenerator.py:155-188``).
+
+    ``interpret=True`` runs the kernel bodies in Pallas interpret mode so the
+    combination shard_map ∘ fused-kernel is testable on a CPU mesh
+    (tests/test_sharding.py::test_sharded_fused_equals_sharded_vmap).
+    """
+    from ..ops.kernels import fused
+
+    n = model.n
+    spec = P(("dp", "cp"))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), spec, spec, spec), out_specs=spec,
+        # pallas_call does not annotate varying-mesh-axes metadata; the body
+        # is per-shard pure (no collectives), so the vma check is vacuous
+        check_vma=False)
+    def _run(mdl, q, qd, u):
+        bl = [s.T for s in (q, qd, u)]        # (n, b_local) batch-last
+        ddq, ddqd = fused.fd_grad_fused(mdl, *bl, gravity,
+                                        block_b=block_b, interpret=interpret)
+        J = jnp.concatenate([ddq, ddqd], axis=1)   # (n, 2n, b_local)
+        return jnp.moveaxis(J, -1, 0)
+
+    return jax.jit(lambda q, qd, u: _run(model, q, qd, u))
+
+
 def sharded_api(model: RobotModel, mesh: Mesh, gravity: float = -9.81):
     """Convenience bundle of dp-sharded batched entry points (the distributed
-    equivalent of the reference host API set, ``GRiDCodeGenerator.py:243-279``)."""
-    from ..ops import fd, minv, rnea, rnea_grad
+    equivalent of the reference host API set, ``GRiDCodeGenerator.py:243-279``).
+
+    Every entry routes through the *public* single-chip API (``api.py``), so
+    each shard resolves the same implementation the unsharded call would —
+    fused Pallas kernels on TPU, the vmap path elsewhere. Multi-chip and
+    single-chip are therefore the same compute code; ``shard_map`` only adds
+    the batch partitioning (no collectives on any compute path)."""
+    from .. import api
 
     model = replicate_model(model, mesh)
 
     def v(fn, k):
-        batched = lambda m, *s: jax.vmap(lambda *ss: fn(m, *ss))(*s)
-        return shard_batch(batched, mesh, n_state_args=k)
+        return shard_batch(fn, mesh, n_state_args=k)
 
     return dict(
-        inverse_dynamics=v(lambda m, q, qd, qdd: rnea.inverse_dynamics(m, q, qd, qdd, gravity), 3),
-        bias_force=v(lambda m, q, qd: rnea.inverse_dynamics(m, q, qd, None, gravity), 2),
-        direct_minv=v(lambda m, q: minv.direct_minv(m, q, dense=True), 1),
-        forward_dynamics=v(lambda m, q, qd, u: fd.forward_dynamics(m, q, qd, u, gravity), 3),
-        inverse_dynamics_gradient=v(lambda m, q, qd, qdd: rnea_grad.inverse_dynamics_gradient(m, q, qd, qdd, gravity), 3),
-        forward_dynamics_gradient=v(lambda m, q, qd, u: _fd_grad.forward_dynamics_gradient(m, q, qd, u, gravity), 3),
+        inverse_dynamics=v(lambda m, q, qd, qdd: api.inverse_dynamics(m, q, qd, qdd, gravity=gravity), 3),
+        bias_force=v(lambda m, q, qd: api.bias_force(m, q, qd, gravity=gravity), 2),
+        direct_minv=v(lambda m, q: api.direct_minv(m, q, dense=True), 1),
+        forward_dynamics=v(lambda m, q, qd, u: api.forward_dynamics(m, q, qd, u, gravity=gravity), 3),
+        inverse_dynamics_gradient=v(lambda m, q, qd, qdd: api.inverse_dynamics_gradient(m, q, qd, qdd, gravity=gravity), 3),
+        forward_dynamics_gradient=v(lambda m, q, qd, u: api.forward_dynamics_gradient(m, q, qd, u, gravity=gravity), 3),
         forward_dynamics_gradient_2d=sharded_fd_grad(model, mesh, gravity),
+        forward_dynamics_gradient_fused=sharded_fd_grad_fused(model, mesh, gravity),
     )

@@ -61,3 +61,22 @@ def test_f32_accuracy(iiwa):
     ref = gold.fd(q, qd, u)
     scale = max(1.0, np.abs(ref).max())
     assert np.abs(got - ref).max() / scale < 2e-5
+
+
+def test_map_batched_chunked_dispatch(iiwa):
+    """`map_batched` (one-dispatch lax.map over fixed-size chunks — the
+    grid-stride-loop analog) must equal the direct batched call, including
+    when the batch is not a multiple of the chunk size."""
+    desc, gold, model = iiwa
+    n = desc.n
+    for B, chunk in ((12, 4), (10, 4), (3, 8)):  # exact, padded, single-chunk
+        q, qd, u = (jnp.asarray(x) for x in random_state(n, seed=13, batch=(B,)))
+        direct = np.asarray(g.forward_dynamics_gradient(model, q, qd, u))
+        chunked = np.asarray(g.map_batched(
+            g.forward_dynamics_gradient, model, q, qd, u, chunk_size=chunk))
+        assert chunked.shape == direct.shape == (B, n, 2 * n)
+        np.testing.assert_allclose(chunked, direct, atol=1e-12)
+        fd_direct = np.asarray(g.forward_dynamics(model, q, qd, u))
+        fd_chunked = np.asarray(g.map_batched(
+            g.forward_dynamics, model, q, qd, u, chunk_size=chunk))
+        np.testing.assert_allclose(fd_chunked, fd_direct, atol=1e-12)

@@ -66,3 +66,31 @@ def test_replicate_model(eight_devices, iiwa):
     rep = pmesh.replicate_model(model, m)
     assert rep.n == model.n
     np.testing.assert_allclose(np.asarray(rep.Xb), np.asarray(model.Xb))
+
+
+def test_sharded_fused_equals_sharded_vmap(eight_devices, iiwa):
+    """VERDICT #7 unification check: shard_map over the fused Pallas kernel
+    (interpret mode on the CPU mesh — same kernel bodies as the TPU path)
+    must equal shard_map over the vmap path AND the unsharded call."""
+    desc, gold, model = iiwa
+    model32 = model.astype(jnp.float32)
+    m = pmesh.make_mesh(dp=4, cp=2, devices=eight_devices)
+    B = 16
+    q, qd, u = (jnp.asarray(x, jnp.float32)
+                for x in random_state(desc.n, seed=54, batch=(B,)))
+
+    fused_fn = pmesh.sharded_fd_grad_fused(model32, m, block_b=2,
+                                           interpret=True)
+    got = np.asarray(fused_fn(q, qd, u))
+    assert got.shape == (B, desc.n, 2 * desc.n)
+
+    vmap_sharded = pmesh.shard_batch(
+        lambda mdl, a, b, c: g.forward_dynamics_gradient(
+            mdl, a, b, c, impl="vmap"), m, n_state_args=3)
+    ref_sharded = np.asarray(vmap_sharded(model32, q, qd, u))
+    ref_local = np.asarray(
+        g.forward_dynamics_gradient(model32, q, qd, u, impl="vmap"))
+
+    scale = max(1.0, np.abs(ref_local).max())
+    assert np.abs(got - ref_sharded).max() / scale < 2e-6
+    assert np.abs(ref_sharded - ref_local).max() / scale < 1e-7
