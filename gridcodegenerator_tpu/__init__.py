@@ -32,6 +32,13 @@ from .codegen import (
     load_exported,
 )
 from .ops.fd import forward_dynamics_diff
+from .ops.freeflyer import (
+    FreeFlyerModel,
+    fb_forward_dynamics,
+    fb_inverse_dynamics,
+    fb_simulate,
+    free_flyer_model,
+)
 from .models.robot import RobotModel, load_robot, robot_model_from_description
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
@@ -49,4 +56,6 @@ __all__ = [
     "map_batched",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "simulate", "linearize_trajectory",
+    "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
+    "fb_inverse_dynamics", "fb_simulate",
 ]
