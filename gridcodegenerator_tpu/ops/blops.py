@@ -494,3 +494,218 @@ def matmatN(M, D, negate=False):
     n = M.shape[0]
     out = sum(M[:, c, :][:, None, :] * D[c][None, :, :] for c in range(n))
     return -out if negate else out
+
+
+# --------------------------------------------------------------------------
+# column-blocked variants (the staged large-robot pipeline, kernels/staged.py)
+# --------------------------------------------------------------------------
+def minv_UD_bl(model: RobotModel, X):
+    """Articulated-body quantities only: U (list of (6,*b)) and D⁻¹ (list of
+    (1,*b)) from the backward IA sweep — the column-independent half of the
+    M⁻¹ recursion (reference ``_direct_minv.py:99-118``), staged separately
+    so the F/row sweeps can run column-blocked within VMEM for large robots."""
+    topo = model.topology
+    n = topo.n
+    bshape = X[0].shape[2:]
+    dtype = X[0].dtype
+    ones1B = jnp.ones((1,) + bshape, dtype)
+    IA = [batchify2(model.inertia[i], ones1B) for i in range(n)]
+    Sb = [batchify1(model.S[i], ones1B) for i in range(n)]
+    U = [None] * n
+    Dinv = [None] * n
+    for i in range(n - 1, -1, -1):
+        S = Sb[i]
+        Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))
+        Di = 1.0 / sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))
+        U[i], Dinv[i] = Ui, Di
+        p = topo.parents[i]
+        if p >= 0:
+            UDU = Ui[:, None] * (Di[:, None] * Ui[None])
+            Ia = IA[i] - UDU
+            IA[p] = IA[p] + matmat6_T(X[i], matmat6(Ia, X[i]))
+    return U, Dinv
+
+
+def minv_cols_bl(model: RobotModel, X, U, Dinv, c0: int, cb: int):
+    """Columns [c0, c0+cb) of the upper-triangular M⁻¹ (rows stacked to
+    (n, cb, *b)) given precomputed U/D⁻¹ — the F and row recursions restricted
+    to a static column block. Exactly equals ``minv_bl(...)[0][:, c0:c0+cb]``
+    (tests/test_blops.py::test_column_blocked_minv)."""
+    topo = model.topology
+    n = topo.n
+    bshape = X[0].shape[2:]
+    bnd = len(bshape)
+    dtype = X[0].dtype
+    ones1B = jnp.ones((1,) + bshape, dtype)
+    Sb = [batchify1(model.S[i], ones1B) for i in range(n)]
+    rows = [jnp.zeros((cb,) + bshape, dtype) for _ in range(n)]
+    F = [jnp.zeros((6, cb) + bshape, dtype) for _ in range(n)]
+    # global column index of each local column (iota + static offset)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (cb,) + (1,) * bnd, 0) + c0
+
+    for i in range(n - 1, -1, -1):
+        S = Sb[i]
+        SF = sum(S[c:c + 1] * F[i][c] for c in range(6))          # (cb,*b)
+        ei = (gcol == i).astype(dtype)
+        row = ei * Dinv[i] - Dinv[i] * SF
+        rows[i] = row
+        p = topo.parents[i]
+        if p >= 0:
+            Fi = F[i] + U[i][:, None] * row[None]
+            F[i] = Fi
+            F[p] = F[p] + matmat6_T(X[i], Fi)
+    for i in range(n):
+        p = topo.parents[i]
+        geq = (gcol >= i).astype(dtype)
+        if p >= 0:
+            UX = matvec6_T(X[i], U[i])
+            corr = sum(UX[c:c + 1] * F[p][c] for c in range(6))
+            rows[i] = rows[i] - geq * (Dinv[i] * corr)
+        new_cols = jnp.stack([Sb[i][r:r + 1] * rows[i] for r in range(6)])
+        if p >= 0:
+            new_cols = new_cols + matmat6(X[i], F[p])
+        F[i] = geq[None] * new_cols + (1 - geq)[None] * F[i]
+    return jnp.stack(rows)                                         # (n,cb,*b)
+
+
+def rnea_grad_cols_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
+                      c0: int = 0, cb: int | None = None, sides=("q", "qd")):
+    """Column-blocked batch-last ∂ID: the ``cb`` differentiation directions
+    [c0, c0+cb) of ∂c/∂u for the requested sides, each (n, cb, *batch).
+
+    This is the VMEM-era counterpart of the reference's packed column
+    compression (``_inverse_dynamics_gradient.py:55-96``): instead of packing
+    ancestor columns contiguously in shared memory, the staged large-robot
+    pipeline processes fixed-width column blocks per kernel launch, so the
+    ∂-tensor working set is 18·n·cb floats/state regardless of n. Static
+    ``c0`` lets trace-time zero-skipping drop joints with no ancestors in
+    the block (∂v_i/∂u_j ≡ 0 for j > i). Equals columns [c0:c0+cb) of
+    :func:`rnea_grad_inner_bl` exactly."""
+    topo = model.topology
+    n = topo.n
+    parents = topo.parents
+    bshape = qd.shape[1:]
+    bnd = len(bshape)
+    dtype = qd.dtype
+    if cb is None:
+        cb = n
+    minus_g = jnp.asarray(-gravity, dtype)
+
+    ones1B = jnp.ones((1,) + bshape, dtype)
+    Ib = [batchify2(model.inertia[i], ones1B) for i in range(n)]
+    S_bl = [batchify1(model.S[i], ones1B) for i in range(n)]
+
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (1, cb) + (1,) * bnd, 1) + c0
+
+    def cross3_cols(A, Bc):
+        return jnp.stack([
+            A[1] * Bc[2] - A[2] * Bc[1],
+            A[2] * Bc[0] - A[0] * Bc[2],
+            A[0] * Bc[1] - A[1] * Bc[0],
+        ])
+
+    def crf_cols_right(D, x):
+        xw = x[:3][:, None]
+        xv = x[3:][:, None]
+        return jnp.concatenate([
+            cross3_cols(D[:3], xw) + cross3_cols(D[3:], xv),
+            cross3_cols(D[:3], xv),
+        ])
+
+    def crf_cols_left(m, D):
+        w = m[:3][:, None]
+        u_ = m[3:][:, None]
+        return jnp.concatenate([
+            cross3_cols(w, D[:3]) + cross3_cols(u_, D[3:]),
+            cross3_cols(w, D[3:]),
+        ])
+
+    def zeros_cols():
+        return jnp.zeros((6, cb) + bshape, dtype)
+
+    def sow(D, i, vec):
+        """Add vec (6,*b) into the column of D holding global direction i —
+        a no-op (trace-time) when i is outside the block."""
+        if not (c0 <= i < c0 + cb):
+            return D
+        return D + (gcol == i).astype(D.dtype) * vec[:, None]
+
+    def one_side(side):
+        is_q = side == "q"
+        dv = [None] * n        # None ≡ identically zero (trace-time skip)
+        for i in range(n):
+            p = parents[i]
+            if i < c0:         # ancestors(i) ∪ {i} ⊆ [0, i] < block → zero
+                continue
+            d = zeros_cols() if (p < 0 or dv[p] is None) \
+                else matmat6(X[i], dv[p])
+            if is_q:
+                p_ = parents[i]
+                Xv = matvec6(X[i], v[p_]) if p_ >= 0 \
+                    else jnp.zeros((6,) + bshape, dtype)
+                seed = -crm_apply_bl(S_bl[i], Xv)
+            else:
+                seed = S_bl[i]
+            dv[i] = sow(d, i, seed)
+
+        da = [None] * n
+        for i in range(n):
+            p = parents[i]
+            if i < c0:
+                continue
+            d = zeros_cols() if (p < 0 or da[p] is None) \
+                else matmat6(X[i], da[p])
+            if dv[i] is not None:
+                qdi = qd[i:i + 1][:, None]
+                d = d - qdi * crm_cols_left(S_bl[i], dv[i])
+            if is_q:
+                Xa = matvec6(X[i], a[parents[i]]) if parents[i] >= 0 \
+                    else X[i][:, 5] * minus_g
+                seed = -crm_apply_bl(S_bl[i], Xa)
+            else:
+                seed = -crm_apply_bl(S_bl[i], v[i])
+            da[i] = sow(d, i, seed)
+
+        df = [None] * n
+        for i in range(n):
+            if dv[i] is None and da[i] is None:
+                df[i] = None
+                continue
+            local = zeros_cols()
+            if dv[i] is not None:
+                Iv = matvec6(Ib[i], v[i])
+                Idv = matmat6(Ib[i], dv[i])
+                local = (crf_cols_right(dv[i], Iv)
+                         + crf_cols_left(v[i], Idv))
+            if da[i] is not None:
+                local = local + matmat6(Ib[i], da[i])
+            df[i] = local
+
+        for i in range(n - 1, -1, -1):
+            p = parents[i]
+            if p < 0:
+                continue
+            acc = df[p]
+            if df[i] is not None:
+                contrib = matmat6_T(X[i], df[i])
+                acc = contrib if acc is None else acc + contrib
+            if is_q and c0 <= i < c0 + cb:
+                Sxf = crf_apply_bl(S_bl[i], f[i])
+                corr = matvec6_T(X[i], Sxf)
+                acc = sow(zeros_cols() if acc is None else acc, i, corr)
+            df[p] = acc
+
+        dc = jnp.stack([
+            sum(S_bl[i][r:r + 1] * df[i][r] for r in range(6))
+            if df[i] is not None
+            else jnp.zeros((cb,) + bshape, dtype)
+            for i in range(n)])
+        if not is_q:
+            # damping on the global diagonal: row j gets damping_j at the
+            # local column holding direction j
+            r_ = jax.lax.broadcasted_iota(jnp.int32, (n, cb) + (1,) * bnd, 0)
+            damp_b = (_damping_col(model, bnd) * ones1B)[:, None]
+            dc = dc + (r_ == gcol).astype(dtype) * damp_b
+        return dc
+
+    return {side: one_side(side) for side in sides}

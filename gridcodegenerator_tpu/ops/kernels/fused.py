@@ -42,17 +42,38 @@ _LANES = 128
 _MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping")
 
 
-def _default_block(n: int):
-    """Batch-tile size in states, or None when no valid tile fits.
-
-    Tiles must be whole (8, 128) register rows (1024 states minimum — f32
-    sublane blocks are multiples of 8), and the fused ∇FD working set scales
-    as ~n²·block floats; the empirical VMEM budget on a 16 MB core is
-    n²·block ≲ 2·10⁵·1024. Robots too large for one tile fall back to the
-    plain-XLA batch-last path (same compute bodies, XLA manages HBM spills)."""
-    budget = 205_000  # max n² · block (empirical: n=7@2048 and n=12@1024 fit)
-    blk = (budget // max(1, n * n)) // 1024 * 1024
+def _block_for(per_state_floats: float):
+    """Batch-tile size (whole (8,128) register rows, i.e. multiples of 1024
+    states) for a kernel whose VMEM working set is ``per_state_floats``
+    floats per state, or None when even one 1024-state tile cannot fit.
+    Budget: a 16 MB VMEM core holds 4M f32; Mosaic double-buffers the
+    HBM↔VMEM tiles, so keep the same empirical ceiling that round-1 sizing
+    validated on hardware (n=7 ∇FD @2048 and n=12 ∇FD @1024 fit)."""
+    budget = 3_400_000  # f32 VMEM floats usable by one kernel instance
+    blk = int(budget // max(1.0, per_state_floats)) // 1024 * 1024
     return int(min(blk, 2048)) or None
+
+
+def _default_block(n: int, kind: str = "fd_grad"):
+    """Per-kernel batch-tile sizing from working-set models (floats/state):
+
+    * ``rnea``:    X (36n) + v,a,f (18n) + temps          ≈ 70n
+    * ``minv``:    X + IA (36n each) + F (6n²) + rows (n²) ≈ 7n² + 90n
+    * ``fd``:      minv + rnea live sets                   ≈ 7n² + 120n
+    * ``fd_grad``: minv + one ∂-side (dv+da ≈ 6n², df 6n²) ≈ 16.6n² (the
+      round-1 empirical rule n²·block ≤ 2.05e5·1024 restated per-state)
+
+    A ``None`` means the single-tile fusion is impossible for this robot —
+    callers fall back to the column-blocked staged pipeline
+    (:mod:`.staged`) or the plain-XLA batch-last path."""
+    models = {
+        "rnea": 70.0 * n,
+        "minv": 7.0 * n * n + 90.0 * n,
+        "fd": 7.0 * n * n + 120.0 * n,
+        "fd_grad": 16.6 * n * n,
+        "id_grad": 16.6 * n * n,
+    }
+    return _block_for(models[kind])
 
 
 def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
@@ -146,7 +167,7 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
 def inverse_dynamics_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
                            block_b=None, interpret=False):
     """Fused RNEA: (n,B)³ → c (n,B)."""
-    block_b = block_b or _default_block(model.n)
+    block_b = block_b or _default_block(model.n, "rnea")
 
     if qdd is None:
         def body(km, q, qd):
@@ -166,7 +187,10 @@ def inverse_dynamics_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
 def minv_fused(model: RobotModel, q, gravity=-9.81, block_b=None,
                interpret=False):
     """Fused analytic M⁻¹: q (n,B) → dense symmetric (n,n,B)."""
-    block_b = block_b or _default_block(model.n)
+    block_b = block_b or _default_block(model.n, "minv")
+    if block_b is None:  # Atlas-scale: column-blocked staged pipeline
+        from .staged import minv_staged
+        return minv_staged(model, q, interpret=interpret)
 
     def body(km, q):
         X = blops.joint_transforms_bl(km, q)
@@ -181,7 +205,10 @@ def minv_fused(model: RobotModel, q, gravity=-9.81, block_b=None,
 def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
                            block_b=None, interpret=False):
     """Fused FD: (n,B)³ → q̈ (n,B)."""
-    block_b = block_b or _default_block(model.n)
+    block_b = block_b or _default_block(model.n, "fd")
+    if block_b is None:
+        from .staged import fd_staged
+        return fd_staged(model, q, qd, u, gravity, interpret=interpret)
 
     def body(km, q, qd, u):
         return (blops.fd_bl(km, q, qd, u, gravity),)
@@ -195,8 +222,13 @@ def fd_grad_fused(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
                   interpret=False):
     """Fused ∇FD — the north-star kernel: the full pipeline
     (X → RNEA → M⁻¹ → q̈ → vaf → ∂ID → −M⁻¹·∂c) in ONE kernel launch per
-    batch tile, everything VMEM-resident. Returns (ddq, ddqd), each (n,n,B)."""
-    block_b = block_b or _default_block(model.n)
+    batch tile, everything VMEM-resident. For robots too large for a single
+    tile, delegates to the column-blocked staged pipeline (:mod:`.staged`).
+    Returns (ddq, ddqd), each (n,n,B)."""
+    block_b = block_b or _default_block(model.n, "fd_grad")
+    if block_b is None:
+        from .staged import fd_grad_staged
+        return fd_grad_staged(model, q, qd, u, gravity, interpret=interpret)
 
     def body(km, q, qd, u):
         return blops.fd_grad_bl(km, q, qd, u, gravity)
@@ -210,7 +242,12 @@ def fd_grad_fused(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
 def id_grad_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
                   block_b=None, interpret=False):
     """Fused ∂ID: returns (dc_dq, dc_dqd), each (n,n,B)."""
-    block_b = block_b or _default_block(model.n)
+    block_b = block_b or _default_block(model.n, "id_grad")
+    if block_b is None:
+        from .staged import id_grad_staged
+        if qdd is None:
+            qdd = jnp.zeros_like(q)
+        return id_grad_staged(model, q, qd, qdd, gravity, interpret=interpret)
 
     def body(km, q, qd, qdd):
         X = blops.joint_transforms_bl(km, q)

@@ -1,0 +1,185 @@
+"""Staged multi-kernel pipeline for large robots (Atlas-scale, n ≳ 15).
+
+The single-tile fused kernels (:mod:`.fused`) require the whole algorithm
+working set to fit VMEM at the minimum (8, 128)-register batch tile of 1024
+states; for ∇FD that is ~16.6·n² floats/state — impossible beyond n≈14 on a
+16 MB core. The reference hits the same wall in CUDA shared memory and solves
+it with packed ancestor/subtree column compression
+(``/root/reference/algorithms/_inverse_dynamics_gradient.py:1-4,55-96``).
+The TPU-native counterpart implemented here splits the pipeline into a
+sequence of kernels whose live sets are column-blocked (working set ∝ n·cb,
+not n²), staging only small per-state tensors (c, v, a, f, U, D⁻¹, M⁻¹ rows,
+∂c blocks) through HBM and *recomputing X(q) in-kernel* (36n floats of VMEM
+vs. 36n·B of HBM traffic per launch — flops are cheaper than bandwidth):
+
+  K1  q,q̇      → c, v            (bias RNEA; v is q̈-independent)
+  K2  q         → U, D⁻¹          (articulated-body backward sweep)
+  K3ᵏ q,U,D⁻¹   → M⁻¹[:, blkₖ]    (column-blocked F/row recursions)
+      XLA: densify M⁻¹, q̈ = M⁻¹(u − c)   (tiny batched matmul)
+  K4  q,q̇,q̈,v  → a, f            (vaf at the true q̈, v reused)
+  K5ˢᵏ q,q̇,v,a,f → ∂c_s[:, blkₖ]  (column-blocked ∂ID, per side s)
+      XLA: ∂q̈ = −M⁻¹ · ∂c        (batched matmul)
+
+Every kernel body reuses the same :mod:`..blops` functions the single-tile
+kernels use, so interpret-mode equivalence tests cover this path on CPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ...models.robot import RobotModel
+from .. import blops
+from .fused import _block_for, _pallas_batch_call
+
+
+def _col_block(n: int) -> int:
+    """Largest ∂ID column-block width whose K5 working set fits one
+    1024-state tile: ≈ 60n + 19n·cb floats/state."""
+    cb = int((3_400_000 / 1024 - 60.0 * n) // (19.0 * n))
+    return max(1, min(cb, n))
+
+
+def _split_cols(arr_axis1_n, n, cb):
+    return [(c0, min(cb, n - c0)) for c0 in range(0, n, cb)]
+
+
+def _as_list(stacked, n):
+    """(6, n, *B) staged tensor → per-joint list of (6, *B) (kernel-body
+    form). Static basic-indexing slices only — no gathers (Mosaic-safe)."""
+    return [stacked[:, i] for i in range(n)]
+
+
+def bias_and_v_staged(model: RobotModel, q, qd, gravity, block_b, interpret):
+    """K1: c (n, B) and v (6, n, B)."""
+    def body(km, q, qd):
+        X = blops.joint_transforms_bl(km, q)
+        v, a0, f0 = blops.rnea_fwd_bl(km, X, qd, None, gravity)
+        c, _ = blops.rnea_bwd_bl(km, X, f0, qd)
+        return c, jnp.stack(v, axis=1)
+
+    n = model.n
+    return _pallas_batch_call(model, body, [q, qd], [(n,), (6, n)],
+                              block_b, interpret)
+
+
+def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
+    """Staged analytic M⁻¹ for large robots: q (n,B) → dense (n,n,B).
+    K2 (U, D⁻¹) + column-blocked K3 launches + XLA densify."""
+    n = model.n
+    cb = cb or _col_block(n)
+    k2_block = block_b or _block_for(90.0 * n)
+    k3_block = block_b or _block_for(45.0 * n + 7.0 * n * cb)
+
+    def body_ud(km, q):
+        X = blops.joint_transforms_bl(km, q)
+        U, Dinv = blops.minv_UD_bl(km, X)
+        return jnp.stack(U, axis=1), jnp.concatenate(Dinv, axis=0)
+
+    U, Dinv = _pallas_batch_call(model, body_ud, [q], [(6, n), (n,)],
+                                 k2_block, interpret)
+
+    blocks = []
+    for c0, w in _split_cols(None, n, cb):
+        def body_cols(km, q, U, Dinv, c0=c0, w=w):
+            X = blops.joint_transforms_bl(km, q)
+            Ul = _as_list(U, km.n)
+            Dl = [Dinv[i:i + 1] for i in range(km.n)]
+            return (blops.minv_cols_bl(km, X, Ul, Dl, c0, w),)
+
+        (blk,) = _pallas_batch_call(model, body_cols, [q, U, Dinv],
+                                    [(n, w)], k3_block, interpret)
+        blocks.append(blk)
+    upper = jnp.concatenate(blocks, axis=1)          # (n, n, B) upper-tri
+    return blops.densify_rows([upper[i] for i in range(n)])
+
+
+def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
+              interpret=False):
+    """Staged forward dynamics for large robots: q̈ (n, B)."""
+    k1_block = block_b or _block_for(70.0 * model.n)
+    c, _ = bias_and_v_staged(model, q, qd, gravity, k1_block, interpret)
+    Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
+    return blops.matvecN(Minv, u - c)
+
+
+def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
+                   block_b=None, cb=None, interpret=False):
+    """Staged ∂ID for large robots: (dc_dq, dc_dqd), each (n, n, B)."""
+    n = model.n
+    cb = cb or _col_block(n)
+    k1_block = block_b or _block_for(70.0 * n)
+    k5_block = block_b or _block_for(60.0 * n + 19.0 * n * cb)
+
+    def body_vaf(km, q, qd, qdd):
+        X = blops.joint_transforms_bl(km, q)
+        v, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity)
+        _, f = blops.rnea_bwd_bl(km, X, f, None)
+        return jnp.stack(v, axis=1), jnp.stack(a, axis=1), jnp.stack(f, axis=1)
+
+    v, a, f = _pallas_batch_call(model, body_vaf, [q, qd, qdd],
+                                 [(6, n)] * 3, k1_block, interpret)
+
+    sides = {}
+    for side in ("q", "qd"):
+        blocks = []
+        for c0, w in _split_cols(None, n, cb):
+            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
+                X = blops.joint_transforms_bl(km, q)
+                vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
+                                             c0=c0, cb=w, sides=(side,))
+                return (dc[side],)
+
+            (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
+                                        [(n, w)], k5_block, interpret)
+            blocks.append(blk)
+        sides[side] = jnp.concatenate(blocks, axis=1)
+    return sides["q"], sides["qd"]
+
+
+def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
+                   cb=None, interpret=False):
+    """Staged ∇FD — the large-robot counterpart of
+    :func:`..kernels.fused.fd_grad_fused`: returns (ddq, ddqd), each (n,n,B).
+
+    Same dataflow as the single-tile kernel (X shared, v reused across the
+    two RNEA sweeps, sides processed sequentially); the ∂-tensors never
+    materialize wider than ``cb`` columns in VMEM, and the two batched
+    (n,n,B)×(n,n,B) contractions run in XLA."""
+    n = model.n
+    cb = cb or _col_block(n)
+    k1_block = block_b or _block_for(70.0 * n)
+    k5_block = block_b or _block_for(60.0 * n + 19.0 * n * cb)
+
+    c, v = bias_and_v_staged(model, q, qd, gravity, k1_block, interpret)
+    Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
+    qdd = blops.matvecN(Minv, u - c)
+
+    def body_af(km, q, qd, qdd, v):
+        X = blops.joint_transforms_bl(km, q)
+        vl = _as_list(v, km.n)
+        _, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity, v_known=vl)
+        _, f = blops.rnea_bwd_bl(km, X, f, None)
+        return jnp.stack(a, axis=1), jnp.stack(f, axis=1)
+
+    a, f = _pallas_batch_call(model, body_af, [q, qd, qdd, v],
+                              [(6, n)] * 2, k1_block, interpret)
+
+    outs = {}
+    for side in ("q", "qd"):
+        blocks = []
+        for c0, w in _split_cols(None, n, cb):
+            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
+                X = blops.joint_transforms_bl(km, q)
+                vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
+                                             c0=c0, cb=w, sides=(side,))
+                return (dc[side],)
+
+            (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
+                                        [(n, w)], k5_block, interpret)
+            blocks.append(blk)
+        dc = jnp.concatenate(blocks, axis=1)
+        outs[side] = blops.matmatN(Minv, dc, negate=True)
+    return outs["q"], outs["qd"]

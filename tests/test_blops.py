@@ -122,3 +122,117 @@ def test_accurate_trig_parity(bl_setup):
     q64 = np.asarray(qs, np.float64)
     assert np.abs(np.asarray(s) - np.sin(q64)).max() < 2.5e-7
     assert np.abs(np.asarray(c) - np.cos(q64)).max() < 2.5e-7
+
+
+def test_column_blocked_minv(bl_setup):
+    """minv_UD_bl + minv_cols_bl over blocks == full minv_bl rows."""
+    desc, gold, model, q, qd, u = bl_setup
+    n = desc.n
+    qa = jnp.asarray(q)
+    X = blops.joint_transforms_bl(model, qa)
+    rows_full, _, _ = blops.minv_bl(model, X)
+    full = jnp.stack(rows_full)                      # (n, n, B)
+    U, Dinv = blops.minv_UD_bl(model, X)
+    cb = 3
+    for c0 in range(0, n, cb):
+        w = min(cb, n - c0)
+        blk = blops.minv_cols_bl(model, X, U, Dinv, c0, w)
+        np.testing.assert_allclose(np.asarray(blk),
+                                   np.asarray(full[:, c0:c0 + w]),
+                                   atol=1e-12, err_msg=f"c0={c0}")
+
+
+def test_column_blocked_grad(bl_setup):
+    """rnea_grad_cols_bl over blocks == full rnea_grad_inner_bl."""
+    desc, gold, model, q, qd, u = bl_setup
+    n = desc.n
+    qa, qda, ua = (jnp.asarray(x) for x in (q, qd, u))
+    X = blops.joint_transforms_bl(model, qa)
+    v, a, f = blops.rnea_fwd_bl(model, X, qda, ua, -9.81)
+    _, f = blops.rnea_bwd_bl(model, X, f, None)
+    full = blops.rnea_grad_inner_bl(model, X, qda, v, a, f)
+    for side in ("q", "qd"):
+        cb = 2
+        parts = []
+        for c0 in range(0, n, cb):
+            w = min(cb, n - c0)
+            blk = blops.rnea_grad_cols_bl(model, X, qda, v, a, f,
+                                          c0=c0, cb=w, sides=(side,))[side]
+            parts.append(np.asarray(blk))
+        got = np.concatenate(parts, axis=1)
+        np.testing.assert_allclose(got, np.asarray(full[side]), atol=1e-11,
+                                   err_msg=side)
+
+
+def test_staged_pipeline_interpret(bl_setup):
+    """The staged (column-blocked, multi-kernel) large-robot pipeline must
+    match the golden model when forced on a small robot — interpret mode
+    exercises the same kernel bodies as the TPU lowering."""
+    from gridcodegenerator_tpu.ops.kernels import staged
+
+    desc, gold, model, q, qd, u = bl_setup
+    if desc.topology.is_serial_chain and desc.n == 5:
+        pytest.skip("staged equivalence: one serial + one branched robot "
+                    "suffice for the default tier (interpret mode is slow)")
+    model32 = model.astype(jnp.float32)
+    qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
+    ddq, ddqd = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4, cb=2,
+                                      interpret=True)
+    J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
+    M = staged.minv_staged(model32, qa, block_b=4, cb=3, interpret=True)
+    qdd = staged.fd_staged(model32, qa, qda, ua, block_b=4, interpret=True)
+    for k in range(q.shape[-1]):
+        ref = gold.fd_grad(q[:, k], qd[:, k], u[:, k])
+        np.testing.assert_allclose(J[..., k], ref,
+                                   atol=2e-4 * max(1, np.abs(ref).max()))
+        np.testing.assert_allclose(np.asarray(M)[:, :, k],
+                                   gold.minv(q[:, k], True), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(qdd)[:, k],
+                                   gold.fd(q[:, k], qd[:, k], u[:, k]),
+                                   atol=2e-4)
+
+
+@pytest.mark.slow
+def test_staged_pipeline_atlas():
+    """Atlas (n=28) routes to the staged pipeline (the VERDICT round-1 gap:
+    no fused path for n≥15) and its staged FD + one ∂ID column block match
+    the golden model. The full fd_grad_staged equivalence is covered by the
+    forced small-robot test above (identical code, every block); compiling
+    all 28 Atlas grad-block kernels in interpret mode on one CPU core takes
+    tens of minutes, so this test checks one block of each kernel kind."""
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops.kernels import staged
+    from gridcodegenerator_tpu.ops.kernels.fused import _default_block
+
+    n = 28
+    assert _default_block(n, "fd_grad") is None   # single-tile impossible
+    assert _default_block(n, "rnea") is not None  # plain RNEA still fuses
+    assert staged._col_block(n) >= 1
+    desc = g.parse_urdf(zoo.atlas(damping=0.05))
+    gold = g.GoldenDynamics(desc)
+    model32 = g.robot_model_from_description(desc, dtype=jnp.float32)
+    B = 2
+    q, qd, u = random_state(desc.n, seed=77, batch=(B,))
+    qa, qda, ua = (jnp.asarray(x.T, jnp.float32) for x in (q, qd, u))
+
+    # staged FD (K1 + K2 + K3 blocks + XLA finish)
+    qdd = staged.fd_staged(model32, qa, qda, ua, block_b=2, interpret=True)
+    for k in range(B):
+        ref = gold.fd(q[k], qd[k], u[k])
+        np.testing.assert_allclose(np.asarray(qdd)[:, k], ref,
+                                   atol=5e-4 * max(1, np.abs(ref).max()))
+
+    # one ∂ID column block (K4 + one K5 launch)
+    cb = 4
+    X = blops.joint_transforms_bl(model32, qa)
+    v, a, f = blops.rnea_fwd_bl(model32, X, qda, jnp.asarray(qdd), -9.81)
+    _, f = blops.rnea_bwd_bl(model32, X, f, None)
+    blk = blops.rnea_grad_cols_bl(model32, X, qda, v, a, f,
+                                  c0=8, cb=cb, sides=("q",))["q"]
+    for k in range(B):
+        dq_ref, _ = gold.rnea_grad(q[k], qd[k],
+                                   np.asarray(qdd)[:, k].astype(np.float64))
+        np.testing.assert_allclose(np.asarray(blk)[..., k],
+                                   dq_ref[:, 8:8 + cb],
+                                   atol=5e-4 * max(1, np.abs(dq_ref).max()))
