@@ -8,13 +8,20 @@ warm-up; results print as a table plus machine-readable JSON lines.
 
 Usage:
     python benchmarks/run_benchmarks.py [--robots iiwa14 hyq] [--batches 1024 16384]
-    python benchmarks/run_benchmarks.py --profile  # emit a jax.profiler trace
+    python benchmarks/run_benchmarks.py --curve       # the BASELINE batch curve
+                                                      # 1k…1M via map_batched
+    python benchmarks/run_benchmarks.py --profile     # emit a jax.profiler trace
+
+Every run is wall-clock bounded (--budget, default 480 s): partial results
+always print, a wedged TPU tunnel cannot produce an empty run.
 """
 
 import argparse
 import json
+import os
 import pathlib
 import sys
+import threading
 import time
 
 import numpy as np
@@ -40,6 +47,44 @@ def time_fn(fn, args, reps=20, trials=4):
     return float(np.median(ts)), float(np.min(ts))
 
 
+def batch_curve(args, g, zoo, jnp):
+    """The BASELINE per-batch curve (VERDICT #4): ∇FD evals/s at batch sizes
+    1k…1M. Small batches are measured through ``map_batched`` (one dispatch,
+    ``lax.map`` over chunk-sized micro-batches — the on-device amortization
+    of the per-dispatch host/tunnel cost), exactly the deployment shape for
+    a trajectory-optimizer inner loop; large batches are direct calls."""
+    dtype = jnp.dtype(args.dtype)
+    model = g.load_robot(zoo.ZOO[args.robots[0]](), dtype=dtype)
+    n = model.n
+    rng = np.random.default_rng(0)
+    for B in (1000, 4000, 10_000, 65_536, 262_144, 1_048_576):
+        q = jnp.asarray(rng.uniform(-2, 2, (B, n)), dtype)
+        qd = jnp.asarray(rng.uniform(-1, 1, (B, n)), dtype)
+        u = jnp.asarray(rng.uniform(-8, 8, (B, n)), dtype)
+        if B <= 16_384:
+            # K micro-batches of exactly B states, one dispatch: measures
+            # per-chunk-of-B throughput with the dispatch cost amortized
+            K = max(1, 131_072 // B)
+            fn = lambda m, a, b, c: g.map_batched(
+                g.forward_dynamics_gradient, m, a, b, c, chunk_size=B)
+            argsK = (model, jnp.tile(q, (K, 1)), jnp.tile(qd, (K, 1)),
+                     jnp.tile(u, (K, 1)))
+            med, mn = time_fn(fn, argsK, reps=max(4, args.reps // 2))
+            eps = K * B / med
+            mode = f"map_batched chunk={B} K={K}"
+        else:
+            fn = lambda m, a, b, c: g.forward_dynamics_gradient(m, a, b, c)
+            med, mn = time_fn(fn, (model, q, qd, u), reps=max(4, args.reps // 2))
+            eps = B / med
+            mode = "direct"
+        print(json.dumps(dict(robot=args.robots[0], n=n, batch=B,
+                              alg="forward_dynamics_gradient", mode=mode,
+                              median_ms=med * 1e3, min_ms=mn * 1e3,
+                              evals_per_sec=eps)))
+        print(f"# curve B={B:8d} {mode:28s} {eps:12.3e} evals/s",
+              file=sys.stderr)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--robots", nargs="*", default=["iiwa14", "hyq", "atlas"])
@@ -48,7 +93,19 @@ def main(argv=None):
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--impl", default="auto", choices=["auto", "pallas", "vmap"])
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--curve", action="store_true",
+                   help="BASELINE batch curve 1k…1M on --robots[0]")
+    p.add_argument("--budget", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", "480")))
     args = p.parse_args(argv)
+
+    def _watchdog():
+        time.sleep(args.budget)
+        print(f"# watchdog: {args.budget:.0f}s budget exhausted, exiting "
+              "with partial results", file=sys.stderr, flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
     import jax.numpy as jnp
@@ -56,9 +113,15 @@ def main(argv=None):
     import gridcodegenerator_tpu as g
     from gridcodegenerator_tpu.models import zoo
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     dtype = jnp.dtype(args.dtype)
     print(f"# backend={jax.default_backend()} device={jax.devices()[0].device_kind}",
           file=sys.stderr)
+
+    if args.curve:
+        batch_curve(args, g, zoo, jnp)
+        return
 
     impl = args.impl
     algs = {

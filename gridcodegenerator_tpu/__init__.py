@@ -20,6 +20,7 @@ from .api import (
     direct_minv,
     forward_dynamics,
     forward_dynamics_gradient,
+    forward_dynamics_ad,
     forward_dynamics_gradient_qdd_minv,
     inverse_dynamics,
     inverse_dynamics_gradient,
@@ -53,7 +54,7 @@ __all__ = [
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
     "inverse_dynamics_gradient", "forward_dynamics_gradient",
     "forward_dynamics_gradient_qdd_minv", "forward_dynamics_diff",
-    "map_batched",
+    "forward_dynamics_ad", "map_batched",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "simulate", "linearize_trajectory",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",

@@ -195,6 +195,47 @@ def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
     return _forward_dynamics_gradient_vmap(model, q, qd, u, gravity=gravity)
 
 
+def forward_dynamics_ad(model: RobotModel, q, qd, u, *,
+                        gravity: float = -9.81, impl: str = "auto"):
+    """Batched forward dynamics with an **analytic custom VJP** on the
+    production path: ``jax.grad``/``jacrev`` through this function evaluates
+    the engine's closed-form ∂q̈/∂(q, q̇, u) — on TPU the backward pass runs
+    the fused Pallas ∂ID/M⁻¹ kernels instead of differentiating unrolled
+    recursions (the Pallas kernels are not AD-traceable; this is how
+    gradient-based outer loops get kernel-speed backward passes).
+
+    Single-state analog: :func:`..ops.fd.forward_dynamics_diff` (vmap path).
+    Cotangents flow to (q, q̇, u); the robot model is a closed-over constant.
+    """
+    import jax.numpy as _jnp
+
+    n = model.n
+    resolved = _resolve_impl(impl, q)
+
+    @jax.custom_vjp
+    def _fd(q, qd, u):
+        return forward_dynamics(model, q, qd, u, gravity=gravity,
+                                impl=resolved)
+
+    def _fwd(q, qd, u):
+        c = bias_force(model, q, qd, gravity=gravity, impl=resolved)
+        Minv = direct_minv(model, q, dense=True, impl=resolved)
+        qdd = _jnp.einsum("...ij,...j->...i", Minv, u - c)
+        return qdd, (q, qd, qdd, Minv)
+
+    def _bwd(res, g):
+        q, qd, qdd, Minv = res
+        dc = inverse_dynamics_gradient(model, q, qd, qdd, gravity=gravity,
+                                       impl=resolved)          # (..., n, 2n)
+        Mg = _jnp.einsum("...ij,...j->...i", Minv, g)          # M⁻¹ sym
+        dq = -_jnp.einsum("...ij,...i->...j", dc[..., :n], Mg)
+        dqd = -_jnp.einsum("...ij,...i->...j", dc[..., n:], Mg)
+        return dq, dqd, Mg
+
+    _fd.defvjp(_fwd, _bwd)
+    return _fd(q, qd, u)
+
+
 def map_batched(fn, model: RobotModel, *states, chunk_size: int, **kwargs):
     """Run a public entry point over a large batch in fixed-size on-device
     chunks within ONE dispatch (``lax.map`` over the chunk axis).

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import pytest
 import numpy as np
 
+import gridcodegenerator_tpu as g
 from conftest import get_setup, random_state
 from gridcodegenerator_tpu.ops import fd, fd_grad, minv, rnea, rnea_grad
 
@@ -151,3 +152,33 @@ def test_custom_vjp_forward_dynamics(small_robot):
     for a, b in zip(ga, gn):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-8,
                                    rtol=1e-8)
+
+
+def test_forward_dynamics_ad_custom_vjp(iiwa):
+    """api.forward_dynamics_ad: jax.grad through the batched entry must equal
+    jax.grad through the plain AD-differentiated vmap path (the custom VJP
+    substitutes the analytic ∂FD for reverse-mode through the recursions)."""
+    import jax
+
+    desc, gold, model = iiwa
+    n = desc.n
+    B = 4
+    q, qd, u = (jnp.asarray(x) for x in random_state(n, seed=91, batch=(B,)))
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(B, n)))
+
+    def loss_ad(q, qd, u):
+        return jnp.sum(w * g.forward_dynamics_ad(model, q, qd, u, impl="vmap"))
+
+    def loss_ref(q, qd, u):
+        return jnp.sum(w * g.forward_dynamics(model, q, qd, u, impl="vmap"))
+
+    for i in range(3):
+        ga = jax.grad(loss_ad, argnums=i)(q, qd, u)
+        gr = jax.grad(loss_ref, argnums=i)(q, qd, u)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-8,
+                                   err_msg=f"argnums={i}")
+    # primal equality
+    np.testing.assert_allclose(
+        np.asarray(g.forward_dynamics_ad(model, q, qd, u, impl="vmap")),
+        np.asarray(g.forward_dynamics(model, q, qd, u, impl="vmap")),
+        atol=1e-11)
