@@ -42,11 +42,18 @@ def forward_dynamics_diff(model: RobotModel, q, qd, u, gravity=-9.81):
     :func:`forward_dynamics`.
 
     Gradients flow to (q, q̇, u) only; the robot-model parameters are
-    treated as constants (closed over).
+    treated as constants (closed over). If the model's array leaves are
+    themselves tracers of an enclosing transformation (e.g. the model was
+    passed as a traced ``jit`` argument), a ``custom_vjp`` closure over them
+    is ill-formed — in that case this falls back to the plain AD-traceable
+    primal, which is always correct (just a bigger backward graph).
     """
     import jax
 
     from .rnea_grad import rnea_grad_inner
+
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in jax.tree.leaves(model)):
+        return forward_dynamics(model, q, qd, u, gravity)
 
     @jax.custom_vjp
     def _fd(q, qd, u):

@@ -229,6 +229,33 @@ def fb_inverse_dynamics(model: FreeFlyerModel, quat, q, vb, qd, dvb, qdd,
     return gen[6:] + c_j, gen[:6] + p_b
 
 
+def fb_forward_dynamics_gradient(model: FreeFlyerModel, quat, q, vb, qd, tau,
+                                 gravity=-9.81):
+    """Jacobians of the free-flyer FD outputs (v̇b, q̈) with respect to the
+    full tangent state — the floating-base counterpart of
+    :func:`..fd_grad.forward_dynamics_gradient`.
+
+    The attitude derivative is taken in the tangent space: δφ ∈ ℝ³ perturbs
+    the attitude as ``quat ⊗ exp(½ δφ)`` (body-frame rotation vector), which
+    is the manifold-correct Jacobian an optimizer wants (no quaternion
+    normalization constraint leaks into the derivative).
+
+    Returns a dict of (6+n, k) Jacobians: ``{"dphi": (6+n, 3),
+    "dq": (6+n, n), "dvb": (6+n, 6), "dqd": (6+n, n), "dtau": (6+n, n)}``,
+    rows ordered [v̇b; q̈]. Computed with forward-mode AD through the dense
+    free-flyer formulation (Cholesky solve is AD-friendly); everything is
+    jittable and vmappable.
+    """
+    def out(dphi, q_, vb_, qd_, tau_):
+        qt = quat_mul(quat, quat_exp_body(dphi))
+        dvb, qdd = fb_forward_dynamics(model, qt, q_, vb_, qd_, tau_, gravity)
+        return jnp.concatenate([dvb, qdd])
+
+    zero = jnp.zeros(3, q.dtype)
+    jac = jax.jacfwd(out, argnums=(0, 1, 2, 3, 4))(zero, q, vb, qd, tau)
+    return dict(zip(("dphi", "dq", "dvb", "dqd", "dtau"), jac))
+
+
 def fb_energy(model: FreeFlyerModel, quat, pos, q, vb, qd, gravity=-9.81):
     """Total energy: ½ [vb;q̇]ᵀ M [vb;q̇] − Σ mᵢ g_w · com_w(i)."""
     arm = model.arm

@@ -20,7 +20,11 @@ from ..ops import fd as fd_ops
 
 
 def _deriv(model, q, qd, u, gravity):
-    return qd, fd_ops.forward_dynamics(model, q, qd, u, gravity)
+    # forward_dynamics_diff: identical primal, analytic custom VJP — so
+    # jax.grad through a whole rollout back-propagates with the closed-form
+    # ∂q̈/∂(q, q̇, u) at every step instead of reverse-mode through the
+    # unrolled recursions (far smaller backward graph).
+    return qd, fd_ops.forward_dynamics_diff(model, q, qd, u, gravity)
 
 
 def _step_rk4(model, q, qd, u, dt, gravity):
@@ -33,7 +37,7 @@ def _step_rk4(model, q, qd, u, dt, gravity):
 
 
 def _step_semi_implicit(model, q, qd, u, dt, gravity):
-    qdd = fd_ops.forward_dynamics(model, q, qd, u, gravity)
+    qdd = fd_ops.forward_dynamics_diff(model, q, qd, u, gravity)
     qd2 = qd + dt * qdd
     return q + dt * qd2, qd2
 
@@ -41,8 +45,14 @@ def _step_semi_implicit(model, q, qd, u, dt, gravity):
 _STEPPERS = {"rk4": _step_rk4, "semi_implicit": _step_semi_implicit}
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("dt", "gravity", "method", "steps"))
+# jit cache keyed on model identity: the model is CLOSED OVER (concrete
+# arrays), not passed as a traced jit argument — that keeps the analytic
+# custom VJP in the steppers well-formed (a custom_vjp closing over tracers
+# is ill-defined) and avoids retracing on repeat calls. The cache holds a
+# strong reference to each model so ids cannot be recycled.
+_SIM_CACHE: dict = {}
+
+
 def simulate(model: RobotModel, q0, qd0, u_traj, *, dt: float,
              gravity: float = -9.81, method: str = "rk4", steps=None):
     """Roll out dynamics under a torque trajectory.
@@ -53,23 +63,35 @@ def simulate(model: RobotModel, q0, qd0, u_traj, *, dt: float,
         requires ``steps``).
     Returns:
       (q_traj, qd_traj): each (T, ..., n) — states *after* each step.
+
+    ``jax.grad`` through a rollout back-propagates with the analytic
+    closed-form ∂q̈/∂(q, q̇, u) per step (see ``ops/fd.py::
+    forward_dynamics_diff``), not reverse-mode through the recursions.
     """
-    step = _STEPPERS[method]
     if u_traj.ndim == q0.ndim:
         if steps is None:
             raise ValueError("constant torque input requires steps=")
         u_traj = jnp.broadcast_to(u_traj, (steps,) + u_traj.shape)
 
-    stepper = lambda a, b, c: step(model, a, b, c, dt, gravity)
-    for _ in q0.shape[:-1]:
-        stepper = jax.vmap(stepper)
+    key = (id(model), float(dt), float(gravity), method, q0.ndim)
+    if key not in _SIM_CACHE:
+        step = _STEPPERS[method]
 
-    def body(carry, u):
-        q2, qd2 = stepper(*carry, u)
-        return (q2, qd2), (q2, qd2)
+        @jax.jit
+        def _sim(q0, qd0, u_traj):
+            stepper = lambda a, b, c: step(model, a, b, c, dt, gravity)
+            for _ in range(q0.ndim - 1):
+                stepper = jax.vmap(stepper)
 
-    _, (q_traj, qd_traj) = jax.lax.scan(body, (q0, qd0), u_traj)
-    return q_traj, qd_traj
+            def body(carry, u):
+                q2, qd2 = stepper(*carry, u)
+                return (q2, qd2), (q2, qd2)
+
+            _, (q_traj, qd_traj) = jax.lax.scan(body, (q0, qd0), u_traj)
+            return q_traj, qd_traj
+
+        _SIM_CACHE[key] = (model, _sim)
+    return _SIM_CACHE[key][1](q0, qd0, u_traj)
 
 
 @functools.partial(jax.jit, static_argnames=("dt", "gravity"))

@@ -175,3 +175,46 @@ def test_fb_batched_jit(setups):
     dvb, qdd = f(quat, q, vb, qd, tau)
     assert dvb.shape == (B, 6) and qdd.shape == (B, n)
     assert bool(jnp.all(jnp.isfinite(dvb))) and bool(jnp.all(jnp.isfinite(qdd)))
+
+
+def test_fb_gradient_vs_finite_differences():
+    """Tangent-space free-flyer FD Jacobians vs central finite differences
+    (including the manifold attitude derivative)."""
+    desc = g.parse_urdf(zoo.iiwa14(damping=0.1))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    n = desc.n
+    rng = np.random.default_rng(13)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.7, 0.7, 3))))
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, n))
+    tau = jnp.asarray(rng.uniform(-4, 4, n))
+
+    J = ff.fb_forward_dynamics_gradient(ffm, quat, q, vb, qd, tau)
+    assert J["dphi"].shape == (6 + n, 3) and J["dq"].shape == (6 + n, n)
+
+    def out(quat_, q_, vb_, qd_, tau_):
+        dvb, qdd = ff.fb_forward_dynamics(ffm, quat_, q_, vb_, qd_, tau_)
+        return np.concatenate([np.asarray(dvb), np.asarray(qdd)])
+
+    eps = 1e-6
+    # attitude tangent columns
+    for k in range(3):
+        dphi = np.zeros(3); dphi[k] = eps
+        qp = ff.quat_mul(quat, ff.quat_exp_body(jnp.asarray(dphi)))
+        qm = ff.quat_mul(quat, ff.quat_exp_body(jnp.asarray(-dphi)))
+        fd_col = (out(qp, q, vb, qd, tau) - out(qm, q, vb, qd, tau)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(J["dphi"][:, k]), fd_col,
+                                   rtol=2e-5, atol=2e-5)
+    # a couple of q / vb columns
+    for name, base, key in (("q", q, "dq"), ("vb", vb, "dvb")):
+        arr = np.asarray(base)
+        for k in (0, arr.shape[0] - 1):
+            d = np.zeros_like(arr); d[k] = eps
+            args_p = dict(quat_=quat, q_=q, vb_=vb, qd_=qd, tau_=tau)
+            args_m = dict(args_p)
+            args_p[f"{name}_"] = jnp.asarray(arr + d)
+            args_m[f"{name}_"] = jnp.asarray(arr - d)
+            fd_col = (out(**args_p) - out(**args_m)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(J[key][:, k]), fd_col,
+                                       rtol=2e-5, atol=2e-5)
