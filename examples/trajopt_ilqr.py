@@ -24,9 +24,15 @@ def main():
     p.add_argument("--steps", type=int, default=60)
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--dt", type=float, default=0.02)
+    p.add_argument("--cpu", action="store_true",
+                   help="pin the CPU backend (this box's sitecustomize "
+                        "forces jax_platforms='axon,cpu' at interpreter "
+                        "start, so the env var alone cannot opt out)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import gridcodegenerator_tpu as g
