@@ -40,6 +40,26 @@ def _resolve_impl(impl: str, x=None) -> str:
     return "pallas" if platform == "tpu" else "vmap"
 
 
+def _check_states(model, states, names):
+    """Fail fast with a typed error on malformed state arrays (the
+    ``gpuAssert`` analog at the host boundary,
+    ``/root/reference/GRiDCodeGenerator.py:205-218``): every state must end
+    in the robot's joint dimension and share one batch shape."""
+    n = model.n
+    named = [(nm, s) for nm, s in zip(names, states) if s is not None]
+    names = [nm for nm, _ in named]
+    shapes = [jnp.shape(s) for _, s in named]
+    for name, shp in zip(names, shapes):
+        if len(shp) == 0 or shp[-1] != n:
+            raise ValueError(
+                f"{name} must have trailing dimension n={n} "
+                f"(robot '{model.name}'), got shape {shp}")
+    if len({shp[:-1] for shp in shapes}) > 1:
+        raise ValueError(
+            f"state batch shapes disagree: "
+            + ", ".join(f"{nm}={shp}" for nm, shp in zip(names, shapes)))
+
+
 def _batchify(fn, n_state_args: int):
     """Lift a single-state function ``fn(model, *states, gravity=...)`` to
     accept arbitrary leading batch dimensions on its state arguments."""
@@ -116,6 +136,7 @@ def _inverse_dynamics_vmap(model, q, qd, qdd, *, gravity=-9.81):
 def inverse_dynamics(model: RobotModel, q, qd, qdd, *, gravity: float = -9.81,
                      impl: str = "auto"):
     """c(q, q̇, q̈): joint torques. RNEA."""
+    _check_states(model, (q, qd, qdd), ("q", "qd", "qdd"))
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, qdd), kernel=_k_id, gravity=gravity)
     return _inverse_dynamics_vmap(model, q, qd, qdd, gravity=gravity)
@@ -131,6 +152,7 @@ def bias_force(model: RobotModel, q, qd, *, gravity: float = -9.81,
                impl: str = "auto"):
     """c(q, q̇) with q̈ = 0 — the reference's no-qdd ID variant
     (``_inverse_dynamics.py:499-502``)."""
+    _check_states(model, (q, qd), ("q", "qd"))
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd), kernel=_k_bias, gravity=gravity)
     return _bias_force_vmap(model, q, qd, gravity=gravity)
@@ -146,6 +168,7 @@ def direct_minv(model: RobotModel, q, *, dense: bool = True,
                 impl: str = "auto"):
     """Analytic M⁻¹(q). ``dense=False`` returns the raw upper triangle (the
     reference's native output convention, ``_direct_minv.py:32,390``)."""
+    _check_states(model, (q,), ("q",))
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1 and dense:
         return _pallas_run(model, (q,), kernel=_k_minv, gravity=-9.81)
     return _direct_minv_vmap(model, q, dense=dense)
@@ -160,6 +183,7 @@ def _forward_dynamics_vmap(model, q, qd, u, *, gravity=-9.81):
 def forward_dynamics(model: RobotModel, q, qd, u, *, gravity: float = -9.81,
                      impl: str = "auto"):
     """q̈ = M⁻¹ (u − c(q, q̇))."""
+    _check_states(model, (q, qd, u), ("q", "qd", "u"))
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, u), kernel=_k_fd, gravity=gravity)
     return _forward_dynamics_vmap(model, q, qd, u, gravity=gravity)
@@ -174,6 +198,7 @@ def _inverse_dynamics_gradient_vmap(model, q, qd, qdd, *, gravity=-9.81):
 def inverse_dynamics_gradient(model: RobotModel, q, qd, qdd, *,
                               gravity: float = -9.81, impl: str = "auto"):
     """[∂c/∂q | ∂c/∂q̇] as (..., n, 2n)."""
+    _check_states(model, (q, qd, qdd), ("q", "qd", "qdd"))
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, qdd), kernel=_k_id_grad,
                            gravity=gravity)
@@ -189,6 +214,7 @@ def _forward_dynamics_gradient_vmap(model, q, qd, u, *, gravity=-9.81):
 def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
                               gravity: float = -9.81, impl: str = "auto"):
     """[∂q̈/∂q | ∂q̈/∂q̇] as (..., n, 2n) — the north-star op."""
+    _check_states(model, (q, qd, u), ("q", "qd", "u"))
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, u), kernel=_k_fd_grad,
                            gravity=gravity)

@@ -80,3 +80,20 @@ def test_map_batched_chunked_dispatch(iiwa):
         fd_chunked = np.asarray(g.map_batched(
             g.forward_dynamics, model, q, qd, u, chunk_size=chunk))
         np.testing.assert_allclose(fd_chunked, fd_direct, atol=1e-12)
+
+
+def test_api_shape_errors(iiwa):
+    """Malformed states fail fast with a typed, named error (the gpuAssert
+    analog at the host boundary) instead of a deep broadcasting error."""
+    import pytest as _pytest
+
+    desc, gold, model = iiwa
+    n = desc.n
+    q = jnp.zeros((4, n))
+    bad = jnp.zeros((4, n + 1))
+    with _pytest.raises(ValueError, match="trailing dimension"):
+        g.forward_dynamics(model, q, q, bad)
+    with _pytest.raises(ValueError, match="batch shapes disagree"):
+        g.forward_dynamics_gradient(model, q, jnp.zeros((5, n)), q)
+    with _pytest.raises(ValueError, match="trailing dimension"):
+        g.direct_minv(model, jnp.zeros((4, n - 1)))
