@@ -37,6 +37,8 @@ def _load():
     lib.grid_minv.argtypes = hdr + [_D, _D]
     lib.grid_fd.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
     lib.grid_fd_grad.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
+    lib.grid_fb_fd.argtypes = hdr + [_D, _D, _D, _D, _D, _D,
+                                     ctypes.c_double, _D, _D]
     return lib
 
 
@@ -55,6 +57,7 @@ class NativeOracle:
         self._parents = np.asarray(desc.topology.parents, np.int32)
         self._jtype = np.asarray(
             [1 if t == "prismatic" else 0 for t in desc.joint_types], np.int32)
+        self._I_base = np.ascontiguousarray(desc.base_inertia.reshape(36))
         self._lib = _load()
 
     def _hdr(self):
@@ -93,3 +96,17 @@ class NativeOracle:
                                np.ascontiguousarray(u, np.float64), gravity,
                                out)
         return out
+
+    def fb_fd(self, quat, q, vb, qd, tau, gravity=-9.81):
+        """Free-flyer forward dynamics (quaternion base) — the independent
+        oracle for ``ops/freeflyer.py::fb_forward_dynamics``."""
+        dvb = np.zeros(6)
+        qdd = np.zeros(self.n)
+        self._lib.grid_fb_fd(*self._hdr(), self._I_base,
+                             np.ascontiguousarray(quat, np.float64),
+                             np.ascontiguousarray(q, np.float64),
+                             np.ascontiguousarray(vb, np.float64),
+                             np.ascontiguousarray(qd, np.float64),
+                             np.ascontiguousarray(tau, np.float64),
+                             gravity, dvb, qdd)
+        return dvb, qdd

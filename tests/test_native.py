@@ -53,3 +53,34 @@ def test_native_gravity_variants(oracle_setup):
     for grav in (0.0, -3.72):
         np.testing.assert_allclose(orc.fd(q, qd, u, gravity=grav),
                                    gold.fd(q, qd, u, grav), atol=1e-10)
+
+
+def test_native_freeflyer_oracle():
+    """Free-flyer FD vs the independent C++ oracle (fourth opinion beside
+    the Euler-chain cross-check, physics invariants, and autodiff)."""
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.utils.native import NativeOracle
+
+    from gridcodegenerator_tpu.models.urdf import rpy_to_matrix
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc = g.parse_urdf(zoo.iiwa14(damping=0.1))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    oracle = NativeOracle(desc)
+    rng = np.random.default_rng(31)
+    for k in range(4):
+        quat = np.asarray(
+            ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-2.5, 2.5, 3)))))
+        q = rng.uniform(-1.5, 1.5, desc.n)
+        vb = rng.uniform(-1, 1, 6)
+        qd = rng.uniform(-1, 1, desc.n)
+        tau = rng.uniform(-5, 5, desc.n)
+        dvb_j, qdd_j = ff.fb_forward_dynamics(
+            ffm, jnp.asarray(quat), jnp.asarray(q), jnp.asarray(vb),
+            jnp.asarray(qd), jnp.asarray(tau))
+        dvb_o, qdd_o = oracle.fb_fd(quat, q, vb, qd, tau)
+        np.testing.assert_allclose(np.asarray(dvb_j), dvb_o, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(qdd_j), qdd_o, atol=1e-10)
