@@ -40,6 +40,14 @@ from .ops.freeflyer import (
     fb_simulate,
     free_flyer_model,
 )
+from .ops.multidof import (
+    MultiDofModel,
+    md_crba,
+    md_forward_dynamics,
+    md_forward_dynamics_gradient,
+    md_inverse_dynamics,
+    multidof_model_from_description,
+)
 from .models.robot import RobotModel, load_robot, robot_model_from_description
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
@@ -59,4 +67,6 @@ __all__ = [
     "simulate", "linearize_trajectory",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_inverse_dynamics", "fb_simulate",
+    "MultiDofModel", "multidof_model_from_description", "md_inverse_dynamics",
+    "md_forward_dynamics", "md_forward_dynamics_gradient", "md_crba",
 ]

@@ -166,6 +166,11 @@ class RobotModel:
 
 def robot_model_from_description(desc: RobotDescription, dtype=jnp.float32,
                                  accurate_trig: bool = False) -> RobotModel:
+    if any(t == "spherical" for t in desc.joint_types):
+        raise ValueError(
+            "robot has spherical (3-dof) joints — build it with "
+            "ops/multidof.py::multidof_model_from_description instead of the "
+            "single-dof RobotModel")
     Xb, Xs, Xc = joint_xform_coefficients(desc)
     S = joint_motion_subspaces(desc)
     prism = np.array([t == "prismatic" for t in desc.joint_types])

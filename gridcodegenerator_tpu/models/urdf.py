@@ -29,7 +29,7 @@ import numpy as np
 
 from .topology import Topology
 
-_MOVING_TYPES = ("revolute", "continuous", "prismatic")
+_MOVING_TYPES = ("revolute", "continuous", "prismatic", "spherical")
 
 
 # --------------------------------------------------------------------------
@@ -91,7 +91,7 @@ class RobotDescription:
 
     name: str
     topology: Topology
-    joint_types: tuple[str, ...]          # 'revolute' | 'prismatic'
+    joint_types: tuple[str, ...]          # 'revolute' | 'prismatic' | 'spherical'
     origin_xyz: np.ndarray                # (n, 3) joint origin in parent link frame
     origin_rpy: np.ndarray                # (n, 3)
     axis: np.ndarray                      # (n, 3) joint axis in joint frame (unit)
@@ -181,8 +181,9 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
             damping = float(dyn.get("damping"))
         if jtype not in _MOVING_TYPES + ("fixed",):
             raise NotImplementedError(
-                f"joint type {jtype!r} not supported (floating/planar bases: "
-                "model them as chains of single-dof joints)"
+                f"joint type {jtype!r} not supported (floating bases: use "
+                "ops/freeflyer.py or model them as chains of single-dof "
+                "joints)"
             )
         joints.append(dict(
             name=j.get("name"), type=jtype, parent=parent, child=child,
