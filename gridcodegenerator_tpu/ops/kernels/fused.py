@@ -64,16 +64,26 @@ def _default_block(n: int, kind: str = "fd_grad"):
       round-1 empirical rule n²·block ≤ 2.05e5·1024 restated per-state)
 
     A ``None`` means the single-tile fusion is impossible for this robot —
-    callers fall back to the column-blocked staged pipeline
-    (:mod:`.staged`) or the plain-XLA batch-last path."""
-    models = {
-        "rnea": 70.0 * n,
-        "minv": 7.0 * n * n + 90.0 * n,
-        "fd": 7.0 * n * n + 120.0 * n,
-        "fd_grad": 16.6 * n * n,
-        "id_grad": 16.6 * n * n,
-    }
-    return _block_for(models[kind])
+    callers fall back to the 1-D lane-tile kernel (8× smaller minimum tile,
+    see :func:`_pallas_batch_call`), then the column-blocked staged pipeline
+    (:mod:`.staged`), then the plain-XLA batch-last path."""
+    return _block_for(_WORKSET[kind](n))
+
+
+_WORKSET = {
+    "rnea": lambda n: 70.0 * n,
+    "minv": lambda n: 7.0 * n * n + 90.0 * n,
+    "fd": lambda n: 7.0 * n * n + 120.0 * n,
+    "fd_grad": lambda n: 16.6 * n * n,
+    "id_grad": lambda n: 16.6 * n * n,
+}
+
+
+def _lane_tile_ok(n: int, kind: str) -> bool:
+    """Whether the working set fits a 128-state lane tile: budget ≈
+    4M f32 / 128 states, with ~25% headroom for sublane padding (6→8,
+    n→⌈n/8⌉·8) and Mosaic double-buffering of the input tiles."""
+    return _WORKSET[kind](n) * 1.25 <= 24_000.0
 
 
 def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
@@ -87,12 +97,25 @@ def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
 
 
 def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
-                       interpret=False):
-    """Run ``body(kmodel, *state_tiles) -> tuple`` over 2-D batch tiles.
+                       interpret=False, lane_tile=False):
+    """Run ``body(kmodel, *state_tiles) -> tuple`` over batch tiles.
 
     states: arrays (n, B); out_shapes: leading shapes without the batch.
     ``block_b`` = states per tile (rounded up to a multiple of 128 lanes).
+
+    Two tile layouts:
+    * default (2-D): the batch is shaped (8·k sublanes, 128 lanes) per tile —
+      every scalar per-state quantity fills whole vector registers (minimum
+      1024 states/tile, so per-state VMEM budget ≈ 4 M floats / tile states);
+    * ``lane_tile`` (1-D): the batch occupies the 128 lanes only and array
+      *structure* (spatial/joint indices) occupies the sublanes — 8× smaller
+      minimum tile, so the per-state VMEM budget grows to ~31 k floats and
+      Atlas-scale working sets (~16.6 n² ≈ 13 k at n = 28) fit one kernel.
+      Costs some sublane padding (6→8, n→⌈n/8⌉·8) — the large-robot
+      single-kernel alternative to the staged pipeline.
     """
+    if lane_tile:
+        return _pallas_lane_call(model, body, states, out_shapes, interpret)
     if block_b is None:
         # no VMEM-valid tile for this robot size: run the identical
         # batch-last bodies as plain XLA on the full batch
@@ -161,6 +184,64 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
     return outs
 
 
+def _pallas_lane_call(model: RobotModel, body, states, out_shapes,
+                      interpret=False):
+    """1-D lane-tile dispatcher: 128 states per grid step, arrays (…, 128)."""
+    B = states[0].shape[-1]
+    pad = (-B) % _LANES
+    if pad:
+        states = [jnp.pad(s, ((0, 0),) * (s.ndim - 1) + ((0, pad),))
+                  for s in states]
+    Bp = B + pad
+    grid = (Bp // _LANES,)
+
+    model_args = []
+    for fname in _MODEL_FIELDS:
+        arr = getattr(model, fname)
+        if fname == "damping":
+            model_args.append(arr[:, None])
+        else:
+            model_args.append(jnp.broadcast_to(
+                arr[..., None], arr.shape + (_LANES,)))
+    n_model = len(model_args)
+
+    def kernel(*refs):
+        mrefs = refs[:n_model]
+        srefs = refs[n_model:n_model + len(states)]
+        orefs = refs[n_model + len(states):]
+        km = _kernel_model(model, mrefs)
+        outs = body(km, *[r[:] for r in srefs])
+        for o_ref, o in zip(orefs, outs):
+            o_ref[:] = o
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_model
+        + [pl.BlockSpec(s.shape[:-1] + (_LANES,),
+                        (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
+                        memory_space=pltpu.VMEM) for s in states]
+    )
+    out_specs = [
+        pl.BlockSpec(shp + (_LANES,),
+                     (lambda i, nd=len(shp): (0,) * nd + (i,)),
+                     memory_space=pltpu.VMEM)
+        for shp in out_shapes
+    ]
+    out_shape = [jax.ShapeDtypeStruct(shp + (Bp,), states[0].dtype)
+                 for shp in out_shapes]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*model_args, *states)
+    if pad:
+        outs = [o[..., :B] for o in outs]
+    return list(outs)
+
+
 # --------------------------------------------------------------------------
 # public fused kernels (batch-last signatures: state arrays are (n, B))
 # --------------------------------------------------------------------------
@@ -188,7 +269,16 @@ def minv_fused(model: RobotModel, q, gravity=-9.81, block_b=None,
                interpret=False):
     """Fused analytic M⁻¹: q (n,B) → dense symmetric (n,n,B)."""
     block_b = block_b or _default_block(model.n, "minv")
-    if block_b is None:  # Atlas-scale: column-blocked staged pipeline
+    if block_b is None:
+        if _lane_tile_ok(model.n, "minv"):
+            def body(km, q):
+                X = blops.joint_transforms_bl(km, q)
+                rows, _, _ = blops.minv_bl(km, X)
+                return (blops.densify_rows(rows),)
+            (M,) = _pallas_batch_call(model, body, [q],
+                                      [(model.n, model.n)], None,
+                                      interpret, lane_tile=True)
+            return M
         from .staged import minv_staged
         return minv_staged(model, q, interpret=interpret)
 
@@ -207,6 +297,13 @@ def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
     """Fused FD: (n,B)³ → q̈ (n,B)."""
     block_b = block_b or _default_block(model.n, "fd")
     if block_b is None:
+        if _lane_tile_ok(model.n, "fd"):
+            def body(km, q, qd, u):
+                return (blops.fd_bl(km, q, qd, u, gravity),)
+            (qdd,) = _pallas_batch_call(model, body, [q, qd, u],
+                                        [(model.n,)], None, interpret,
+                                        lane_tile=True)
+            return qdd
         from .staged import fd_staged
         return fd_staged(model, q, qd, u, gravity, interpret=interpret)
 
@@ -227,6 +324,14 @@ def fd_grad_fused(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     Returns (ddq, ddqd), each (n,n,B)."""
     block_b = block_b or _default_block(model.n, "fd_grad")
     if block_b is None:
+        if _lane_tile_ok(model.n, "fd_grad"):
+            def body(km, q, qd, u):
+                return blops.fd_grad_bl(km, q, qd, u, gravity)
+            n_ = model.n
+            ddq, ddqd = _pallas_batch_call(model, body, [q, qd, u],
+                                           [(n_, n_), (n_, n_)], None,
+                                           interpret, lane_tile=True)
+            return ddq, ddqd
         from .staged import fd_grad_staged
         return fd_grad_staged(model, q, qd, u, gravity, interpret=interpret)
 
@@ -244,9 +349,22 @@ def id_grad_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
     """Fused ∂ID: returns (dc_dq, dc_dqd), each (n,n,B)."""
     block_b = block_b or _default_block(model.n, "id_grad")
     if block_b is None:
-        from .staged import id_grad_staged
         if qdd is None:
             qdd = jnp.zeros_like(q)
+        if _lane_tile_ok(model.n, "id_grad"):
+            def body(km, q, qd, qdd):
+                X = blops.joint_transforms_bl(km, q)
+                v, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity)
+                _, f = blops.rnea_bwd_bl(km, X, f, None)
+                dq = blops.rnea_grad_inner_bl(km, X, qd, v, a, f, gravity,
+                                              sides=("q",))["q"]
+                dqd = blops.rnea_grad_inner_bl(km, X, qd, v, a, f, gravity,
+                                               sides=("qd",))["qd"]
+                return dq, dqd
+            n_ = model.n
+            return tuple(_pallas_batch_call(model, body, [q, qd, qdd],
+                                            [(n_, n_), (n_, n_)], None,
+                                            interpret, lane_tile=True))
         return id_grad_staged(model, q, qd, qdd, gravity, interpret=interpret)
 
     def body(km, q, qd, qdd):

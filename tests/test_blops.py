@@ -236,3 +236,28 @@ def test_staged_pipeline_atlas():
         np.testing.assert_allclose(np.asarray(blk)[..., k],
                                    dq_ref[:, 8:8 + cb],
                                    atol=5e-4 * max(1, np.abs(dq_ref).max()))
+
+
+def test_lane_tile_kernels_interpret(bl_setup):
+    """The 1-D lane-tile kernel layout (batch in lanes only — the Atlas-scale
+    single-kernel path) must match golden, forced on small robots."""
+    from gridcodegenerator_tpu.ops.kernels.fused import _pallas_batch_call
+
+    desc, gold, model, q, qd, u = bl_setup
+    if desc.topology.is_serial_chain and desc.n == 5:
+        pytest.skip("one serial + one branched robot suffice (interpret slow)")
+    model32 = model.astype(jnp.float32)
+    qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
+    n = desc.n
+
+    def body(km, q, qd, u):
+        return blops.fd_grad_bl(km, q, qd, u, -9.81)
+
+    ddq, ddqd = _pallas_batch_call(model32, body, [qa, qda, ua],
+                                   [(n, n), (n, n)], None, interpret=True,
+                                   lane_tile=True)
+    J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
+    for k in range(q.shape[-1]):
+        ref = gold.fd_grad(q[:, k], qd[:, k], u[:, k])
+        np.testing.assert_allclose(J[..., k], ref,
+                                   atol=2e-4 * max(1, np.abs(ref).max()))
