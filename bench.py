@@ -114,7 +114,9 @@ def main():
     gold = g.GoldenDynamics(desc)
     n = desc.n
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=0)
     def make_inputs(batch):
         ks = jax.random.split(jax.random.key(0), 3)
         q = jax.random.uniform(ks[0], (batch, n), jnp.float32, -2, 2)
