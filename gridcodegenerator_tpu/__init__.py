@@ -36,6 +36,8 @@ from .ops.fd import forward_dynamics_diff
 from .ops.freeflyer import (
     FreeFlyerModel,
     fb_forward_dynamics,
+    fb_forward_dynamics_gradient,
+    fb_id_grad,
     fb_inverse_dynamics,
     fb_simulate,
     free_flyer_model,
@@ -45,6 +47,7 @@ from .ops.multidof import (
     md_crba,
     md_forward_dynamics,
     md_forward_dynamics_gradient,
+    md_id_grad,
     md_inverse_dynamics,
     multidof_model_from_description,
 )
@@ -66,7 +69,9 @@ __all__ = [
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "simulate", "linearize_trajectory",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
+    "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",
     "MultiDofModel", "multidof_model_from_description", "md_inverse_dynamics",
-    "md_forward_dynamics", "md_forward_dynamics_gradient", "md_crba",
+    "md_forward_dynamics", "md_forward_dynamics_gradient", "md_id_grad",
+    "md_crba",
 ]

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 from ..models.robot import RobotModel, robot_model_from_description
 from ..models.urdf import RobotDescription
-from .spatial import crf_apply, crm_apply
+from .spatial import crf, crf_apply, crf_swap, crm, crm_apply, skew as skew3
 
 
 # ------------------------------------------------------------- quaternions
@@ -229,8 +229,106 @@ def fb_inverse_dynamics(model: FreeFlyerModel, quat, q, vb, qd, dvb, qdd,
     return gen[6:] + c_j, gen[:6] + p_b
 
 
+def fb_id_grad(model: FreeFlyerModel, quat, q, vb, qd, dvb, qdd,
+               gravity=-9.81):
+    """Analytic derivatives of the free-flyer inverse dynamics
+    ``gen = [w_b; τ] = M·[dvb; q̈] + bias`` at fixed accelerations:
+    ``(∂gen/∂q (6+n, n), ∂gen/∂vb (6+n, 6), ∂gen/∂q̇ (6+n, n))``.
+
+    Same engine as :func:`..multidof.md_id_grad` (the (6,k) generalization of
+    the reference's ∂ID recursions, ``_inverse_dynamics_gradient.py``) with
+    the base treated as a 6-DoF joint: S_b = I₆, X_b = I (the base transform
+    carries no coordinate — attitude enters the body-frame formulation only
+    through gravity, which is handled exactly in
+    :func:`fb_forward_dynamics_gradient`). Nominal (v, a, f) run at the FULL
+    accelerations (dvb, q̈); columns are [vb | q | q̇]; rows are [w_b; τ].
+    """
+    arm = model.arm
+    topo = arm.topology
+    n = topo.n
+    dtype = q.dtype
+    X = arm.joint_transforms(q)
+    R = quat_to_rot(quat)
+    g_b = R.T @ _gravity_world(gravity, dtype)
+    a0 = jnp.concatenate([jnp.zeros(3, dtype), -g_b]) + dvb
+
+    # nominal recursions at full acceleration (accumulated f, incl. base)
+    v = [None] * n
+    a = [None] * n
+    f = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        Sqd = arm.S[i] * qd[i]
+        v[i] = X[i] @ (vb if p < 0 else v[p]) + Sqd
+        a[i] = (X[i] @ (a0 if p < 0 else a[p]) + crm_apply(v[i], Sqd)
+                + arm.S[i] * qdd[i])
+        Iv = arm.inertia[i] @ v[i]
+        f[i] = arm.inertia[i] @ a[i] + crf_apply(v[i], Iv)
+    f_b = model.I_base @ a0 + crf_apply(vb, model.I_base @ vb)
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            f[p] = f[p] + X[i].T @ f[i]
+        else:
+            f_b = f_b + X[i].T @ f[i]
+
+    nc = {"vb": 6, "q": n, "qd": n}
+    zero6 = jnp.zeros(6, dtype)
+
+    def own(side, i, block):
+        """(6,) or (6,6) block at column(s) of joint i / the base."""
+        cols = jnp.zeros((6, nc[side]), dtype)
+        if block.ndim == 1:
+            return cols.at[:, i].set(block)
+        return cols.at[:, :6].set(block)  # base block, vb side only
+
+    out = {}
+    for side in ("vb", "q", "qd"):
+        zc = jnp.zeros((6, nc[side]), dtype)
+        # base-joint derivative state
+        DVb = own("vb", 0, jnp.eye(6, dtype=dtype)) if side == "vb" else zc
+        DFb = (own("vb", 0, crf_swap(model.I_base @ vb)
+                   + crf(vb) @ model.I_base) if side == "vb" else zc)
+        DV = [None] * n
+        DA = [None] * n
+        DF = [None] * n
+        for i in range(n):
+            p = topo.parents[i]
+            vp = vb if p < 0 else v[p]
+            ap = a0 if p < 0 else a[p]
+            DVp = DVb if p < 0 else DV[p]
+            DAp = zc if p < 0 else DA[p]
+            Sqd = arm.S[i] * qd[i]
+            DV[i] = X[i] @ DVp
+            DA[i] = X[i] @ DAp
+            if side == "q":
+                DV[i] = DV[i] + own(side, i, crm_apply(X[i] @ vp, arm.S[i]))
+                DA[i] = DA[i] + own(side, i, crm_apply(X[i] @ ap, arm.S[i]))
+            elif side == "qd":
+                DV[i] = DV[i] + own(side, i, arm.S[i])
+                DA[i] = DA[i] + own(side, i, crm_apply(v[i], arm.S[i]))
+            DA[i] = DA[i] - crm(Sqd) @ DV[i]
+            Ii = arm.inertia[i]
+            DF[i] = (Ii @ DA[i] + crf_swap(Ii @ v[i]) @ DV[i]
+                     + crf(v[i]) @ (Ii @ DV[i]))
+        for i in range(n - 1, -1, -1):
+            p = topo.parents[i]
+            contrib = DF[i]
+            if side == "q":
+                contrib = contrib + own(side, i, crf_apply(arm.S[i], f[i]))
+            if p >= 0:
+                DF[p] = DF[p] + X[i].T @ contrib
+            else:
+                DFb = DFb + X[i].T @ contrib
+        Dtau = jnp.stack([arm.S[i] @ DF[i] for i in range(n)])
+        if side == "qd":
+            Dtau = Dtau + jnp.diag(arm.damping)
+        out[side] = jnp.concatenate([DFb, Dtau])
+    return out["q"], out["vb"], out["qd"]
+
+
 def fb_forward_dynamics_gradient(model: FreeFlyerModel, quat, q, vb, qd, tau,
-                                 gravity=-9.81):
+                                 gravity=-9.81, method: str = "analytic"):
     """Jacobians of the free-flyer FD outputs (v̇b, q̈) with respect to the
     full tangent state — the floating-base counterpart of
     :func:`..fd_grad.forward_dynamics_gradient`.
@@ -242,18 +340,53 @@ def fb_forward_dynamics_gradient(model: FreeFlyerModel, quat, q, vb, qd, tau,
 
     Returns a dict of (6+n, k) Jacobians: ``{"dphi": (6+n, 3),
     "dq": (6+n, n), "dvb": (6+n, 6), "dqd": (6+n, n), "dtau": (6+n, n)}``,
-    rows ordered [v̇b; q̈]. Computed with forward-mode AD through the dense
-    free-flyer formulation (Cholesky solve is AD-friendly); everything is
-    jittable and vmappable.
-    """
-    def out(dphi, q_, vb_, qd_, tau_):
-        qt = quat_mul(quat, quat_exp_body(dphi))
-        dvb, qdd = fb_forward_dynamics(model, qt, q_, vb_, qd_, tau_, gravity)
-        return jnp.concatenate([dvb, qdd])
+    rows ordered [v̇b; q̈]. Everything is jittable and vmappable.
 
-    zero = jnp.zeros(3, q.dtype)
-    jac = jax.jacfwd(out, argnums=(0, 1, 2, 3, 4))(zero, q, vb, qd, tau)
-    return dict(zip(("dphi", "dq", "dvb", "dqd", "dtau"), jac))
+    ``method="analytic"`` (default): Carpentier-Mansard —
+    ∂y/∂x = −M⁻¹ ∂gen_ID/∂x at the achieved accelerations
+    (:func:`fb_id_grad`), ∂y/∂τ = M⁻¹[:, 6:]. The attitude block is exact
+    and closed-form: in body coordinates attitude enters only through
+    g_b = R_wbᵀ g_w in the fictitious base acceleration a₀' = [0; −g_b],
+    and M⁻¹·M[:, :6] collapses the response to
+    ∂q̈/∂δφ = 0 (a uniform gravity field induces no internal motion of a
+    free-floating system) and ∂v̇b/∂δφ = [0; ĝ_b] (the gravity vector
+    tilting in body coordinates: dg_b/dδφ = ĝ_b since
+    g_b(δφ) = exp(−δφ̂)·g_b). ``method="jacfwd"`` keeps the
+    forward-mode AD fallback the analytic path is validated against
+    (tests/test_freeflyer.py::test_fb_grad_analytic_vs_jacfwd).
+    """
+    if method == "jacfwd":
+        def out(dphi, q_, vb_, qd_, tau_):
+            qt = quat_mul(quat, quat_exp_body(dphi))
+            dvb, qdd = fb_forward_dynamics(model, qt, q_, vb_, qd_, tau_,
+                                           gravity)
+            return jnp.concatenate([dvb, qdd])
+
+        zero = jnp.zeros(3, q.dtype)
+        jac = jax.jacfwd(out, argnums=(0, 1, 2, 3, 4))(zero, q, vb, qd, tau)
+        return dict(zip(("dphi", "dq", "dvb", "dqd", "dtau"), jac))
+
+    arm = model.arm
+    n = arm.n
+    dtype = q.dtype
+    dvb, qdd = fb_forward_dynamics(model, quat, q, vb, qd, tau, gravity)
+    Dq, Dvb, Dqd = fb_id_grad(model, quat, q, vb, qd, dvb, qdd, gravity)
+    M = fb_mass_matrix(model, arm.joint_transforms(q))
+    L = jnp.linalg.cholesky(M)
+    solve = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+    # exact attitude block: δφ shifts a₀' = [0; −g_b] by [0; δφ × g_b] and
+    # M⁻¹·M[:, :6] reduces the solve response to the identity, so
+    # y = M⁻¹([0;τ] − bias_vel) − [a₀'; 0] gives dy/dδφ = −[da₀'/dδφ; 0].
+    g_b = quat_to_rot(quat).T @ _gravity_world(gravity, dtype)
+    dphi = jnp.concatenate([
+        jnp.zeros((3, 3), dtype),       # angular v̇b rows
+        skew3(g_b),                     # linear v̇b rows: ĝ_b
+        jnp.zeros((n, 3), dtype),       # q̈ rows: exactly zero
+    ])
+    eye_tau = jnp.concatenate([jnp.zeros((6, n), dtype),
+                               jnp.eye(n, dtype=dtype)])
+    return {"dphi": dphi, "dq": -solve(Dq), "dvb": -solve(Dvb),
+            "dqd": -solve(Dqd), "dtau": solve(eye_tau)}
 
 
 def fb_energy(model: FreeFlyerModel, quat, pos, q, vb, qd, gravity=-9.81):

@@ -41,7 +41,7 @@ from ..models.robot import _origin_xform, rpy_to_matrix
 from ..models.topology import Topology
 from ..models.urdf import RobotDescription, skew
 from .freeflyer import quat_exp_body, quat_mul, quat_to_rot
-from .spatial import crf_apply, crm_apply
+from .spatial import crf, crf_apply, crf_swap, crm, crm_apply
 
 
 @jax.tree_util.register_dataclass
@@ -253,18 +253,117 @@ def md_tangent_apply(model: MultiDofModel, q, dq_tangent):
     return out
 
 
+def md_id_grad(model: MultiDofModel, q, qd, qdd=None, gravity=-9.81):
+    """Analytic tangent-space ∂ID: ``(∂τ/∂δq, ∂τ/∂q̇)``, each (nv, nv).
+
+    The (6,k) motion-subspace generalization of the reference's ∂ID
+    recursions (``/root/reference/algorithms/_inverse_dynamics_gradient.py``):
+    every single-dof derivative term there is a special case of the uniform
+    identity
+
+        ∂X_j/∂μ_{jk} = −crm(S_j e_k) · X_j
+
+    (μ = the joint's tangent coordinate; for quaternion joints the body-frame
+    chart ``quat ⊗ exp(½ δφ)``, for revolute/prismatic the coordinate
+    itself), which turns each scalar recursion into a k-column block
+    recursion. Per link we carry full (6, nv) derivative matrices DV/DA/DF —
+    the dense-mask strategy of :mod:`.rnea_grad`, here as 6×6 @ 6×nv matmuls
+    that map straight onto the MXU. Nominal (v, a, f) are evaluated at the
+    given q̈ (pass the FD solution for the Carpentier-Mansard ∇FD trick).
+
+    Derivative recursions (side = q, tangent columns grouped per joint j,
+    ``s`` ranging over the columns of S_j; ⊕ = placed in j's own columns):
+
+        DV_i = X_i DV_p ⊕ crm(X_j v_p) S_j
+        DA_i = X_i DA_p − crm(S_i q̇_i) DV_i ⊕ crm(X_j a_p) S_j
+        DF_i = I_i DA_i + G(I_i v_i) DV_i + crf(v_i) I_i DV_i
+        backward:  DF_p += X_iᵀ (DF_i ⊕ G(f_iᵃᶜᶜ) S_i)
+        rows:      ∂τ_i = S_iᵀ DF_iᵃᶜᶜ
+
+    with ``G = crf_swap`` (``G(w) x = crf(x) w``). The qd side replaces the
+    own-column seeds by ``S_j`` and ``crm(v_j) S_j``, drops the backward
+    ∂X term, and adds the damping diagonal.
+    """
+    topo = model.topology
+    n = topo.n
+    nv = model.nv
+    dtype = q.dtype
+    X = md_joint_transforms(model, q)
+    _, v, a, f = md_rnea(model, q, qd, qdd, gravity)  # f is accumulated
+    a_base = jnp.zeros(6, dtype).at[5].set(-gravity)
+    Svals = [model.S[i][:, :model.dof(i)] for i in range(n)]
+    Sqd = [Svals[i] @ _vslice(model, qd, i) for i in range(n)]
+    zero_cols = jnp.zeros((6, nv), dtype)
+
+    def own(i, block):
+        """(6, k_i) block placed at joint i's velocity columns of (6, nv)."""
+        si, wi = model.v_slices[i]
+        return jnp.zeros((6, nv), dtype).at[:, si:si + wi].set(block)
+
+    out = {}
+    for side in ("q", "qd"):
+        DV = [None] * n
+        DA = [None] * n
+        DF = [None] * n
+        for i in range(n):
+            p = topo.parents[i]
+            vp = jnp.zeros(6, dtype) if p < 0 else v[p]
+            ap = a_base if p < 0 else a[p]
+            DVp = zero_cols if p < 0 else DV[p]
+            DAp = zero_cols if p < 0 else DA[p]
+            if side == "q":
+                DV[i] = X[i] @ DVp + own(i, crm(X[i] @ vp) @ Svals[i])
+                DA[i] = (X[i] @ DAp - crm(Sqd[i]) @ DV[i]
+                         + own(i, crm(X[i] @ ap) @ Svals[i]))
+            else:
+                DV[i] = X[i] @ DVp + own(i, Svals[i])
+                DA[i] = (X[i] @ DAp - crm(Sqd[i]) @ DV[i]
+                         + own(i, crm(v[i]) @ Svals[i]))
+            Ii = model.inertia[i]
+            DF[i] = (Ii @ DA[i] + crf_swap(Ii @ v[i]) @ DV[i]
+                     + crf(v[i]) @ (Ii @ DV[i]))
+        for i in range(n - 1, -1, -1):
+            p = topo.parents[i]
+            if p >= 0:
+                contrib = DF[i]
+                if side == "q":
+                    contrib = contrib + own(i, crf_swap(f[i]) @ Svals[i])
+                DF[p] = DF[p] + X[i].T @ contrib
+        D = jnp.concatenate([Svals[i].T @ DF[i] for i in range(n)])
+        if side == "qd":
+            D = D + jnp.diag(model.damping)
+        out[side] = D
+    return out["q"], out["qd"]
+
+
 def md_forward_dynamics_gradient(model: MultiDofModel, q, qd, u,
-                                 gravity=-9.81):
+                                 gravity=-9.81, method: str = "analytic"):
     """Tangent-space ∇FD: ``(∂q̈/∂δq, ∂q̈/∂q̇, ∂q̈/∂u)``, each (nv, nv) —
     attitude derivatives taken on the manifold (quaternion ⊗ exp(½δ)),
     matching the single-dof :func:`..fd_grad.forward_dynamics_gradient`
-    semantics when all joints are 1-dof."""
-    def fd_of(delta, qd_, u_):
-        return md_forward_dynamics(model, md_tangent_apply(model, q, delta),
-                                   qd_, u_, gravity)
+    semantics when all joints are 1-dof.
 
-    zero = jnp.zeros(model.nv, q.dtype)
-    return jax.jacfwd(fd_of, argnums=(0, 1, 2))(zero, qd, u)
+    ``method="analytic"`` (default) uses the Carpentier-Mansard identity
+    ∂q̈/∂x = −M⁻¹ ∂τ_ID/∂x |_{q̈ fixed at the FD solution}
+    (reference ``_forward_dynamics_gradient.py:70``) with the analytic
+    multi-dof ∂ID (:func:`md_id_grad`); ``method="jacfwd"`` keeps the
+    forward-mode AD fallback the analytic path is validated against
+    (tests/test_multidof.py::test_md_id_grad_analytic_vs_jacfwd)."""
+    if method == "jacfwd":
+        def fd_of(delta, qd_, u_):
+            return md_forward_dynamics(
+                model, md_tangent_apply(model, q, delta), qd_, u_, gravity)
+
+        zero = jnp.zeros(model.nv, q.dtype)
+        return jax.jacfwd(fd_of, argnums=(0, 1, 2))(zero, qd, u)
+
+    qdd = md_forward_dynamics(model, q, qd, u, gravity)
+    did_dq, did_dqd = md_id_grad(model, q, qd, qdd, gravity)
+    M = md_crba(model, q)
+    L = jnp.linalg.cholesky(M)
+    solve = lambda rhs: jax.scipy.linalg.cho_solve((L, True), rhs)
+    eye = jnp.eye(model.nv, dtype=q.dtype)
+    return -solve(did_dq), -solve(did_dqd), solve(eye)
 
 
 def md_step(model: MultiDofModel, q, qd, u, dt, gravity=-9.81):

@@ -63,6 +63,20 @@ def crf(m):
     return -jnp.swapaxes(crm(m), -1, -2)
 
 
+def crf_swap(w):
+    """The matrix ``G(w)`` with ``G(w) @ x == crf_apply(x, w)`` — the force
+    cross product linearized in its *motion* argument (the reference's
+    ``fx_times_v`` with the roles swapped; needed by analytic gradient
+    recursions where the motion vector is the differential). For
+    ``w = (n, l)``: ``[[−n̂, −l̂], [−l̂, 0]]``."""
+    n, l = w[..., :3], w[..., 3:]
+    zero = jnp.zeros(w.shape[:-1] + (3, 3), w.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([-skew(n), -skew(l)], axis=-1),
+        jnp.concatenate([-skew(l), zero], axis=-1),
+    ], axis=-2)
+
+
 def skew(v):
     """(..., 3) → (..., 3, 3) skew-symmetric matrices."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]

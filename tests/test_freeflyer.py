@@ -218,3 +218,50 @@ def test_fb_gradient_vs_finite_differences():
             fd_col = (out(**args_p) - out(**args_m)) / (2 * eps)
             np.testing.assert_allclose(np.asarray(J[key][:, k]), fd_col,
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_fb_grad_analytic_vs_jacfwd():
+    """The analytic free-flyer ∇FD (fb_id_grad + Carpentier-Mansard + exact
+    attitude block) must equal forward-mode AD to f64 round-off, including
+    the structural zeros ∂q̈/∂δφ = 0 (uniform gravity induces no internal
+    motion of a free-floating system)."""
+    desc = g.parse_urdf(zoo.iiwa14(damping=0.1))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    n = desc.n
+    rng = np.random.default_rng(29)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.9, 0.9, 3))))
+    q = jnp.asarray(rng.uniform(-1.2, 1.2, n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, n))
+    tau = jnp.asarray(rng.uniform(-4, 4, n))
+
+    Ja = ff.fb_forward_dynamics_gradient(ffm, quat, q, vb, qd, tau,
+                                         method="analytic")
+    Jj = ff.fb_forward_dynamics_gradient(ffm, quat, q, vb, qd, tau,
+                                         method="jacfwd")
+    for key in ("dphi", "dq", "dvb", "dqd", "dtau"):
+        np.testing.assert_allclose(np.asarray(Ja[key]), np.asarray(Jj[key]),
+                                   atol=1e-9, err_msg=key)
+    # the closed-form attitude structure
+    np.testing.assert_allclose(np.asarray(Ja["dphi"][6:]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ja["dphi"][:3]), 0.0, atol=1e-12)
+
+
+def test_fb_grad_analytic_branched():
+    """Analytic vs jacfwd on a branched floating-base robot (HyQ)."""
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    n = desc.n
+    rng = np.random.default_rng(41)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.5, 0.5, 3))))
+    q = jnp.asarray(rng.uniform(-0.8, 0.8, n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, n))
+    tau = jnp.asarray(rng.uniform(-3, 3, n))
+    Ja = ff.fb_forward_dynamics_gradient(ffm, quat, q, vb, qd, tau,
+                                         method="analytic")
+    Jj = ff.fb_forward_dynamics_gradient(ffm, quat, q, vb, qd, tau,
+                                         method="jacfwd")
+    for key in ("dphi", "dq", "dvb", "dqd", "dtau"):
+        np.testing.assert_allclose(np.asarray(Ja[key]), np.asarray(Jj[key]),
+                                   atol=1e-9, err_msg=key)

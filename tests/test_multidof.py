@@ -223,3 +223,59 @@ def test_tangent_gradient_vs_fd(ball):
         col = (np.asarray(fp) - np.asarray(fm)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(dq[:, k]), col, rtol=3e-5,
                                    atol=3e-5)
+
+
+def test_md_id_grad_analytic_vs_jacfwd(ball):
+    """The analytic multi-dof ∂ID/∇FD must equal forward-mode AD through the
+    recursions to f64 round-off — the strongest possible check of the
+    (6,k)-generalized derivative recursions (md_id_grad docstring)."""
+    desc, mdm = ball
+    rng = np.random.default_rng(31)
+    q = md.md_tangent_apply(mdm, md.neutral_q(mdm),
+                            jnp.asarray(rng.uniform(-1.0, 1.0, mdm.nv)))
+    qd = jnp.asarray(rng.uniform(-1, 1, mdm.nv))
+    qdd = jnp.asarray(rng.uniform(-2, 2, mdm.nv))
+    u = jnp.asarray(rng.uniform(-3, 3, mdm.nv))
+
+    dq_a, dqd_a = md.md_id_grad(mdm, q, qd, qdd)
+
+    def tau_of(delta, qd_):
+        return md.md_inverse_dynamics(
+            mdm, md.md_tangent_apply(mdm, q, delta), qd_, qdd)
+
+    zero = jnp.zeros(mdm.nv, q.dtype)
+    dq_j, dqd_j = jax.jacfwd(tau_of, argnums=(0, 1))(zero, qd)
+    np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_j), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dqd_a), np.asarray(dqd_j),
+                               atol=1e-10)
+
+    # ∇FD: analytic (Carpentier-Mansard via md_id_grad) vs jacfwd-through-FD
+    Ja = md.md_forward_dynamics_gradient(mdm, q, qd, u, method="analytic")
+    Jj = md.md_forward_dynamics_gradient(mdm, q, qd, u, method="jacfwd")
+    for a, b in zip(Ja, Jj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_md_id_grad_mixed_tree_batched():
+    """Analytic ∂ID on the mixed-dof chain (spherical-revolute-spherical),
+    batched under jit+vmap, spot-checked against the single-state path."""
+    desc = g.parse_urdf(zoo.ball_arm())
+    mdm = md.multidof_model_from_description(desc, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    B = 4
+    qs = jnp.stack([
+        md.md_tangent_apply(mdm, md.neutral_q(mdm),
+                            jnp.asarray(rng.uniform(-1, 1, mdm.nv)))
+        for _ in range(B)])
+    qds = jnp.asarray(rng.uniform(-1, 1, (B, mdm.nv)))
+    qdds = jnp.asarray(rng.uniform(-1, 1, (B, mdm.nv)))
+
+    f = jax.jit(jax.vmap(lambda a, b, c: md.md_id_grad(mdm, a, b, c)))
+    dq, dqd = f(qs, qds, qdds)
+    assert dq.shape == (B, mdm.nv, mdm.nv)
+    for k in range(B):
+        ref_q, ref_qd = md.md_id_grad(mdm, qs[k], qds[k], qdds[k])
+        np.testing.assert_allclose(np.asarray(dq[k]), np.asarray(ref_q),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dqd[k]), np.asarray(ref_qd),
+                                   atol=1e-10)
