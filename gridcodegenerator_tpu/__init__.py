@@ -32,7 +32,15 @@ from .codegen import (
     export_robot,
     load_exported,
 )
+from .ops.contact import (
+    constrained_forward_dynamics,
+    constrained_inverse_dynamics,
+    contact_jacobian,
+    project_velocity,
+    simulate_constrained,
+)
 from .ops.fd import forward_dynamics_diff
+from .ops.kinematics import fk, point_position, world_jacobian
 from .ops.freeflyer import (
     FreeFlyerModel,
     fb_forward_dynamics,
@@ -68,6 +76,10 @@ __all__ = [
     "forward_dynamics_ad", "map_batched",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "simulate", "linearize_trajectory",
+    "fk", "point_position", "world_jacobian",
+    "contact_jacobian", "constrained_forward_dynamics",
+    "constrained_inverse_dynamics", "simulate_constrained",
+    "project_velocity",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",
