@@ -30,21 +30,33 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def time_fn(fn, args, reps=20, trials=4):
-    """Steady-state throughput: enqueue `reps` calls then force one scalar
-    device→host read (``block_until_ready`` does not block through TPU
-    tunnels — it returns on enqueue)."""
-    out = fn(*args)  # compile
-    first = out[0] if isinstance(out, (tuple, list)) else out
-    np.asarray(first[(0,) * first.ndim])
-    ts = []
-    for _ in range(trials):
+    """Steady-state *marginal* per-call time via a two-point slope (same
+    protocol as ``bench.py``): per trial, wall an enqueue of ``lo`` and of
+    ``reps`` calls, each closed by one scalar device→host read
+    (``block_until_ready`` does not block through TPU tunnels — it returns
+    on enqueue), and report (T_hi − T_lo)/(reps − lo). The subtraction
+    cancels the tunnel's ~40 ms fixed sync round-trip, which otherwise
+    dominates small-rep measurements."""
+
+    def enqueue_and_sync(k):
         t0 = time.perf_counter()
-        for _ in range(reps):
+        out = None
+        for _ in range(k):
             out = fn(*args)
         first = out[0] if isinstance(out, (tuple, list)) else out
         np.asarray(first[(0,) * first.ndim])
-        ts.append((time.perf_counter() - t0) / reps)
-    return float(np.median(ts)), float(np.min(ts))
+        return time.perf_counter() - t0
+
+    enqueue_and_sync(1)  # compile + warm
+    lo = max(1, reps // 4)
+    ts, ceilings = [], []
+    for _ in range(trials):
+        t_lo = enqueue_and_sync(lo)
+        t_hi = enqueue_and_sync(reps)
+        ts.append((t_hi - t_lo) / (reps - lo))
+        ceilings.append(t_hi / reps)
+    good = [t for t in ts if t > 0] or ceilings
+    return float(np.median(good)), float(np.min(good))
 
 
 def batch_curve(args, g, zoo, jnp):

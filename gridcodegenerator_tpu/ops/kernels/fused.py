@@ -80,10 +80,19 @@ _WORKSET = {
 
 
 def _lane_tile_ok(n: int, kind: str) -> bool:
-    """Whether the working set fits a 128-state lane tile: budget ≈
-    4M f32 / 128 states, with ~25% headroom for sublane padding (6→8,
-    n→⌈n/8⌉·8) and Mosaic double-buffering of the input tiles."""
-    return _WORKSET[kind](n) * 1.25 <= 24_000.0
+    """Whether the working set fits a 128-state lane tile.
+
+    Hardware-calibrated (v5e, 2026-08-16): Mosaic's actual scoped-VMEM stack
+    is ≈3.1× the analytic live-set model — the n=28 ∇FD body (13.0 k
+    floats/state modeled) OOM'd at 20.21 MB against the 16 MB scoped limit
+    (= 40.4 k floats/state real), while the n=28 M⁻¹ (8.0 k) and FD (9.0 k)
+    bodies compiled and ran. The gap is sublane padding (6→8, n→⌈n/8⌉·8,
+    ×1.52 at n=28) plus Mosaic stack temporaries for the stacked
+    intermediates. Budget: 16 MB / 128 states / 4 B = 32.8 k floats/state;
+    gate at 30 k estimated-real so the proven-working n=28 fd/minv kernels
+    stay on the single-kernel path and the gradient kernels fall through to
+    the column-blocked staged pipeline (:mod:`.staged`)."""
+    return _WORKSET[kind](n) * 3.1 <= 30_000.0
 
 
 def _kernel_model(model: RobotModel, refs) -> SimpleNamespace:
@@ -365,6 +374,7 @@ def id_grad_fused(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
             return tuple(_pallas_batch_call(model, body, [q, qd, qdd],
                                             [(n_, n_), (n_, n_)], None,
                                             interpret, lane_tile=True))
+        from .staged import id_grad_staged
         return id_grad_staged(model, q, qd, qdd, gravity, interpret=interpret)
 
     def body(km, q, qd, qdd):

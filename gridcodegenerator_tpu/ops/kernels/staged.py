@@ -30,14 +30,44 @@ import jax.numpy as jnp
 
 from ...models.robot import RobotModel
 from .. import blops
-from .fused import _block_for, _pallas_batch_call
+from .fused import _pallas_batch_call
+
+# Hardware-calibrated Mosaic scoped-VMEM stack factor over the analytic
+# live-set models (v5e, 2026-08-16): the K5 ∂ID block body (3.3 k modeled
+# floats/state) OOM'd a 1024-state 2-D tile at 21.45 MB → real/modeled ≈ 1.6×
+# there, and the n=28 single-kernel ∇FD body measured 3.1×. Use the larger
+# factor everywhere — the cost of conservatism is only which tile tier a
+# kernel lands on, never correctness.
+_CAL = 3.1
+# floats/state on a 128-state lane tile: 16 MB/128/4 B = 32.8 k raw; the
+# largest body PROVEN to compile on hardware sat at 27.8 k estimated-real
+# (n=28 FD), so gate at 28 k rather than the raw ceiling
+_LANE_BUDGET = 28_000.0
+_2D_BUDGET = 3_400_000.0   # floats/tile on (8·k, 128) tiles (≥1024 states)
+
+
+def _tile_plan(per_state: float):
+    """(block_b, lane_tile) for a kernel body of ``per_state`` modeled
+    floats/state: a ≥1024-state 2-D tile when the calibrated working set
+    allows it, else the 128-state lane tile (8× smaller minimum), else the
+    plain-XLA fallback (block_b=None, lane_tile=False)."""
+    need = per_state * _CAL
+    blk = int(_2D_BUDGET // need) // 1024 * 1024
+    if blk >= 1024:
+        return min(blk, 2048), False
+    if need <= _LANE_BUDGET:
+        return None, True
+    return None, False
 
 
 def _col_block(n: int) -> int:
-    """Largest ∂ID column-block width whose K5 working set fits one
-    1024-state tile: ≈ 60n + 19n·cb floats/state."""
-    cb = int((3_400_000 / 1024 - 60.0 * n) // (19.0 * n))
-    return max(1, min(cb, n))
+    """Largest ∂ID column-block width whose K5 working set
+    (≈ 60n + 19n·cb floats/state) fits the best available tile tier."""
+    cb_2d = int((_2D_BUDGET / 1024 / _CAL - 60.0 * n) // (19.0 * n))
+    if cb_2d >= 1:
+        return min(cb_2d, n)
+    cb_lane = int((_LANE_BUDGET / _CAL - 60.0 * n) // (19.0 * n))
+    return max(1, min(cb_lane, n))
 
 
 def _split_cols(arr_axis1_n, n, cb):
@@ -50,6 +80,14 @@ def _as_list(stacked, n):
     return [stacked[:, i] for i in range(n)]
 
 
+def _plan(block_b, per_state):
+    """Explicit ``block_b`` (tests) keeps the 2-D path; otherwise the
+    calibrated tier planner decides."""
+    if block_b is not None:
+        return block_b, False
+    return _tile_plan(per_state)
+
+
 def bias_and_v_staged(model: RobotModel, q, qd, gravity, block_b, interpret):
     """K1: c (n, B) and v (6, n, B)."""
     def body(km, q, qd):
@@ -59,8 +97,9 @@ def bias_and_v_staged(model: RobotModel, q, qd, gravity, block_b, interpret):
         return c, jnp.stack(v, axis=1)
 
     n = model.n
+    blk, lane = _plan(block_b, 70.0 * n)
     return _pallas_batch_call(model, body, [q, qd], [(n,), (6, n)],
-                              block_b, interpret)
+                              blk, interpret, lane_tile=lane)
 
 
 def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
@@ -68,8 +107,8 @@ def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
     K2 (U, D⁻¹) + column-blocked K3 launches + XLA densify."""
     n = model.n
     cb = cb or _col_block(n)
-    k2_block = block_b or _block_for(90.0 * n)
-    k3_block = block_b or _block_for(45.0 * n + 7.0 * n * cb)
+    k2_block, k2_lane = _plan(block_b, 90.0 * n)
+    k3_block, k3_lane = _plan(block_b, 45.0 * n + 7.0 * n * cb)
 
     def body_ud(km, q):
         X = blops.joint_transforms_bl(km, q)
@@ -77,7 +116,7 @@ def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
         return jnp.stack(U, axis=1), jnp.concatenate(Dinv, axis=0)
 
     U, Dinv = _pallas_batch_call(model, body_ud, [q], [(6, n), (n,)],
-                                 k2_block, interpret)
+                                 k2_block, interpret, lane_tile=k2_lane)
 
     blocks = []
     for c0, w in _split_cols(None, n, cb):
@@ -88,7 +127,8 @@ def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
             return (blops.minv_cols_bl(km, X, Ul, Dl, c0, w),)
 
         (blk,) = _pallas_batch_call(model, body_cols, [q, U, Dinv],
-                                    [(n, w)], k3_block, interpret)
+                                    [(n, w)], k3_block, interpret,
+                                    lane_tile=k3_lane)
         blocks.append(blk)
     upper = jnp.concatenate(blocks, axis=1)          # (n, n, B) upper-tri
     return blops.densify_rows([upper[i] for i in range(n)])
@@ -97,8 +137,7 @@ def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
 def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
               interpret=False):
     """Staged forward dynamics for large robots: q̈ (n, B)."""
-    k1_block = block_b or _block_for(70.0 * model.n)
-    c, _ = bias_and_v_staged(model, q, qd, gravity, k1_block, interpret)
+    c, _ = bias_and_v_staged(model, q, qd, gravity, block_b, interpret)
     Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
     return blops.matvecN(Minv, u - c)
 
@@ -108,8 +147,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
     """Staged ∂ID for large robots: (dc_dq, dc_dqd), each (n, n, B)."""
     n = model.n
     cb = cb or _col_block(n)
-    k1_block = block_b or _block_for(70.0 * n)
-    k5_block = block_b or _block_for(60.0 * n + 19.0 * n * cb)
+    k1_block, k1_lane = _plan(block_b, 70.0 * n)
+    k5_block, k5_lane = _plan(block_b, 60.0 * n + 19.0 * n * cb)
 
     def body_vaf(km, q, qd, qdd):
         X = blops.joint_transforms_bl(km, q)
@@ -118,7 +157,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
         return jnp.stack(v, axis=1), jnp.stack(a, axis=1), jnp.stack(f, axis=1)
 
     v, a, f = _pallas_batch_call(model, body_vaf, [q, qd, qdd],
-                                 [(6, n)] * 3, k1_block, interpret)
+                                 [(6, n)] * 3, k1_block, interpret,
+                                 lane_tile=k1_lane)
 
     sides = {}
     for side in ("q", "qd"):
@@ -132,7 +172,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
                 return (dc[side],)
 
             (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
-                                        [(n, w)], k5_block, interpret)
+                                        [(n, w)], k5_block, interpret,
+                                        lane_tile=k5_lane)
             blocks.append(blk)
         sides[side] = jnp.concatenate(blocks, axis=1)
     return sides["q"], sides["qd"]
@@ -149,10 +190,10 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     (n,n,B)×(n,n,B) contractions run in XLA."""
     n = model.n
     cb = cb or _col_block(n)
-    k1_block = block_b or _block_for(70.0 * n)
-    k5_block = block_b or _block_for(60.0 * n + 19.0 * n * cb)
+    k1_block, k1_lane = _plan(block_b, 70.0 * n)
+    k5_block, k5_lane = _plan(block_b, 60.0 * n + 19.0 * n * cb)
 
-    c, v = bias_and_v_staged(model, q, qd, gravity, k1_block, interpret)
+    c, v = bias_and_v_staged(model, q, qd, gravity, block_b, interpret)
     Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
     qdd = blops.matvecN(Minv, u - c)
 
@@ -164,7 +205,8 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
         return jnp.stack(a, axis=1), jnp.stack(f, axis=1)
 
     a, f = _pallas_batch_call(model, body_af, [q, qd, qdd, v],
-                              [(6, n)] * 2, k1_block, interpret)
+                              [(6, n)] * 2, k1_block, interpret,
+                              lane_tile=k1_lane)
 
     outs = {}
     for side in ("q", "qd"):
@@ -178,7 +220,8 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
                 return (dc[side],)
 
             (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
-                                        [(n, w)], k5_block, interpret)
+                                        [(n, w)], k5_block, interpret,
+                                        lane_tile=k5_lane)
             blocks.append(blk)
         dc = jnp.concatenate(blocks, axis=1)
         outs[side] = blops.matmatN(Minv, dc, negate=True)

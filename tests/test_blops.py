@@ -261,3 +261,49 @@ def test_lane_tile_kernels_interpret(bl_setup):
         ref = gold.fd_grad(q[:, k], qd[:, k], u[:, k])
         np.testing.assert_allclose(J[..., k], ref,
                                    atol=2e-4 * max(1, np.abs(ref).max()))
+
+
+def test_lane_tile_gate_calibration():
+    """The hardware-calibrated VMEM gate (v5e, 2026-08-16): at n=28 the
+    gradient lane-tile bodies OOM'd the 16 MB scoped VMEM (20.21 MB) while
+    M⁻¹/FD compiled and ran — the gate must reproduce exactly that split."""
+    from gridcodegenerator_tpu.ops.kernels import fused
+
+    n = 28
+    assert fused._default_block(n, "id_grad") is None
+    assert not fused._lane_tile_ok(n, "id_grad")   # → staged (measured OOM)
+    assert not fused._lane_tile_ok(n, "fd_grad")
+    assert fused._lane_tile_ok(n, "minv")          # proven on hardware
+    assert fused._lane_tile_ok(n, "fd")
+
+
+@pytest.mark.slow
+def test_gradient_dispatch_falls_through_to_staged():
+    """The fused-kernel dispatchers must route robots whose gradient bodies
+    exceed the (hardware-calibrated) lane-tile VMEM gate to the staged
+    pipeline — regression test for the round-2 NameError on exactly this
+    path (id_grad_fused's staged fallback was never imported, which only an
+    Atlas-sized robot could reach). Asserts golden parity of the ∂ID
+    dispatcher through the full staged pipeline (interpret mode; slow: one
+    kernel compile per column block per side)."""
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops.kernels import fused
+
+    desc = g.parse_urdf(zoo.atlas(damping=0.05))
+    gold = g.GoldenDynamics(desc)
+    model32 = g.robot_model_from_description(desc, dtype=jnp.float32)
+    B = 2
+    q, qd, u = random_state(desc.n, seed=13, batch=(B,))
+    qa, qda, ua = (jnp.asarray(x.T, jnp.float32) for x in (q, qd, u))
+
+    qdd = fused.forward_dynamics_fused(model32, qa, qda, ua, interpret=True)
+    dq, dqd = fused.id_grad_fused(model32, qa, qda, jnp.asarray(qdd),
+                                  interpret=True)
+    for k in range(B):
+        ref_q, ref_qd = gold.rnea_grad(q[k], qd[k],
+                                       np.asarray(qdd)[:, k].astype(np.float64))
+        np.testing.assert_allclose(np.asarray(dq)[..., k], ref_q,
+                                   atol=5e-4 * max(1, np.abs(ref_q).max()))
+        np.testing.assert_allclose(np.asarray(dqd)[..., k], ref_qd,
+                                   atol=5e-4 * max(1, np.abs(ref_qd).max()))
