@@ -36,6 +36,9 @@ from .ops.contact import (
     constrained_forward_dynamics,
     constrained_inverse_dynamics,
     contact_jacobian,
+    fb_constrained_forward_dynamics,
+    fb_contact_jacobian,
+    fb_simulate_constrained,
     project_velocity,
     simulate_constrained,
 )
@@ -79,7 +82,8 @@ __all__ = [
     "fk", "point_position", "world_jacobian",
     "contact_jacobian", "constrained_forward_dynamics",
     "constrained_inverse_dynamics", "simulate_constrained",
-    "project_velocity",
+    "project_velocity", "fb_contact_jacobian",
+    "fb_constrained_forward_dynamics", "fb_simulate_constrained",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",

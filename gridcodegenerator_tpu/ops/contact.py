@@ -144,3 +144,128 @@ def simulate_constrained(model: RobotModel, q0, qd0, taus, dt, links, offsets,
         return (q2, qd2), (q2, qd2, lam)
 
     return jax.lax.scan(step, (q0, qd0), taus)
+
+
+# --------------------------------------------------------------------------
+# Free-flyer (floating-base) contact: stance dynamics
+# --------------------------------------------------------------------------
+def _fb_point_base(ffm, q, link, offset):
+    """Contact point and its arm Jacobian, both in BASE coordinates."""
+    from .kinematics import fk as _fk, world_jacobian as _wj
+    R_bl, p_bl = _fk(ffm.arm, q)
+    x_b = p_bl[link] + R_bl[link] @ offset
+    J_arm = _wj(ffm.arm, q, link, offset)[3:]    # (3, n) linear, base frame
+    return x_b, J_arm
+
+
+def fb_contact_jacobian(ffm, quat, q, links, offsets):
+    """World-frame linear contact Jacobian (3k, 6+n) for the free-flyer:
+    columns over the tangent velocities [vb (body twist); q̇]. The point's
+    world velocity is ``R_wb (v_b + ω_b × x_b + J_arm q̇)`` with x_b the
+    point in base coordinates, so the vb block is ``R_wb [−x̂_b | I₃]``."""
+    from .freeflyer import quat_to_rot
+    from .spatial import skew as _skew
+    offsets = jnp.asarray(offsets, q.dtype)
+    R = quat_to_rot(quat)
+    rows = []
+    for i, l in enumerate(links):
+        x_b, J_arm = _fb_point_base(ffm, q, l, offsets[i])
+        vb_block = jnp.concatenate([-_skew(x_b), jnp.eye(3, dtype=q.dtype)],
+                                   axis=1)                       # (3, 6)
+        rows.append(R @ jnp.concatenate([vb_block, J_arm], axis=1))
+    return jnp.concatenate(rows, axis=0)                         # (3k, 6+n)
+
+
+def fb_contact_bias(ffm, quat, q, vb, qd, links, offsets):
+    """Stacked bias accelerations of the contact points (3k,): the world
+    point acceleration at zero (v̇b, q̈), i.e. J̇·[vb; q̇]. Exact forward-mode
+    derivative of the velocity map along the state flow (quaṫ = ½q⊗[0,ω_b],
+    q̇ = qd); the world position term drops out of velocities."""
+    from .freeflyer import quat_mul, quat_to_rot
+
+    def vel(quat_, q_):
+        R = quat_to_rot(quat_)
+        out = []
+        for i, l in enumerate(links):
+            x_b, J_arm = _fb_point_base(ffm, q_, l, offsets[i])
+            out.append(R @ (vb[3:] + jnp.cross(vb[:3], x_b) + J_arm @ qd))
+        return jnp.concatenate(out)
+
+    dquat = 0.5 * quat_mul(quat, jnp.concatenate(
+        [jnp.zeros(1, quat.dtype), vb[:3]]))
+    _, bias = jax.jvp(vel, (quat, q), (dquat, qd))
+    return bias
+
+
+def fb_constrained_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, links,
+                                    offsets, anchors=None, gravity=-9.81,
+                                    baumgarte=(0.0, 0.0), reg=0.0):
+    """Stance-phase free-flyer FD: the quadruped/humanoid deployment shape
+    (floating base + feet pinned to world anchors). Returns
+    ``(v̇b (6,), q̈ (n,), λ (3k,))`` with λ the world contact forces.
+
+    Same Delassus elimination as the fixed-base solver, over the (6+n)
+    free-flyer mass matrix (:func:`..freeflyer.fb_mass_matrix`); the base
+    rows make ground-reaction forces move the base. Consistency identity
+    (tested): ``fb_inverse_dynamics(v̇b, q̈) == ([0;τ] + J_fbᵀ λ)`` split as
+    (torque rows, base-wrench rows)."""
+    from .freeflyer import (fb_forward_dynamics, fb_mass_matrix, quat_to_rot)
+
+    offsets = jnp.asarray(offsets, q.dtype)
+    n = ffm.n
+    k = len(links)
+    dvb_f, qdd_f = fb_forward_dynamics(ffm, quat, q, vb, qd, tau, gravity)
+    y_free = jnp.concatenate([dvb_f, qdd_f])
+    M = fb_mass_matrix(ffm, ffm.arm.joint_transforms(q))
+    Lm = jnp.linalg.cholesky(M)
+    msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
+
+    J = fb_contact_jacobian(ffm, quat, q, links, offsets)        # (3k, 6+n)
+    bias = fb_contact_bias(ffm, quat, q, vb, qd, links, offsets)
+
+    alpha, beta = baumgarte
+    a_star = jnp.zeros(3 * k, q.dtype)
+    if alpha != 0.0:
+        a_star = a_star - 2.0 * alpha * (J @ jnp.concatenate([vb, qd]))
+    if beta != 0.0:
+        R = quat_to_rot(quat)
+        x = jnp.concatenate([
+            pos + R @ _fb_point_base(ffm, q, l, offsets[i])[0]
+            for i, l in enumerate(links)])
+        anch = (x if anchors is None
+                else jnp.asarray(anchors, q.dtype).reshape(-1))
+        a_star = a_star - beta * beta * (x - anch)
+
+    MiJt = msolve(J.T)                                           # (6+n, 3k)
+    G = J @ MiJt + reg * jnp.eye(3 * k, dtype=q.dtype)
+    Lg = jnp.linalg.cholesky(G)
+    lam = jax.scipy.linalg.cho_solve(
+        (Lg, True), -(J @ y_free + bias - a_star))
+    y = y_free + MiJt @ lam
+    return y[:6], y[6:], lam
+
+
+def fb_simulate_constrained(ffm, state0, taus, dt, links, offsets,
+                            anchors=None, gravity=-9.81,
+                            baumgarte=(10.0, 10.0), reg=0.0):
+    """``lax.scan`` stance rollout of the free-flyer
+    (``state = (quat, pos, q, vb, qd)``, semi-implicit manifold stepping —
+    same integrator as :func:`..freeflyer.fb_step`). Returns the final
+    state and per-step (state, λ) stacks."""
+    from .freeflyer import quat_exp_body, quat_mul, quat_to_rot
+
+    def step(state, tau):
+        quat, pos, q, vb, qd = state
+        dvb, qdd, lam = fb_constrained_forward_dynamics(
+            ffm, quat, pos, q, vb, qd, tau, links, offsets, anchors,
+            gravity, baumgarte, reg)
+        vb = vb + dt * dvb
+        qd = qd + dt * qdd
+        quat = quat_mul(quat, quat_exp_body(vb[:3] * dt))
+        quat = quat / jnp.linalg.norm(quat)
+        pos = pos + dt * (quat_to_rot(quat) @ vb[3:])
+        q = q + dt * qd
+        nxt = (quat, pos, q, vb, qd)
+        return nxt, (nxt, lam)
+
+    return jax.lax.scan(step, state0, taus)

@@ -214,3 +214,150 @@ def test_degenerate_contact_needs_reg():
     r = np.asarray(J @ qdd + jdqd)
     r_range = V[:, w > 1e-9] @ (V[:, w > 1e-9].T @ r)
     np.testing.assert_allclose(r_range, 0.0, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Free-flyer contact (stance dynamics)
+# --------------------------------------------------------------------------
+from gridcodegenerator_tpu.ops import freeflyer as ff
+from gridcodegenerator_tpu.models.urdf import rpy_to_matrix
+
+
+def _hyq_ff():
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    return ff.free_flyer_model(desc, dtype=jnp.float64)
+
+
+_FEET = (2, 5, 8, 11)                     # the four lowerleg links
+_FOOT_OFF = np.tile(np.array([0.35, 0.0, 0.0]), (4, 1))
+
+
+def test_fb_contact_jacobian_vs_flow():
+    """J_fb columns == the world point velocity produced by the state flow:
+    ẋ_w = d/dt [pos + R(quat)·x_b(q)] along (ṗos = R v_b, quaṫ = ½q⊗[0,ω],
+    q̇) must equal J_fb · [vb; q̇] for random velocities — an end-to-end check
+    of the twist conventions, computed through a completely independent map
+    (world position, not the velocity formula J_fb is built from)."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    rng = np.random.default_rng(3)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.6, 0.6, 3))))
+    pos = jnp.asarray(rng.uniform(-1, 1, 3))
+    q = jnp.asarray(rng.uniform(-0.7, 0.7, n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, n))
+
+    J = ctt.fb_contact_jacobian(ffm, quat, q, _FEET, _FOOT_OFF)
+    assert J.shape == (12, 6 + n)
+
+    def xw(quat_, pos_, q_):
+        R = ff.quat_to_rot(quat_)
+        return jnp.concatenate([
+            pos_ + R @ ctt._fb_point_base(ffm, q_, l, jnp.asarray(_FOOT_OFF[i]))[0]
+            for i, l in enumerate(_FEET)])
+
+    dquat = 0.5 * ff.quat_mul(quat, jnp.concatenate([jnp.zeros(1), vb[:3]]))
+    dpos = ff.quat_to_rot(quat) @ vb[3:]
+    _, xdot = jax.jvp(xw, (quat, pos, q), (dquat, dpos, qd))
+    np.testing.assert_allclose(np.asarray(J @ jnp.concatenate([vb, qd])),
+                               np.asarray(xdot), atol=1e-12)
+
+
+def test_fb_constrained_kkt_and_id_roundtrip():
+    """Stance FD identities: (a) the achieved point world accelerations
+    vanish (checked through a second jvp of the independent position map
+    along the full state derivative, accelerations included); (b) the
+    free-flyer ID round trip gen(v̇b, q̈) == [0;τ] + J_fbᵀ λ."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    rng = np.random.default_rng(7)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.3, 0.3, 3))))
+    pos = jnp.asarray([0.0, 0.0, 0.6])
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, n))
+    vb = jnp.asarray(rng.uniform(-0.5, 0.5, 6))
+    qd = jnp.asarray(rng.uniform(-0.5, 0.5, n))
+    tau = jnp.asarray(rng.uniform(-5, 5, n))
+
+    dvb, qdd, lam = ctt.fb_constrained_forward_dynamics(
+        ffm, quat, pos, q, vb, qd, tau, _FEET, _FOOT_OFF)
+
+    # (a) ẍ_feet == 0: second derivative of the position map along the flow
+    def xdot_of(quat_, q_, vb_, qd_):
+        def xw(quat__, q__):
+            R = ff.quat_to_rot(quat__)
+            return jnp.concatenate([
+                R @ ctt._fb_point_base(ffm, q__, l, jnp.asarray(_FOOT_OFF[i]))[0]
+                for i, l in enumerate(_FEET)])
+        dq_ = 0.5 * ff.quat_mul(quat_, jnp.concatenate([jnp.zeros(1), vb_[:3]]))
+        _, xd = jax.jvp(xw, (quat_, q_), (dq_, qd_))
+        # + ṗos = R v_b (world translation rate, identical for every point)
+        return xd + jnp.tile(ff.quat_to_rot(quat_) @ vb_[3:], len(_FEET))
+
+    dquat = 0.5 * ff.quat_mul(quat, jnp.concatenate([jnp.zeros(1), vb[:3]]))
+    _, xddot = jax.jvp(xdot_of, (quat, q, vb, qd), (dquat, qd, dvb, qdd))
+    np.testing.assert_allclose(np.asarray(xddot), 0.0, atol=1e-9)
+
+    # (b) ID round trip with the contact wrench
+    J = ctt.fb_contact_jacobian(ffm, quat, q, _FEET, _FOOT_OFF)
+    gen_contact = J.T @ lam                       # rows [base wrench; τ]
+    tau_id, wrench = ff.fb_inverse_dynamics(ffm, quat, q, vb, qd, dvb, qdd)
+    np.testing.assert_allclose(np.asarray(tau_id),
+                               np.asarray(tau + gen_contact[6:]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(wrench),
+                               np.asarray(gen_contact[:6]), atol=1e-9)
+
+
+def test_quadruped_stance_rollout():
+    """HyQ standing: feet pinned in a crouch. The static-equilibrium torque
+    is solved from the stance force balance (λ* = min-norm contact forces
+    carrying the base gravity wrench, τ* = c_j − (Jᵀλ*)[τ rows]); the stance
+    FD must then report zero accelerations, the rollout must hold the pose
+    (feet drift < 0.1 mm, joints < 1e-3 rad over 800 steps), and the total
+    vertical ground reaction must equal the robot's weight."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    quat0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    pos0 = jnp.array([0.0, 0.0, 0.6])
+    # a crouched stance: hips out, knees bent
+    q0 = jnp.asarray(np.tile([-0.1, 0.7, -1.2], 4))
+    vb0 = jnp.zeros(6)
+    qd0 = jnp.zeros(n)
+    R0 = ff.quat_to_rot(quat0)
+    anchors = jnp.concatenate([
+        pos0 + R0 @ ctt._fb_point_base(ffm, q0, l, jnp.asarray(_FOOT_OFF[i]))[0]
+        for i, l in enumerate(_FEET)])
+
+    # static equilibrium: [0; τ*] + Jᵀ λ* = [p_b; c_j] (bias at rest)
+    X = ffm.arm.joint_transforms(q0)
+    p_b, c_j = ff.fb_bias(ffm, X, R0, vb0, qd0)
+    J = ctt.fb_contact_jacobian(ffm, quat0, q0, _FEET, _FOOT_OFF)
+    lam_star = jnp.linalg.pinv(J[:, :6].T) @ p_b          # min-norm carrier
+    tau_star = c_j - (J.T @ lam_star)[6:]
+
+    dvb, qdd, lam = ctt.fb_constrained_forward_dynamics(
+        ffm, quat0, pos0, q0, vb0, qd0, tau_star, _FEET, _FOOT_OFF)
+    np.testing.assert_allclose(np.asarray(dvb), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(qdd), 0.0, atol=1e-8)
+
+    taus = jnp.tile(tau_star, (800, 1))
+    roll = jax.jit(lambda s: ctt.fb_simulate_constrained(
+        ffm, s, taus, 1e-3, _FEET, _FOOT_OFF, anchors=anchors,
+        baumgarte=(20.0, 20.0)))
+    (quatT, posT, qT, vbT, qdT), (states, lams) = roll(
+        (quat0, pos0, q0, vb0, qd0))
+    assert bool(jnp.all(jnp.isfinite(qT)))
+    assert float(jnp.abs(qT - q0).max()) < 1e-3
+
+    RT = ff.quat_to_rot(quatT)
+    feetT = jnp.concatenate([
+        posT + RT @ ctt._fb_point_base(ffm, qT, l, jnp.asarray(_FOOT_OFF[i]))[0]
+        for i, l in enumerate(_FEET)])
+    assert float(jnp.abs(feetT - anchors).max()) < 1e-4
+
+    # vertical ground reaction carries the weight (60.96 + 4·6.449 kg)
+    m_tot = 60.96 + 4 * (2.93 + 2.638 + 0.881)
+    fz = float(jnp.sum(lams[-1].reshape(4, 3)[:, 2]))
+    np.testing.assert_allclose(fz, m_tot * 9.81, rtol=0.02)
