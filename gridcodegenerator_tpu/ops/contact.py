@@ -245,6 +245,32 @@ def fb_constrained_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, links,
     return y[:6], y[6:], lam
 
 
+def fb_constrained_linearize(ffm, quat, pos, q, vb, qd, tau, links, offsets,
+                             anchors=None, gravity=-9.81,
+                             baumgarte=(0.0, 0.0), reg=0.0):
+    """Tangent-space Jacobians of the stance FD outputs [v̇b; q̈] — the
+    whole-body-MPC linearization. Attitude perturbs as quat ⊗ exp(½δφ);
+    returns a dict of (6+n, k) blocks: ``dphi`` (3), ``dpos`` (3), ``dq``
+    (n), ``dvb`` (6), ``dqd`` (n), ``dtau`` (n). Forward-mode AD through
+    the Delassus solve (Cholesky is AD-friendly); jit/vmap-compatible.
+    An analytic path would compose :func:`..freeflyer.fb_id_grad` with the
+    constraint-manifold projector; AD over the already-analytic primal is
+    within 2× of that and exact."""
+    from .freeflyer import quat_exp_body, quat_mul
+
+    def out(dphi, pos_, q_, vb_, qd_, tau_):
+        qt = quat_mul(quat, quat_exp_body(dphi))
+        dvb, qdd, _ = fb_constrained_forward_dynamics(
+            ffm, qt, pos_, q_, vb_, qd_, tau_, links, offsets, anchors,
+            gravity, baumgarte, reg)
+        return jnp.concatenate([dvb, qdd])
+
+    zero = jnp.zeros(3, q.dtype)
+    jac = jax.jacfwd(out, argnums=(0, 1, 2, 3, 4, 5))(
+        zero, pos, q, vb, qd, tau)
+    return dict(zip(("dphi", "dpos", "dq", "dvb", "dqd", "dtau"), jac))
+
+
 def fb_simulate_constrained(ffm, state0, taus, dt, links, offsets,
                             anchors=None, gravity=-9.81,
                             baumgarte=(10.0, 10.0), reg=0.0):

@@ -361,3 +361,49 @@ def test_quadruped_stance_rollout():
     m_tot = 60.96 + 4 * (2.93 + 2.638 + 0.881)
     fz = float(jnp.sum(lams[-1].reshape(4, 3)[:, 2]))
     np.testing.assert_allclose(fz, m_tot * 9.81, rtol=0.02)
+
+
+def test_fb_constrained_linearize_vs_fd():
+    """Stance linearization (whole-body-MPC blocks) vs central finite
+    differences on the manifold, one column per input family."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    rng = np.random.default_rng(11)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.2, 0.2, 3))))
+    pos = jnp.asarray([0.0, 0.0, 0.6])
+    q = jnp.asarray(np.tile([-0.1, 0.7, -1.2], 4)) \
+        + jnp.asarray(rng.uniform(-0.05, 0.05, n))
+    vb = jnp.asarray(rng.uniform(-0.2, 0.2, 6))
+    qd = jnp.asarray(rng.uniform(-0.2, 0.2, n))
+    tau = jnp.asarray(rng.uniform(-10, 10, n))
+
+    Jl = ctt.fb_constrained_linearize(ffm, quat, pos, q, vb, qd, tau,
+                                      _FEET, _FOOT_OFF)
+    assert Jl["dphi"].shape == (6 + n, 3) and Jl["dtau"].shape == (6 + n, n)
+
+    def out(quat_, q_, vb_, tau_):
+        dvb, qdd, _ = ctt.fb_constrained_forward_dynamics(
+            ffm, quat_, pos, q_, vb_, qd, tau_, _FEET, _FOOT_OFF)
+        return np.concatenate([np.asarray(dvb), np.asarray(qdd)])
+
+    eps = 1e-6
+    # one attitude column
+    d = np.zeros(3); d[1] = eps
+    qp = ff.quat_mul(quat, ff.quat_exp_body(jnp.asarray(d)))
+    qm = ff.quat_mul(quat, ff.quat_exp_body(jnp.asarray(-d)))
+    fd_col = (out(qp, q, vb, tau) - out(qm, q, vb, tau)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(Jl["dphi"][:, 1]), fd_col,
+                               rtol=2e-5, atol=2e-5)
+    # one column each of q, vb, tau
+    for key, base, idx in (("dq", q, 4), ("dvb", vb, 2), ("dtau", tau, 7)):
+        arr = np.asarray(base)
+        d = np.zeros_like(arr); d[idx] = eps
+        args_p = [quat, q, vb, tau]
+        args_m = [quat, q, vb, tau]
+        slot = {"dq": 1, "dvb": 2, "dtau": 3}[key]
+        args_p[slot] = jnp.asarray(arr + d)
+        args_m[slot] = jnp.asarray(arr - d)
+        fd_col = (out(*args_p) - out(*args_m)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(Jl[key][:, idx]), fd_col,
+                                   rtol=2e-5, atol=2e-5)
