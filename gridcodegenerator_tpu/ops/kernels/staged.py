@@ -62,12 +62,21 @@ def _tile_plan(per_state: float):
 
 def _col_block(n: int) -> int:
     """Largest ∂ID column-block width whose K5 working set
-    (≈ 60n + 19n·cb floats/state) fits the best available tile tier."""
+    (≈ 60n + 19n·cb floats/state) fits the best available tile tier.
+
+    Prefers a block width that divides n evenly: uniform blocks mean ONE
+    compiled kernel shape instead of a ragged tail (v5e 2026-08-16: a
+    width-2 tail block after two width-13 blocks crashed the Mosaic
+    compiler with ``Check failed: limits[i] <= dim(i) (2 vs. 1)``; uniform
+    widths also reuse layouts better). Falls back to the ragged maximum
+    only when the best divisor would waste more than half the budget."""
     cb_2d = int((_2D_BUDGET / 1024 / _CAL - 60.0 * n) // (19.0 * n))
-    if cb_2d >= 1:
-        return min(cb_2d, n)
-    cb_lane = int((_LANE_BUDGET / _CAL - 60.0 * n) // (19.0 * n))
-    return max(1, min(cb_lane, n))
+    cb_max = cb_2d if cb_2d >= 1 else int(
+        (_LANE_BUDGET / _CAL - 60.0 * n) // (19.0 * n))
+    cb_max = max(1, min(cb_max, n))
+    divisors = [d for d in range(1, cb_max + 1) if n % d == 0]
+    best = max(divisors) if divisors else 1
+    return best if best * 2 > cb_max else cb_max
 
 
 def _split_cols(arr_axis1_n, n, cb):
