@@ -33,7 +33,9 @@ import time
 
 import numpy as np
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "150"))
+# must undercut any external (driver) timeout so the watchdog, not SIGKILL,
+# ends a degraded run — with the JSON line already flushed
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "240"))
 _T0 = time.monotonic()
 _BEST = {}          # best-so-far result line, updated after every measurement
 _EMITTED = threading.Event()
@@ -143,36 +145,39 @@ def main():
 
     from functools import partial
 
+    # ONE jitted computation per batch size: input generation + ∇FD + the
+    # 4-state parity head, fused. When the tunnel's remote-compile service
+    # is degraded it charges a flat ~50 s per DISTINCT computation (even
+    # cache-hit), so the old 3-computation prelude (inputs, fn, slice)
+    # could eat the whole budget before the first measurement. One
+    # computation bounds that prelude to one flat cost; regenerating the
+    # inputs inside every timed call adds only O(B·n) uniform-PRNG work
+    # against O(B·n²·depth) gradient work (<1%).
     @partial(jax.jit, static_argnums=0)
-    def make_inputs(batch):
+    def run_batch(batch):
         ks = jax.random.split(jax.random.key(0), 3)
         q = jax.random.uniform(ks[0], (batch, n), jnp.float32, -2, 2)
         qd = jax.random.uniform(ks[1], (batch, n), jnp.float32, -1, 1)
         u = jax.random.uniform(ks[2], (batch, n), jnp.float32, -8, 8)
-        return q, qd, u
-
-    fn = lambda q, qd, u: g.forward_dynamics_gradient(model, q, qd, u)
-    take4 = jax.jit(lambda a: a[:4])  # on-device slice: tiny parity transfer
+        out = g.forward_dynamics_gradient(model, q, qd, u)
+        return out[:4], q[:4], qd[:4], u[:4]
 
     # ---- phase 1: compile + first defensible number at batch 2^18 ----------
     B1 = 1 << 18
-    q, qd, u = make_inputs(B1)
     t0 = time.perf_counter()
-    out = fn(q, qd, u)
-    head = np.asarray(take4(out))  # forces execution + 4-state transfer
+    head, q4, qd4, u4 = (np.asarray(x, np.float64) for x in run_batch(B1))
     log(f"[{elapsed():.1f}s] compile+first run (B={B1}): "
         f"{time.perf_counter() - t0:.2f}s")
 
     # parity vs the float64 golden model on the first 4 states of the real
-    # batch (same compiled program — no extra compile, ~3 kB transferred)
-    qh, qdh, uh = (np.asarray(take4(x), np.float64) for x in (q, qd, u))
+    # batch (same compiled program — no extra computation, ~3 kB transferred)
     err = max(
-        np.abs(head[k].astype(np.float64) - gold.fd_grad(qh[k], qdh[k], uh[k])
-               ).max() / max(1.0, np.abs(gold.fd_grad(qh[k], qdh[k], uh[k])).max())
+        np.abs(head[k] - gold.fd_grad(q4[k], qd4[k], u4[k])).max()
+        / max(1.0, np.abs(gold.fd_grad(q4[k], qd4[k], u4[k])).max())
         for k in range(4))
     log(f"[{elapsed():.1f}s] f32-vs-golden relative parity (4 states): {err:.3e}")
 
-    med, mn = timeit(fn, (q, qd, u), reps=12, trials=2)
+    med, mn = timeit(run_batch, (B1,), reps=12, trials=2)
     record(B1, B1 / med)
     log(f"[{elapsed():.1f}s] batch={B1} median={med*1e3:.3f}ms/call "
         f"evals/sec={B1/med:.3e} ({med/B1*1e9:.1f} ns/state)")
@@ -180,13 +185,12 @@ def main():
     # ---- phase 2: refine at 2^20 if budget remains --------------------------
     if elapsed() < 0.55 * BUDGET_S:
         B2 = 1 << 20
-        q2, qd2, u2 = make_inputs(B2)
         t0 = time.perf_counter()
-        np.asarray(take4(fn(q2, qd2, u2)))
+        np.asarray(run_batch(B2)[0])
         log(f"[{elapsed():.1f}s] compile+first run (B={B2}): "
             f"{time.perf_counter() - t0:.2f}s")
         if elapsed() < 0.75 * BUDGET_S:
-            med2, _ = timeit(fn, (q2, qd2, u2), reps=12, trials=3)
+            med2, _ = timeit(run_batch, (B2,), reps=12, trials=3)
             if B2 / med2 > _BEST["value"]:
                 record(B2, B2 / med2)
             log(f"[{elapsed():.1f}s] batch={B2} median={med2*1e3:.3f}ms/call "
