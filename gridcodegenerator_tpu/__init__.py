@@ -17,6 +17,7 @@ Algorithm families (reference ``README.md:33-40``):
 
 from .api import (
     bias_force,
+    constrained_forward_dynamics,  # batched wrapper over ops.contact
     direct_minv,
     forward_dynamics,
     forward_dynamics_gradient,
@@ -33,7 +34,6 @@ from .codegen import (
     load_exported,
 )
 from .ops.contact import (
-    constrained_forward_dynamics,
     constrained_inverse_dynamics,
     contact_jacobian,
     fb_constrained_forward_dynamics,

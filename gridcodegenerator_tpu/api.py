@@ -262,6 +262,44 @@ def forward_dynamics_ad(model: RobotModel, q, qd, u, *,
     return _fd(q, qd, u)
 
 
+def constrained_forward_dynamics(model: RobotModel, q, qd, u, links, offsets,
+                                 anchors=None, *, gravity: float = -9.81,
+                                 baumgarte=(0.0, 0.0), reg: float = 0.0):
+    """Batched equality-constrained FD (:mod:`.ops.contact`): accepts a
+    single state ``(n,)`` or any batch ``(..., n)``; contact geometry
+    (links, offsets, anchors) is shared across the batch. Returns
+    ``(q̈ (..., n), λ (..., 3k))``."""
+    from .ops import contact as _ct
+
+    _check_states(model, (q, qd, u), ("q", "qd", "u"))
+    links = tuple(links)
+    offsets = jnp.asarray(offsets)
+    if jnp.ndim(q) == 1:
+        return _ct.constrained_forward_dynamics(
+            model, q, qd, u, links, offsets, anchors, gravity, baumgarte, reg)
+    anch = offsets if anchors is None else jnp.asarray(anchors)
+    run = _constrained_runner(links, float(gravity), tuple(baumgarte),
+                              float(reg), anchors is not None, jnp.ndim(q) - 1)
+    return run(model, q, qd, u, offsets, anch)
+
+
+@functools.lru_cache(maxsize=64)
+def _constrained_runner(links, gravity, baumgarte, reg, has_anchors, ndim_b):
+    from .ops import contact as _ct
+
+    @jax.jit
+    def run(model, q, qd, u, offsets, anchors):
+        with jax.default_matmul_precision("highest"):
+            f = lambda a, b, c: _ct.constrained_forward_dynamics(
+                model, a, b, c, links, offsets,
+                anchors if has_anchors else None, gravity, baumgarte, reg)
+            for _ in range(ndim_b):
+                f = jax.vmap(f)
+            return f(q, qd, u)
+
+    return run
+
+
 def map_batched(fn, model: RobotModel, *states, chunk_size: int, **kwargs):
     """Run a public entry point over a large batch in fixed-size on-device
     chunks within ONE dispatch (``lax.map`` over the chunk axis).

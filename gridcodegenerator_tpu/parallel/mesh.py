@@ -138,6 +138,32 @@ def sharded_fd_grad_fused(model: RobotModel, mesh: Mesh, gravity: float = -9.81,
     return jax.jit(lambda q, qd, u: _run(model, q, qd, u))
 
 
+def sharded_constrained_fd(model: RobotModel, mesh: Mesh, links, offsets,
+                           anchors=None, gravity: float = -9.81,
+                           baumgarte=(0.0, 0.0), reg: float = 0.0):
+    """dp-sharded stance/pinned forward dynamics: the batch shards over the
+    mesh, the contact geometry replicates — the deployment shape for
+    stance-phase trajectory optimization at pod scale. Pure data
+    parallelism (the Delassus solve is per-state); no collectives."""
+    from ..ops import contact as _ct
+
+    links = tuple(links)
+    offsets = jnp.asarray(offsets)
+    anch = None if anchors is None else jnp.asarray(anchors)
+    spec = P(("dp", "cp"))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), spec, spec, spec), out_specs=(spec, spec))
+    def _run(mdl, q, qd, u):
+        f = jax.vmap(lambda a, b, c: _ct.constrained_forward_dynamics(
+            mdl, a, b, c, links, offsets, anch, gravity, baumgarte, reg))
+        return f(q, qd, u)
+
+    model = replicate_model(model, mesh)
+    return jax.jit(lambda q, qd, u: _run(model, q, qd, u))
+
+
 def sharded_api(model: RobotModel, mesh: Mesh, gravity: float = -9.81):
     """Convenience bundle of dp-sharded batched entry points (the distributed
     equivalent of the reference host API set, ``GRiDCodeGenerator.py:243-279``).

@@ -122,3 +122,31 @@ def test_sharded_api_full_coverage(eight_devices, iiwa):
         got = np.asarray(api[name](model, *args))
         np.testing.assert_allclose(got, np.asarray(ref), atol=1e-10,
                                    err_msg=name)
+
+
+def test_sharded_constrained_fd(eight_devices, iiwa):
+    """dp-sharded stance/pinned FD == the unsharded batched api entry, and
+    both == per-state loops: contact geometry replicates, batch shards."""
+    desc, gold, model = iiwa
+    n = desc.n
+    m = pmesh.make_mesh(dp=4, cp=2, devices=eight_devices)
+    links = (n - 1,)
+    offs = jnp.asarray([[0.04, -0.03, 0.1]])
+    B = 16
+    q, qd, u = map(jnp.asarray, random_state(n, seed=61, batch=(B,)))
+
+    f = pmesh.sharded_constrained_fd(model, m, links, offs)
+    qdd_s, lam_s = f(q, qd, u)
+    qdd_b, lam_b = g.constrained_forward_dynamics(model, q, qd, u, links, offs)
+    np.testing.assert_allclose(np.asarray(qdd_s), np.asarray(qdd_b),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(lam_s), np.asarray(lam_b),
+                               atol=1e-11)
+    from gridcodegenerator_tpu.ops import contact as ct
+    for k in (0, B - 1):
+        ref_qdd, ref_lam = ct.constrained_forward_dynamics(
+            model, q[k], qd[k], u[k], links, offs)
+        np.testing.assert_allclose(np.asarray(qdd_s[k]), np.asarray(ref_qdd),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(lam_s[k]), np.asarray(ref_lam),
+                                   atol=1e-9)
