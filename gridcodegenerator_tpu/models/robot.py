@@ -166,9 +166,9 @@ class RobotModel:
 
 def robot_model_from_description(desc: RobotDescription, dtype=jnp.float32,
                                  accurate_trig: bool = False) -> RobotModel:
-    if any(t == "spherical" for t in desc.joint_types):
+    if any(t in ("spherical", "floating") for t in desc.joint_types):
         raise ValueError(
-            "robot has spherical (3-dof) joints — build it with "
+            "robot has multi-dof (spherical/floating) joints — build it with "
             "ops/multidof.py::multidof_model_from_description instead of the "
             "single-dof RobotModel")
     Xb, Xs, Xc = joint_xform_coefficients(desc)

@@ -29,7 +29,8 @@ import numpy as np
 
 from .topology import Topology
 
-_MOVING_TYPES = ("revolute", "continuous", "prismatic", "spherical")
+_MOVING_TYPES = ("revolute", "continuous", "prismatic", "spherical",
+                 "floating")
 
 
 # --------------------------------------------------------------------------
@@ -181,9 +182,9 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
             damping = float(dyn.get("damping"))
         if jtype not in _MOVING_TYPES + ("fixed",):
             raise NotImplementedError(
-                f"joint type {jtype!r} not supported (floating bases: use "
-                "ops/freeflyer.py or model them as chains of single-dof "
-                "joints)"
+                f"joint type {jtype!r} not supported (supported: "
+                f"{_MOVING_TYPES + ('fixed',)}; 'spherical'/'floating' "
+                "require the multi-dof stack, ops/multidof.py)"
             )
         joints.append(dict(
             name=j.get("name"), type=jtype, parent=parent, child=child,

@@ -374,6 +374,34 @@ def with_floating_base(urdf: str, *, name_suffix: str = "_floating") -> str:
             + body + "</robot>\n")
 
 
+def with_free_joint(urdf: str, *, name_suffix: str = "_free") -> str:
+    """Give a fixed-base URDF a TRUE 6-DoF floating joint (quaternion
+    attitude + position — the multi-dof stack's ``"floating"`` type, no
+    Euler singularity), connecting a massless world anchor to the robot's
+    root link. Build the result with
+    :func:`..ops.multidof.multidof_model_from_description`; validated
+    against the dedicated free-flyer module (tests/test_multidof.py)."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(urdf)
+    robot_name = root.get("name", "robot") + name_suffix
+    links = {l.get("name") for l in root.findall("link")}
+    children = {j.find("child").get("link") for j in root.findall("joint")}
+    roots = sorted(links - children)
+    if len(roots) != 1:
+        raise ValueError(f"expected one root link, found {roots}")
+    base = roots[0]
+
+    joint = f"""  <joint name="free_base" type="floating">
+    <parent link="world"/>
+    <child link="{base}"/>
+    <origin xyz="0 0 0" rpy="0 0 0"/>
+  </joint>"""
+    body = urdf[urdf.index(">", urdf.index("<robot")) + 1:urdf.rindex("</robot>")]
+    return (f'<robot name="{robot_name}">\n  <link name="world"/>\n'
+            + joint + body + "</robot>\n")
+
+
 ZOO = {
     "iiwa14": iiwa14,
     "panda": panda,

@@ -50,7 +50,7 @@ class MultiDofModel:
     """Per-robot constants for mixed single-/multi-dof trees."""
 
     XT: jax.Array        # (n_joints, 6, 6) constant origin transforms
-    S: jax.Array         # (n_joints, 6, 3) motion subspaces, zero-padded
+    S: jax.Array         # (n_joints, 6, 6) motion subspaces, zero-padded
     inertia: jax.Array   # (n_joints, 6, 6)
     damping: jax.Array   # (nv,) per velocity coordinate
     axis: jax.Array      # (n_joints, 3) single-dof axes (unused for spherical)
@@ -84,14 +84,20 @@ def multidof_model_from_description(desc: RobotDescription,
                                     dtype=jnp.float64) -> MultiDofModel:
     n = desc.n
     XT = np.zeros((n, 6, 6))
-    S = np.zeros((n, 6, 3))
+    S = np.zeros((n, 6, 6))
     q_slices, v_slices = [], []
     qs = vs = 0
     for i in range(n):
         R = rpy_to_matrix(desc.origin_rpy[i])
         XT[i] = _origin_xform(R, desc.origin_xyz[i])
         t = desc.joint_types[i]
-        if t == "spherical":
+        if t == "floating":
+            # 6-dof free joint: q = (quat w,x,y,z; position in parent
+            # coords), velocity = child-body twist [ω; v], S = I₆
+            S[i] = np.eye(6)
+            q_slices.append((qs, 7)); v_slices.append((vs, 6))
+            qs += 7; vs += 6
+        elif t == "spherical":
             S[i, :3, :3] = np.eye(3)
             q_slices.append((qs, 4)); v_slices.append((vs, 3))
             qs += 4; vs += 3
@@ -129,7 +135,15 @@ def md_joint_transforms(model: MultiDofModel, q):
         s, w = model.q_slices[i]
         qi = jax.lax.dynamic_slice(q, (s,), (w,))
         t = model.joint_types[i]
-        if t == "spherical":
+        if t == "floating":
+            # free 6-dof joint: rotation ∘ translation Plücker transform
+            # [[E, 0], [−E p̂, E]] with E = R(quat)ᵀ, p in parent coords
+            E = quat_to_rot(qi[:4]).T
+            p = qi[4:7]
+            XJ = jnp.zeros((6, 6), q.dtype)
+            XJ = XJ.at[:3, :3].set(E).at[3:, 3:].set(E)
+            XJ = XJ.at[3:, :3].set(-E @ skew_j(p))
+        elif t == "spherical":
             # parent←child rotation R(quat); motion transform block E = Rᵀ
             E = quat_to_rot(qi).T
             XJ = _rot_xform_T(E)
@@ -242,7 +256,20 @@ def md_tangent_apply(model: MultiDofModel, q, dq_tangent):
         s, w = model.q_slices[i]
         sv, wv = model.v_slices[i]
         d = jax.lax.dynamic_slice(dq_tangent, (sv,), (wv,))
-        if model.joint_types[i] == "spherical":
+        t = model.joint_types[i]
+        if t == "floating":
+            # twist chart: attitude by body rotation vector, position by the
+            # body-frame translation rotated into the parent frame — the
+            # chart under which ∂X/∂μ = −crm(S e_k)·X holds for all 6
+            # columns (see md_id_grad)
+            quat = jax.lax.dynamic_slice(q, (s,), (4,))
+            pos = jax.lax.dynamic_slice(q, (s + 4,), (3,))
+            pos = pos + quat_to_rot(quat) @ d[3:]
+            quat = quat_mul(quat, quat_exp_body(d[:3]))
+            quat = quat / jnp.linalg.norm(quat)
+            out = jax.lax.dynamic_update_slice(
+                out, jnp.concatenate([quat, pos]), (s,))
+        elif t == "spherical":
             quat = jax.lax.dynamic_slice(q, (s,), (4,))
             quat = quat_mul(quat, quat_exp_body(d))
             quat = quat / jnp.linalg.norm(quat)
@@ -407,6 +434,6 @@ def neutral_q(model: MultiDofModel):
     """The identity configuration (unit quaternions, zeros elsewhere)."""
     q = np.zeros(model.nq)
     for i, t in enumerate(model.joint_types):
-        if t == "spherical":
+        if t in ("spherical", "floating"):
             q[model.q_slices[i][0]] = 1.0
     return jnp.asarray(q, model.XT.dtype)

@@ -279,3 +279,85 @@ def test_md_id_grad_mixed_tree_batched():
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(dqd[k]), np.asarray(ref_qd),
                                    atol=1e-10)
+
+
+def test_floating_joint_matches_freeflyer_module():
+    """A true in-tree 6-dof ``floating`` joint (zoo.with_free_joint) must
+    reproduce the dedicated free-flyer module exactly: ID (torques AND base
+    wrench), FD, energy, and the analytic tangent-space gradient — two
+    completely independent formulations (generic multi-dof recursions vs
+    the ff module's gravity-trick + CRBA assembly) of the same physics."""
+    from gridcodegenerator_tpu.models.urdf import rpy_to_matrix
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    urdf = zoo.iiwa14(damping=0.1)
+    mdm = md.multidof_model_from_description(
+        g.parse_urdf(zoo.with_free_joint(urdf)), dtype=jnp.float64)
+    ffm = ff.free_flyer_model(g.parse_urdf(urdf), dtype=jnp.float64)
+    n = ffm.n
+    assert mdm.nq == 7 + n and mdm.nv == 6 + n
+    assert mdm.joint_types[0] == "floating"
+
+    rng = np.random.default_rng(43)
+    quat = ff.rot_to_quat(jnp.asarray(rpy_to_matrix(rng.uniform(-0.8, 0.8, 3))))
+    pos = jnp.asarray(rng.uniform(-1, 1, 3))
+    q = jnp.asarray(rng.uniform(-1, 1, n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, n))
+    tau = jnp.asarray(rng.uniform(-5, 5, n))
+
+    q_md = jnp.concatenate([quat, pos, q])
+    qd_md = jnp.concatenate([vb, qd])
+    u_md = jnp.concatenate([jnp.zeros(6), tau])
+
+    # --- forward dynamics
+    acc_md = md.md_forward_dynamics(mdm, q_md, qd_md, u_md)
+    dvb, qdd = ff.fb_forward_dynamics(ffm, quat, q, vb, qd, tau)
+    np.testing.assert_allclose(np.asarray(acc_md[:6]), np.asarray(dvb),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(acc_md[6:]), np.asarray(qdd),
+                               atol=1e-8)
+
+    # --- inverse dynamics: rows = [base wrench; τ]
+    gen_md = md.md_inverse_dynamics(mdm, q_md, qd_md, acc_md)
+    tau_ff, wrench_ff = ff.fb_inverse_dynamics(ffm, quat, q, vb, qd,
+                                               dvb, qdd)
+    np.testing.assert_allclose(np.asarray(gen_md[:6]), np.asarray(wrench_ff),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(gen_md[6:]), np.asarray(tau_ff),
+                               atol=1e-8)
+
+    # --- energy
+    e_md = md.md_energy(mdm, q_md, qd_md)
+    e_ff = ff.fb_energy(ffm, quat, pos, q, vb, qd)
+    np.testing.assert_allclose(float(e_md), float(e_ff), atol=1e-8)
+
+    # --- analytic tangent-space gradient: md's [δφ | δv | δq] columns vs
+    # the ff module's closed-form attitude block and dq/dvb/dqd blocks
+    ddq, ddqd, ddu = md.md_forward_dynamics_gradient(mdm, q_md, qd_md, u_md)
+    Jff = ff.fb_forward_dynamics_gradient(ffm, quat, q, vb, qd, tau)
+    np.testing.assert_allclose(np.asarray(ddq[:, :3]), np.asarray(Jff["dphi"]),
+                               atol=1e-7)
+    # world-position invariance: the δv (position tangent) columns vanish
+    np.testing.assert_allclose(np.asarray(ddq[:, 3:6]), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ddq[:, 6:]), np.asarray(Jff["dq"]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ddqd[:, :6]), np.asarray(Jff["dvb"]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ddqd[:, 6:]), np.asarray(Jff["dqd"]),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ddu[:, 6:]), np.asarray(Jff["dtau"]),
+                               atol=1e-7)
+
+    # --- md_id_grad vs jacfwd on the floating chain (the generic strongest
+    # check extended to the new joint type)
+    def tau_of(delta, qdv):
+        return md.md_inverse_dynamics(
+            mdm, md.md_tangent_apply(mdm, q_md, delta), qdv, acc_md)
+
+    dq_a, dqd_a = md.md_id_grad(mdm, q_md, qd_md, acc_md)
+    zero = jnp.zeros(mdm.nv, jnp.float64)
+    dq_j, dqd_j = jax.jacfwd(tau_of, argnums=(0, 1))(zero, qd_md)
+    np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_j), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dqd_a), np.asarray(dqd_j),
+                               atol=1e-9)

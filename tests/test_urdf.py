@@ -151,9 +151,22 @@ def test_base_inertia_semantics():
 def test_error_cases():
     with pytest.raises(ValueError):
         parse_urdf("<robot name='x'><link name='a'/><link name='b'/></robot>")
+    # genuinely unsupported joint types still fail fast with a clear error
     with pytest.raises(NotImplementedError):
         parse_urdf("""
+        <robot name="x"><link name="a"/><link name="b"/>
+          <joint name="j" type="planar">
+            <parent link="a"/><child link="b"/>
+          </joint></robot>""")
+    # 'floating' parses (multi-dof stack) but the single-dof RobotModel
+    # rejects it with a pointer to ops/multidof.py
+    desc = parse_urdf("""
         <robot name="x"><link name="a"/><link name="b"/>
           <joint name="j" type="floating">
             <parent link="a"/><child link="b"/>
           </joint></robot>""")
+    assert desc.joint_types == ("floating",)
+    with pytest.raises(ValueError, match="multi-dof"):
+        from gridcodegenerator_tpu.models.robot import (
+            robot_model_from_description)
+        robot_model_from_description(desc)
