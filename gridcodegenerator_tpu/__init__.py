@@ -39,6 +39,8 @@ from .ops.contact import (
     fb_constrained_forward_dynamics,
     fb_contact_jacobian,
     fb_simulate_constrained,
+    fb_simulate_ground,
+    fb_step_ground,
     project_velocity,
     simulate_constrained,
 )
@@ -84,6 +86,7 @@ __all__ = [
     "constrained_inverse_dynamics", "simulate_constrained",
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_simulate_constrained",
+    "fb_step_ground", "fb_simulate_ground",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",

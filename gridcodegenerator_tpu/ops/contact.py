@@ -271,6 +271,122 @@ def fb_constrained_linearize(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     return dict(zip(("dphi", "dpos", "dq", "dvb", "dqd", "dtau"), jac))
 
 
+# --------------------------------------------------------------------------
+# Unilateral ground contact with Coulomb friction (velocity-stepping PGS)
+# --------------------------------------------------------------------------
+def pgs_solve(G, b, mu, active, iters: int = 30):
+    """Projected Gauss-Seidel for the contact LCP/cone problem: find
+    impulses p minimizing ½pᵀGp + pᵀb subject to, per contact i (rows
+    ordered [t1, t2, n]): p_n ≥ 0 (only pushing), ‖p_t‖ ≤ μ p_n (Coulomb
+    cone), p ≡ 0 where ``active`` is False.
+
+    Static shapes: k contacts per call; ``lax.fori_loop`` over sweeps, the
+    per-contact update unrolled (k is small). The per-contact step is a
+    diagonal-block preconditioned descent followed by cone projection — the
+    standard game-physics/MuJoCo-style PGS that converges linearly for the
+    SPD G produced by J M⁻¹ Jᵀ."""
+    k = b.shape[0] // 3
+    dtype = b.dtype
+    diag = jnp.clip(jnp.diagonal(G), 1e-9, None)
+
+    def sweep(_, p):
+        for i in range(k):
+            s = 3 * i
+            r = G[s:s + 3] @ p + b[s:s + 3]
+            cand = p[s:s + 3] - r / diag[s:s + 3]
+            pn = jnp.maximum(cand[2], 0.0) * active[i]
+            pt = cand[:2]
+            norm_t = jnp.sqrt(pt @ pt + 1e-30)
+            scale = jnp.minimum(1.0, mu[i] * pn / norm_t)
+            p = p.at[s:s + 3].set(
+                jnp.concatenate([pt * scale, pn[None]]).astype(dtype))
+        return p
+
+    return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
+
+
+def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
+                   ground_z=0.0, gravity=-9.81, iters: int = 30,
+                   erp: float = 0.2, margin: float = 1e-3,
+                   restitution: float = 0.0):
+    """One velocity-stepping simulation step of the free-flyer over a
+    horizontal ground plane with unilateral frictional contacts at the
+    given foot points — feet can lift off, stick, and slide.
+
+    Semi-implicit impulse formulation (Stewart-Trinkle style): the free
+    velocity ``v_free = v + dt·M⁻¹([0;τ] − bias)`` is corrected by contact
+    impulses solved with :func:`pgs_solve` on the Delassus operator; the
+    normal rows carry Baumgarte-style penetration recovery (``erp``) and
+    optional restitution. Contacts activate when the foot's gap to the
+    plane is below ``margin``. Returns ``(next_state, impulses (k,3))``
+    with impulses in world [t1, t2, n] order per contact.
+
+    Complementarity at the solution (tested): p_n ≥ 0,
+    p_n·(v_n⁺ − v_n*) ≈ 0, ‖p_t‖ ≤ μ·p_n, and sliding feet oppose their
+    tangential velocity."""
+    from .freeflyer import (fb_bias, fb_mass_matrix, quat_exp_body,
+                            quat_mul, quat_to_rot)
+
+    quat, pos, q, vb, qd = state
+    offsets = jnp.asarray(offsets, q.dtype)
+    k = len(links)
+    n = ffm.n
+    arm = ffm.arm
+    R = quat_to_rot(quat)
+
+    # free velocity step
+    X = arm.joint_transforms(q)
+    p_b, c_j = fb_bias(ffm, X, R, vb, qd, gravity)
+    M = fb_mass_matrix(ffm, X)
+    Lm = jnp.linalg.cholesky(M)
+    msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
+    v = jnp.concatenate([vb, qd])
+    v_free = v + dt * msolve(jnp.concatenate([-p_b, tau - c_j]))
+
+    # contact rows: world [t1, t2, n] per foot (n = +z of the plane)
+    J6 = fb_contact_jacobian(ffm, quat, q, links, offsets)   # (3k, 6+n) xyz
+    gaps = jnp.stack([
+        (pos + R @ _fb_point_base(ffm, q, l, offsets[i])[0])[2] - ground_z
+        for i, l in enumerate(links)])
+    active = (gaps < margin).astype(q.dtype)
+
+    J = J6  # world xyz rows; reorder per contact to [x(t1), y(t2), z(n)]
+    MiJt = msolve(J.T)
+    G = J @ MiJt + 1e-9 * jnp.eye(3 * k, dtype=q.dtype)
+    vn_now = (J @ v).reshape(k, 3)[:, 2]
+    # normal velocity target: penetration recovery + restitution
+    v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
+              - restitution * jnp.minimum(vn_now, 0.0))
+    b = J @ v_free
+    b = b.reshape(k, 3).at[:, 2].add(-v_star).reshape(3 * k)
+
+    mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k,))
+    p_imp = pgs_solve(G, b, mu_vec, active, iters)
+
+    v_new = v_free + MiJt @ p_imp
+    vb2, qd2 = v_new[:6], v_new[6:]
+    quat2 = quat_mul(quat, quat_exp_body(vb2[:3] * dt))
+    quat2 = quat2 / jnp.linalg.norm(quat2)
+    pos2 = pos + dt * (quat_to_rot(quat2) @ vb2[3:])
+    q2 = q + dt * qd2
+    return (quat2, pos2, q2, vb2, qd2), p_imp.reshape(k, 3)
+
+
+def fb_simulate_ground(ffm, state0, taus, dt, links, offsets, mu=0.8,
+                       ground_z=0.0, gravity=-9.81, iters: int = 30,
+                       erp: float = 0.2, margin: float = 1e-3,
+                       restitution: float = 0.0):
+    """``lax.scan`` rollout of :func:`fb_step_ground` — a full frictional
+    ground-contact simulation in one device dispatch."""
+    def step(s, tau):
+        nxt, imp = fb_step_ground(ffm, s, tau, dt, links, offsets, mu,
+                                  ground_z, gravity, iters, erp, margin,
+                                  restitution)
+        return nxt, (nxt, imp)
+
+    return jax.lax.scan(step, state0, taus)
+
+
 def fb_simulate_constrained(ffm, state0, taus, dt, links, offsets,
                             anchors=None, gravity=-9.81,
                             baumgarte=(10.0, 10.0), reg=0.0):

@@ -407,3 +407,135 @@ def test_fb_constrained_linearize_vs_fd():
         fd_col = (out(*args_p) - out(*args_m)) / (2 * eps)
         np.testing.assert_allclose(np.asarray(Jl[key][:, idx]), fd_col,
                                    rtol=2e-5, atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# Unilateral ground contact (PGS, friction)
+# --------------------------------------------------------------------------
+def _stand_setup(mu=0.8, drop=0.0):
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    quat0 = jnp.array([1.0, 0.0, 0.0, 0.0])
+    q0 = jnp.asarray(np.tile([-0.1, 0.7, -1.2], 4))
+    # place the base so the feet touch z = 0, plus an optional drop height
+    R0 = ff.quat_to_rot(quat0)
+    foot_z = min(
+        float(ctt._fb_point_base(ffm, q0, l, jnp.asarray(_FOOT_OFF[i]))[0][2])
+        for i, l in enumerate(_FEET))
+    pos0 = jnp.array([0.0, 0.0, -foot_z + drop])
+    # gravity-compensation torque from the bilateral stance solution
+    X = ffm.arm.joint_transforms(q0)
+    p_b, c_j = ff.fb_bias(ffm, X, R0, jnp.zeros(6), jnp.zeros(n))
+    J = ctt.fb_contact_jacobian(ffm, quat0, q0, _FEET, _FOOT_OFF)
+    lam = jnp.linalg.pinv(J[:, :6].T) @ p_b
+    tau_g = c_j - (J.T @ lam)[6:]
+    return ctt, ffm, (quat0, pos0, q0, jnp.zeros(6), jnp.zeros(n)), tau_g
+
+
+def test_ground_contact_settles_standing():
+    """HyQ dropped 5 mm above the plane with gravity-compensating + PD
+    torques: it lands, settles, and stands — penetration bounded by the
+    stabilization, total normal impulse rate ≈ weight, every contact
+    satisfies the cone conditions."""
+    ctt, ffm, state0, tau_g = _stand_setup(drop=5e-3)
+    n = ffm.n
+    q0 = state0[2]
+    dt = 1e-3
+    T = 1200
+    kp, kd = 300.0, 20.0
+
+    @jax.jit
+    def roll(s):
+        def step(s_, _):
+            quat, pos, q, vb, qd = s_
+            tau = tau_g + kp * (q0 - q) - kd * qd
+            nxt, imp = ctt.fb_step_ground(ffm, s_, tau, dt, _FEET, _FOOT_OFF,
+                                          mu=0.9)
+            return nxt, imp
+        return jax.lax.scan(step, s, None, length=T)
+
+    (quatT, posT, qT, vbT, qdT), imps = roll(state0)
+    assert bool(jnp.all(jnp.isfinite(posT)))
+    # settled: base nearly still
+    assert float(jnp.linalg.norm(vbT)) < 0.05
+    # feet on (not inside) the ground beyond the stabilization tolerance
+    RT = ff.quat_to_rot(quatT)
+    gaps = [float((posT + RT @ ctt._fb_point_base(
+        ffm, qT, l, jnp.asarray(_FOOT_OFF[i]))[0])[2]) for i, l in
+        enumerate(_FEET)]
+    assert min(gaps) > -2e-3
+    # impulse rate ≈ weight once settled; cone conditions hold
+    m_tot = 60.96 + 4 * (2.93 + 2.638 + 0.881)
+    last = np.asarray(imps[-1])               # (4, 3) [t1,t2,n]
+    assert np.all(last[:, 2] >= 0)
+    np.testing.assert_allclose(last[:, 2].sum() / dt, m_tot * 9.81,
+                               rtol=0.05)
+    tnorm = np.linalg.norm(last[:, :2], axis=1)
+    assert np.all(tnorm <= 0.9 * last[:, 2] + 1e-9)
+
+
+def test_ground_contact_friction_stick_vs_slide():
+    """The same lateral base velocity decays fast on high-friction ground
+    (sticking) and persists on near-frictionless ground (sliding)."""
+    finals = {}
+    for mu in (1.0, 0.02):
+        ctt, ffm, state0, tau_g = _stand_setup()
+        quat0, pos0, q0, vb0, qd0 = state0
+        vb0 = vb0.at[3].set(0.5)              # 0.5 m/s along body-x
+        n = ffm.n
+        dt = 1e-3
+
+        @jax.jit
+        def roll(s):
+            def step(s_, _):
+                quat, pos, q, vb, qd = s_
+                tau = tau_g + 300.0 * (q0 - q) - 20.0 * qd
+                nxt, imp = ctt.fb_step_ground(
+                    ffm, s_, tau, dt, _FEET, _FOOT_OFF, mu=mu)
+                return nxt, None
+            return jax.lax.scan(step, s, None, length=400)[0]
+
+        quatT, posT, qT, vbT, qdT = roll((quat0, pos0, q0, vb0, qd0))
+        finals[mu] = abs(float(vbT[3]))
+    # measured (f64): 0.022 residual at μ=1.0 (small rocking), 0.42 at μ=0.02
+    assert finals[1.0] < 0.05                 # stuck
+    assert finals[0.02] > 5 * finals[1.0]     # still sliding
+
+
+def test_ground_contact_liftoff_ballistic():
+    """An upward launch: impulses vanish while airborne and the base
+    follows the ballistic arc (the contact layer must not act at a
+    distance). The legs are PD-held rigid so the base tracks the COM; the
+    first ~20 ms are excluded — the launching feet legitimately stay in
+    contact while they clear the activation margin."""
+    ctt, ffm, state0, tau_g = _stand_setup()
+    quat0, pos0, q0, vb0, qd0 = state0
+    vb0 = vb0.at[5].set(1.5)                  # 1.5 m/s upward
+    dt = 1e-3
+    T = 150
+
+    @jax.jit
+    def roll(s):
+        def step(s_, _):
+            quat, pos, q, vb, qd = s_
+            # PD only — no stance feedforward: in flight the correct
+            # gravity compensation is ZERO (uniform gravity exerts no
+            # internal torques), so tau_g would wrongly extend the legs
+            # and push the base off the COM parabola
+            tau = 600.0 * (q0 - q) - 40.0 * qd
+            nxt, imp = ctt.fb_step_ground(ffm, s_, tau, dt, _FEET,
+                                          _FOOT_OFF, mu=0.8)
+            return nxt, (nxt[1][2], nxt[3][5], jnp.abs(imp).max())
+        return jax.lax.scan(step, s, None, length=T)
+
+    (quatT, posT, qT, vbT, qdT), (zs, vzs, imp_max) = roll(
+        (quat0, pos0, q0, vb0, qd0))
+    m = 20
+    assert float(jnp.max(imp_max[m:])) == 0.0
+    # semi-implicit ballistic arc from step m: z_N = z_m + K·dt·v_m −
+    # g·dt²·K(K+1)/2, K = N−m (body z ≈ world z: attitude stays level)
+    K = T - 1 - m
+    z_expect = (float(zs[m]) + K * dt * float(vzs[m])
+                - 9.81 * dt * dt * K * (K + 1) / 2)
+    np.testing.assert_allclose(float(zs[-1]), z_expect, atol=3e-3)
