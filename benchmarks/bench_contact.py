@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Contact-layer throughput on TPU: batched constrained FD.
+
+Two deployment shapes:
+* fixed-base pinned FD (iiwa-14, 1 pin): the manipulation-in-contact
+  batch — M⁻¹ via the analytic recursion, 3×3 Delassus Cholesky;
+* floating-base stance FD (HyQ, 4 feet): the legged-robot batch — an
+  18×18 mass Cholesky + 12×12 Delassus per state (MXU-heavy batched
+  linear algebra on top of the recursion layer).
+
+Same wall-bounded, marginal-slope protocol as run_benchmarks.py. Prints
+JSON rows. Usage: python benchmarks/bench_contact.py [--batches 16384 ...]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from run_benchmarks import time_fn  # noqa: E402  (same slope protocol)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", nargs="*", type=int, default=[16384, 262144])
+    p.add_argument("--reps", type=int, default=16)
+    p.add_argument("--budget", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", "480")))
+    args = p.parse_args(argv)
+
+    def _watchdog():
+        time.sleep(args.budget)
+        print("# watchdog: budget exhausted, partial results", file=sys.stderr,
+              flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    print(f"# backend={jax.default_backend()} "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    # ---- fixed-base pinned FD: iiwa-14, 1 contact -------------------------
+    model = g.load_robot(zoo.iiwa14(damping=0.1), dtype=jnp.float32)
+    n = model.n
+    links, offs = (n - 1,), jnp.asarray([[0.04, -0.03, 0.1]], jnp.float32)
+    for B in args.batches:
+        q = jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
+        qd = jnp.asarray(rng.uniform(-1, 1, (B, n)), jnp.float32)
+        u = jnp.asarray(rng.uniform(-4, 4, (B, n)), jnp.float32)
+        fn = lambda a, b, c: g.constrained_forward_dynamics(
+            model, a, b, c, links, offs)[0]
+        med, mn = time_fn(fn, (q, qd, u), reps=args.reps)
+        row = dict(case="pinned_fd_iiwa14", n=n, contacts=1, batch=B,
+                   median_ms=med * 1e3, evals_per_sec=B / med)
+        print(json.dumps(row))
+        print(f"# pinned iiwa B={B:7d}  {med*1e3:9.3f} ms  "
+              f"{B/med:11.3e} evals/s", file=sys.stderr)
+
+    # ---- floating-base stance FD: HyQ, 4 feet -----------------------------
+    ffm = ff.free_flyer_model(g.parse_urdf(zoo.hyq(damping=0.2)),
+                              dtype=jnp.float32)
+    nh = ffm.n
+    feet = (2, 5, 8, 11)
+    foff = jnp.asarray(np.tile([0.35, 0.0, 0.0], (4, 1)), jnp.float32)
+
+    @jax.jit
+    def stance_fd(quat, pos, q, vb, qd, tau):
+        return ct.fb_constrained_fd_batched(
+            ffm, quat, pos, q, vb, qd, tau, feet, foff)[1]
+
+    for B in args.batches:
+        quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (B, 1))
+        pos = jnp.tile(jnp.asarray([0.0, 0, 0.6], jnp.float32), (B, 1))
+        q = jnp.asarray(np.tile([-0.1, 0.7, -1.2], (B, 4)), jnp.float32)
+        q = q + jnp.asarray(rng.uniform(-0.05, 0.05, (B, nh)), jnp.float32)
+        vb = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 6)), jnp.float32)
+        qd = jnp.asarray(rng.uniform(-0.3, 0.3, (B, nh)), jnp.float32)
+        tau = jnp.asarray(rng.uniform(-10, 10, (B, nh)), jnp.float32)
+        med, mn = time_fn(stance_fd, (quat, pos, q, vb, qd, tau),
+                          reps=args.reps)
+        row = dict(case="stance_fd_hyq", n=nh, contacts=4, batch=B,
+                   median_ms=med * 1e3, evals_per_sec=B / med)
+        print(json.dumps(row))
+        print(f"# stance hyq  B={B:7d}  {med*1e3:9.3f} ms  "
+              f"{B/med:11.3e} evals/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -285,17 +285,55 @@ def constrained_forward_dynamics(model: RobotModel, q, qd, u, links, offsets,
 
 @functools.lru_cache(maxsize=64)
 def _constrained_runner(links, gravity, baumgarte, reg, has_anchors, ndim_b):
+    """Batch-level constrained FD, fully batch-last past the public entries:
+    the free dynamics and M⁻¹ come from the batched entry points (fused
+    Pallas kernels on TPU), the contact geometry from the batch-last FK
+    (``ops/kinematics.py::contact_rows_and_bias_bl``), and the Delassus
+    solve from the unrolled lane-parallel Cholesky. The earlier
+    vmap-of-single-state composition measured 200× slower on the v5e —
+    batch-first (B,3,3) geometry ops waste 97% of each (8,128) register
+    and batched tiny ``cho_solve`` costs ~160 ms at B=262k."""
     from .ops import contact as _ct
+    from .ops import kinematics as _kin
+
+    k = len(links)
 
     @jax.jit
     def run(model, q, qd, u, offsets, anchors):
         with jax.default_matmul_precision("highest"):
-            f = lambda a, b, c: _ct.constrained_forward_dynamics(
-                model, a, b, c, links, offsets,
-                anchors if has_anchors else None, gravity, baumgarte, reg)
-            for _ in range(ndim_b):
-                f = jax.vmap(f)
-            return f(q, qd, u)
+            shape_b = q.shape[:-1]
+            qf, qdf, uf = (x.reshape((-1, model.n)) for x in (q, qd, u))
+
+            qdd_free = forward_dynamics(model, qf, qdf, uf, gravity=gravity)
+            Minv = direct_minv(model, qf, dense=True)
+
+            qbl, qdbl = qf.T, qdf.T
+            J, jdqd = _kin.contact_rows_and_bias_bl(
+                model, qbl, qdbl, links, offsets)     # (3k,n,B), (3k,B)
+
+            alpha, beta = baumgarte
+            a_star = jnp.zeros_like(jdqd)
+            if alpha != 0.0:
+                a_star = a_star - 2.0 * alpha * _ct.matvec_bl(J, qdbl)
+            if beta != 0.0:
+                Rs, ps = _kin.fk_bl(model, qbl)
+                x = jnp.concatenate([
+                    ps[l] + _kin._mv3(Rs[l], jnp.broadcast_to(
+                        jnp.asarray(offsets[i], qbl.dtype)[:, None],
+                        (3, qbl.shape[-1])))
+                    for i, l in enumerate(links)])
+                anch = (x if not has_anchors
+                        else anchors.reshape(-1)[:, None])
+                a_star = a_star - beta * beta * (x - anch)
+
+            Mi_bl = jnp.moveaxis(Minv, 0, -1)          # (n, n, B)
+            MiJt = _ct.matmul_bl(Mi_bl, jnp.swapaxes(J, 0, 1))  # (n, 3k, B)
+            G = _ct.matmul_bl(J, MiJt)                 # (3k, 3k, B)
+            rhs = -(_ct.matvec_bl(J, qdd_free.T) + jdqd - a_star)
+            lam = _ct.chol_solve_bl(G, rhs, reg=reg)   # (3k, B)
+            qdd = qdd_free.T + _ct.matvec_bl(MiJt, lam)
+            return (qdd.T.reshape(shape_b + (model.n,)),
+                    jnp.moveaxis(lam, 0, -1).reshape(shape_b + (3 * k,)))
 
     return run
 

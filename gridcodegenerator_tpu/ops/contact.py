@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.robot import RobotModel
 from .fd import forward_dynamics
@@ -209,16 +210,20 @@ def fb_constrained_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, links,
     rows make ground-reaction forces move the base. Consistency identity
     (tested): ``fb_inverse_dynamics(v̇b, q̈) == ([0;τ] + J_fbᵀ λ)`` split as
     (torque rows, base-wrench rows)."""
-    from .freeflyer import (fb_forward_dynamics, fb_mass_matrix, quat_to_rot)
+    from .freeflyer import fb_bias, fb_mass_matrix, quat_to_rot
 
     offsets = jnp.asarray(offsets, q.dtype)
     n = ffm.n
     k = len(links)
-    dvb_f, qdd_f = fb_forward_dynamics(ffm, quat, q, vb, qd, tau, gravity)
-    y_free = jnp.concatenate([dvb_f, qdd_f])
-    M = fb_mass_matrix(ffm, ffm.arm.joint_transforms(q))
+    # one shared mass factorization serves the free solve AND the Delassus
+    # assembly (fb_forward_dynamics would factor M a second time)
+    X = ffm.arm.joint_transforms(q)
+    R_wb = quat_to_rot(quat)
+    p_b, c_j = fb_bias(ffm, X, R_wb, vb, qd, gravity)
+    M = fb_mass_matrix(ffm, X)
     Lm = jnp.linalg.cholesky(M)
     msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
+    y_free = msolve(jnp.concatenate([-p_b, tau - c_j]))
 
     J = fb_contact_jacobian(ffm, quat, q, links, offsets)        # (3k, 6+n)
     bias = fb_contact_bias(ffm, quat, q, vb, qd, links, offsets)
@@ -228,9 +233,8 @@ def fb_constrained_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, links,
     if alpha != 0.0:
         a_star = a_star - 2.0 * alpha * (J @ jnp.concatenate([vb, qd]))
     if beta != 0.0:
-        R = quat_to_rot(quat)
         x = jnp.concatenate([
-            pos + R @ _fb_point_base(ffm, q, l, offsets[i])[0]
+            pos + R_wb @ _fb_point_base(ffm, q, l, offsets[i])[0]
             for i, l in enumerate(links)])
         anch = (x if anchors is None
                 else jnp.asarray(anchors, q.dtype).reshape(-1))
@@ -272,8 +276,313 @@ def fb_constrained_linearize(ffm, quat, pos, q, vb, qd, tau, links, offsets,
 
 
 # --------------------------------------------------------------------------
-# Unilateral ground contact with Coulomb friction (velocity-stepping PGS)
+# Batch-last small linear algebra (lane-parallel, for the batched entries)
 # --------------------------------------------------------------------------
+def matmul_bl(A, B):
+    """(p, q, Batch) @ (q, r, Batch) → (p, r, Batch), unrolled over the
+    small structure dims so every op is a full-lane-width FMA (XLA's
+    trailing-batch dot_general would transpose to tiny per-state matmuls —
+    the layout problem the batch-last forms exist to avoid)."""
+    p, qdim = A.shape[0], A.shape[1]
+    r = B.shape[1]
+    rows = []
+    for i in range(p):
+        cols = []
+        for j in range(r):
+            s = A[i, 0] * B[0, j]
+            for k in range(1, qdim):
+                s = s + A[i, k] * B[k, j]
+            cols.append(s)
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def matvec_bl(A, x):
+    """(p, q, Batch) @ (q, Batch) → (p, Batch), unrolled."""
+    p, qdim = A.shape[0], A.shape[1]
+    out = []
+    for i in range(p):
+        s = A[i, 0] * x[0]
+        for k in range(1, qdim):
+            s = s + A[i, k] * x[k]
+        out.append(s)
+    return jnp.stack(out)
+
+
+def chol_factor_bl(G, reg=0.0):
+    """Batch-last unrolled Cholesky of G (m, m, B): returns L as a python
+    lower-triangular list-of-lists of (B,) lanes. Every step is a
+    lane-parallel vector op — batched ``jnp.linalg.cholesky``/``cho_solve``
+    on (B, m, m) measured ~160 ms at B = 262k on the v5e even for m = 3;
+    this form is bandwidth-bound at a few ms for m ≤ ~20."""
+    m = G.shape[0]
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            s = G[i, j] + (reg if i == j else 0.0)
+            for p in range(j):
+                s = s - L[i][p] * L[j][p]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def chol_apply_bl(L, r):
+    """Solve (L Lᵀ) x = r from a :func:`chol_factor_bl` factor; r (m, B)."""
+    m = len(L)
+    y = [None] * m
+    for i in range(m):
+        s = r[i]
+        for p in range(i):
+            s = s - L[i][p] * y[p]
+        y[i] = s / L[i][i]
+    x = [None] * m
+    for i in reversed(range(m)):
+        s = y[i]
+        for p in range(i + 1, m):
+            s = s - L[p][i] * x[p]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def chol_solve_bl(G, r, reg=0.0):
+    """Batch-last SPD solve: G (m, m, B), r (m, B) → (m, B)."""
+    return chol_apply_bl(chol_factor_bl(G, reg), r)
+
+
+# --------------------------------------------------------------------------
+# Batch-last free-flyer stance (the production batched/TPU path)
+# --------------------------------------------------------------------------
+def _quat_to_rot_bl(quat):
+    """(4, B) unit quaternions → (3, 3, B) rotations, elementwise."""
+    w, x, y, z = quat[0], quat[1], quat[2], quat[3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)]),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)]),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)]),
+    ])
+
+
+def _cmv6(Mc, v):
+    """Constant (6,6) @ (6,B) → (6,B)."""
+    return jnp.stack([sum(float(Mc[r, c]) * v[c] for c in range(6))
+                      for r in range(6)])
+
+
+def _fb_bias_bl(ffm, X, R, vb, qd, gravity):
+    """Batch-last :func:`..freeflyer.fb_bias`: (p_b (6,B), c_j (n,B))."""
+    from .blops import crf_apply_bl, crm_apply_bl, matvec6, matvec6_T
+
+    arm = ffm.arm
+    topo = arm.topology
+    n = topo.n
+    B = vb.shape[-1]
+    dtype = vb.dtype
+    I_base = np.asarray(ffm.I_base)
+    g_b = _mv3_T(R, jnp.stack([jnp.zeros((B,), dtype),
+                               jnp.zeros((B,), dtype),
+                               jnp.full((B,), gravity, dtype)]))
+    a0 = jnp.concatenate([jnp.zeros((3, B), dtype), -g_b])
+
+    S = np.asarray(arm.S)
+    I = np.asarray(arm.inertia)
+    v = [None] * n
+    a = [None] * n
+    f = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        Sqd = jnp.asarray(S[i], dtype)[:, None] * qd[i][None, :]
+        v[i] = matvec6(X[i], vb if p < 0 else v[p]) + Sqd
+        a[i] = matvec6(X[i], a0 if p < 0 else a[p]) + crm_apply_bl(v[i], Sqd)
+        Iv = _cmv6(I[i], v[i])
+        f[i] = _cmv6(I[i], a[i]) + crf_apply_bl(v[i], Iv)
+    f_b = _cmv6(I_base, a0) + crf_apply_bl(vb, _cmv6(I_base, vb))
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            f[p] = f[p] + matvec6_T(X[i], f[i])
+        else:
+            f_b = f_b + matvec6_T(X[i], f[i])
+    damping = np.asarray(arm.damping)
+    c_j = jnp.stack([
+        sum(float(S[i, c]) * f[i][c] for c in range(6))
+        + float(damping[i]) * qd[i] for i in range(n)])
+    return f_b, c_j
+
+
+def _mv3_T(A, x):
+    """(3,3,B)ᵀ @ (3,B)."""
+    return jnp.stack([A[0, i] * x[0] + A[1, i] * x[1] + A[2, i] * x[2]
+                      for i in range(3)])
+
+
+def _fb_mass_matrix_bl(ffm, X):
+    """Batch-last :func:`..freeflyer.fb_mass_matrix`: (6+n, 6+n, B)."""
+    from .blops import matmat6, matmat6_T, matvec6_T
+
+    arm = ffm.arm
+    topo = arm.topology
+    n = topo.n
+    B = X[0].shape[-1]
+    dtype = X[0].dtype
+    S = np.asarray(arm.S)
+
+    def const66(Mc):
+        return jnp.broadcast_to(jnp.asarray(Mc, dtype)[..., None], (6, 6, B))
+
+    IC = [const66(np.asarray(arm.inertia)[i]) for i in range(n)]
+    IC_b = const66(np.asarray(ffm.I_base))
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        contrib = matmat6_T(X[i], matmat6(IC[i], X[i]))
+        if p >= 0:
+            IC[p] = IC[p] + contrib
+        else:
+            IC_b = IC_b + contrib
+
+    m = 6 + n
+    E = [[None] * m for _ in range(m)]
+    for r in range(6):
+        for c in range(6):
+            E[r][c] = IC_b[r, c]
+    zero = jnp.zeros((B,), dtype)
+    for r in range(m):
+        for c in range(m):
+            if E[r][c] is None:
+                E[r][c] = zero
+    for i in range(n):
+        F = jnp.stack([sum(IC[i][r, c] * float(S[i, c]) for c in range(6))
+                       for r in range(6)])
+        E[6 + i][6 + i] = sum(float(S[i, c]) * F[c] for c in range(6))
+        j = i
+        while topo.parents[j] >= 0:
+            F = matvec6_T(X[j], F)
+            j = topo.parents[j]
+            val = sum(F[c] * float(S[j, c]) for c in range(6))
+            E[6 + i][6 + j] = val
+            E[6 + j][6 + i] = val
+        F = matvec6_T(X[j], F)
+        for c in range(6):
+            E[6 + i][c] = F[c]
+            E[c][6 + i] = F[c]
+    return jnp.stack([jnp.stack(row) for row in E])
+
+
+def _fb_contact_rows_bl(ffm, quat, q_bl, links, offsets):
+    """Batch-last free-flyer contact rows: (J (3k, 6+n, B), x_w-independent
+    foot points in base coords x_b (3k-stacked, B))."""
+    from .kinematics import _cross_bl, _mv3, contact_rows_bl, fk_bl
+
+    arm = ffm.arm
+    n = arm.n
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+    R = _quat_to_rot_bl(quat)
+    Rs, ps = fk_bl(arm, q_bl)
+    J_arm = contact_rows_bl(arm, q_bl, links, offsets)      # (3k, n, B)
+    rows = []
+    xs = []
+    for i, l in enumerate(links):
+        off = jnp.broadcast_to(jnp.asarray(offsets[i], dtype)[:, None],
+                               (3, B))
+        x_b = ps[l] + _mv3(Rs[l], off)
+        xs.append(x_b)
+        cols = []
+        for j in range(3):                                  # ω_b columns
+            e = np.zeros(3)
+            e[j] = 1.0
+            e_bl = jnp.broadcast_to(jnp.asarray(e, dtype)[:, None], (3, B))
+            cols.append(_mv3(R, _cross_bl(e_bl, x_b)))      # R (e_j × x_b)
+        for j in range(3):                                  # v_b columns
+            cols.append(R[:, j])
+        for j in range(n):                                  # q̇ columns
+            cols.append(_mv3(R, J_arm[3 * i:3 * i + 3, j]))
+        rows.append(jnp.stack(cols, axis=1))                # (3, 6+n, B)
+    return jnp.concatenate(rows, axis=0), jnp.concatenate(xs)
+
+
+def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
+                              anchors=None, gravity=-9.81,
+                              baumgarte=(0.0, 0.0), reg=0.0):
+    """Batched stance FD over leading batch axes — the TPU production path:
+    everything runs batch-last (batch on the vector lanes), mirroring the
+    single-state :func:`fb_constrained_forward_dynamics` exactly (tested to
+    f64 round-off). Inputs are batch-first user arrays ``(..., d)``; returns
+    ``(v̇b (...,6), q̈ (...,n), λ (...,3k))``."""
+    n = ffm.n
+    k = len(links)
+    offsets = jnp.asarray(offsets, q.dtype)
+    shape_b = q.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T      # (..., d) → (d, B)
+    quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
+    vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+
+    from .blops import joint_transforms_bl
+    X = joint_transforms_bl(ffm.arm, q_bl)
+    R = _quat_to_rot_bl(quat_bl)
+    p_b, c_j = _fb_bias_bl(ffm, X, R, vb_bl, qd_bl, gravity)
+    M = _fb_mass_matrix_bl(ffm, X)
+    Lm = chol_factor_bl(M)
+    y_free = chol_apply_bl(Lm, jnp.concatenate([-p_b, tau_bl - c_j]))
+
+    J, x_b = _fb_contact_rows_bl(ffm, quat_bl, q_bl, links, offsets)
+
+    # bias: exact jvp of the velocity map along the state flow (batch-last)
+    def vel(quat_, q_):
+        Jv, xb = _fb_contact_rows_bl(ffm, quat_, q_, links, offsets)
+        vfull = jnp.concatenate([vb_bl, qd_bl])
+        return jnp.stack([
+            sum(Jv[r, c] * vfull[c] for c in range(6 + n))
+            for r in range(3 * k)])
+
+    # quaternion rate: quaṫ = ½ quat ⊗ [0, ω_b] — componentwise
+    w, xq, yq, zq = quat_bl
+    ox, oy, oz = vb_bl[0], vb_bl[1], vb_bl[2]
+    dquat = 0.5 * jnp.stack([
+        -xq * ox - yq * oy - zq * oz,
+        w * ox + yq * oz - zq * oy,
+        w * oy + zq * ox - xq * oz,
+        w * oz + xq * oy - yq * ox,
+    ])
+    _, bias = jax.jvp(vel, (quat_bl, q_bl), (dquat, qd_bl))
+
+    alpha, beta = baumgarte
+    a_star = jnp.zeros((3 * k, B), dtype)
+    vfull = jnp.concatenate([vb_bl, qd_bl])
+    if alpha != 0.0:
+        Jv = jnp.stack([sum(J[r, c] * vfull[c] for c in range(6 + n))
+                        for r in range(3 * k)])
+        a_star = a_star - 2.0 * alpha * Jv
+    if beta != 0.0:
+        x_w = jnp.concatenate([
+            pos_bl + jnp.stack([sum(R[i, j] * x_b[3 * m_ + j]
+                                    for j in range(3)) for i in range(3)])
+            for m_ in range(k)])
+        anch = (x_w if anchors is None
+                else jnp.asarray(anchors, dtype).reshape(-1)[:, None])
+        a_star = a_star - beta * beta * (x_w - anch)
+
+    # Delassus via the shared mass factorization: columns of M⁻¹ Jᵀ
+    MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(3 * k)]  # (6+n, B)
+    G = jnp.stack([
+        jnp.stack([sum(J[r, c] * MiJt_cols[s][c] for c in range(6 + n))
+                   for s in range(3 * k)])
+        for r in range(3 * k)])
+    rhs = -(jnp.stack([sum(J[r, c] * y_free[c] for c in range(6 + n))
+                       for r in range(3 * k)]) + bias - a_star)
+    lam = chol_solve_bl(G, rhs, reg=reg)
+    y = y_free + sum(MiJt_cols[s] * lam[s][None, :] for s in range(3 * k))
+
+    unflat = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
+        shape_b + (arr.shape[0],))
+    return unflat(y[:6]), unflat(y[6:]), unflat(lam)
 def pgs_solve(G, b, mu, active, iters: int = 30):
     """Projected Gauss-Seidel for the contact LCP/cone problem: find
     impulses p minimizing ½pᵀGp + pᵀb subject to, per contact i (rows

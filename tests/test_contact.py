@@ -539,3 +539,42 @@ def test_ground_contact_liftoff_ballistic():
     z_expect = (float(zs[m]) + K * dt * float(vzs[m])
                 - 9.81 * dt * dt * K * (K + 1) / 2)
     np.testing.assert_allclose(float(zs[-1]), z_expect, atol=3e-3)
+
+
+def test_fb_constrained_batched_matches_single():
+    """The batch-last stance solver must reproduce the single-state
+    formulation to f64 round-off (same math, lane-parallel layout)."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    rng = np.random.default_rng(53)
+    B = 6
+    quats = []
+    for _ in range(B):
+        quats.append(np.asarray(ff.rot_to_quat(
+            jnp.asarray(rpy_to_matrix(rng.uniform(-0.4, 0.4, 3))))))
+    quat = jnp.asarray(np.stack(quats))
+    pos = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)) + [0, 0, 0.6])
+    q = jnp.asarray(np.tile([-0.1, 0.7, -1.2], (B, 4))
+                    + rng.uniform(-0.1, 0.1, (B, n)))
+    vb = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-0.4, 0.4, (B, n)))
+    tau = jnp.asarray(rng.uniform(-8, 8, (B, n)))
+    anchors = np.asarray(rng.uniform(-0.5, 0.5, (4, 3)))
+
+    for kwargs in (dict(),
+                   dict(anchors=anchors, baumgarte=(10.0, 10.0), reg=1e-12)):
+        dvb_b, qdd_b, lam_b = jax.jit(
+            lambda *a: ctt.fb_constrained_fd_batched(
+                ffm, *a, _FEET, _FOOT_OFF, **kwargs))(quat, pos, q, vb, qd,
+                                                      tau)
+        for kk in (0, B - 1):
+            dvb_s, qdd_s, lam_s = ctt.fb_constrained_forward_dynamics(
+                ffm, quat[kk], pos[kk], q[kk], vb[kk], qd[kk], tau[kk],
+                _FEET, _FOOT_OFF, **kwargs)
+            np.testing.assert_allclose(np.asarray(dvb_b[kk]),
+                                       np.asarray(dvb_s), atol=1e-9)
+            np.testing.assert_allclose(np.asarray(qdd_b[kk]),
+                                       np.asarray(qdd_s), atol=1e-9)
+            np.testing.assert_allclose(np.asarray(lam_b[kk]),
+                                       np.asarray(lam_s), atol=1e-9)
