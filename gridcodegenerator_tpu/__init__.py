@@ -36,6 +36,7 @@ from .codegen import (
 from .ops.contact import (
     constrained_inverse_dynamics,
     contact_jacobian,
+    fb_constrained_fd_batched,
     fb_constrained_forward_dynamics,
     fb_contact_jacobian,
     fb_simulate_constrained,
@@ -85,7 +86,8 @@ __all__ = [
     "contact_jacobian", "constrained_forward_dynamics",
     "constrained_inverse_dynamics", "simulate_constrained",
     "project_velocity", "fb_contact_jacobian",
-    "fb_constrained_forward_dynamics", "fb_simulate_constrained",
+    "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
+    "fb_simulate_constrained",
     "fb_step_ground", "fb_simulate_ground",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_gradient", "fb_id_grad",
