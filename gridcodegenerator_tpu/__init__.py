@@ -42,6 +42,7 @@ from .ops.contact import (
     fb_simulate_constrained,
     fb_simulate_ground,
     fb_step_ground,
+    fb_step_ground_batched,
     project_velocity,
     simulate_constrained,
 )
@@ -88,7 +89,7 @@ __all__ = [
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",
-    "fb_step_ground", "fb_simulate_ground",
+    "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",

@@ -681,6 +681,121 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     return (quat2, pos2, q2, vb2, qd2), p_imp.reshape(k, 3)
 
 
+def _quat_mul_bl(a, b):
+    """(4,B) ⊗ (4,B)."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by + ay * bw + az * bx - ax * bz,
+        aw * bz + az * bw + ax * by - ay * bx,
+    ])
+
+
+def _quat_exp_bl(w_dt):
+    """(3,B) body rotation vectors → (4,B) unit quaternions exp(½·)."""
+    half = 0.5 * w_dt
+    ang = jnp.sqrt(half[0] ** 2 + half[1] ** 2 + half[2] ** 2 + 1e-30)
+    s = jnp.sin(ang) / ang
+    return jnp.stack([jnp.cos(ang), s * half[0], s * half[1], s * half[2]])
+
+
+def pgs_solve_bl(G, b, mu, active, iters: int = 30):
+    """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,),
+    active (k,B) → impulses (3k,B); every sweep step a lane-parallel op."""
+    k = b.shape[0] // 3
+    diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k)]), 1e-9, None)
+
+    def sweep(_, p):
+        for i in range(k):
+            s = 3 * i
+            r = matvec_bl(G[s:s + 3], p) + b[s:s + 3]
+            cand = p[s:s + 3] - r / diag[s:s + 3]
+            pn = jnp.maximum(cand[2], 0.0) * active[i]
+            pt0, pt1 = cand[0], cand[1]
+            norm_t = jnp.sqrt(pt0 * pt0 + pt1 * pt1 + 1e-30)
+            scale = jnp.minimum(1.0, float(mu[i]) * pn / norm_t)
+            p = jnp.concatenate(
+                [p[:s], jnp.stack([pt0 * scale, pt1 * scale, pn]),
+                 p[s + 3:]])
+        return p
+
+    return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
+
+
+def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
+                           ground_z=0.0, gravity=-9.81, iters: int = 30,
+                           erp: float = 0.2, margin: float = 1e-3,
+                           restitution: float = 0.0):
+    """Batched :func:`fb_step_ground`: N independent frictional quadruped
+    environments advanced in ONE step program — the massively-parallel
+    RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
+    vb (B,6), qd (B,n))``, ``tau (B,n)``; returns (next_state,
+    impulses (B,k,3)). Runs fully batch-last internally (see
+    :func:`fb_constrained_fd_batched`); per-environment contact activation
+    and cone projection are lane-parallel masks inside the shared PGS."""
+    quat, pos, q, vb, qd = state
+    B = q.shape[0]
+    n = ffm.n
+    k = len(links)
+    offsets = jnp.asarray(offsets, q.dtype)
+    flat = lambda x: x.T
+    quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
+    vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
+    dtype = q_bl.dtype
+
+    from .blops import joint_transforms_bl
+    X = joint_transforms_bl(ffm.arm, q_bl)
+    R = _quat_to_rot_bl(quat_bl)
+    p_b, c_j = _fb_bias_bl(ffm, X, R, vb_bl, qd_bl, gravity)
+    M = _fb_mass_matrix_bl(ffm, X)
+    Lm = chol_factor_bl(M)
+    v = jnp.concatenate([vb_bl, qd_bl])
+    v_free = v + dt * chol_apply_bl(
+        Lm, jnp.concatenate([-p_b, tau_bl - c_j]))
+
+    J, x_b = _fb_contact_rows_bl(ffm, quat_bl, q_bl, links, offsets)
+    # world foot heights and activation
+    gaps = jnp.stack([
+        pos_bl[2] + sum(R[2, j] * x_b[3 * i + j] for j in range(3)) - ground_z
+        for i in range(k)])
+    active = (gaps < margin).astype(dtype)
+
+    MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(3 * k)]
+    G = jnp.stack([
+        jnp.stack([sum(J[r, c] * MiJt_cols[s][c] for c in range(6 + n))
+                   for s in range(3 * k)])
+        for r in range(3 * k)]) + 1e-9 * jnp.eye(3 * k, dtype=dtype)[..., None]
+    Jv = jnp.stack([sum(J[r, c] * v[c] for c in range(6 + n))
+                    for r in range(3 * k)])
+    Jvf = jnp.stack([sum(J[r, c] * v_free[c] for c in range(6 + n))
+                     for r in range(3 * k)])
+    vn_now = jnp.stack([Jv[3 * i + 2] for i in range(k)])
+    v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
+              - restitution * jnp.minimum(vn_now, 0.0))
+    b = Jvf
+    b = jnp.concatenate([
+        jnp.concatenate([b[3 * i:3 * i + 2],
+                         (b[3 * i + 2] - v_star[i])[None]])
+        for i in range(k)])
+
+    mu_vec = np.broadcast_to(np.asarray(mu, np.float64), (k,))
+    p_imp = pgs_solve_bl(G, b, mu_vec, active, iters)
+
+    v_new = v_free + sum(MiJt_cols[s] * p_imp[s][None, :]
+                         for s in range(3 * k))
+    vb2, qd2 = v_new[:6], v_new[6:]
+    quat2 = _quat_mul_bl(quat_bl, _quat_exp_bl(vb2[:3] * dt))
+    quat2 = quat2 / jnp.sqrt(jnp.sum(quat2 * quat2, axis=0))
+    R2 = _quat_to_rot_bl(quat2)
+    pos2 = pos_bl + dt * jnp.stack([
+        sum(R2[i, j] * vb2[3 + j] for j in range(3)) for i in range(3)])
+    q2 = q_bl + dt * qd2
+    nxt = (quat2.T, pos2.T, q2.T, vb2.T, qd2.T)
+    return nxt, jnp.moveaxis(p_imp, 0, -1).reshape(B, k, 3)
+
+
 def fb_simulate_ground(ffm, state0, taus, dt, links, offsets, mu=0.8,
                        ground_z=0.0, gravity=-9.81, iters: int = 30,
                        erp: float = 0.2, margin: float = 1e-3,

@@ -578,3 +578,81 @@ def test_fb_constrained_batched_matches_single():
                                        np.asarray(qdd_s), atol=1e-9)
             np.testing.assert_allclose(np.asarray(lam_b[kk]),
                                        np.asarray(lam_s), atol=1e-9)
+
+
+def test_fb_step_ground_batched_matches_single():
+    """The batched RL-environment stepper must reproduce N independent
+    single-environment steps exactly (same PGS sweeps, lane-parallel)."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    rng = np.random.default_rng(71)
+    B = 5
+    quat = []
+    for _ in range(B):
+        quat.append(np.asarray(ff.rot_to_quat(
+            jnp.asarray(rpy_to_matrix(rng.uniform(-0.2, 0.2, 3))))))
+    quat = jnp.asarray(np.stack(quat))
+    pos = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 3)) + [0, 0, 0.55])
+    q = jnp.asarray(np.tile([-0.1, 0.7, -1.2], (B, 4))
+                    + rng.uniform(-0.05, 0.05, (B, n)))
+    vb = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)))
+    tau = jnp.asarray(rng.uniform(-10, 10, (B, n)))
+
+    nxt, imp = jax.jit(lambda s, t: ctt.fb_step_ground_batched(
+        ffm, s, t, 1e-3, _FEET, _FOOT_OFF, mu=0.7))(
+        (quat, pos, q, vb, qd), tau)
+    assert imp.shape == (B, 4, 3)
+    for kk in (0, 2, B - 1):
+        s_ref, imp_ref = ctt.fb_step_ground(
+            ffm, (quat[kk], pos[kk], q[kk], vb[kk], qd[kk]), tau[kk], 1e-3,
+            _FEET, _FOOT_OFF, mu=0.7)
+        for a, b in zip(nxt, s_ref):
+            np.testing.assert_allclose(np.asarray(a[kk]), np.asarray(b),
+                                       atol=1e-9)
+        np.testing.assert_allclose(np.asarray(imp[kk]), np.asarray(imp_ref),
+                                   atol=1e-9)
+
+
+def test_fb_ground_batched_rollout_all_settle():
+    """A fleet of quadruped environments dropped from different heights with
+    PD-held joints: every environment settles standing (the parallel-RL
+    deployment shape: one scan over time, lanes over environments)."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    B = 8
+    rng = np.random.default_rng(3)
+    q0 = jnp.asarray(np.tile([-0.1, 0.7, -1.2], 4))
+    foot_z = min(
+        float(ctt._fb_point_base(ffm, q0, l, jnp.asarray(_FOOT_OFF[i]))[0][2])
+        for i, l in enumerate(_FEET))
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+    pos = jnp.asarray(np.stack([
+        [0, 0, -foot_z + h] for h in rng.uniform(0.0, 0.02, B)]))
+    q = jnp.tile(q0, (B, 1))
+    vb = jnp.zeros((B, 6))
+    qd = jnp.zeros((B, n))
+
+    # stance gravity-compensation + PD
+    X = ffm.arm.joint_transforms(q0)
+    p_b, c_j = ff.fb_bias(ffm, X, ff.quat_to_rot(quat[0]), jnp.zeros(6),
+                          jnp.zeros(n))
+    J = ctt.fb_contact_jacobian(ffm, quat[0], q0, _FEET, _FOOT_OFF)
+    tau_g = c_j - (J.T @ (jnp.linalg.pinv(J[:, :6].T) @ p_b))[6:]
+
+    @jax.jit
+    def roll(state):
+        def step(s, _):
+            tau = tau_g[None] + 300.0 * (q0[None] - s[2]) - 20.0 * s[4]
+            nxt, imp = ctt.fb_step_ground_batched(
+                ffm, s, tau, 1e-3, _FEET, _FOOT_OFF, mu=0.9)
+            return nxt, None
+        return jax.lax.scan(step, state, None, length=900)[0]
+
+    quatT, posT, qT, vbT, qdT = roll((quat, pos, q, vb, qd))
+    assert bool(jnp.all(jnp.isfinite(posT)))
+    # every environment: nearly still, base at standing height, feet at z≈0
+    assert float(jnp.abs(vbT).max()) < 0.1
+    np.testing.assert_allclose(np.asarray(posT[:, 2]), -foot_z, atol=0.02)
