@@ -656,3 +656,28 @@ def test_fb_ground_batched_rollout_all_settle():
     # every environment: nearly still, base at standing height, feet at z≈0
     assert float(jnp.abs(vbT).max()) < 0.1
     np.testing.assert_allclose(np.asarray(posT[:, 2]), -foot_z, atol=0.02)
+
+
+def test_fk_bl_matches_fk(iiwa64):
+    """Batch-last FK == per-state FK (layout refactor guard)."""
+    desc, _, model = iiwa64
+    n = desc.n
+    rng = np.random.default_rng(59)
+    B = 5
+    qs = jnp.asarray(rng.uniform(-2, 2, (B, n)))
+    Rbl, pbl = kin.fk_bl(model, qs.T)
+    for k in range(B):
+        R, p = kin.fk(model, qs[k])
+        for i in range(n):
+            np.testing.assert_allclose(np.asarray(Rbl[i][..., k]),
+                                       np.asarray(R[i]), atol=1e-13)
+            np.testing.assert_allclose(np.asarray(pbl[i][..., k]),
+                                       np.asarray(p[i]), atol=1e-13)
+    # rows too
+    links = (2, n - 1)
+    offs = np.array([[0.03, 0.02, 0.05], [0.04, -0.03, 0.1]])
+    Jbl = kin.contact_rows_bl(model, qs.T, links, offs)
+    for k in (0, B - 1):
+        J = ct.contact_jacobian(model, qs[k], links, jnp.asarray(offs))
+        np.testing.assert_allclose(np.asarray(Jbl[..., k]), np.asarray(J),
+                                   atol=1e-13)
