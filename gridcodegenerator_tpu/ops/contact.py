@@ -513,7 +513,12 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     everything runs batch-last (batch on the vector lanes), mirroring the
     single-state :func:`fb_constrained_forward_dynamics` exactly (tested to
     f64 round-off). Inputs are batch-first user arrays ``(..., d)``; returns
-    ``(v̇b (...,6), q̈ (...,n), λ (...,3k))``."""
+    ``(v̇b (...,6), q̈ (...,n), λ (...,3k))``.
+
+    The robot constants (inertias, S, damping) are baked into the program as
+    literals — ``ffm`` must be a concrete closed-over model, not a traced
+    ``jit`` argument (the single-state path supports traced models; use it
+    for differentiating w.r.t. model parameters)."""
     n = ffm.n
     k = len(links)
     offsets = jnp.asarray(offsets, q.dtype)
