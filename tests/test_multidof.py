@@ -361,3 +361,33 @@ def test_floating_joint_matches_freeflyer_module():
     np.testing.assert_allclose(np.asarray(dq_a), np.asarray(dq_j), atol=1e-9)
     np.testing.assert_allclose(np.asarray(dqd_a), np.asarray(dqd_j),
                                atol=1e-9)
+
+
+def test_floating_chain_tumble_conserves_energy():
+    """Torque-free, damping-free tumble of a free-floating iiwa through the
+    GENERIC multi-dof path (floating joint + md_step manifold integrator):
+    energy conserved, quaternion stays unit — validates the twist-chart
+    integrator for 6-dof joints (the FD itself is pinned against the
+    free-flyer module elsewhere)."""
+    mdm = md.multidof_model_from_description(
+        g.parse_urdf(zoo.with_free_joint(zoo.iiwa14(damping=0.0))),
+        dtype=jnp.float64)
+    q = md.neutral_q(mdm)
+    qd = jnp.asarray(np.concatenate([[1.8, -1.1, 0.9, 0.1, -0.2, 0.3],
+                                     0.4 * np.ones(7)]))
+    u = jnp.zeros(mdm.nv)
+
+    @jax.jit
+    def roll(q, qd):
+        def body(carry, _):
+            q_, qd_ = carry
+            q2, qd2 = md.md_step(mdm, q_, qd_, u, 2e-4)
+            return (q2, qd2), md.md_energy(mdm, q2, qd2)
+        return jax.lax.scan(body, (q, qd), None, length=3000)
+
+    (qT, qdT), E = roll(q, qd)
+    E = np.asarray(E)
+    assert np.isfinite(E).all()
+    drift = abs(E[-1] - E[0]) / max(1.0, abs(E[0]))
+    assert drift < 2e-3, drift
+    assert abs(float(jnp.linalg.norm(qT[:4])) - 1.0) < 1e-12
