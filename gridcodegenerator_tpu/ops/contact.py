@@ -588,6 +588,11 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     unflat = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
         shape_b + (arr.shape[0],))
     return unflat(y[:6]), unflat(y[6:]), unflat(lam)
+
+
+# --------------------------------------------------------------------------
+# Unilateral ground contact with Coulomb friction (velocity-stepping PGS)
+# --------------------------------------------------------------------------
 def pgs_solve(G, b, mu, active, iters: int = 30):
     """Projected Gauss-Seidel for the contact LCP/cone problem: find
     impulses p minimizing ½pᵀGp + pᵀb subject to, per contact i (rows
