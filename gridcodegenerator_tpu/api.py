@@ -273,6 +273,7 @@ def constrained_forward_dynamics(model: RobotModel, q, qd, u, links, offsets,
 
     _check_states(model, (q, qd, u), ("q", "qd", "u"))
     links = tuple(links)
+    _ct._check_contacts(model.n, links, offsets)
     offsets = jnp.asarray(offsets)
     if jnp.ndim(q) == 1:
         return _ct.constrained_forward_dynamics(

@@ -35,10 +35,28 @@ from .minv import densify, minv_inner
 from .rnea import rnea_bwd, rnea_fwd
 
 
+def _check_contacts(n_links_valid, links, offsets):
+    """Fail fast on malformed contact geometry (the api._check_states analog
+    for the contact layer): non-empty static links within range, offsets
+    shaped (k, 3)."""
+    links = tuple(links)
+    if not links:
+        raise ValueError("contact set is empty: pass at least one link")
+    for l in links:
+        if not (0 <= int(l) < n_links_valid):
+            raise ValueError(
+                f"contact link index {l} out of range [0, {n_links_valid})")
+    shp = jnp.shape(offsets)
+    if shp != (len(links), 3):
+        raise ValueError(
+            f"offsets must be ({len(links)}, 3) body-frame points, got {shp}")
+
+
 def contact_jacobian(model: RobotModel, q, links, offsets):
     """Stacked world *linear* point Jacobian (3k, n) for k contact points
     (``links``: static tuple of link indices; ``offsets``: (k, 3) body-frame
     attachment points)."""
+    _check_contacts(model.n, links, offsets)
     offsets = jnp.asarray(offsets, q.dtype)
     rows = [world_jacobian(model, q, l, offsets[i])[3:]
             for i, l in enumerate(links)]
@@ -69,6 +87,7 @@ def constrained_forward_dynamics(model: RobotModel, q, qd, u, links, offsets,
     to zero during integration. ``reg`` adds a ridge to the Delassus
     operator for redundant contact sets (G singular when constraints are
     linearly dependent)."""
+    _check_contacts(model.n, links, offsets)
     k = len(links)
     offsets = jnp.asarray(offsets, q.dtype)
     qdd_free = forward_dynamics(model, q, qd, u, gravity)
@@ -212,6 +231,7 @@ def fb_constrained_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, links,
     (torque rows, base-wrench rows)."""
     from .freeflyer import fb_bias, fb_mass_matrix, quat_to_rot
 
+    _check_contacts(ffm.n, links, offsets)
     offsets = jnp.asarray(offsets, q.dtype)
     n = ffm.n
     k = len(links)
@@ -520,6 +540,7 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     ``jit`` argument (the single-state path supports traced models; use it
     for differentiating w.r.t. model parameters)."""
     n = ffm.n
+    _check_contacts(n, links, offsets)
     k = len(links)
     offsets = jnp.asarray(offsets, q.dtype)
     shape_b = q.shape[:-1]

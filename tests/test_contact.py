@@ -681,3 +681,17 @@ def test_fk_bl_matches_fk(iiwa64):
         J = ct.contact_jacobian(model, qs[k], links, jnp.asarray(offs))
         np.testing.assert_allclose(np.asarray(Jbl[..., k]), np.asarray(J),
                                    atol=1e-13)
+
+
+def test_contact_geometry_validation(iiwa64):
+    """Malformed contact sets fail fast with typed errors (the gpuAssert-
+    at-the-host-boundary analog for the contact layer)."""
+    desc, _, model = iiwa64
+    n = desc.n
+    q = qd = u = jnp.zeros(n)
+    with pytest.raises(ValueError, match="empty"):
+        ct.constrained_forward_dynamics(model, q, qd, u, (), np.zeros((0, 3)))
+    with pytest.raises(ValueError, match="out of range"):
+        ct.contact_jacobian(model, q, (n + 3,), np.zeros((1, 3)))
+    with pytest.raises(ValueError, match="offsets"):
+        ct.contact_jacobian(model, q, (0, 1), np.zeros((1, 3)))
