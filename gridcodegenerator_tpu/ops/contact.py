@@ -18,8 +18,19 @@ engine's *analytic* M⁻¹ recursion (``ops/minv.py``, reference
 Delassus assembly is two dense (3k, n)·(n, n) matmuls — MXU food — with no
 extra factorization of M.
 
-All functions are single-state, trace-time specialized to the (static) list
-of contact links, jit/vmap-friendly, and differentiable.
+Layers (all trace-time specialized to the static contact-link list,
+jit-friendly, differentiable):
+* fixed-base bilateral pins (single-state; the batched api entry
+  ``api.constrained_forward_dynamics`` runs batch-last over the fused
+  kernels);
+* floating-base stance (:func:`fb_constrained_forward_dynamics` single-state
+  + :func:`fb_constrained_fd_batched` batch-last) with MPC linearization;
+* unilateral Coulomb ground contact (:func:`fb_step_ground` /
+  :func:`fb_step_ground_batched`: PGS cone solver, velocity stepping with
+  lift-off/stick/slide — the parallel-RL simulation shape);
+* batch-last small linear algebra shared by all of it (unrolled
+  lane-parallel Cholesky and matmuls — see BENCHMARKS.md "Contact layer"
+  for why batch-first forms are 18–36× slower on TPU).
 """
 
 from __future__ import annotations

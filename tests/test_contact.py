@@ -9,8 +9,14 @@ Validation strategy (all float64 on CPU):
 4. constrained FD: (a) the KKT residual J q̈ + J̇q̇ = a* vanishes at the
    solution, (b) the ID round trip ``inverse_dynamics(q̈) == u + Jᵀλ``
    (constraint forces enter exactly as generalized forces), (c) a pinned
-   end-effector stays on its anchor through a Baumgarte-stabilized rollout,
-   (d) statics: a gravity-loaded pin carries the robot's weight.
+   end-effector stays on its anchor through a Baumgarte-stabilized rollout;
+5. floating-base stance: J_fb columns vs the derivative of the independent
+   world-position map, vanishing foot accelerations at the solution, the
+   free-flyer ID round trip, a quadruped holding its static equilibrium;
+6. unilateral ground contact: drop-and-settle (impulse rate = weight, cone
+   conditions), stick-vs-slide friction, exact non-action at a distance
+   (ballistic flight), batched == single-environment stepping;
+7. batch-last layers == their per-state references to f64 round-off.
 """
 
 import jax
