@@ -106,6 +106,7 @@ def timeit(fn, args, reps, trials):
         np.asarray(first[(0,) * first.ndim])  # scalar device→host sync
         return time.perf_counter() - t0
 
+    reps = max(int(reps), 2)  # the slope needs reps > lo
     lo = max(1, reps // 4)
     ts = []
     ceilings = []
@@ -146,13 +147,15 @@ def main():
     from functools import partial
 
     # ONE jitted computation per batch size: input generation + ∇FD + the
-    # 4-state parity head, fused. When the tunnel's remote-compile service
+    # 256-state parity head, fused. When the tunnel's remote-compile service
     # is degraded it charges a flat ~50 s per DISTINCT computation (even
     # cache-hit), so the old 3-computation prelude (inputs, fn, slice)
     # could eat the whole budget before the first measurement. One
     # computation bounds that prelude to one flat cost; regenerating the
     # inputs inside every timed call adds only O(B·n) uniform-PRNG work
     # against O(B·n²·depth) gradient work (<1%).
+    P_HEAD = 256  # parity sample size (VERDICT r2 #3: 4 states under-sampled)
+
     @partial(jax.jit, static_argnums=0)
     def run_batch(batch):
         ks = jax.random.split(jax.random.key(0), 3)
@@ -160,22 +163,27 @@ def main():
         qd = jax.random.uniform(ks[1], (batch, n), jnp.float32, -1, 1)
         u = jax.random.uniform(ks[2], (batch, n), jnp.float32, -8, 8)
         out = g.forward_dynamics_gradient(model, q, qd, u)
-        return out[:4], q[:4], qd[:4], u[:4]
+        return out[:P_HEAD], q[:P_HEAD], qd[:P_HEAD], u[:P_HEAD]
 
     # ---- phase 1: compile + first defensible number at batch 2^18 ----------
     B1 = 1 << 18
     t0 = time.perf_counter()
-    head, q4, qd4, u4 = (np.asarray(x, np.float64) for x in run_batch(B1))
+    head, qh, qdh, uh = (np.asarray(x, np.float64) for x in run_batch(B1))
     log(f"[{elapsed():.1f}s] compile+first run (B={B1}): "
         f"{time.perf_counter() - t0:.2f}s")
 
-    # parity vs the float64 golden model on the first 4 states of the real
-    # batch (same compiled program — no extra computation, ~3 kB transferred)
-    err = max(
-        np.abs(head[k] - gold.fd_grad(q4[k], qd4[k], u4[k])).max()
-        / max(1.0, np.abs(gold.fd_grad(q4[k], qd4[k], u4[k])).max())
-        for k in range(4))
-    log(f"[{elapsed():.1f}s] f32-vs-golden relative parity (4 states): {err:.3e}")
+    # parity vs the float64 golden model over the first 256 states of the
+    # real batch (same compiled program — no extra TPU computation; ~100 kB
+    # transferred once). Reporting max AND p99: the f32 error is a
+    # floor-attributed distribution (PARITY.md), so a sample-robust claim
+    # needs both the tail and the typical state.
+    errs = np.empty(P_HEAD)
+    for k in range(P_HEAD):
+        ref = gold.fd_grad(qh[k], qdh[k], uh[k])
+        errs[k] = np.abs(head[k] - ref).max() / max(1.0, np.abs(ref).max())
+    log(f"[{elapsed():.1f}s] f32-vs-golden relative parity ({P_HEAD} states): "
+        f"max={errs.max():.3e} p99={np.quantile(errs, 0.99):.3e} "
+        f"median={np.median(errs):.3e}")
 
     med, mn = timeit(run_batch, (B1,), reps=12, trials=2)
     record(B1, B1 / med)

@@ -48,6 +48,7 @@ def time_fn(fn, args, reps=20, trials=4):
         return time.perf_counter() - t0
 
     enqueue_and_sync(1)  # compile + warm
+    reps = max(int(reps), 2)  # the slope needs reps > lo
     lo = max(1, reps // 4)
     ts, ceilings = [], []
     for _ in range(trials):

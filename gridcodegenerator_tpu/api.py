@@ -232,11 +232,31 @@ def forward_dynamics_ad(model: RobotModel, q, qd, u, *,
 
     Single-state analog: :func:`..ops.fd.forward_dynamics_diff` (vmap path).
     Cotangents flow to (q, q̇, u); the robot model is a closed-over constant.
+    The ``custom_vjp`` closure is cached per (model, gravity, impl) like the
+    sibling runners, so repeated calls reuse one traced identity instead of
+    retracing per call.
     """
+    return _fd_ad_runner(model, float(gravity), _resolve_impl(impl, q))(
+        q, qd, u)
+
+
+_AD_CACHE: dict = {}
+
+
+def _fd_ad_runner(model, gravity, resolved):
+    """Per-(model, gravity, impl) cached custom-VJP closure. Keyed on the
+    model's identity (RobotModel leaves are unhashable arrays) with a weakref
+    check so a recycled ``id`` can never alias a dead model's closure."""
+    import weakref
+
+    key = (id(model), gravity, resolved)
+    hit = _AD_CACHE.get(key)
+    if hit is not None and hit[0]() is model:
+        return hit[1]
+
     import jax.numpy as _jnp
 
     n = model.n
-    resolved = _resolve_impl(impl, q)
 
     @jax.custom_vjp
     def _fd(q, qd, u):
@@ -259,7 +279,11 @@ def forward_dynamics_ad(model: RobotModel, q, qd, u, *,
         return dq, dqd, Mg
 
     _fd.defvjp(_fwd, _bwd)
-    return _fd(q, qd, u)
+    if len(_AD_CACHE) >= 64:  # drop entries whose model has been collected
+        for k in [k for k, v in _AD_CACHE.items() if v[0]() is None]:
+            del _AD_CACHE[k]
+    _AD_CACHE[key] = (weakref.ref(model), _fd)
+    return _fd
 
 
 def constrained_forward_dynamics(model: RobotModel, q, qd, u, links, offsets,

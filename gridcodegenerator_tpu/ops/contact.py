@@ -679,6 +679,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                             quat_mul, quat_to_rot)
 
     quat, pos, q, vb, qd = state
+    _check_contacts(ffm.n, links, offsets)
     offsets = jnp.asarray(offsets, q.dtype)
     k = len(links)
     n = ffm.n
@@ -744,9 +745,11 @@ def _quat_exp_bl(w_dt):
 
 
 def pgs_solve_bl(G, b, mu, active, iters: int = 30):
-    """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,),
-    active (k,B) → impulses (3k,B); every sweep step a lane-parallel op."""
+    """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,) or
+    (k,B) — static, traced, or per-environment — active (k,B) →
+    impulses (3k,B); every sweep step a lane-parallel op."""
     k = b.shape[0] // 3
+    mu = jnp.asarray(mu, b.dtype)
     diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k)]), 1e-9, None)
 
     def sweep(_, p):
@@ -757,7 +760,7 @@ def pgs_solve_bl(G, b, mu, active, iters: int = 30):
             pn = jnp.maximum(cand[2], 0.0) * active[i]
             pt0, pt1 = cand[0], cand[1]
             norm_t = jnp.sqrt(pt0 * pt0 + pt1 * pt1 + 1e-30)
-            scale = jnp.minimum(1.0, float(mu[i]) * pn / norm_t)
+            scale = jnp.minimum(1.0, mu[i] * pn / norm_t)
             p = jnp.concatenate(
                 [p[:s], jnp.stack([pt0 * scale, pt1 * scale, pn]),
                  p[s + 3:]])
@@ -778,6 +781,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     :func:`fb_constrained_fd_batched`); per-environment contact activation
     and cone projection are lane-parallel masks inside the shared PGS."""
     quat, pos, q, vb, qd = state
+    _check_contacts(ffm.n, links, offsets)
     B = q.shape[0]
     n = ffm.n
     k = len(links)
@@ -822,7 +826,16 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                          (b[3 * i + 2] - v_star[i])[None]])
         for i in range(k)])
 
-    mu_vec = np.broadcast_to(np.asarray(mu, np.float64), (k,))
+    # mu may be a static scalar, a traced scalar, a (k,) per-foot array, or
+    # a (B,) / (B, k) per-environment array (batch-first user layout)
+    mu_arr = jnp.asarray(mu, dtype)
+    if mu_arr.ndim == 2:                       # (B, k) → (k, B)
+        mu_vec = mu_arr.T
+    elif mu_arr.ndim == 1 and mu_arr.shape[0] == B and B != k:
+        mu_vec = jnp.broadcast_to(mu_arr[None, :], (k, B))
+    else:
+        mu_vec = jnp.broadcast_to(mu_arr.reshape(-1)[:, None]
+                                  if mu_arr.ndim else mu_arr, (k, B))
     p_imp = pgs_solve_bl(G, b, mu_vec, active, iters)
 
     v_new = v_free + sum(MiJt_cols[s] * p_imp[s][None, :]

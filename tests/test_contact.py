@@ -621,6 +621,56 @@ def test_fb_step_ground_batched_matches_single():
                                    atol=1e-9)
 
 
+def test_fb_step_ground_batched_per_env_mu():
+    """Per-environment friction coefficients (a traced (B, k) array — the
+    domain-randomization shape) must match per-environment single steps with
+    the matching scalar mu (ADVICE r2: mu used to be trace-time static)."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    rng = np.random.default_rng(17)
+    B = 3
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+    pos = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.5])
+    q = jnp.asarray(np.tile([-0.1, 0.7, -1.2], (B, 4))
+                    + rng.uniform(-0.05, 0.05, (B, n)))
+    vb = jnp.asarray(rng.uniform(-0.8, 0.8, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-0.5, 0.5, (B, n)))
+    tau = jnp.asarray(rng.uniform(-10, 10, (B, n)))
+    mus = np.asarray([0.2, 0.7, 1.1])
+    mu_bk = jnp.asarray(np.tile(mus[:, None], (1, len(_FEET))))
+
+    nxt, imp = jax.jit(lambda s, t, m: ctt.fb_step_ground_batched(
+        ffm, s, t, 1e-3, _FEET, _FOOT_OFF, mu=m))(
+        (quat, pos, q, vb, qd), tau, mu_bk)
+    for kk in range(B):
+        s_ref, imp_ref = ctt.fb_step_ground(
+            ffm, (quat[kk], pos[kk], q[kk], vb[kk], qd[kk]), tau[kk], 1e-3,
+            _FEET, _FOOT_OFF, mu=float(mus[kk]))
+        for a, b in zip(nxt, s_ref):
+            np.testing.assert_allclose(np.asarray(a[kk]), np.asarray(b),
+                                       atol=1e-9)
+        np.testing.assert_allclose(np.asarray(imp[kk]), np.asarray(imp_ref),
+                                   atol=1e-9)
+
+
+def test_ground_contact_geometry_validated():
+    """fb_step_ground / fb_step_ground_batched fail fast on malformed
+    contact geometry (ADVICE r2: they used to bypass _check_contacts)."""
+    from gridcodegenerator_tpu.ops import contact as ctt
+    ffm = _hyq_ff()
+    n = ffm.n
+    state = (jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(3) + 0.5,
+             jnp.zeros(n), jnp.zeros(6), jnp.zeros(n))
+    tau = jnp.zeros(n)
+    with pytest.raises(ValueError, match="out of range"):
+        ctt.fb_step_ground(ffm, state, tau, 1e-3, (999,), [[0, 0, 0.0]])
+    with pytest.raises(ValueError, match="offsets"):
+        ctt.fb_step_ground_batched(
+            ffm, tuple(x[None] for x in state), tau[None], 1e-3,
+            _FEET, np.zeros((2, 3)))
+
+
 def test_fb_ground_batched_rollout_all_settle():
     """A fleet of quadruped environments dropped from different heights with
     PD-held joints: every environment settles standing (the parallel-RL
