@@ -46,6 +46,18 @@ from .minv import densify, minv_inner
 from .rnea import rnea_bwd, rnea_fwd
 
 
+def _impl_auto(impl: str, x=None) -> str:
+    """Local twin of ``api._resolve_impl`` (no import cycle): 'auto' →
+    fused Pallas kernels on TPU, the batch-last XLA path elsewhere."""
+    if impl != "auto":
+        return impl
+    try:
+        platform = next(iter(x.devices())).platform
+    except Exception:
+        platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "vmap"
+
+
 def _check_contacts(n_links_valid, links, offsets):
     """Fail fast on malformed contact geometry (the api._check_states analog
     for the contact layer): non-empty static links within range, offsets
@@ -539,12 +551,17 @@ def _fb_contact_rows_bl(ffm, quat, q_bl, links, offsets):
 
 def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
                               anchors=None, gravity=-9.81,
-                              baumgarte=(0.0, 0.0), reg=0.0):
+                              baumgarte=(0.0, 0.0), reg=0.0, impl="auto"):
     """Batched stance FD over leading batch axes — the TPU production path:
     everything runs batch-last (batch on the vector lanes), mirroring the
     single-state :func:`fb_constrained_forward_dynamics` exactly (tested to
     f64 round-off). Inputs are batch-first user arrays ``(..., d)``; returns
     ``(v̇b (...,6), q̈ (...,n), λ (...,3k))``.
+
+    ``impl``: ``"auto"`` routes to the fused Pallas lane-tile kernel
+    (:func:`.kernels.contact_fused.stance_fd_fused`) on TPU and to the
+    plain-XLA batch-last pipeline elsewhere; force with ``"pallas"`` /
+    ``"vmap"``.
 
     The robot constants (inertias, S, damping) are baked into the program as
     literals — ``ffm`` must be a concrete closed-over model, not a traced
@@ -553,11 +570,23 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     n = ffm.n
     _check_contacts(n, links, offsets)
     k = len(links)
+    off_np = np.asarray(offsets, np.float64)   # geometry is trace-time static
+    anch_np = None if anchors is None else np.asarray(anchors, np.float64)
     offsets = jnp.asarray(offsets, q.dtype)
     shape_b = q.shape[:-1]
     flat = lambda x: x.reshape((-1, x.shape[-1])).T      # (..., d) → (d, B)
     quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
     vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
+
+    if _impl_auto(impl, q) == "pallas":
+        from .kernels import contact_fused as _cf
+
+        dvb, qdd2, lam2 = _cf.stance_fd_fused(
+            ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, links,
+            off_np, anch_np, gravity, baumgarte, reg)
+        unflat2 = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
+            shape_b + (arr.shape[0],))
+        return unflat2(dvb), unflat2(qdd2), unflat2(lam2)
     B = q_bl.shape[-1]
     dtype = q_bl.dtype
 
@@ -744,6 +773,19 @@ def _quat_exp_bl(w_dt):
     return jnp.stack([jnp.cos(ang), s * half[0], s * half[1], s * half[2]])
 
 
+def _mu_to_bl(mu, k, B, dtype):
+    """Friction coefficients to batch-last (k, B): accepts a static scalar,
+    a traced scalar, a (k,) per-foot array, or a (B,) / (B, k)
+    per-environment array (batch-first user layout)."""
+    mu_arr = jnp.asarray(mu, dtype)
+    if mu_arr.ndim == 2:                       # (B, k) → (k, B)
+        return mu_arr.T
+    if mu_arr.ndim == 1 and mu_arr.shape[0] == B and B != k:
+        return jnp.broadcast_to(mu_arr[None, :], (k, B))
+    return jnp.broadcast_to(mu_arr.reshape(-1)[:, None]
+                            if mu_arr.ndim else mu_arr, (k, B))
+
+
 def pgs_solve_bl(G, b, mu, active, iters: int = 30):
     """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,) or
     (k,B) — static, traced, or per-environment — active (k,B) →
@@ -772,24 +814,40 @@ def pgs_solve_bl(G, b, mu, active, iters: int = 30):
 def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            ground_z=0.0, gravity=-9.81, iters: int = 30,
                            erp: float = 0.2, margin: float = 1e-3,
-                           restitution: float = 0.0):
+                           restitution: float = 0.0, impl="auto"):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
     vb (B,6), qd (B,n))``, ``tau (B,n)``; returns (next_state,
     impulses (B,k,3)). Runs fully batch-last internally (see
     :func:`fb_constrained_fd_batched`); per-environment contact activation
-    and cone projection are lane-parallel masks inside the shared PGS."""
+    and cone projection are lane-parallel masks inside the shared PGS.
+
+    ``impl="auto"`` routes the whole step through ONE fused Pallas kernel
+    per 128-environment lane tile on TPU
+    (:func:`.kernels.contact_fused.step_ground_fused`)."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     B = q.shape[0]
     n = ffm.n
     k = len(links)
+    off_np = np.asarray(offsets, np.float64)
     offsets = jnp.asarray(offsets, q.dtype)
     flat = lambda x: x.T
     quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
     vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
     dtype = q_bl.dtype
+
+    if _impl_auto(impl, q) == "pallas":
+        from .kernels import contact_fused as _cf
+
+        mu_bl = _mu_to_bl(mu, k, B, dtype)
+        q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
+            ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl, dt,
+            links, off_np, ground_z, gravity, iters, erp, margin,
+            restitution)
+        nxt = (q2.T, p2.T, qq2.T, vb2.T, qd2.T)
+        return nxt, jnp.moveaxis(imp, 0, -1).reshape(B, k, 3)
 
     from .blops import joint_transforms_bl
     X = joint_transforms_bl(ffm.arm, q_bl)
@@ -826,17 +884,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                          (b[3 * i + 2] - v_star[i])[None]])
         for i in range(k)])
 
-    # mu may be a static scalar, a traced scalar, a (k,) per-foot array, or
-    # a (B,) / (B, k) per-environment array (batch-first user layout)
-    mu_arr = jnp.asarray(mu, dtype)
-    if mu_arr.ndim == 2:                       # (B, k) → (k, B)
-        mu_vec = mu_arr.T
-    elif mu_arr.ndim == 1 and mu_arr.shape[0] == B and B != k:
-        mu_vec = jnp.broadcast_to(mu_arr[None, :], (k, B))
-    else:
-        mu_vec = jnp.broadcast_to(mu_arr.reshape(-1)[:, None]
-                                  if mu_arr.ndim else mu_arr, (k, B))
-    p_imp = pgs_solve_bl(G, b, mu_vec, active, iters)
+    p_imp = pgs_solve_bl(G, b, _mu_to_bl(mu, k, B, dtype), active, iters)
 
     v_new = v_free + sum(MiJt_cols[s] * p_imp[s][None, :]
                          for s in range(3 * k))

@@ -1,0 +1,703 @@
+"""Fused Pallas TPU kernels for the floating-base contact stack.
+
+Round-3 closure of the reference's defining pattern — one native kernel per
+algorithm family (``/root/reference/algorithms/_forward_dynamics.py:143-194``)
+— extended to the layers this framework added beyond the reference: the
+free-flyer stance solve and the unilateral frictional ground stepper
+(the quadruped/humanoid and parallel-RL deployment shapes). The plain-XLA
+batch-last bodies in :mod:`..contact` stage every (d, B) intermediate through
+HBM; these kernels run the complete pipeline
+
+    X(q) → FK → free-flyer bias + mass matrix → contact rows → Delassus
+         → (Cholesky solve | PGS cone solve) → correction / integration
+
+on one VMEM-resident 128-state lane tile per grid step (the 1-D lane-tile
+layout of :func:`.fused._pallas_lane_call`: batch on the vector lanes,
+structure on the sublanes).
+
+Kernel-safe style: every value stays ≥2-D — scalars-per-state are (1, B)
+slices, small matrices are python lists of (1, B) entries (J, M, L, G) so
+structural zeros are ``None`` (skipped at trace time — the ancestor-sparsity
+analog of the reference's compressed gradient columns) and no op ever
+produces a 1-D (B,) array (Mosaic's layout-inference limitation, see the
+NOTE at the top of :mod:`..blops`).
+
+Equivalence: the bodies mirror :func:`..contact.fb_constrained_fd_batched`
+and :func:`..contact.fb_step_ground_batched` term by term and are tested
+against them in interpret mode (tests/test_contact_fused.py) and against
+the single-state references through them.
+"""
+
+from __future__ import annotations
+
+import math
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import blops
+from .fused import _LANES, _MODEL_FIELDS
+from .staged import _CAL, _LANE_BUDGET
+
+__all__ = ["stance_fd_fused", "step_ground_fused", "ff_workset_ok"]
+
+
+# --------------------------------------------------------------------------
+# 2-D-safe small-geometry helpers (batch-last, (1, B)-entry style)
+# --------------------------------------------------------------------------
+def _cross3s(a, b):
+    """(3,B) × (3,B) → (3,B) via (1,B) slices."""
+    return jnp.concatenate([
+        a[1:2] * b[2:3] - a[2:3] * b[1:2],
+        a[2:3] * b[0:1] - a[0:1] * b[2:3],
+        a[0:1] * b[1:2] - a[1:2] * b[0:1],
+    ])
+
+
+def _mv3s(A, x, tA=False):
+    """(3,3,B) @ (3,B) → (3,B); every term a (1,B) FMA."""
+    if tA:
+        rows = [sum(A[j, i:i + 1, :] * x[j:j + 1] for j in range(3))
+                for i in range(3)]
+    else:
+        rows = [sum(A[i, j:j + 1, :] * x[j:j + 1] for j in range(3))
+                for i in range(3)]
+    return jnp.concatenate(rows)
+
+
+def _mm33s(A, B, tA=False, tB=False):
+    """(3,3,B) @ (3,3,B) → (3,3,B), 27 (1,B) FMAs."""
+    a = (lambda i, k: A[k, i:i + 1, :]) if tA else (
+        lambda i, k: A[i, k:k + 1, :])
+    b = (lambda k, j: B[j, k:k + 1, :]) if tB else (
+        lambda k, j: B[k, j:j + 1, :])
+    # each entry (1,B); a row concatenates to (3,B), rows stack to (3,3,B)
+    return jnp.stack([
+        jnp.concatenate([sum(a(i, k) * b(k, j) for k in range(3))
+                         for j in range(3)])
+        for i in range(3)])
+
+
+def _quat_rot_s(quat):
+    """(4,B) unit quaternions → (3,3,B), all products on (1,B) slices."""
+    w, x, y, z = quat[0:1], quat[1:2], quat[2:3], quat[3:4]
+    one = 1.0
+    rows = [
+        jnp.concatenate([one - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                         2 * (x * z + w * y)]),
+        jnp.concatenate([2 * (x * y + w * z), one - 2 * (x * x + z * z),
+                         2 * (y * z - w * x)]),
+        jnp.concatenate([2 * (x * z - w * y), 2 * (y * z + w * x),
+                         one - 2 * (x * x + y * y)]),
+    ]
+    return jnp.stack(rows)
+
+
+def _quat_mul_s(a, b):
+    aw, ax, ay, az = a[0:1], a[1:2], a[2:3], a[3:4]
+    bw, bx, by, bz = b[0:1], b[1:2], b[2:3], b[3:4]
+    return jnp.concatenate([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by + ay * bw + az * bx - ax * bz,
+        aw * bz + az * bw + ax * by - ay * bx,
+    ])
+
+
+def _quat_exp_s(w_dt):
+    """(3,B) body rotation vectors → (4,B) unit quaternions exp(½·)."""
+    half = 0.5 * w_dt
+    ang = jnp.sqrt(half[0:1] ** 2 + half[1:2] ** 2 + half[2:3] ** 2 + 1e-30)
+    s = jnp.sin(ang) / ang
+    return jnp.concatenate([jnp.cos(ang), s * half[0:1], s * half[1:2],
+                            s * half[2:3]])
+
+
+def _fk_s(km, X):
+    """Kernel-safe batch-last FK from precomputed transforms: X (list of
+    (6,6,B)) → (Rs list of (3,3,B), ps list of (3,B)). Mirrors
+    :func:`..kinematics.fk_bl` with (1,B)-slice arithmetic and no constant
+    identity at the root (Rs[root] = Eᵀ directly)."""
+    topo = km.topology
+    n = topo.n
+    Rs = [None] * n
+    ps = [None] * n
+    for i in range(n):
+        E = X[i][:3, :3]                       # (3,3,B) child ← parent
+        M = -_mm33s(E, X[i][3:, :3], tA=True)
+        r = jnp.concatenate([M[2, 1:2, :], M[0, 2:3, :], M[1, 0:1, :]])
+        p = topo.parents[i]
+        if p < 0:
+            # world ← link = Eᵀ; joint origin r is already world-frame
+            Rs[i] = jnp.stack([
+                jnp.concatenate([E[j, i2:i2 + 1, :] for j in range(3)])
+                for i2 in range(3)])           # Eᵀ rows
+            ps[i] = r
+        else:
+            Rs[i] = _mm33s(Rs[p], E, tB=True)  # R_p @ Eᵀ
+            ps[i] = ps[p] + _mv3s(Rs[p], r)
+    return Rs, ps
+
+
+def _sum_terms(terms):
+    """Sum a list of (1,B) terms, skipping Nones; None if all are None."""
+    live = [t for t in terms if t is not None]
+    if not live:
+        return None
+    s = live[0]
+    for t in live[1:]:
+        s = s + t
+    return s
+
+
+# --------------------------------------------------------------------------
+# free-flyer bias + mass matrix, (1,B)-entry style
+# --------------------------------------------------------------------------
+def _fb_bias_s(km, I_base, X, R, vb, qd, gravity):
+    """Kernel-safe :func:`..freeflyer.fb_bias`: → (f_b (6,B), c_j (n,B)).
+    a₀ = [0; −Rᵀ g] enters structurally (the three zero angular rows are
+    never materialized)."""
+    topo = km.topology
+    n = topo.n
+    g = float(gravity)
+    # a0_lin = −g_b = −g·R[2, :] (third row of R_wb, batch-last)
+    a0_lin = jnp.concatenate([-g * R[2, i:i + 1, :] for i in range(3)])
+
+    def x_dot_a0(Xi):
+        # X·a0 with a0 = [0,0,0 | a0_lin]: linear columns only
+        return sum(Xi[:, 3 + c, :] * a0_lin[c:c + 1] for c in range(3))
+
+    v = [None] * n
+    a = [None] * n
+    f = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        Si = km.S[i]                                    # (6,B)
+        Sqd = Si * qd[i:i + 1]
+        v[i] = blops.matvec6(X[i], vb if p < 0 else v[p]) + Sqd
+        ai = (x_dot_a0(X[i]) if p < 0 else blops.matvec6(X[i], a[p]))
+        a[i] = ai + blops.crm_apply_bl(v[i], Sqd)
+        Ii = km.inertia[i]                              # (6,6,B)
+        Iv = blops.matvec6(Ii, v[i])
+        f[i] = blops.matvec6(Ii, a[i]) + blops.crf_apply_bl(v[i], Iv)
+    Ivb = blops.matvec6(I_base, vb)
+    f_b = (sum(I_base[:, 3 + c, :] * a0_lin[c:c + 1] for c in range(3))
+           + blops.crf_apply_bl(vb, Ivb))
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            f[p] = f[p] + blops.matvec6_T(X[i], f[i])
+        else:
+            f_b = f_b + blops.matvec6_T(X[i], f[i])
+    cj_rows = []
+    for i in range(n):
+        ci = sum(km.S[i][c:c + 1] * f[i][c:c + 1] for c in range(6))
+        # damping ships (n, 1): a (1,1) slice broadcasts against (1,B)
+        cj_rows.append(ci + km.damping[i:i + 1, 0:1] * qd[i:i + 1])
+    return f_b, jnp.concatenate(cj_rows)
+
+
+def _fb_mass_s(km, I_base, X):
+    """Kernel-safe :func:`..freeflyer.fb_mass_matrix`: → list-of-lists of
+    (1,B) entries, (6+n)×(6+n), ``None`` where structurally zero (joint pairs
+    with no ancestor relation)."""
+    topo = km.topology
+    n = topo.n
+    IC = [km.inertia[i] for i in range(n)]
+    IC_b = I_base
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        contrib = blops.matmat6_T(X[i], blops.matmat6(IC[i], X[i]))
+        if p >= 0:
+            IC[p] = IC[p] + contrib
+        else:
+            IC_b = IC_b + contrib
+
+    m = 6 + n
+    E = [[None] * m for _ in range(m)]
+    for r in range(6):
+        for c in range(6):
+            E[r][c] = IC_b[r, c:c + 1, :]
+    for i in range(n):
+        F = blops.matvec6(IC[i], km.S[i])               # (6,B)
+        E[6 + i][6 + i] = sum(km.S[i][c:c + 1] * F[c:c + 1]
+                              for c in range(6))
+        j = i
+        while topo.parents[j] >= 0:
+            F = blops.matvec6_T(X[j], F)
+            j = topo.parents[j]
+            val = sum(F[c:c + 1] * km.S[j][c:c + 1] for c in range(6))
+            E[6 + i][6 + j] = val
+            E[6 + j][6 + i] = val
+        F = blops.matvec6_T(X[j], F)                    # into base coords
+        for c in range(6):
+            E[6 + i][c] = F[c:c + 1]
+            E[c][6 + i] = F[c:c + 1]
+    return E
+
+
+# --------------------------------------------------------------------------
+# (1,B)-entry linear algebra: Cholesky, solves
+# --------------------------------------------------------------------------
+def _chol_factor_e(M, m, reg=0.0):
+    """Cholesky of an m×m list-of-lists of (1,B)/None entries → dense
+    lower-tri list-of-lists of (1,B)."""
+    L = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i + 1):
+            terms = ([M[i][j]] if M[i][j] is not None else [])
+            if reg and i == j:
+                terms.append(jnp.full_like(M[i][i], reg))
+            terms.extend(-L[i][p] * L[j][p] for p in range(j)
+                         if L[i][p] is not None and L[j][p] is not None)
+            s = _sum_terms(terms)
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = (s / L[j][j]) if s is not None else None
+    return L
+
+
+def _chol_apply_e(L, r):
+    """Solve (L Lᵀ) x = r with r a list of m (1,B)/None entries."""
+    m = len(L)
+    y = [None] * m
+    for i in range(m):
+        terms = ([r[i]] if r[i] is not None else [])
+        terms.extend(-L[i][p] * y[p] for p in range(i)
+                     if L[i][p] is not None and y[p] is not None)
+        s = _sum_terms(terms)
+        y[i] = (s / L[i][i]) if s is not None else None
+    x = [None] * m
+    for i in reversed(range(m)):
+        terms = ([y[i]] if y[i] is not None else [])
+        terms.extend(-L[p][i] * x[p] for p in range(i + 1, m)
+                     if L[p][i] is not None and x[p] is not None)
+        s = _sum_terms(terms)
+        x[i] = (s / L[i][i]) if s is not None else None
+    return x
+
+
+def _dot_e(row, x, m):
+    """Σ_c row[c]·x[c] over (1,B)/None entries."""
+    return _sum_terms([
+        row[c] * x[c] for c in range(m)
+        if row[c] is not None and x[c] is not None])
+
+
+# --------------------------------------------------------------------------
+# free-flyer contact rows, (1,B)-entry style with structural sparsity
+# --------------------------------------------------------------------------
+def _ff_contact_rows_s(km, X, R, links, offsets):
+    """World-frame contact rows of the free-flyer as a list over 3k rows of
+    lists over (6+n) columns of (1,B)/None entries, plus the foot points in
+    base coordinates x_b (list of k (3,B)). ``offsets`` enter as baked float
+    literals. Columns outside ancestors(link)∪{link} are ``None`` — the
+    trace-time sparsity the dense (3k, 6+n, B) XLA form pays for with
+    multiplies by zero."""
+    topo = km.topology
+    n = topo.n
+    Rs, ps = _fk_s(km, X)
+    rows = []
+    xs = []
+    for ci, l in enumerate(links):
+        off = [float(offsets[ci][d]) for d in range(3)]
+        x_b = ps[l] + jnp.concatenate([
+            sum(Rs[l][i, j:j + 1, :] * off[j] for j in range(3))
+            for i in range(3)])
+        xs.append(x_b)
+        support = set(topo.ancestors[l]) | {l}
+        # arm columns in base coordinates: a_ang = Rs[j]·S_ang, col =
+        # a_ang × (x_b − p_j) + a_lin
+        arm_cols = {}
+        for j in sorted(support):
+            a_ang = _mv3s(Rs[j], km.S[j][:3])
+            a_lin = _mv3s(Rs[j], km.S[j][3:])
+            arm_cols[j] = _cross3s(a_ang, x_b - ps[j]) + a_lin     # (3,B)
+        for r in range(3):
+            row = [None] * (6 + n)
+            # ω_b columns: R (e_j × x_b) — e_j one-hot, cross by literal
+            # basis: (e_0×x) = (0, −x2, x1), (e_1×x) = (x2, 0, −x0),
+            # (e_2×x) = (−x1, x0, 0)
+            ex = [
+                (None, -x_b[2:3], x_b[1:2]),
+                (x_b[2:3], None, -x_b[0:1]),
+                (-x_b[1:2], x_b[0:1], None),
+            ]
+            for j in range(3):
+                row[j] = _sum_terms([
+                    R[r, c:c + 1, :] * ex[j][c] for c in range(3)
+                    if ex[j][c] is not None])
+            for j in range(3):                  # v_b columns: R[:, j]
+                row[3 + j] = R[r, j:j + 1, :]
+            for j, col in arm_cols.items():     # q̇ columns (world frame)
+                row[6 + j] = _sum_terms([
+                    R[r, c:c + 1, :] * col[c:c + 1] for c in range(3)])
+            rows.append(row)
+    return rows, xs
+
+
+# --------------------------------------------------------------------------
+# kernel bodies
+# --------------------------------------------------------------------------
+def _stance_prelude(km, I_base, quat, q, vb, qd, tau, gravity):
+    """Shared front half: transforms, bias, mass Cholesky, contact rows and
+    their velocity product (for the jvp'd bias / b-vector)."""
+    X = blops.joint_transforms_bl(km, q)
+    R = _quat_rot_s(quat)
+    f_b, c_j = _fb_bias_s(km, I_base, X, R, vb, qd, gravity)
+    M = _fb_mass_s(km, I_base, X)
+    return X, R, f_b, c_j, M
+
+
+def _vfull_list(km, vb, qd):
+    n = km.topology.n
+    return ([vb[c:c + 1] for c in range(6)]
+            + [qd[i:i + 1] for i in range(n)])
+
+
+def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
+                 anchors, gravity, baumgarte, reg):
+    """Stance FD on one lane tile: returns (dvb (6,B), qdd (n,B), lam (3k,B)).
+    Mirrors :func:`..contact.fb_constrained_fd_batched` term by term."""
+    n = km.topology.n
+    m = 6 + n
+    k = len(links)
+    X, R, f_b, c_j, M = _stance_prelude(km, I_base, quat, q, vb, qd, tau,
+                                        gravity)
+    Lm = _chol_factor_e(M, m)
+    rhs_free = ([-f_b[c:c + 1] for c in range(6)]
+                + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
+    y_free = _chol_apply_e(Lm, rhs_free)
+
+    J, xs = _ff_contact_rows_s(km, X, R, links, offsets)
+    vfull = _vfull_list(km, vb, qd)
+
+    # bias = J̇·[vb; q̇]: exact jvp of the velocity map along the state flow
+    def vel(quat_, q_):
+        X_ = blops.joint_transforms_bl(km, q_)
+        R_ = _quat_rot_s(quat_)
+        J_, _ = _ff_contact_rows_s(km, X_, R_, links, offsets)
+        return [_dot_e(J_[r], vfull, m) for r in range(3 * k)]
+
+    w, xq, yq, zq = quat[0:1], quat[1:2], quat[2:3], quat[3:4]
+    ox, oy, oz = vb[0:1], vb[1:2], vb[2:3]
+    dquat = 0.5 * jnp.concatenate([
+        -xq * ox - yq * oy - zq * oz,
+        w * ox + yq * oz - zq * oy,
+        w * oy + zq * ox - xq * oz,
+        w * oz + xq * oy - yq * ox,
+    ])
+    _, bias = jax.jvp(vel, (quat, q), (dquat, qd))
+
+    alpha, beta = baumgarte
+    a_star = [None] * (3 * k)
+    if alpha != 0.0:
+        for r in range(3 * k):
+            a_star[r] = _sum_terms(
+                [a_star[r], -2.0 * alpha * _dot_e(J[r], vfull, m)])
+    # anchors=None pins each point to its CURRENT position (pure
+    # velocity-level constraint): the position drift is identically zero,
+    # so the β term only exists for explicit anchors — same semantics as
+    # ..contact.fb_constrained_forward_dynamics
+    if beta != 0.0 and anchors is not None:
+        for ci in range(k):
+            x_w = pos + _mv3s(R, xs[ci])                       # world foot
+            for d in range(3):
+                drift = x_w[d:d + 1] - float(anchors[ci][d])
+                a_star[3 * ci + d] = _sum_terms(
+                    [a_star[3 * ci + d], -beta * beta * drift])
+
+    # Delassus via the shared mass factorization
+    MiJt = [_chol_apply_e(Lm, J[r]) for r in range(3 * k)]     # cols (m,)
+    lam = _delassus_solve(J, MiJt, y_free, bias, a_star, m, k, reg)
+    y = [
+        _sum_terms([y_free[c]] + [MiJt[s][c] * lam[s] for s in range(3 * k)
+                                  if MiJt[s][c] is not None])
+        for c in range(m)]
+    dvb = jnp.concatenate(y[:6])
+    qdd = jnp.concatenate(y[6:])
+    lam_out = jnp.concatenate(lam)
+    return dvb, qdd, lam_out
+
+
+def _delassus_solve(J, MiJt, y_free, bias, a_star, m, k, reg):
+    """G λ = −(J y_free + bias − a*) with G = J·M⁻¹·Jᵀ (list-entry form)."""
+    G = [[_dot_e(J[r], MiJt[s], m) for s in range(3 * k)]
+         for r in range(3 * k)]
+    rhs = []
+    for r in range(3 * k):
+        t = _sum_terms([_dot_e(J[r], y_free, m), bias[r],
+                        None if a_star[r] is None else -a_star[r]])
+        rhs.append(-t if t is not None else None)
+    Lg = _chol_factor_e(G, 3 * k, reg=reg)
+    return _chol_apply_e(Lg, rhs)
+
+
+def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
+                      offsets, dt, ground_z, gravity, iters, erp, margin,
+                      restitution):
+    """One frictional ground step on a lane tile. Mirrors
+    :func:`..contact.fb_step_ground_batched`: free velocity step, gap-gated
+    PGS cone solve on the Delassus operator, semi-implicit manifold
+    integration. Returns (quat2, pos2, q2, vb2, qd2, imp (3k,B))."""
+    n = km.topology.n
+    m = 6 + n
+    k = len(links)
+    X, R, f_b, c_j, M = _stance_prelude(km, I_base, quat, q, vb, qd, tau,
+                                        gravity)
+    Lm = _chol_factor_e(M, m)
+    rhs = ([-f_b[c:c + 1] for c in range(6)]
+           + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
+    dv = _chol_apply_e(Lm, rhs)
+    v = _vfull_list(km, vb, qd)
+    v_free = [v[c] + dt * dv[c] for c in range(m)]
+
+    J, xs = _ff_contact_rows_s(km, X, R, links, offsets)
+    # world foot heights → activation masks (k × (1,B))
+    active = []
+    gaps = []
+    for ci in range(k):
+        gap = (pos[2:3]
+               + sum(R[2, j:j + 1, :] * xs[ci][j:j + 1] for j in range(3))
+               - ground_z)
+        gaps.append(gap)
+        active.append((gap < margin).astype(q.dtype))
+
+    MiJt = [_chol_apply_e(Lm, J[r]) for r in range(3 * k)]
+    G = [[_dot_e(J[r], MiJt[s], m) for s in range(3 * k)]
+         for r in range(3 * k)]
+    for d in range(3 * k):
+        G[d][d] = _sum_terms([G[d][d], jnp.full_like(gaps[0], 1e-9)])
+    Jv = [_dot_e(J[r], v, m) for r in range(3 * k)]
+    Jvf = [_dot_e(J[r], v_free, m) for r in range(3 * k)]
+    b = list(Jvf)
+    for ci in range(k):
+        vn_now = Jv[3 * ci + 2]
+        v_star = (-erp * jnp.minimum(gaps[ci], 0.0) / dt
+                  - restitution * jnp.minimum(vn_now, 0.0))
+        b[3 * ci + 2] = b[3 * ci + 2] - v_star
+
+    p_imp = _pgs_e(G, b, mu, active, k, iters)
+
+    v_new = [
+        _sum_terms([v_free[c]] + [MiJt[s][c] * p_imp[s]
+                                  for s in range(3 * k)
+                                  if MiJt[s][c] is not None])
+        for c in range(m)]
+    vb2 = jnp.concatenate(v_new[:6])
+    qd2 = jnp.concatenate(v_new[6:])
+    quat2 = _quat_mul_s(quat, _quat_exp_s(vb2[:3] * dt))
+    quat2 = quat2 / jnp.sqrt(jnp.sum(quat2 * quat2, axis=0, keepdims=True))
+    R2 = _quat_rot_s(quat2)
+    pos2 = pos + dt * _mv3s(R2, vb2[3:])
+    q2 = q + dt * qd2
+    imp = jnp.concatenate(p_imp)
+    return quat2, pos2, q2, vb2, qd2, imp
+
+
+def _pgs_e(G, b, mu, active, k, iters):
+    """Projected Gauss-Seidel on (1,B)-entry G/b; ``mu`` (k,B), ``active``
+    list of k (1,B). Carry = the 3k impulse entries (a pytree of (1,B))."""
+    diag = [jnp.clip(G[d][d], 1e-9, None) for d in range(3 * k)]
+    zero = jnp.zeros_like(b[0])
+
+    def sweep(_, p):
+        p = list(p)
+        for i in range(k):
+            s = 3 * i
+            cand = []
+            for d in range(3):
+                r = _sum_terms([_dot_e(G[s + d], p, 3 * k), b[s + d]])
+                cand.append(p[s + d] - r / diag[s + d])
+            pn = jnp.maximum(cand[2], 0.0) * active[i]
+            norm_t = jnp.sqrt(cand[0] * cand[0] + cand[1] * cand[1] + 1e-30)
+            scale = jnp.minimum(1.0, mu[i:i + 1] * pn / norm_t)
+            p[s] = cand[0] * scale
+            p[s + 1] = cand[1] * scale
+            p[s + 2] = pn
+        return tuple(p)
+
+    p0 = tuple(zero for _ in range(3 * k))
+    return list(jax.lax.fori_loop(0, iters, sweep, p0))
+
+
+# --------------------------------------------------------------------------
+# dispatcher: lane-tile pallas_call over (…, B) free-flyer states
+# --------------------------------------------------------------------------
+def ff_workset_ok(n: int, k: int) -> bool:
+    """Whether the stance/step working set fits a 128-state lane tile.
+    Model (floats/state): X+IC+FK+v/a/f ≈ 102n, mass+chol ≈ 1.5(6+n)²,
+    contact rows (×2 for the jvp'd copy) ≈ 2·3k(6+n)+24n, Delassus/PGS ≈
+    (3k)(6+n)+2(3k)²; calibrated by the same Mosaic stack factor as the
+    fixed-base kernels (:data:`..staged._CAL`)."""
+    m = 6 + n
+    ws = (102.0 * n + 1.5 * m * m + 2 * (3 * k * m) + 24.0 * n
+          + 3 * k * m + 2 * (3 * k) ** 2 + 200.0)
+    return ws * _CAL <= _LANE_BUDGET
+
+
+def _ff_model_args(ffm, dtype):
+    """Arm constants + base inertia, pre-batchified to the 128-lane tile
+    (real tiled inputs — Mosaic miscompiles purely constant-derived chains,
+    see :mod:`.fused`)."""
+    args = []
+    for fname in _MODEL_FIELDS:
+        arr = getattr(ffm.arm, fname)
+        if fname == "damping":
+            args.append(jnp.asarray(arr, dtype)[:, None])
+        else:
+            args.append(jnp.broadcast_to(
+                jnp.asarray(arr, dtype)[..., None],
+                arr.shape + (_LANES,)))
+    args.append(jnp.broadcast_to(
+        jnp.asarray(ffm.I_base, dtype)[..., None], (6, 6, _LANES)))
+    return args
+
+
+def _ff_ns(ffm, vals):
+    """Duck-typed arm namespace over the (VMEM-resident or plain-XLA)
+    pre-batchified constant arrays; returns (arm_namespace, I_base)."""
+    arm = ffm.arm
+    km = SimpleNamespace(
+        n=arm.n, topology=arm.topology, joint_types=arm.joint_types,
+        prismatic=None, accurate_trig=getattr(arm, "accurate_trig", False),
+        **dict(zip(_MODEL_FIELDS, vals)))
+    return km, vals[len(_MODEL_FIELDS)]
+
+
+def _pallas_ff_call(ffm, body, states, out_dims, interpret=False):
+    """Run ``body(km, I_base, *state_tiles) -> tuple of (d, B)`` over
+    128-state lane tiles. states: (d_i, B) batch-last arrays."""
+    dtype = states[0].dtype
+    B = states[0].shape[-1]
+    pad = (-B) % _LANES
+    if pad:
+        states = [jnp.pad(s, ((0, 0),) * (s.ndim - 1) + ((0, pad),))
+                  for s in states]
+    Bp = B + pad
+    grid = (Bp // _LANES,)
+    model_args = _ff_model_args(ffm, dtype)
+    n_model = len(model_args)
+
+    def kernel(*refs):
+        mrefs = refs[:n_model]
+        srefs = refs[n_model:n_model + len(states)]
+        orefs = refs[n_model + len(states):]
+        km, I_base = _ff_ns(ffm, [r[:] for r in mrefs])
+        outs = body(km, I_base, *[r[:] for r in srefs])
+        for o_ref, o in zip(orefs, outs):
+            o_ref[:] = o
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_model
+        + [pl.BlockSpec(s.shape[:-1] + (_LANES,),
+                        (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
+                        memory_space=pltpu.VMEM) for s in states]
+    )
+    out_specs = [
+        pl.BlockSpec((d, _LANES), (lambda i: (0, i)),
+                     memory_space=pltpu.VMEM)
+        for d in out_dims
+    ]
+    out_shape = [jax.ShapeDtypeStruct((d, Bp), dtype) for d in out_dims]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*model_args, *states)
+    if pad:
+        outs = [o[..., :B] for o in outs]
+    return list(outs)
+
+
+def _xla_fallback(ffm, body, states):
+    """Robots whose working set exceeds the lane tile run the identical
+    (1,B)-entry body as plain XLA on the full batch."""
+    dtype = states[0].dtype
+    B_sh = states[0].shape[-1:]
+    refs = []
+    for fname in _MODEL_FIELDS:
+        arr = jnp.asarray(getattr(ffm.arm, fname), dtype)
+        if fname == "damping":
+            refs.append(arr[:, None])
+        else:
+            refs.append(jnp.broadcast_to(arr[..., None], arr.shape + B_sh))
+    refs.append(jnp.broadcast_to(
+        jnp.asarray(ffm.I_base, dtype)[..., None], (6, 6) + B_sh))
+    km, I_base = _ff_ns(ffm, refs)
+    return list(body(km, I_base, *states))
+
+
+def _run_ff(ffm, body, states, out_dims, interpret):
+    if ff_workset_ok(ffm.n, _body_k(body)):
+        return _pallas_ff_call(ffm, body, states, out_dims, interpret)
+    return _xla_fallback(ffm, body, states)
+
+
+def _body_k(body):
+    return getattr(body, "_k_contacts", 1)
+
+
+# --------------------------------------------------------------------------
+# public fused entries (batch-last signatures, like ops/kernels/fused.py)
+# --------------------------------------------------------------------------
+def stance_fd_fused(ffm, quat, pos, q, vb, qd, tau, links, offsets,
+                    anchors=None, gravity=-9.81, baumgarte=(0.0, 0.0),
+                    reg=0.0, interpret=False):
+    """Fused floating-base stance FD: batch-last states quat (4,B), pos
+    (3,B), q (n,B), vb (6,B), qd (n,B), tau (n,B) → (v̇b (6,B), q̈ (n,B),
+    λ (3k,B)). One kernel per 128-state lane tile; numerics mirror
+    :func:`..contact.fb_constrained_fd_batched`."""
+    links = tuple(int(l) for l in links)
+    off = np.asarray(offsets, np.float64)
+    anch = None if anchors is None else np.asarray(anchors, np.float64)
+    n = ffm.n
+    k = len(links)
+
+    def body(km, I_base, quat, pos, q, vb, qd, tau):
+        return _stance_body(km, I_base, quat, pos, q, vb, qd, tau,
+                            links=links, offsets=off, anchors=anch,
+                            gravity=float(gravity),
+                            baumgarte=(float(baumgarte[0]),
+                                       float(baumgarte[1])),
+                            reg=float(reg))
+
+    body._k_contacts = k
+    dvb, qdd, lam = _run_ff(ffm, body, [quat, pos, q, vb, qd, tau],
+                            [6, n, 3 * k], interpret)
+    return dvb, qdd, lam
+
+
+def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
+                      ground_z=0.0, gravity=-9.81, iters: int = 30,
+                      erp: float = 0.2, margin: float = 1e-3,
+                      restitution: float = 0.0, interpret=False):
+    """Fused frictional ground step — the parallel-RL flagship op as ONE
+    kernel per lane tile: batch-last states + mu (k,B) → next state
+    (quat2 (4,B), pos2 (3,B), q2 (n,B), vb2 (6,B), qd2 (n,B)) and impulses
+    (3k,B). Numerics mirror :func:`..contact.fb_step_ground_batched`."""
+    links = tuple(int(l) for l in links)
+    off = np.asarray(offsets, np.float64)
+    n = ffm.n
+    k = len(links)
+
+    def body(km, I_base, quat, pos, q, vb, qd, tau, mu):
+        return _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
+                                 links=links, offsets=off, dt=float(dt),
+                                 ground_z=float(ground_z),
+                                 gravity=float(gravity), iters=int(iters),
+                                 erp=float(erp), margin=float(margin),
+                                 restitution=float(restitution))
+
+    body._k_contacts = k
+    return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
+                   [4, 3, n, 6, n, 3 * k], interpret)

@@ -54,6 +54,7 @@ def test_blops_minv(bl_setup):
                                    atol=1e-9)
 
 
+@pytest.mark.mid
 def test_blops_fd_grad(bl_setup):
     desc, gold, model, q, qd, u = bl_setup
     ddq, ddqd = jax.jit(lambda *s: blops.fd_grad_bl(model, *s))(
@@ -62,6 +63,7 @@ def test_blops_fd_grad(bl_setup):
     _check_cols(gold.fd_grad, J, q, qd, u, 1e-8)
 
 
+@pytest.mark.mid
 def test_pallas_interpret_fd_grad(bl_setup):
     """Fused kernel (interpreter mode — same lowering path as TPU, runnable
     on CPU) matches the golden model, including batch padding."""
@@ -77,6 +79,7 @@ def test_pallas_interpret_fd_grad(bl_setup):
                                    atol=2e-4 * max(1, np.abs(ref).max()))
 
 
+@pytest.mark.mid
 def test_pallas_interpret_rnea_and_minv(bl_setup):
     desc, gold, model, q, qd, u = bl_setup
     model32 = model.astype(jnp.float32)
@@ -164,6 +167,7 @@ def test_column_blocked_grad(bl_setup):
                                    err_msg=side)
 
 
+@pytest.mark.mid
 def test_staged_pipeline_interpret(bl_setup):
     """The staged (column-blocked, multi-kernel) large-robot pipeline must
     match the golden model when forced on a small robot — interpret mode

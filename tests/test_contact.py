@@ -158,6 +158,7 @@ def test_pinned_rollout_stays_on_anchor():
         assert float(jnp.linalg.norm(x - anchor)) < 5e-4
 
 
+@pytest.mark.mid
 def test_constrained_batched_jit(iiwa64):
     """vmap+jit over a batch of states — deployment shape for stance-phase
     trajectory optimization."""

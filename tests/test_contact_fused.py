@@ -1,0 +1,123 @@
+"""Fused floating-base contact kernels (ops/kernels/contact_fused.py) vs the
+plain-XLA batch-last contact pipeline — the interpret-mode equivalence leg for
+the stance FD and frictional ground-step kernels (VERDICT r2 #1: the contact
+stack previously had no fused kernels). Interpret mode runs the identical
+kernel bodies the TPU lowers, so these tests pin the *math*; the Mosaic
+compilation is validated on hardware by ``-m tpu``
+(tests/test_tpu_kernels.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gridcodegenerator_tpu as g
+from gridcodegenerator_tpu.models import zoo
+from gridcodegenerator_tpu.ops import contact as ct
+from gridcodegenerator_tpu.ops import freeflyer as ff
+from gridcodegenerator_tpu.ops.kernels import contact_fused as cf
+
+_FEET = (2, 5, 8, 11)
+_FOFF = np.tile([0.35, 0.0, 0.0], (4, 1))
+
+
+@pytest.fixture(scope="module")
+def hyq_ff():
+    return ff.free_flyer_model(g.parse_urdf(zoo.hyq(damping=0.2)),
+                               dtype=jnp.float64)
+
+
+def _states(n, B, seed):
+    rng = np.random.default_rng(seed)
+    quat = rng.normal(size=(B, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    pos = rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.5]
+    q = np.tile([-0.1, 0.7, -1.2], (B, 4)) + rng.uniform(-0.1, 0.1, (B, n))
+    vb = rng.uniform(-0.6, 0.6, (B, 6))
+    qd = rng.uniform(-0.5, 0.5, (B, n))
+    tau = rng.uniform(-10, 10, (B, n))
+    return tuple(jnp.asarray(x) for x in (quat, pos, q, vb, qd, tau))
+
+
+def test_stance_fused_interpret_matches_xla(hyq_ff):
+    """stance_fd_fused (interpret) == fb_constrained_fd_batched (XLA path)
+    to f64 round-off, including Baumgarte drift control with explicit
+    anchors and Delassus regularization."""
+    ffm = hyq_ff
+    n = ffm.n
+    B = 3
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=5)
+    anchors = np.random.default_rng(1).uniform(-0.1, 0.1, (4, 3))
+    bl = lambda a: a.T
+
+    kw = dict(baumgarte=(3.0, 2.0), anchors=anchors, reg=1e-10)
+    dvb_r, qdd_r, lam_r = ct.fb_constrained_fd_batched(
+        ffm, quat, pos, q, vb, qd, tau, _FEET, _FOFF, impl="vmap", **kw)
+    dvb_f, qdd_f, lam_f = cf.stance_fd_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau), _FEET,
+        _FOFF, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(dvb_f.T), np.asarray(dvb_r),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(qdd_f.T), np.asarray(qdd_r),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lam_f.T), np.asarray(lam_r),
+                               atol=1e-11)
+
+
+def test_step_ground_fused_interpret_matches_xla(hyq_ff):
+    """step_ground_fused (interpret) == fb_step_ground_batched (XLA path):
+    full step — free velocity, gap gating, PGS cone solve with
+    per-environment mu, manifold integration — with contacts active."""
+    ffm = hyq_ff
+    n = ffm.n
+    B = 4
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=7)
+    mus = jnp.asarray(np.random.default_rng(2).uniform(0.3, 1.0, (B, 4)))
+    bl = lambda a: a.T
+
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, _FEET, _FOFF, mu=mus,
+        impl="vmap")
+    outs = cf.step_ground_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau), bl(mus),
+        1e-3, _FEET, _FOFF, interpret=True)
+    for nm, a, b in zip(("quat2", "pos2", "q2", "vb2", "qd2"), outs[:5],
+                        nxt_r):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-11, err_msg=nm)
+    imp_f = jnp.moveaxis(outs[5], 0, -1).reshape(B, 4, 3)
+    np.testing.assert_allclose(np.asarray(imp_f), np.asarray(imp_r),
+                               atol=1e-11)
+    assert bool((np.asarray(imp_r)[..., 2] > 0).any()), \
+        "test states produced no active contacts — equivalence is vacuous"
+
+
+def test_ff_workset_gate():
+    """The lane-tile VMEM gate admits the quadruped/humanoid shapes the
+    kernel exists for and rejects absurd ones (falling back to XLA)."""
+    assert cf.ff_workset_ok(12, 4)      # HyQ, 4 feet
+    assert cf.ff_workset_ok(28, 2)      # Atlas-scale, 2 stance feet
+    assert not cf.ff_workset_ok(120, 16)
+
+
+def test_stance_fused_xla_fallback_path(hyq_ff):
+    """Oversized robots run the identical body as plain XLA (_xla_fallback);
+    force it by monkeypatching the gate and check it still matches."""
+    ffm = hyq_ff
+    n = ffm.n
+    B = 2
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=11)
+    bl = lambda a: a.T
+    ref = ct.fb_constrained_fd_batched(
+        ffm, quat, pos, q, vb, qd, tau, _FEET, _FOFF, impl="vmap")
+    orig = cf.ff_workset_ok
+    try:
+        cf.ff_workset_ok = lambda n_, k_: False
+        got = cf.stance_fd_fused(
+            ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau), _FEET,
+            _FOFF)
+    finally:
+        cf.ff_workset_ok = orig
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-10)

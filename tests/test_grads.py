@@ -154,6 +154,7 @@ def test_custom_vjp_forward_dynamics(small_robot):
                                    rtol=1e-8)
 
 
+@pytest.mark.mid
 def test_forward_dynamics_ad_custom_vjp(iiwa):
     """api.forward_dynamics_ad: jax.grad through the batched entry must equal
     jax.grad through the plain AD-differentiated vmap path (the custom VJP

@@ -68,6 +68,7 @@ def test_replicate_model(eight_devices, iiwa):
     np.testing.assert_allclose(np.asarray(rep.Xb), np.asarray(model.Xb))
 
 
+@pytest.mark.mid
 def test_sharded_fused_equals_sharded_vmap(eight_devices, iiwa):
     """VERDICT #7 unification check: shard_map over the fused Pallas kernel
     (interpret mode on the CPU mesh — same kernel bodies as the TPU path)
