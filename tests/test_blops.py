@@ -167,6 +167,68 @@ def test_column_blocked_grad(bl_setup):
                                    err_msg=side)
 
 
+def test_column_block_subtree_sparsity():
+    """The column-blocked ∂ID must trace-time-skip joints outside the
+    subtree of the block's columns (the reference's packed ancestor
+    compression, ``_inverse_dynamics_gradient.py:55-96``): on a twin-branch
+    robot, a block covering branch 1 must emit measurably fewer ops than the
+    same-shaped block on a serial chain of identical n (where every joint
+    ≥ c0 is genuinely live) — and stay exact."""
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo as z
+
+    # twin-branch: root joint 0, branch A = 1,2,3, branch B = 4,5,6
+    rb = z.UrdfBuilder("twin")
+    rb.link("base")
+    rb.link("l0", mass=1.0, ixx=0.02, iyy=0.02, izz=0.02)
+    rb.joint("j0", "base", "l0", xyz=(0, 0, 0.1), axis=(0, 0, 1))
+    for br, start in (("a", 1), ("b", 4)):
+        parent = "l0"
+        for i in range(3):
+            nm = f"l{start + i}"
+            rb.link(nm, mass=0.5, ixx=0.01, iyy=0.01, izz=0.01)
+            rb.joint(f"j{start + i}", parent, nm,
+                     xyz=(0.2 if br == "a" else -0.2, 0.1, 0.05),
+                     axis=(0, 1, 0))
+            parent = nm
+    branched = g.load_robot(rb.build(), dtype=jnp.float64)
+    serial = g.load_robot(z.serial_chain(7), dtype=jnp.float64)
+
+    def eqns(model, c0, cb):
+        B = 4
+        q = jnp.zeros((model.n, B))
+
+        def run(q, qd, v, a, f):
+            X = blops.joint_transforms_bl(model, q)
+            return blops.rnea_grad_cols_bl(
+                model, X, qd, [v[i] for i in range(model.n)],
+                [a[i] for i in range(model.n)],
+                [f[i] for i in range(model.n)], c0=c0, cb=cb)
+        vaf = jnp.zeros((model.n, 6, B))
+        jaxpr = jax.make_jaxpr(run)(q, q, vaf, vaf, vaf)
+        return len(jaxpr.jaxpr.eqns)
+
+    # block over branch A only: branch B (3 of 7 joints) must be skipped
+    n_br = eqns(branched, c0=1, cb=3)
+    n_se = eqns(serial, c0=1, cb=3)
+    assert n_br < 0.8 * n_se, (n_br, n_se)
+
+    # and the sparse path stays exact on the branched robot
+    rng = np.random.default_rng(3)
+    B = 4
+    q, qd, qdd = (jnp.asarray(rng.uniform(-1, 1, (7, B))) for _ in range(3))
+    X = blops.joint_transforms_bl(branched, q)
+    v, a, f = blops.rnea_fwd_bl(branched, X, qd, qdd)
+    _, f = blops.rnea_bwd_bl(branched, X, f, None)
+    full = blops.rnea_grad_inner_bl(branched, X, qd, v, a, f)
+    for c0 in (0, 1, 4):
+        blk = blops.rnea_grad_cols_bl(branched, X, qd, v, a, f, c0=c0, cb=3)
+        for side in ("q", "qd"):
+            np.testing.assert_allclose(
+                np.asarray(blk[side]), np.asarray(full[side][:, c0:c0 + 3]),
+                atol=1e-12, err_msg=f"{side}@c0={c0}")
+
+
 @pytest.mark.mid
 def test_staged_pipeline_interpret(bl_setup):
     """The staged (column-blocked, multi-kernel) large-robot pipeline must
