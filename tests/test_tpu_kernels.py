@@ -148,6 +148,74 @@ def test_staged_pipeline_vs_golden_on_tpu(tpu_setup):
             assert err < 1e-5, f"atlas/{name}@state{k}: rel err {err:.3e}"
 
 
+def test_contact_fused_kernels_on_tpu(tpu_setup):
+    """The fused floating-base contact kernels (stance FD + frictional
+    ground step, ops/kernels/contact_fused.py) through real Mosaic lowering
+    vs the independent single-state CPU path (jax.default_device) on
+    sampled states — an f32 cross-implementation check (this tier runs
+    without x64; exact math equivalence vs the batch-last XLA pipeline is
+    pinned at f64 by tests/test_contact_fused.py, and a Mosaic miscompile
+    shows up as O(1) disagreement, not rounding). The batch-last XLA
+    program itself is NOT compiled here — its ~20k-op remote compile would
+    eat the tier budget."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm32 = ff.free_flyer_model(desc, dtype=jnp.float32)
+    ffm64 = ff.free_flyer_model(desc, dtype=jnp.float32)  # CPU ref (no x64)
+    n = ffm32.n
+    feet = (2, 5, 8, 11)
+    foff = np_.tile([0.35, 0.0, 0.0], (4, 1))
+    rng = np_.random.default_rng(41)
+    B = 256                                     # two lane tiles
+    quat = np_.tile([1.0, 0, 0, 0], (B, 1)) + 0.1 * rng.normal(size=(B, 4))
+    quat /= np_.linalg.norm(quat, axis=1, keepdims=True)
+    pos = rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.5]
+    q = np_.tile([-0.1, 0.7, -1.2], (B, 4)) + rng.uniform(-0.05, 0.05, (B, n))
+    vb = rng.uniform(-0.6, 0.6, (B, 6))
+    qd = rng.uniform(-0.5, 0.5, (B, n))
+    tau = rng.uniform(-10, 10, (B, n))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    # TPU fused kernels (the impl="pallas" routed production path)
+    dvb, qdd, lam = ct.fb_constrained_fd_batched(
+        ffm32, f32(quat), f32(pos), f32(q), f32(vb), f32(qd), f32(tau),
+        feet, foff, impl="pallas")
+    nxt, imp = ct.fb_step_ground_batched(
+        ffm32, tuple(f32(s) for s in (quat, pos, q, vb, qd)), f32(tau),
+        1e-3, feet, foff, mu=0.8, impl="pallas")
+    got = dict(dvb=np_.asarray(dvb), qdd=np_.asarray(qdd),
+               lam=np_.asarray(lam), q2=np_.asarray(nxt[2]),
+               vb2=np_.asarray(nxt[3]), imp=np_.asarray(imp))
+
+    # f64 single-state reference on the host CPU
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 127, 128, B - 1):          # states across both tiles
+            st64 = tuple(jnp.asarray(a[k], jnp.float32)
+                         for a in (quat, pos, q, vb, qd))
+            dvb_r, qdd_r, lam_r = ct.fb_constrained_forward_dynamics(
+                ffm64, *st64, jnp.asarray(tau[k], jnp.float32), feet,
+                jnp.asarray(foff, jnp.float32))
+            s_r, imp_r = ct.fb_step_ground(
+                ffm64, st64, jnp.asarray(tau[k], jnp.float32), 1e-3, feet,
+                jnp.asarray(foff, jnp.float32), mu=0.8)
+            refs = dict(dvb=dvb_r, qdd=qdd_r, lam=lam_r, q2=s_r[2],
+                        vb2=s_r[3], imp=imp_r)
+            for name, ref in refs.items():
+                ref = np_.asarray(ref)
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(got[name][k] - ref).max() / scale
+                # contact pipeline depth (mass chol + Delassus/PGS over an
+                # 18-dof model) ≈ 3-10× the plain-dynamics f32 floor
+                assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
+
+
 def test_pallas_vs_vmap_on_tpu(tpu_setup):
     """The two production paths must agree to the f32 accumulation floor
     (both f32, same device) — catches Mosaic miscompiles without any golden
