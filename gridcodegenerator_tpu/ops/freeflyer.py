@@ -216,6 +216,37 @@ def fb_forward_dynamics(model: FreeFlyerModel, quat, q, vb, qd, tau,
     return sol[:6], sol[6:]
 
 
+def fb_forward_dynamics_batched(model: FreeFlyerModel, quat, q, vb, qd, tau,
+                                gravity=-9.81, impl="auto"):
+    """Batched free-flyer FD over leading batch axes (batch-first user
+    arrays ``(..., d)``): returns (v̇b (..., 6), q̈ (..., n)).
+
+    ``impl="auto"`` routes to the fused Pallas lane-tile kernel
+    (:func:`.kernels.contact_fused.fb_fd_fused`) on TPU — bias, CRBA mass
+    matrix, and the (6+n) Cholesky solve VMEM-resident per 128-state tile —
+    and to the identical batch-last body as plain XLA elsewhere."""
+    from .contact import _impl_auto  # shared platform resolution
+    from .kernels import contact_fused as _cf
+
+    shape_b = q.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T
+    interp = False
+    if _impl_auto(impl, q) != "pallas":
+        # plain-XLA fallback body (same math, full batch) via the gate
+        dvb, qdd = _cf._xla_fallback(
+            model,
+            lambda km, I_base, *s: _cf._fb_fd_body(
+                km, I_base, *s, gravity=float(gravity)),
+            [flat(x) for x in (quat, q, vb, qd, tau)])
+    else:
+        dvb, qdd = _cf.fb_fd_fused(model, flat(quat), flat(q), flat(vb),
+                                   flat(qd), flat(tau), gravity,
+                                   interpret=interp)
+    unflat = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
+        shape_b + (arr.shape[0],))
+    return unflat(dvb), unflat(qdd)
+
+
 def fb_inverse_dynamics(model: FreeFlyerModel, quat, q, vb, qd, dvb, qdd,
                         gravity=-9.81):
     """Free-flyer ID: joint torques τ and the residual base wrench (zero for

@@ -647,9 +647,38 @@ def _body_k(body):
     return getattr(body, "_k_contacts", 1)
 
 
+def _fb_fd_body(km, I_base, quat, q, vb, qd, tau, *, gravity):
+    """Unconstrained free-flyer FD on a lane tile: bias + mass Cholesky
+    solve → (v̇b (6,B), q̈ (n,B)). The front half of the stance kernel."""
+    n = km.topology.n
+    m = 6 + n
+    X = blops.joint_transforms_bl(km, q)
+    R = _quat_rot_s(quat)
+    f_b, c_j = _fb_bias_s(km, I_base, X, R, vb, qd, gravity)
+    M = _fb_mass_s(km, I_base, X)
+    Lm = _chol_factor_e(M, m)
+    rhs = ([-f_b[c:c + 1] for c in range(6)]
+           + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
+    y = _chol_apply_e(Lm, rhs)
+    return jnp.concatenate(y[:6]), jnp.concatenate(y[6:])
+
+
 # --------------------------------------------------------------------------
 # public fused entries (batch-last signatures, like ops/kernels/fused.py)
 # --------------------------------------------------------------------------
+def fb_fd_fused(ffm, quat, q, vb, qd, tau, gravity=-9.81, interpret=False):
+    """Fused unconstrained free-flyer FD: batch-last quat (4,B), q (n,B),
+    vb (6,B), qd (n,B), tau (n,B) → (v̇b (6,B), q̈ (n,B)). The batched/TPU
+    counterpart of :func:`..freeflyer.fb_forward_dynamics`."""
+    n = ffm.n
+
+    def body(km, I_base, quat, q, vb, qd, tau):
+        return _fb_fd_body(km, I_base, quat, q, vb, qd, tau,
+                           gravity=float(gravity))
+
+    body._k_contacts = 0
+    return tuple(_run_ff(ffm, body, [quat, q, vb, qd, tau], [6, n],
+                         interpret))
 def stance_fd_fused(ffm, quat, pos, q, vb, qd, tau, links, offsets,
                     anchors=None, gravity=-9.81, baumgarte=(0.0, 0.0),
                     reg=0.0, interpret=False):

@@ -100,6 +100,30 @@ def test_ff_workset_gate():
     assert not cf.ff_workset_ok(120, 16)
 
 
+def test_fb_fd_batched_matches_vmap(hyq_ff):
+    """fb_forward_dynamics_batched (fused body, XLA path on CPU; interpret
+    kernel) == vmap of the single-state free-flyer FD."""
+    ffm = hyq_ff
+    n = ffm.n
+    B = 4
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=13)
+    dvb_r, qdd_r = jax.vmap(
+        lambda *s: ff.fb_forward_dynamics(ffm, *s))(quat, q, vb, qd, tau)
+
+    dvb, qdd = ff.fb_forward_dynamics_batched(ffm, quat, q, vb, qd, tau,
+                                              impl="vmap")
+    np.testing.assert_allclose(np.asarray(dvb), np.asarray(dvb_r), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qdd), np.asarray(qdd_r), atol=1e-9)
+
+    bl = lambda a: a.T
+    dvb_f, qdd_f = cf.fb_fd_fused(ffm, bl(quat), bl(q), bl(vb), bl(qd),
+                                  bl(tau), interpret=True)
+    np.testing.assert_allclose(np.asarray(dvb_f.T), np.asarray(dvb_r),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qdd_f.T), np.asarray(qdd_r),
+                               atol=1e-9)
+
+
 def test_stance_fused_xla_fallback_path(hyq_ff):
     """Oversized robots run the identical body as plain XLA (_xla_fallback);
     force it by monkeypatching the gate and check it still matches."""
