@@ -1,0 +1,374 @@
+"""Fused Pallas TPU kernels for the multi-dof (spherical/floating) family.
+
+Closes the last vmap-only compute family (ROADMAP r2 item 3): mixed trees
+with quaternion ball joints and in-tree 6-dof floating joints get the same
+one-kernel-per-tile treatment as the single-dof stack — generalized RNEA,
+CRBA mass matrix, and the dense (nv, nv) Cholesky FD solve run VMEM-resident
+per 128-state lane tile, in the kernel-safe (1, B)-entry style of
+:mod:`.contact_fused`.
+
+Joint transforms are computed in-kernel per type: 1-dof joints through the
+Rodrigues affine form (literal K-coefficients × in-kernel sin/cos — the
+same X(q) = Xb + s·Xs + c·Xc algebra as :mod:`...models.robot`, folded at
+trace time), quaternion joints through the batch-last quaternion→rotation
+map. Motion subspaces S are static one-hot/identity patterns and fold into
+the trace as float literals (zero columns skipped — nothing multiplies by
+zero at run time).
+
+Equivalence: bodies mirror :func:`..multidof.md_rnea` /
+:func:`..multidof.md_crba` / :func:`..multidof.md_forward_dynamics` and are
+tested against vmap of those per-state references (interpret mode + the
+plain-XLA fallback body) in tests/test_multidof_fused.py.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import blops
+from .contact_fused import (_chol_apply_e, _chol_factor_e, _mm33s,
+                            _quat_rot_s, _sum_terms)
+from .fused import _LANES
+from .staged import _CAL, _LANE_BUDGET
+
+__all__ = ["md_id_fused", "md_fd_fused", "md_workset_ok"]
+
+_MD_FIELDS = ("XT", "inertia", "damping")
+
+
+# --------------------------------------------------------------------------
+# joint transforms, batch-last in-kernel
+# --------------------------------------------------------------------------
+def _md_transforms_s(km, q):
+    """q (nq, B) → list of n (6,6,B) child←parent transforms. Mirrors
+    :func:`..multidof.md_joint_transforms` per joint type."""
+    n = km.topology.n
+    X = []
+    for i in range(n):
+        s, w = km.q_slices[i]
+        t = km.joint_types[i]
+        XTi = km.XT[i]                                    # (6,6,B) ref value
+        if t in ("spherical", "floating"):
+            quat = q[s:s + 4]
+            E = _transpose3(_quat_rot_s(quat))            # Rᵀ as [r][c] (1,B)
+            rows = []
+            for r in range(6):
+                Er = E[r % 3]
+                cols = []
+                for c in range(6):
+                    same = (r < 3) == (c < 3)
+                    cols.append(Er[c % 3] if same else None)
+                rows.append(cols)
+            if t == "floating":
+                # lower-left block −E p̂ with p = q[s+4 : s+7]
+                px, py, pz = q[s + 4:s + 5], q[s + 5:s + 6], q[s + 6:s + 7]
+                P = [[None, -pz, py], [pz, None, -px], [-py, px, None]]
+                for r in range(3):
+                    for c in range(3):
+                        rows[3 + r][c] = _sum_terms([
+                            -E[r][k] * P[k][c] for k in range(3)
+                            if P[k][c] is not None])
+            XJ_X = _apply66(rows, XTi)
+        else:
+            qi = q[s:s + 1]
+            a = np.asarray(km.axis[i], np.float64)
+            K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
+                          [-a[1], a[0], 0]])
+            if t == "prismatic":
+                # XJ = I + q·L6,  L6 = [[0,0],[−K,0]]
+                rows = [[None] * 6 for _ in range(6)]
+                one = jnp.ones_like(qi)
+                for r in range(6):
+                    rows[r][r] = one
+                for r in range(3):
+                    for c in range(3):
+                        if K[r, c] != 0.0:
+                            rows[3 + r][c] = -float(K[r, c]) * qi
+            else:                                        # revolute
+                sn, cs = jnp.sin(qi), jnp.cos(qi)
+                KK = K @ K
+                rows = [[None] * 6 for _ in range(6)]
+                for r in range(3):
+                    for c in range(3):
+                        coeff = []
+                        if r == c:
+                            coeff.append(jnp.ones_like(qi))
+                        if K[r, c] != 0.0:
+                            coeff.append(-float(K[r, c]) * sn)
+                        if KK[r, c] != 0.0:
+                            coeff.append(float(KK[r, c]) * (1.0 - cs))
+                        e = _sum_terms(coeff)
+                        rows[r][c] = e
+                        rows[3 + r][3 + c] = e
+            XJ_X = _apply66(rows, XTi)
+        X.append(XJ_X)
+    return X
+
+
+def _transpose3(R):
+    """(3,3,B) → list of 3 rows, each list of helper access; returns a
+    list-of-rows view [r][c] → (1,B) of Rᵀ."""
+    return [[R[c, r:r + 1, :] for c in range(3)] for r in range(3)]
+
+
+def _apply66(rows, XT):
+    """(6,6) list-of-(1,B)/None · (6,6,B) → (6,6,B): X = XJ @ XT with the
+    structural zeros of XJ skipped at trace time."""
+    out_rows = []
+    for r in range(6):
+        cols = []
+        for c in range(6):
+            cols.append(_sum_terms([
+                rows[r][k] * XT[k, c:c + 1, :] for k in range(6)
+                if rows[r][k] is not None]))
+        out_rows.append(jnp.concatenate([x if x is not None
+                                         else jnp.zeros_like(XT[0, 0:1, :])
+                                         for x in cols]))
+    return jnp.stack(out_rows)
+
+
+# --------------------------------------------------------------------------
+# generalized RNEA / CRBA, (1,B)-entry style
+# --------------------------------------------------------------------------
+def _S_cols(km, i):
+    """Joint i's motion-subspace columns as static float lists:
+    [(6 floats)] × dof_i, zero-skippable."""
+    S = np.asarray(km.S_np[i])
+    w = km.v_slices[i][1]
+    return [S[:, c] for c in range(w)]
+
+
+def _Smatvec(cols, coeffs):
+    """Σ_c S[:, c]·x_c with S literal float columns, x_c (1,B) slices →
+    (6,B); zero rows skipped per-entry."""
+    rows = []
+    for r in range(6):
+        terms = [float(col[r]) * xc for col, xc in zip(cols, coeffs)
+                 if col[r] != 0.0]
+        rows.append(_sum_terms(terms))
+    zero = None
+    for t in rows:
+        if t is not None:
+            zero = jnp.zeros_like(t)
+            break
+    return jnp.concatenate([t if t is not None else zero for t in rows])
+
+
+def _md_rnea_s(km, X, qd, qdd, gravity):
+    """Generalized RNEA: → (c (nv,B), v, a, f lists of (6,B)); f is the
+    NON-accumulated body wrench list plus the accumulated c — callers that
+    need accumulated f use the returned f_acc."""
+    topo = km.topology
+    n = topo.n
+    minus_g = float(-gravity)
+    v = [None] * n
+    a = [None] * n
+    f = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        sv, w = km.v_slices[i]
+        cols = _S_cols(km, i)
+        vJ = _Smatvec(cols, [qd[sv + c:sv + c + 1] for c in range(w)])
+        v[i] = vJ if p < 0 else blops.matvec6(X[i], v[p]) + vJ
+        if p < 0:
+            ai = X[i][:, 5, :] * minus_g          # X · [0..0, −g]
+        else:
+            ai = blops.matvec6(X[i], a[p])
+        ai = ai + blops.crm_apply_bl(v[i], vJ)
+        if qdd is not None:
+            ai = ai + _Smatvec(cols,
+                               [qdd[sv + c:sv + c + 1] for c in range(w)])
+        a[i] = ai
+        Ii = km.inertia[i]
+        Iv = blops.matvec6(Ii, v[i])
+        f[i] = blops.matvec6(Ii, a[i]) + blops.crf_apply_bl(v[i], Iv)
+    f_acc = list(f)
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            f_acc[p] = f_acc[p] + blops.matvec6_T(X[i], f_acc[i])
+    c_rows = []
+    for i in range(n):
+        sv, w = km.v_slices[i]
+        for c in range(w):
+            col = _S_cols(km, i)[c]
+            ci = _sum_terms([float(col[r]) * f_acc[i][r:r + 1]
+                             for r in range(6) if col[r] != 0.0])
+            ci = ci + km.damping[sv + c:sv + c + 1, 0:1] * \
+                qd[sv + c:sv + c + 1]
+            c_rows.append(ci)
+    return jnp.concatenate(c_rows), v, a, f_acc
+
+
+def _md_crba_s(km, X):
+    """Generalized CRBA → (nv, nv) list-of-lists of (1,B)/None entries."""
+    topo = km.topology
+    n = topo.n
+    nv = km.nv
+    IC = [km.inertia[i] for i in range(n)]
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            IC[p] = IC[p] + blops.matmat6_T(X[i],
+                                            blops.matmat6(IC[i], X[i]))
+    M = [[None] * nv for _ in range(nv)]
+    for i in range(n):
+        si, wi = km.v_slices[i]
+        cols_i = _S_cols(km, i)
+        # F = IC_i @ S_i: wi columns of (6,B)
+        F = []
+        for c in range(wi):
+            col = cols_i[c]
+            F.append(_sum_terms([
+                float(col[k]) * IC[i][:, k, :] for k in range(6)
+                if col[k] != 0.0]))
+        for ci in range(wi):
+            for cj in range(ci + 1):
+                val = _sum_terms([
+                    float(cols_i[cj][r]) * F[ci][r:r + 1] for r in range(6)
+                    if cols_i[cj][r] != 0.0])
+                M[si + ci][si + cj] = val
+                M[si + cj][si + ci] = val
+        j = i
+        while topo.parents[j] >= 0:
+            F = [blops.matvec6_T(X[j], Fc) for Fc in F]
+            j = topo.parents[j]
+            sj, wj = km.v_slices[j]
+            cols_j = _S_cols(km, j)
+            for ci in range(wi):
+                for cj in range(wj):
+                    val = _sum_terms([
+                        float(cols_j[cj][r]) * F[ci][r:r + 1]
+                        for r in range(6) if cols_j[cj][r] != 0.0])
+                    M[si + ci][sj + cj] = val
+                    M[sj + cj][si + ci] = val
+    return M
+
+
+# --------------------------------------------------------------------------
+# kernel bodies + public entries
+# --------------------------------------------------------------------------
+def _md_id_body(km, q, qd, qdd, *, gravity):
+    X = _md_transforms_s(km, q)
+    c, *_ = _md_rnea_s(km, X, qd, qdd, gravity)
+    return (c,)
+
+
+def _md_fd_body(km, q, qd, u, *, gravity):
+    X = _md_transforms_s(km, q)
+    c, *_ = _md_rnea_s(km, X, qd, None, gravity)
+    M = _md_crba_s(km, X)
+    L = _chol_factor_e(M, km.nv)
+    rhs = [u[r:r + 1] - c[r:r + 1] for r in range(km.nv)]
+    qdd = _chol_apply_e(L, rhs)
+    return (jnp.concatenate(qdd),)
+
+
+def md_workset_ok(n: int, nv: int) -> bool:
+    """Lane-tile VMEM gate: X+IC+v/a/f ≈ 108n floats/state, mass+chol ≈
+    1.5·nv², calibrated by the fixed-base Mosaic stack factor."""
+    ws = 108.0 * n + 1.5 * nv * nv + 200.0
+    return ws * _CAL <= _LANE_BUDGET
+
+
+def _md_ns(model, vals):
+    return SimpleNamespace(
+        topology=model.topology, joint_types=model.joint_types,
+        q_slices=model.q_slices, v_slices=model.v_slices, nv=model.nv,
+        axis=np.asarray(model.axis, np.float64),
+        S_np=np.asarray(model.S, np.float64),
+        **dict(zip(_MD_FIELDS, vals)))
+
+
+def _md_model_args(model, dtype):
+    args = []
+    for fname in _MD_FIELDS:
+        arr = jnp.asarray(getattr(model, fname), dtype)
+        if fname == "damping":
+            args.append(arr[:, None])
+        else:
+            args.append(jnp.broadcast_to(arr[..., None],
+                                         arr.shape + (_LANES,)))
+    return args
+
+
+def _run_md(model, body, states, out_dims, interpret, force_xla=False):
+    dtype = states[0].dtype
+    if force_xla or not md_workset_ok(model.n_joints, model.nv):
+        B_sh = states[0].shape[-1:]
+        vals = []
+        for fname in _MD_FIELDS:
+            arr = jnp.asarray(getattr(model, fname), dtype)
+            vals.append(arr[:, None] if fname == "damping"
+                        else jnp.broadcast_to(arr[..., None],
+                                              arr.shape + B_sh))
+        return list(body(_md_ns(model, vals), *states))
+
+    B = states[0].shape[-1]
+    pad = (-B) % _LANES
+    if pad:
+        states = [jnp.pad(s, ((0, 0),) * (s.ndim - 1) + ((0, pad),))
+                  for s in states]
+    Bp = B + pad
+    model_args = _md_model_args(model, dtype)
+    n_model = len(model_args)
+
+    def kernel(*refs):
+        mrefs = refs[:n_model]
+        srefs = refs[n_model:n_model + len(states)]
+        orefs = refs[n_model + len(states):]
+        km = _md_ns(model, [r[:] for r in mrefs])
+        outs = body(km, *[r[:] for r in srefs])
+        for o_ref, o in zip(orefs, outs):
+            o_ref[:] = o
+
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_model
+        + [pl.BlockSpec(s.shape[:-1] + (_LANES,),
+                        (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
+                        memory_space=pltpu.VMEM) for s in states]
+    )
+    out_specs = [pl.BlockSpec((d, _LANES), (lambda i: (0, i)),
+                              memory_space=pltpu.VMEM) for d in out_dims]
+    out_shape = [jax.ShapeDtypeStruct((d, Bp), dtype) for d in out_dims]
+    outs = pl.pallas_call(
+        kernel, grid=(Bp // _LANES,),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,
+        interpret=interpret,
+    )(*model_args, *states)
+    if pad:
+        outs = [o[..., :B] for o in outs]
+    return list(outs)
+
+
+def md_id_fused(model, q, qd, qdd=None, gravity=-9.81, interpret=False,
+                force_xla=False):
+    """Fused generalized inverse dynamics: q (nq,B), qd/qdd (nv,B) →
+    c (nv,B). Batch-last counterpart of :func:`..multidof.md_inverse_dynamics`.
+    ``force_xla=True`` runs the identical body as plain XLA (the non-TPU
+    batched production path)."""
+    def body(km, q, qd, *rest):
+        return _md_id_body(km, q, qd, rest[0] if rest else None,
+                           gravity=float(gravity))
+
+    states = [q, qd] + ([] if qdd is None else [qdd])
+    (c,) = _run_md(model, body, states, [model.nv], interpret, force_xla)
+    return c
+
+
+def md_fd_fused(model, q, qd, u, gravity=-9.81, interpret=False,
+                force_xla=False):
+    """Fused generalized forward dynamics: q (nq,B), qd/u (nv,B) →
+    q̈ (nv,B): RNEA bias + CRBA + dense (nv,nv) Cholesky in one kernel."""
+    def body(km, q, qd, u):
+        return _md_fd_body(km, q, qd, u, gravity=float(gravity))
+
+    (qdd,) = _run_md(model, body, [q, qd, u], [model.nv], interpret,
+                     force_xla)
+    return qdd

@@ -393,6 +393,40 @@ def md_forward_dynamics_gradient(model: MultiDofModel, q, qd, u,
     return -solve(did_dq), -solve(did_dqd), solve(eye)
 
 
+def md_inverse_dynamics_batched(model: MultiDofModel, q, qd, qdd=None,
+                                gravity=-9.81, impl="auto"):
+    """Batched generalized ID over leading batch axes (batch-first user
+    arrays): q (..., nq), qd/qdd (..., nv) → c (..., nv). ``impl="auto"``
+    routes to the fused Pallas lane-tile kernel on TPU
+    (:func:`.kernels.multidof_fused.md_id_fused`); elsewhere the identical
+    batch-last body runs as plain XLA."""
+    from .contact import _impl_auto
+    from .kernels import multidof_fused as _mf
+
+    shape_b = qd.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T
+    c = _mf.md_id_fused(
+        model, flat(q), flat(qd), None if qdd is None else flat(qdd),
+        gravity, force_xla=_impl_auto(impl, q) != "pallas")
+    return jnp.moveaxis(c, 0, -1).reshape(shape_b + (model.nv,))
+
+
+def md_forward_dynamics_batched(model: MultiDofModel, q, qd, u,
+                                gravity=-9.81, impl="auto"):
+    """Batched generalized FD: q (..., nq), qd/u (..., nv) → q̈ (..., nv).
+    On TPU the whole pipeline (transforms, RNEA bias, CRBA, dense (nv,nv)
+    Cholesky) runs as ONE fused kernel per 128-state lane tile."""
+    from .contact import _impl_auto
+    from .kernels import multidof_fused as _mf
+
+    shape_b = qd.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T
+    qdd = _mf.md_fd_fused(
+        model, flat(q), flat(qd), flat(u), gravity,
+        force_xla=_impl_auto(impl, q) != "pallas")
+    return jnp.moveaxis(qdd, 0, -1).reshape(shape_b + (model.nv,))
+
+
 def md_step(model: MultiDofModel, q, qd, u, dt, gravity=-9.81):
     """Semi-implicit manifold step."""
     qdd = md_forward_dynamics(model, q, qd, u, gravity)

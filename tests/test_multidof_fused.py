@@ -1,0 +1,77 @@
+"""Fused multi-dof kernels (ops/kernels/multidof_fused.py) vs vmap of the
+per-state generalized recursions — ball joints, in-tree floating joints, and
+mixed 1-dof trees (ROADMAP r2 item 3: the multi-dof stack was vmap-only)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gridcodegenerator_tpu as g
+from gridcodegenerator_tpu.models import zoo
+from gridcodegenerator_tpu.ops import multidof as md
+from gridcodegenerator_tpu.ops.kernels import multidof_fused as mf
+
+
+def _model(urdf):
+    return md.multidof_model_from_description(g.parse_urdf(urdf),
+                                              dtype=jnp.float64)
+
+
+@pytest.fixture(scope="module", params=["ball", "free", "mixed"])
+def md_setup(request):
+    if request.param == "ball":
+        model = _model(zoo.ball_arm(damping=0.1))
+    elif request.param == "free":
+        model = _model(zoo.with_free_joint(zoo.iiwa14(damping=0.1)))
+    else:
+        model = _model(zoo.serial_chain(5, damping=0.1, prismatic_every=2))
+    B = 4
+    rng = np.random.default_rng(29)
+    q = np.tile(np.asarray(md.neutral_q(model)), (B, 1))
+    # random manifold perturbation keeps quaternions unit
+    dq = rng.uniform(-0.6, 0.6, (B, model.nv))
+    q = np.stack([np.asarray(md.md_tangent_apply(
+        model, jnp.asarray(q[k]), jnp.asarray(dq[k]))) for k in range(B)])
+    qd = rng.uniform(-0.8, 0.8, (B, model.nv))
+    u = rng.uniform(-5, 5, (B, model.nv))
+    return model, (jnp.asarray(q), jnp.asarray(qd), jnp.asarray(u))
+
+
+def test_md_batched_id_fd_match_vmap(md_setup):
+    """Batched entries (XLA body) == vmap of the single-state recursions."""
+    model, (q, qd, u) = md_setup
+    c_ref = jax.vmap(lambda a, b, cc: md.md_inverse_dynamics(
+        model, a, b, cc))(q, qd, u)
+    qdd_ref = jax.vmap(lambda a, b, cc: md.md_forward_dynamics(
+        model, a, b, cc))(q, qd, u)
+
+    c = md.md_inverse_dynamics_batched(model, q, qd, u, impl="vmap")
+    qdd = md.md_forward_dynamics_batched(model, q, qd, u, impl="vmap")
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qdd), np.asarray(qdd_ref),
+                               atol=1e-9)
+
+
+def test_md_fused_interpret_matches_vmap(md_setup):
+    """The Pallas kernels in interpret mode (same bodies as the TPU
+    lowering) == vmap of the single-state recursions."""
+    model, (q, qd, u) = md_setup
+    bl = lambda a: a.T
+    c_ref = jax.vmap(lambda a, b, cc: md.md_inverse_dynamics(
+        model, a, b, cc))(q, qd, u)
+    qdd_ref = jax.vmap(lambda a, b, cc: md.md_forward_dynamics(
+        model, a, b, cc))(q, qd, u)
+
+    c = mf.md_id_fused(model, bl(q), bl(qd), bl(u), interpret=True)
+    qdd = mf.md_fd_fused(model, bl(q), bl(qd), bl(u), interpret=True)
+    np.testing.assert_allclose(np.asarray(c.T), np.asarray(c_ref),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qdd.T), np.asarray(qdd_ref),
+                               atol=1e-9)
+
+
+def test_md_workset_gate():
+    assert mf.md_workset_ok(5, 15)       # ball_arm scale
+    assert mf.md_workset_ok(8, 13)       # free-joint iiwa
+    assert not mf.md_workset_ok(200, 80)
