@@ -83,49 +83,6 @@ def _split_cols(arr_axis1_n, n, cb):
     return [(c0, min(cb, n - c0)) for c0 in range(0, n, cb)]
 
 
-def _block_active(topo, n, c0, w):
-    """Joint index sets a ∂ID column block [c0, c0+w) actually reads
-    (the HBM-staging counterpart of the subtree sparsity inside
-    ``blops.rnea_grad_cols_bl``):
-
-    * ``V`` — joints whose v is read: the block's subtree ∪ its parents
-      (q-side seeds read v[parent], qd-side seeds read v[i]);
-    * ``A`` — joints whose a is read: parents of subtree joints (q side);
-    * ``F`` — joints whose accumulated f is read: the block itself
-      (the q-side backward ∂X correction).
-
-    K5 launches stage only these rows instead of the full (6, n, B)
-    tensors — on Atlas (4 blocks of 7) this cuts the per-launch v/a/f
-    HBM traffic ~2.2×, which is what inverted the 16k→262k staged ∂ID
-    throughput (VERDICT r2 weak #2)."""
-    sub = [False] * n
-    for i in range(n):
-        p = topo.parents[i]
-        sub[i] = (c0 <= i < c0 + w) or (p >= 0 and sub[p])
-    S = [i for i in range(n) if sub[i]]
-    par = {topo.parents[i] for i in S if topo.parents[i] >= 0}
-    V = sorted(set(S) | par)
-    A = sorted(par)
-    F = list(range(c0, c0 + w))
-    return V, A, F
-
-
-def _rows(stacked, idx):
-    """Select joint rows of a staged (6, n, B) tensor by static slices
-    (never a gather)."""
-    return jnp.concatenate([stacked[:, i:i + 1] for i in idx], axis=1)
-
-
-def _scatter_list(n, sub, idx):
-    """Rebuild the per-joint list form from a row-sliced tensor: entries
-    outside ``idx`` are None (provably unread — the kernel body's subtree
-    skipping guarantees it)."""
-    out = [None] * n
-    for t, i in enumerate(idx):
-        out[i] = sub[:, t]
-    return out
-
-
 def _as_list(stacked, n):
     """(6, n, *B) staged tensor → per-joint list of (6, *B) (kernel-body
     form). Static basic-indexing slices only — no gathers (Mosaic-safe)."""
@@ -216,22 +173,16 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
     for side in ("q", "qd"):
         blocks = []
         for c0, w in _split_cols(None, n, cb):
-            V, A, F = _block_active(model.topology, n, c0, w)
-
-            def body_grad(km, q, qd, v_s, a_s, f_s, c0=c0, w=w, side=side,
-                          V=tuple(V), A=tuple(A), F=tuple(F)):
+            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
                 X = blops.joint_transforms_bl(km, q)
-                vl = _scatter_list(km.n, v_s, V)
-                al = _scatter_list(km.n, a_s, A)
-                fl = _scatter_list(km.n, f_s, F)
+                vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
                 dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
                                              c0=c0, cb=w, sides=(side,))
                 return (dc[side],)
 
-            (blk,) = _pallas_batch_call(
-                model, body_grad,
-                [q, qd, _rows(v, V), _rows(a, A), _rows(f, F)],
-                [(n, w)], k5_block, interpret, lane_tile=k5_lane)
+            (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
+                                        [(n, w)], k5_block, interpret,
+                                        lane_tile=k5_lane)
             blocks.append(blk)
         sides[side] = jnp.concatenate(blocks, axis=1)
     return sides["q"], sides["qd"]
@@ -270,22 +221,16 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     for side in ("q", "qd"):
         blocks = []
         for c0, w in _split_cols(None, n, cb):
-            V, A, F = _block_active(model.topology, n, c0, w)
-
-            def body_grad(km, q, qd, v_s, a_s, f_s, c0=c0, w=w, side=side,
-                          V=tuple(V), A=tuple(A), F=tuple(F)):
+            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
                 X = blops.joint_transforms_bl(km, q)
-                vl = _scatter_list(km.n, v_s, V)
-                al = _scatter_list(km.n, a_s, A)
-                fl = _scatter_list(km.n, f_s, F)
+                vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
                 dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
                                              c0=c0, cb=w, sides=(side,))
                 return (dc[side],)
 
-            (blk,) = _pallas_batch_call(
-                model, body_grad,
-                [q, qd, _rows(v, V), _rows(a, A), _rows(f, F)],
-                [(n, w)], k5_block, interpret, lane_tile=k5_lane)
+            (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
+                                        [(n, w)], k5_block, interpret,
+                                        lane_tile=k5_lane)
             blocks.append(blk)
         dc = jnp.concatenate(blocks, axis=1)
         outs[side] = blops.matmatN(Minv, dc, negate=True)
