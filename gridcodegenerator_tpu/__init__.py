@@ -51,6 +51,7 @@ from .ops.kinematics import fk, point_position, world_jacobian
 from .ops.freeflyer import (
     FreeFlyerModel,
     fb_forward_dynamics,
+    fb_forward_dynamics_batched,
     fb_forward_dynamics_gradient,
     fb_id_grad,
     fb_inverse_dynamics,
@@ -61,9 +62,11 @@ from .ops.multidof import (
     MultiDofModel,
     md_crba,
     md_forward_dynamics,
+    md_forward_dynamics_batched,
     md_forward_dynamics_gradient,
     md_id_grad,
     md_inverse_dynamics,
+    md_inverse_dynamics_batched,
     multidof_model_from_description,
 )
 from .models.robot import RobotModel, load_robot, robot_model_from_description
@@ -91,9 +94,10 @@ __all__ = [
     "fb_simulate_constrained",
     "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
+    "fb_forward_dynamics_batched",
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",
     "MultiDofModel", "multidof_model_from_description", "md_inverse_dynamics",
     "md_forward_dynamics", "md_forward_dynamics_gradient", "md_id_grad",
-    "md_crba",
+    "md_crba", "md_forward_dynamics_batched", "md_inverse_dynamics_batched",
 ]
