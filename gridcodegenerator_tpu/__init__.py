@@ -64,7 +64,9 @@ from .ops.multidof import (
     md_forward_dynamics,
     md_forward_dynamics_batched,
     md_forward_dynamics_gradient,
+    md_forward_dynamics_gradient_batched,
     md_id_grad,
+    md_id_grad_batched,
     md_inverse_dynamics,
     md_inverse_dynamics_batched,
     multidof_model_from_description,
@@ -100,4 +102,5 @@ __all__ = [
     "MultiDofModel", "multidof_model_from_description", "md_inverse_dynamics",
     "md_forward_dynamics", "md_forward_dynamics_gradient", "md_id_grad",
     "md_crba", "md_forward_dynamics_batched", "md_inverse_dynamics_batched",
+    "md_id_grad_batched", "md_forward_dynamics_gradient_batched",
 ]

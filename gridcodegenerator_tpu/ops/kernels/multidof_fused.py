@@ -37,7 +37,8 @@ from .contact_fused import (_chol_apply_e, _chol_factor_e, _mm33s,
 from .fused import _LANES
 from .staged import _CAL, _LANE_BUDGET
 
-__all__ = ["md_id_fused", "md_fd_fused", "md_workset_ok"]
+__all__ = ["md_id_fused", "md_fd_fused", "md_id_grad_fused",
+           "md_fd_grad_fused", "md_workset_ok", "md_grad_workset_ok"]
 
 _MD_FIELDS = ("XT", "inertia", "damping")
 
@@ -277,6 +278,222 @@ def md_workset_ok(n: int, nv: int) -> bool:
     return ws * _CAL <= _LANE_BUDGET
 
 
+def md_grad_workset_ok(n: int, nv: int) -> bool:
+    """Gate for the gradient kernels: adds the per-joint DV/DA/DF column
+    lists (≈ 18·n·nv) and the (nv, nv) ∂-output + solve temporaries."""
+    ws = 108.0 * n + 18.0 * n * nv + 4.5 * nv * nv + 200.0
+    return ws * _CAL <= _LANE_BUDGET
+
+
+# --------------------------------------------------------------------------
+# generalized ∂ID / ∇FD, (1,B)-entry column lists
+# --------------------------------------------------------------------------
+def _md_vaf_s(km, X, qd, qdd, gravity):
+    """(v, a, f_acc) lists of (6,B) at the given accelerations (f is the
+    ACCUMULATED wrench — the ∂ID backward correction needs it)."""
+    _, v, a, f_acc = _md_rnea_s(km, X, qd, qdd, gravity)
+    return v, a, f_acc
+
+
+def _crm_cols(m, col):
+    """crm(m) @ col for one (6,B) column."""
+    return blops.crm_apply_bl(m, col)
+
+
+def _md_id_grad_body(km, q, qd, qdd, *, gravity):
+    """Generalized tangent-space ∂ID on a lane tile → (Dq (nv,nv,B),
+    Dqd (nv,nv,B)). Mirrors :func:`..multidof.md_id_grad` with per-joint
+    derivative COLUMN LISTS (None = structurally zero: columns of joints
+    outside ancestors∪self never materialize — the multi-dof form of the
+    subtree sparsity in ``blops.rnea_grad_cols_bl``)."""
+    topo = km.topology
+    n = topo.n
+    nv = km.nv
+    minus_g = float(-gravity)
+    X = _md_transforms_s(km, q)
+    v, a, f = _md_vaf_s(km, X, qd, qdd, gravity)
+
+    # joint-of-column map and constant S columns
+    S_of = []
+    for i in range(n):
+        sv, w = km.v_slices[i]
+        for c in range(w):
+            S_of.append((i, c))
+
+    def Scol_b(i, c, like):
+        """Constant S column broadcast against a live (6,B) value (scalar
+        float × input-derived rows — never a pure constant chain)."""
+        col = np.asarray(km.S_np[i])[:, c]
+        zero = jnp.zeros_like(like[0:1])
+        return jnp.concatenate([
+            zero + float(col[r]) if col[r] != 0.0 else zero
+            for r in range(6)])
+
+    outs = {}
+    for side in ("q", "qd"):
+        is_q = side == "q"
+        DV = [None] * n   # per joint: list of nv columns of (6,B)/None
+        DA = [None] * n
+        DF = [None] * n
+        for i in range(n):
+            p = topo.parents[i]
+            sv, w = km.v_slices[i]
+            cols_i = _S_cols(km, i)
+            vJ = _Smatvec(cols_i, [qd[sv + c:sv + c + 1] for c in range(w)])
+
+            dv = ([None] * nv if (p < 0 or DV[p] is None) else
+                  [None if cp is None else blops.matvec6(X[i], cp)
+                   for cp in DV[p]])
+            da = ([None] * nv if (p < 0 or DA[p] is None) else
+                  [None if cp is None else blops.matvec6(X[i], cp)
+                   for cp in DA[p]])
+            # seeds in joint i's own columns
+            if is_q:
+                Xv = (blops.matvec6(X[i], v[p]) if p >= 0 else None)
+                Xa = (blops.matvec6(X[i], a[p]) if p >= 0
+                      else X[i][:, 5, :] * minus_g)
+            for c in range(w):
+                j = sv + c
+                if is_q:
+                    if Xv is not None:
+                        dv[j] = _sum_terms(
+                            [dv[j], _crm_cols(Xv, Scol_b(i, c, Xv))])
+                    sa = _crm_cols(Xa, Scol_b(i, c, Xa))
+                else:
+                    dv[j] = _sum_terms([dv[j], Scol_b(i, c, v[i])])
+                    sa = _crm_cols(v[i], Scol_b(i, c, v[i]))
+                da[j] = _sum_terms([da[j], sa])
+            # the −crm(S q̇) DV term applies to every live column
+            for j in range(nv):
+                if dv[j] is not None:
+                    da[j] = _sum_terms([da[j], -_crm_cols(vJ, dv[j])])
+            Ii = km.inertia[i]
+            Iv = blops.matvec6(Ii, v[i])
+            df = [None] * nv
+            for j in range(nv):
+                terms = []
+                if da[j] is not None:
+                    terms.append(blops.matvec6(Ii, da[j]))
+                if dv[j] is not None:
+                    terms.append(blops.crf_apply_bl(dv[j], Iv))
+                    terms.append(blops.crf_apply_bl(
+                        v[i], blops.matvec6(Ii, dv[j])))
+                df[j] = _sum_terms(terms)
+            DV[i], DA[i], DF[i] = dv, da, df
+
+        for i in range(n - 1, -1, -1):
+            p = topo.parents[i]
+            if p < 0:
+                continue
+            contrib = list(DF[i])
+            if is_q:
+                sv, w = km.v_slices[i]
+                for c in range(w):
+                    j = sv + c
+                    contrib[j] = _sum_terms(
+                        [contrib[j],
+                         blops.crf_apply_bl(Scol_b(i, c, f[i]), f[i])])
+            for j in range(nv):
+                if contrib[j] is not None:
+                    up = blops.matvec6_T(X[i], contrib[j])
+                    DF[p][j] = _sum_terms([DF[p][j], up])
+
+        # rows: ∂τ_(i,c) over all nv columns
+        rows = []
+        for i in range(n):
+            sv, w = km.v_slices[i]
+            cols_i = _S_cols(km, i)
+            for c in range(w):
+                col = cols_i[c]
+                ent = []
+                for j in range(nv):
+                    dfj = DF[i][j]
+                    if dfj is None:
+                        ent.append(None)
+                    else:
+                        ent.append(_sum_terms([
+                            float(col[r]) * dfj[r:r + 1] for r in range(6)
+                            if col[r] != 0.0]))
+                if not is_q:
+                    jd = sv + c
+                    damp = km.damping[jd:jd + 1, 0:1]
+                    base = ent[jd]
+                    one = jnp.ones_like(qd[0:1])
+                    ent[jd] = _sum_terms([base, damp * one])
+                rows.append(ent)
+        zero = jnp.zeros_like(qd[0:1])
+        D = jnp.stack([
+            jnp.concatenate([e if e is not None else zero for e in row])
+            for row in rows])
+        outs[side] = D
+    return outs["q"], outs["qd"]
+
+
+def _md_fd_grad_body(km, q, qd, u, *, gravity):
+    """Generalized tangent-space ∇FD: Carpentier-Mansard over the fused
+    pieces — FD solve, ∂ID at the solution, −M⁻¹·∂c and M⁻¹ itself —
+    all in one kernel. Returns (Dq, Dqd, Du), each (nv,nv,B)."""
+    nv = km.nv
+    X = _md_transforms_s(km, q)
+    c, *_ = _md_rnea_s(km, X, qd, None, gravity)
+    M = _md_crba_s(km, X)
+    L = _chol_factor_e(M, nv)
+    qdd_l = _chol_apply_e(L, [u[r:r + 1] - c[r:r + 1] for r in range(nv)])
+    qdd = jnp.concatenate(qdd_l)
+    Dq_id, Dqd_id = _md_id_grad_body(km, q, qd, qdd, gravity=gravity)
+
+    # D (nv, nv, B): per column j solve M x = D[:, j], emit −x
+    outs = []
+    for D in (Dq_id, Dqd_id):
+        cols = []
+        for j in range(nv):
+            x = _chol_apply_e(L, [D[r, j:j + 1] for r in range(nv)])
+            cols.append([-xc for xc in x])
+        # reassemble (nv, nv, B): rows r over cols j
+        outs.append(jnp.stack([
+            jnp.concatenate([cols[j][r] for j in range(nv)])
+            for r in range(nv)]))
+    # Du = M⁻¹: solve unit columns
+    eye_cols = []
+    one = jnp.ones_like(qd[0:1])
+    for j in range(nv):
+        rhs = [one if r == j else None for r in range(nv)]
+        eye_cols.append(_chol_apply_e(L, rhs))
+    Du = jnp.stack([
+        jnp.concatenate([eye_cols[j][r] for j in range(nv)])
+        for r in range(nv)])
+    return outs[0], outs[1], Du
+
+
+def md_id_grad_fused(model, q, qd, qdd=None, gravity=-9.81, interpret=False,
+                     force_xla=False):
+    """Fused generalized tangent-space ∂ID: q (nq,B), qd/qdd (nv,B) →
+    (∂τ/∂δq, ∂τ/∂q̇), each (nv,nv,B). Batch-last counterpart of
+    :func:`..multidof.md_id_grad`."""
+    nv = model.nv
+
+    def body(km, q, qd, *rest):
+        return _md_id_grad_body(km, q, qd, rest[0] if rest else None,
+                                gravity=float(gravity))
+
+    states = [q, qd] + ([] if qdd is None else [qdd])
+    return tuple(_run_md(model, body, states, [(nv, nv)] * 2, interpret,
+                         force_xla, grad=True))
+
+
+def md_fd_grad_fused(model, q, qd, u, gravity=-9.81, interpret=False,
+                     force_xla=False):
+    """Fused generalized tangent-space ∇FD: (∂q̈/∂δq, ∂q̈/∂q̇, ∂q̈/∂u),
+    each (nv,nv,B) — the whole Carpentier-Mansard pipeline in one kernel."""
+    nv = model.nv
+
+    def body(km, q, qd, u):
+        return _md_fd_grad_body(km, q, qd, u, gravity=float(gravity))
+
+    return tuple(_run_md(model, body, [q, qd, u], [(nv, nv)] * 3, interpret,
+                         force_xla, grad=True))
+
+
 def _md_ns(model, vals):
     return SimpleNamespace(
         topology=model.topology, joint_types=model.joint_types,
@@ -298,9 +515,12 @@ def _md_model_args(model, dtype):
     return args
 
 
-def _run_md(model, body, states, out_dims, interpret, force_xla=False):
+def _run_md(model, body, states, out_dims, interpret, force_xla=False,
+            grad=False):
     dtype = states[0].dtype
-    if force_xla or not md_workset_ok(model.n_joints, model.nv):
+    gate = md_grad_workset_ok if grad else md_workset_ok
+    out_dims = [d if isinstance(d, tuple) else (d,) for d in out_dims]
+    if force_xla or not gate(model.n_joints, model.nv):
         B_sh = states[0].shape[-1:]
         vals = []
         for fname in _MD_FIELDS:
@@ -334,9 +554,10 @@ def _run_md(model, body, states, out_dims, interpret, force_xla=False):
                         (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
                         memory_space=pltpu.VMEM) for s in states]
     )
-    out_specs = [pl.BlockSpec((d, _LANES), (lambda i: (0, i)),
+    out_specs = [pl.BlockSpec(d + (_LANES,),
+                              (lambda i, nd=len(d): (0,) * nd + (i,)),
                               memory_space=pltpu.VMEM) for d in out_dims]
-    out_shape = [jax.ShapeDtypeStruct((d, Bp), dtype) for d in out_dims]
+    out_shape = [jax.ShapeDtypeStruct(d + (Bp,), dtype) for d in out_dims]
     outs = pl.pallas_call(
         kernel, grid=(Bp // _LANES,),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shape,

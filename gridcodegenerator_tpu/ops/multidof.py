@@ -427,6 +427,43 @@ def md_forward_dynamics_batched(model: MultiDofModel, q, qd, u,
     return jnp.moveaxis(qdd, 0, -1).reshape(shape_b + (model.nv,))
 
 
+def md_id_grad_batched(model: MultiDofModel, q, qd, qdd=None, gravity=-9.81,
+                       impl="auto"):
+    """Batched tangent-space ∂ID: q (..., nq), qd/qdd (..., nv) →
+    (∂τ/∂δq, ∂τ/∂q̇), each (..., nv, nv). On TPU the whole derivative
+    recursion runs fused per lane tile
+    (:func:`.kernels.multidof_fused.md_id_grad_fused`)."""
+    from .contact import _impl_auto
+    from .kernels import multidof_fused as _mf
+
+    shape_b = qd.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T
+    Dq, Dqd = _mf.md_id_grad_fused(
+        model, flat(q), flat(qd), None if qdd is None else flat(qdd),
+        gravity, force_xla=_impl_auto(impl, q) != "pallas")
+    unflat = lambda D: jnp.moveaxis(D, -1, 0).reshape(
+        shape_b + (model.nv, model.nv))
+    return unflat(Dq), unflat(Dqd)
+
+
+def md_forward_dynamics_gradient_batched(model: MultiDofModel, q, qd, u,
+                                         gravity=-9.81, impl="auto"):
+    """Batched tangent-space ∇FD: (∂q̈/∂δq, ∂q̈/∂q̇, ∂q̈/∂u), each
+    (..., nv, nv) — the Carpentier-Mansard pipeline fused per lane tile on
+    TPU (:func:`.kernels.multidof_fused.md_fd_grad_fused`)."""
+    from .contact import _impl_auto
+    from .kernels import multidof_fused as _mf
+
+    shape_b = qd.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T
+    Ds = _mf.md_fd_grad_fused(
+        model, flat(q), flat(qd), flat(u), gravity,
+        force_xla=_impl_auto(impl, q) != "pallas")
+    unflat = lambda D: jnp.moveaxis(D, -1, 0).reshape(
+        shape_b + (model.nv, model.nv))
+    return tuple(unflat(D) for D in Ds)
+
+
 def md_step(model: MultiDofModel, q, qd, u, dt, gravity=-9.81):
     """Semi-implicit manifold step."""
     qdd = md_forward_dynamics(model, q, qd, u, gravity)

@@ -71,6 +71,44 @@ def test_md_fused_interpret_matches_vmap(md_setup):
                                atol=1e-9)
 
 
+def test_md_grad_batched_matches_single(md_setup):
+    """Batched tangent-space gradients (XLA body) == the per-state analytic
+    md_id_grad / md_forward_dynamics_gradient."""
+    model, (q, qd, u) = md_setup
+    B = q.shape[0]
+    Dq, Dqd = md.md_id_grad_batched(model, q, qd, u, impl="vmap")
+    Fq, Fqd, Fu = md.md_forward_dynamics_gradient_batched(
+        model, q, qd, u, impl="vmap")
+    for k in (0, B - 1):
+        rq, rqd = md.md_id_grad(model, q[k], qd[k], u[k])
+        np.testing.assert_allclose(np.asarray(Dq[k]), np.asarray(rq),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Dqd[k]), np.asarray(rqd),
+                                   atol=1e-9)
+        gq, gqd, gu = md.md_forward_dynamics_gradient(model, q[k], qd[k],
+                                                      u[k])
+        np.testing.assert_allclose(np.asarray(Fq[k]), np.asarray(gq),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Fqd[k]), np.asarray(gqd),
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(Fu[k]), np.asarray(gu),
+                                   atol=1e-8)
+
+
+def test_md_grad_fused_interpret(md_setup):
+    """The gradient kernels in interpret mode == the per-state analytic
+    gradients (the TPU lowering path of the same bodies)."""
+    model, (q, qd, u) = md_setup
+    bl = lambda a: a.T
+    Dq, Dqd = mf.md_id_grad_fused(model, bl(q), bl(qd), bl(u),
+                                  interpret=True)
+    rq, rqd = md.md_id_grad(model, q[0], qd[0], u[0])
+    np.testing.assert_allclose(np.asarray(Dq[..., 0]), np.asarray(rq),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Dqd[..., 0]), np.asarray(rqd),
+                               atol=1e-9)
+
+
 def test_md_workset_gate():
     assert mf.md_workset_ok(5, 15)       # ball_arm scale
     assert mf.md_workset_ok(8, 13)       # free-joint iiwa
