@@ -144,8 +144,11 @@ def sharded_constrained_fd(model: RobotModel, mesh: Mesh, links, offsets,
     """dp-sharded stance/pinned forward dynamics: the batch shards over the
     mesh, the contact geometry replicates — the deployment shape for
     stance-phase trajectory optimization at pod scale. Pure data
-    parallelism (the Delassus solve is per-state); no collectives."""
-    from ..ops import contact as _ct
+    parallelism (the Delassus solve is per-state); no collectives. Each
+    shard runs the batched production path (``api.constrained_forward_
+    dynamics`` → batch-last contact pipeline, fused dynamics kernels on
+    TPU), not a vmap of single states."""
+    from .. import api
 
     links = tuple(links)
     offsets = jnp.asarray(offsets)
@@ -156,12 +159,48 @@ def sharded_constrained_fd(model: RobotModel, mesh: Mesh, links, offsets,
         jax.shard_map, mesh=mesh,
         in_specs=(P(), spec, spec, spec), out_specs=(spec, spec))
     def _run(mdl, q, qd, u):
-        f = jax.vmap(lambda a, b, c: _ct.constrained_forward_dynamics(
-            mdl, a, b, c, links, offsets, anch, gravity, baumgarte, reg))
-        return f(q, qd, u)
+        return api.constrained_forward_dynamics(
+            mdl, q, qd, u, links, offsets, anch, gravity=gravity,
+            baumgarte=baumgarte, reg=reg)
 
     model = replicate_model(model, mesh)
     return jax.jit(lambda q, qd, u: _run(model, q, qd, u))
+
+
+def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
+                        ground_z: float = 0.0, gravity: float = -9.81,
+                        iters: int = 30, erp: float = 0.2,
+                        margin: float = 1e-3, restitution: float = 0.0,
+                        impl: str = "auto"):
+    """dp-sharded batched frictional environment stepper — the multi-chip
+    parallel-RL shape: N environments shard over the mesh, each shard
+    advances its slice with :func:`..ops.contact.fb_step_ground_batched`
+    (ONE fused Pallas kernel per lane tile on TPU). Environments are
+    independent → pure data parallelism, no collectives; scaling is linear
+    in chips by construction.
+
+    Returns a jitted ``step(state, tau) -> (next_state, impulses)`` with
+    ``state = (quat (B,4), pos (B,3), q (B,n), vb (B,6), qd (B,n))``,
+    B divisible by the mesh size."""
+    from ..ops import contact as _ct
+
+    links = tuple(links)
+    off = np.asarray(offsets, np.float64)
+    spec = P(("dp", "cp"))
+    state_specs = (spec,) * 5
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(state_specs, spec), out_specs=(state_specs, spec),
+        # the fused kernel body is per-shard pure (no collectives); pallas
+        # carries no varying-mesh-axes metadata, so the vma check is vacuous
+        check_vma=False)
+    def _step(state, tau):
+        return _ct.fb_step_ground_batched(
+            ffm, state, tau, dt, links, off, mu, ground_z, gravity, iters,
+            erp, margin, restitution, impl=impl)
+
+    return jax.jit(_step)
 
 
 def sharded_api(model: RobotModel, mesh: Mesh, gravity: float = -9.81):

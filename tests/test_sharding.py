@@ -125,6 +125,47 @@ def test_sharded_api_full_coverage(eight_devices, iiwa):
                                    err_msg=name)
 
 
+def test_sharded_ground_step(eight_devices):
+    """dp-sharded frictional environment stepper == the unsharded batched
+    stepper == per-environment single steps (the multi-chip parallel-RL
+    shape; environments shard, physics replicates, no collectives)."""
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    from gridcodegenerator_tpu.models import zoo
+
+    desc = g.parse_urdf(zoo.serial_chain(3, damping=0.1))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    n = ffm.n
+    links, offs = (n - 1,), np.asarray([[0.1, 0.0, 0.0]])
+    m = pmesh.make_mesh(dp=4, cp=2, devices=eight_devices)
+    B = 8
+    rng = np.random.default_rng(77)
+    quat = rng.normal(size=(B, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    state = (jnp.asarray(quat),
+             jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.3]),
+             jnp.asarray(rng.uniform(-0.5, 0.5, (B, n))),
+             jnp.asarray(rng.uniform(-0.5, 0.5, (B, 6))),
+             jnp.asarray(rng.uniform(-0.5, 0.5, (B, n))))
+    tau = jnp.asarray(rng.uniform(-3, 3, (B, n)))
+
+    step = pmesh.sharded_ground_step(ffm, m, links, offs, dt=1e-3, mu=0.6)
+    nxt_s, imp_s = step(state, tau)
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, state, tau, 1e-3, links, offs, mu=0.6, impl="vmap")
+    for a, b in zip(nxt_s, nxt_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(imp_s), np.asarray(imp_r),
+                               atol=1e-11)
+    for k in (0, B - 1):
+        s_ref, i_ref = ct.fb_step_ground(
+            ffm, tuple(x[k] for x in state), tau[k], 1e-3, links, offs,
+            mu=0.6)
+        for a, b in zip(nxt_s, s_ref):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b),
+                                       atol=1e-9)
+
+
 def test_sharded_constrained_fd(eight_devices, iiwa):
     """dp-sharded stance/pinned FD == the unsharded batched api entry, and
     both == per-state loops: contact geometry replicates, batch shards."""

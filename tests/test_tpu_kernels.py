@@ -218,6 +218,58 @@ def test_contact_fused_kernels_on_tpu(tpu_setup):
                 assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
 
 
+def test_multidof_fused_kernels_on_tpu(tpu_setup):
+    """The fused multi-dof kernels (generalized FD + tangent-space ∇FD,
+    ops/kernels/multidof_fused.py) through real Mosaic lowering vs the
+    per-state vmap recursions computed on the host CPU — ball joints
+    (quaternion per joint, nq ≠ nv) and an in-tree 6-dof floating joint."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import multidof as md
+
+    for urdf in (zoo.ball_arm(damping=0.1),
+                 zoo.with_free_joint(zoo.iiwa14(damping=0.1))):
+        model = md.multidof_model_from_description(g.parse_urdf(urdf),
+                                                   dtype=jnp.float32)
+        B = 256
+        rng = np_.random.default_rng(47)
+        q0 = np_.tile(np_.asarray(md.neutral_q(model)), (B, 1))
+        dq = rng.uniform(-0.5, 0.5, (B, model.nv))
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            q = jnp.asarray(np_.stack([
+                np_.asarray(md.md_tangent_apply(
+                    model, jnp.asarray(q0[k], jnp.float32),
+                    jnp.asarray(dq[k], jnp.float32)))
+                for k in range(B)]))
+        qd = jnp.asarray(rng.uniform(-0.8, 0.8, (B, model.nv)), jnp.float32)
+        u = jnp.asarray(rng.uniform(-5, 5, (B, model.nv)), jnp.float32)
+
+        qdd = np_.asarray(md.md_forward_dynamics_batched(
+            model, q, qd, u, impl="pallas"))
+        Fq, Fqd, Fu = (np_.asarray(x)
+                       for x in md.md_forward_dynamics_gradient_batched(
+                           model, q, qd, u, impl="pallas"))
+        with jax.default_device(cpu):
+            for k in (0, 127, B - 1):
+                ref = np_.asarray(md.md_forward_dynamics(
+                    model, q[k], qd[k], u[k]))
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(qdd[k] - ref).max() / scale
+                assert err < 1e-5, f"{model.name}/fd@{k}: {err:.3e}"
+                gq, gqd, gu = md.md_forward_dynamics_gradient(
+                    model, q[k], qd[k], u[k])
+                for nm, got, r in (("dq", Fq[k], gq), ("dqd", Fqd[k], gqd),
+                                   ("du", Fu[k], gu)):
+                    r = np_.asarray(r)
+                    scale = max(1.0, np_.abs(r).max())
+                    err = np_.abs(got - r).max() / scale
+                    assert err < 3e-5, \
+                        f"{model.name}/fd_grad {nm}@{k}: {err:.3e}"
+
+
 def test_pallas_vs_vmap_on_tpu(tpu_setup):
     """The two production paths must agree to the f32 accumulation floor
     (both f32, same device) — catches Mosaic miscompiles without any golden
