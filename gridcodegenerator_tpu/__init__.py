@@ -28,7 +28,9 @@ from .api import (
     map_batched,
 )
 from .codegen import (
+    CompiledFreeFlyer,
     CompiledRobot,
+    compile_freeflyer,
     compile_robot,
     export_robot,
     load_exported,
@@ -87,6 +89,7 @@ __all__ = [
     "forward_dynamics_gradient_qdd_minv", "forward_dynamics_diff",
     "forward_dynamics_ad", "map_batched",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
+    "compile_freeflyer", "CompiledFreeFlyer",
     "simulate", "linearize_trajectory",
     "fk", "point_position", "world_jacobian",
     "contact_jacobian", "constrained_forward_dynamics",

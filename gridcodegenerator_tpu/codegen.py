@@ -134,6 +134,72 @@ def export_robot(model: RobotModel, path: str, batch_sizes=(1024,), *,
 
 
 @dataclass
+class CompiledFreeFlyer:
+    """AOT-compiled floating-base contact set for one robot + foot geometry
+    at fixed environment counts — the deployment artifact for the
+    quadruped / parallel-RL workload (stance solve + frictional ground
+    step, fused Pallas kernels when compiled with ``impl='pallas'``)."""
+
+    name: str
+    n: int
+    batch_sizes: tuple
+    compiled: dict = field(default_factory=dict)
+
+    def _call(self, alg, B, *args):
+        key = (alg, B)
+        if key not in self.compiled:
+            raise KeyError(
+                f"{alg} not compiled for batch {B}; available: "
+                f"{sorted(self.compiled)}")
+        return self.compiled[key](*args)
+
+    def stance_fd(self, quat, pos, q, vb, qd, tau):
+        """(B,4),(B,3),(B,n),(B,6),(B,n),(B,n) → (v̇b, q̈, λ)."""
+        return self._call("stance_fd", q.shape[0], quat, pos, q, vb, qd, tau)
+
+    def ground_step(self, quat, pos, q, vb, qd, tau):
+        """One frictional environment step → (quat₂, pos₂, q₂, v̇b₂, q̇₂,
+        impulses (B,k,3))."""
+        return self._call("ground_step", q.shape[0], quat, pos, q, vb, qd,
+                          tau)
+
+
+def compile_freeflyer(ffm, links, offsets, batch_sizes=(1024,), *,
+                      dt: float = 1e-3, mu: float = 0.8,
+                      ground_z: float = 0.0, gravity: float = -9.81,
+                      anchors=None, baumgarte=(0.0, 0.0), reg: float = 0.0,
+                      iters: int = 30, dtype=jnp.float32,
+                      impl: str = "auto") -> CompiledFreeFlyer:
+    """AOT-compile the stance solve and the frictional ground stepper for a
+    free-flyer robot with fixed foot geometry — the contact-layer analog of
+    :func:`compile_robot` (zero tracing at serving time)."""
+    from .ops import contact as _ct
+
+    links = tuple(links)
+    n = ffm.n
+    out = CompiledFreeFlyer(name=ffm.arm.name, n=n,
+                            batch_sizes=tuple(batch_sizes))
+
+    def stance(quat, pos, q, vb, qd, tau):
+        return _ct.fb_constrained_fd_batched(
+            ffm, quat, pos, q, vb, qd, tau, links, offsets, anchors,
+            gravity, baumgarte, reg, impl=impl)
+
+    def step(quat, pos, q, vb, qd, tau):
+        nxt, imp = _ct.fb_step_ground_batched(
+            ffm, (quat, pos, q, vb, qd), tau, dt, links, offsets, mu,
+            ground_z, gravity, iters, impl=impl)
+        return (*nxt, imp)
+
+    for B in batch_sizes:
+        shapes = [jax.ShapeDtypeStruct((B, d), dtype)
+                  for d in (4, 3, n, 6, n, n)]
+        for name, fn in (("stance_fd", stance), ("ground_step", step)):
+            out.compiled[(name, B)] = jax.jit(fn).lower(*shapes).compile()
+    return out
+
+
+@dataclass
 class ExportedRobot:
     """Reloaded serialized robot — callable without URDF/parsing/tracing."""
 

@@ -212,3 +212,43 @@ def test_grad_through_simulate_analytic(iiwa):
     ga = jax.grad(loss_analytic)(u)
     gr = jax.grad(loss_ad)(u)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), rtol=1e-8)
+
+
+def test_compile_freeflyer():
+    """AOT contact artifact: compiled stance + ground-step executables match
+    the direct batched entries (zero tracing at call time)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    ffm = ff.free_flyer_model(g.parse_urdf(zoo.serial_chain(3, damping=0.1)),
+                              dtype=jnp.float64)
+    n = ffm.n
+    links, offs = (n - 1,), np.asarray([[0.1, 0.0, 0.0]])
+    B = 4
+    cf = g.compile_freeflyer(ffm, links, offs, batch_sizes=(B,), mu=0.6,
+                             impl="vmap", dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    quat = rng.normal(size=(B, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    mk = lambda d: jnp.asarray(rng.uniform(-0.4, 0.4, (B, d)))
+    quat = jnp.asarray(quat)
+    pos = mk(3) + jnp.asarray([0, 0, 0.3])
+    q, vb, qd, tau = mk(n), mk(6), mk(n), mk(n)
+
+    dvb, qdd, lam = cf.stance_fd(quat, pos, q, vb, qd, tau)
+    r_dvb, r_qdd, r_lam = ct.fb_constrained_fd_batched(
+        ffm, quat, pos, q, vb, qd, tau, links, offs, impl="vmap")
+    np.testing.assert_allclose(np.asarray(qdd), np.asarray(r_qdd), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(r_lam), atol=1e-9)
+
+    outs = cf.ground_step(quat, pos, q, vb, qd, tau)
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, links, offs, mu=0.6,
+        impl="vmap")
+    for a, b in zip(outs[:5], nxt_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(outs[5]), np.asarray(imp_r),
+                               atol=1e-9)
