@@ -263,18 +263,25 @@ def forward_dynamics_ad(model: RobotModel, q, qd, u, *,
         q, qd, u)
 
 
-_AD_CACHE: dict = {}
+import collections
+
+_AD_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_AD_CACHE_MAX = 64
 
 
 def _fd_ad_runner(model, gravity, resolved):
-    """Per-(model, gravity, impl) cached custom-VJP closure. Keyed on the
-    model's identity (RobotModel leaves are unhashable arrays) with a weakref
-    check so a recycled ``id`` can never alias a dead model's closure."""
-    import weakref
+    """Per-(model, gravity, impl) cached custom-VJP closure, bounded LRU.
 
+    Keyed on the model's identity (RobotModel leaves are unhashable
+    arrays). The cached closure strongly references the model — which also
+    guarantees ``id(model)`` cannot be recycled while its entry lives — so
+    boundedness comes from LRU eviction (size ``_AD_CACHE_MAX``), not from
+    weakref death: evicting a live entry is safe, the next call just
+    rebuilds the closure."""
     key = (id(model), gravity, resolved)
     hit = _AD_CACHE.get(key)
-    if hit is not None and hit[0]() is model:
+    if hit is not None and hit[0] is model:
+        _AD_CACHE.move_to_end(key)
         return hit[1]
 
     import jax.numpy as _jnp
@@ -302,10 +309,9 @@ def _fd_ad_runner(model, gravity, resolved):
         return dq, dqd, Mg
 
     _fd.defvjp(_fwd, _bwd)
-    if len(_AD_CACHE) >= 64:  # drop entries whose model has been collected
-        for k in [k for k, v in _AD_CACHE.items() if v[0]() is None]:
-            del _AD_CACHE[k]
-    _AD_CACHE[key] = (weakref.ref(model), _fd)
+    while len(_AD_CACHE) >= _AD_CACHE_MAX:
+        _AD_CACHE.popitem(last=False)          # evict least-recently-used
+    _AD_CACHE[key] = (model, _fd)
     return _fd
 
 

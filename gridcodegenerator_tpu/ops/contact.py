@@ -47,15 +47,13 @@ from .rnea import rnea_bwd, rnea_fwd
 
 
 def _impl_auto(impl: str, x=None) -> str:
-    """Local twin of ``api._resolve_impl`` (no import cycle): 'auto' →
-    fused Pallas kernels on TPU, the batch-last XLA path elsewhere."""
-    if impl != "auto":
-        return impl
-    try:
-        platform = next(iter(x.devices())).platform
-    except Exception:
-        platform = jax.default_backend()
-    return "pallas" if platform == "tpu" else "vmap"
+    """'auto' → fused Pallas kernels on TPU, the batch-last XLA path
+    elsewhere. One policy for the whole library: delegates to
+    ``api._resolve_impl`` (imported lazily — api imports this module only
+    inside functions, so there is no cycle at import time)."""
+    from ..api import _resolve_impl
+
+    return _resolve_impl(impl, x)
 
 
 def _check_contacts(n_links_valid, links, offsets):
@@ -570,8 +568,6 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     n = ffm.n
     _check_contacts(n, links, offsets)
     k = len(links)
-    off_np = np.asarray(offsets, np.float64)   # geometry is trace-time static
-    anch_np = None if anchors is None else np.asarray(anchors, np.float64)
     offsets = jnp.asarray(offsets, q.dtype)
     shape_b = q.shape[:-1]
     flat = lambda x: x.reshape((-1, x.shape[-1])).T      # (..., d) → (d, B)
@@ -579,11 +575,16 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
 
     if _impl_auto(impl, q) == "pallas":
+        # the fused kernel bakes the geometry as literals, so offsets /
+        # anchors must be concrete here; the XLA path below keeps them
+        # traceable (e.g. jax.grad w.r.t. foot offsets)
         from .kernels import contact_fused as _cf
 
         dvb, qdd2, lam2 = _cf.stance_fd_fused(
             ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, links,
-            off_np, anch_np, gravity, baumgarte, reg)
+            np.asarray(offsets, np.float64),
+            None if anchors is None else np.asarray(anchors, np.float64),
+            gravity, baumgarte, reg)
         unflat2 = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
             shape_b + (arr.shape[0],))
         return unflat2(dvb), unflat2(qdd2), unflat2(lam2)
@@ -776,14 +777,22 @@ def _quat_exp_bl(w_dt):
 def _mu_to_bl(mu, k, B, dtype):
     """Friction coefficients to batch-last (k, B): accepts a static scalar,
     a traced scalar, a (k,) per-foot array, or a (B,) / (B, k)
-    per-environment array (batch-first user layout)."""
+    per-environment array (batch-first user layout). A 1-D array is
+    ambiguous when B == k, so that case must be passed as explicit (B, k)
+    (fail-fast instead of a silent per-foot reinterpretation)."""
     mu_arr = jnp.asarray(mu, dtype)
     if mu_arr.ndim == 2:                       # (B, k) → (k, B)
         return mu_arr.T
-    if mu_arr.ndim == 1 and mu_arr.shape[0] == B and B != k:
-        return jnp.broadcast_to(mu_arr[None, :], (k, B))
-    return jnp.broadcast_to(mu_arr.reshape(-1)[:, None]
-                            if mu_arr.ndim else mu_arr, (k, B))
+    if mu_arr.ndim == 1:
+        if B == k and mu_arr.shape[0] == k:
+            raise ValueError(
+                f"mu with shape ({k},) is ambiguous when the batch size "
+                f"equals the contact count (B == k == {k}): pass an "
+                f"explicit (B, {k}) per-environment array or a scalar")
+        if mu_arr.shape[0] == B and B != k:    # per-environment
+            return jnp.broadcast_to(mu_arr[None, :], (k, B))
+        return jnp.broadcast_to(mu_arr[:, None], (k, B))   # per-foot
+    return jnp.broadcast_to(mu_arr, (k, B))
 
 
 def pgs_solve_bl(G, b, mu, active, iters: int = 30):
@@ -831,7 +840,6 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     B = q.shape[0]
     n = ffm.n
     k = len(links)
-    off_np = np.asarray(offsets, np.float64)
     offsets = jnp.asarray(offsets, q.dtype)
     flat = lambda x: x.T
     quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
@@ -839,13 +847,15 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     dtype = q_bl.dtype
 
     if _impl_auto(impl, q) == "pallas":
+        # the fused kernel bakes offsets as literals (concrete required);
+        # the XLA path below keeps them traceable
         from .kernels import contact_fused as _cf
 
         mu_bl = _mu_to_bl(mu, k, B, dtype)
         q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
             ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl, dt,
-            links, off_np, ground_z, gravity, iters, erp, margin,
-            restitution)
+            links, np.asarray(offsets, np.float64), ground_z, gravity,
+            iters, erp, margin, restitution)
         nxt = (q2.T, p2.T, qq2.T, vb2.T, qd2.T)
         return nxt, jnp.moveaxis(imp, 0, -1).reshape(B, k, 3)
 

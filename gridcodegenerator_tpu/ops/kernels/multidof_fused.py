@@ -443,26 +443,30 @@ def _md_fd_grad_body(km, q, qd, u, *, gravity):
     Dq_id, Dqd_id = _md_id_grad_body(km, q, qd, qdd, gravity=gravity)
 
     # D (nv, nv, B): per column j solve M x = D[:, j], emit −x
+    zero = jnp.zeros_like(qd[0:1])
+
+    def assemble(cols):
+        """cols[j][r] (1,B)/None → (nv, nv, B); None (a structurally zero
+        solve entry — e.g. cross-branch blocks of a forest topology, where
+        M is block-diagonal with no Cholesky fill-in) fills with zero."""
+        return jnp.stack([
+            jnp.concatenate([cols[j][r] if cols[j][r] is not None else zero
+                             for j in range(nv)])
+            for r in range(nv)])
+
     outs = []
     for D in (Dq_id, Dqd_id):
         cols = []
         for j in range(nv):
             x = _chol_apply_e(L, [D[r, j:j + 1] for r in range(nv)])
-            cols.append([-xc for xc in x])
-        # reassemble (nv, nv, B): rows r over cols j
-        outs.append(jnp.stack([
-            jnp.concatenate([cols[j][r] for j in range(nv)])
-            for r in range(nv)]))
+            cols.append([None if xc is None else -xc for xc in x])
+        outs.append(assemble(cols))
     # Du = M⁻¹: solve unit columns
-    eye_cols = []
     one = jnp.ones_like(qd[0:1])
-    for j in range(nv):
-        rhs = [one if r == j else None for r in range(nv)]
-        eye_cols.append(_chol_apply_e(L, rhs))
-    Du = jnp.stack([
-        jnp.concatenate([eye_cols[j][r] for j in range(nv)])
-        for r in range(nv)])
-    return outs[0], outs[1], Du
+    eye_cols = [
+        _chol_apply_e(L, [one if r == j else None for r in range(nv)])
+        for j in range(nv)]
+    return outs[0], outs[1], assemble(eye_cols)
 
 
 def md_id_grad_fused(model, q, qd, qdd=None, gravity=-9.81, interpret=False,

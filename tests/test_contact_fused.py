@@ -124,6 +124,50 @@ def test_fb_fd_batched_matches_vmap(hyq_ff):
                                atol=1e-9)
 
 
+def test_traced_offsets_still_work_on_xla_path():
+    """Contact offsets must stay traceable through the XLA path (e.g.
+    jax.grad w.r.t. foot geometry) — the fused-kernel routing bakes them
+    as literals only inside its own branch (code-review r3 finding #2).
+    Small robot: the check is about tracing, not scale."""
+    ffm = ff.free_flyer_model(g.parse_urdf(zoo.serial_chain(3, damping=0.1)),
+                              dtype=jnp.float64)
+    n = ffm.n
+    links = (n - 1,)
+    B = 2
+    rng = np.random.default_rng(21)
+    quat = rng.normal(size=(B, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    quat = jnp.asarray(quat)
+    pos = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.3])
+    q, vb, qd, tau = (jnp.asarray(rng.uniform(-0.5, 0.5, (B, d)))
+                      for d in (n, 6, n, n))
+    offs0 = jnp.asarray([[0.1, 0.0, 0.0]])
+
+    @jax.jit
+    def qdd_of(off):
+        return ct.fb_constrained_fd_batched(
+            ffm, quat, pos, q, vb, qd, tau, links, off, impl="vmap")[1]
+
+    out = qdd_of(offs0)
+    assert out.shape == (2, n)
+    gfn = jax.grad(lambda off: jnp.sum(qdd_of(off)))
+    assert bool(jnp.isfinite(gfn(offs0)).all())
+
+
+def test_mu_ambiguity_raises():
+    """(B,) mu with B == k is ambiguous and must fail fast, never silently
+    reinterpret per-environment as per-foot (code-review r3 finding #4)."""
+    with pytest.raises(ValueError, match="ambiguous"):
+        ct._mu_to_bl(jnp.asarray([0.2, 0.5, 0.8, 1.1]), k=4, B=4,
+                     dtype=jnp.float64)
+    # unambiguous forms still work
+    assert ct._mu_to_bl(0.5, 4, 4, jnp.float64).shape == (4, 4)
+    assert ct._mu_to_bl(jnp.full((4, 4), 0.5), 4, 4,
+                        jnp.float64).shape == (4, 4)
+    assert ct._mu_to_bl(jnp.asarray([0.1, 0.2, 0.3]), 3, 8,
+                        jnp.float64).shape == (3, 8)
+
+
 def test_stance_fused_xla_fallback_path(hyq_ff):
     """Oversized robots run the identical body as plain XLA (_xla_fallback);
     force it by monkeypatching the gate and check it still matches."""

@@ -206,3 +206,8 @@ def test_forward_dynamics_ad_closure_cached(iiwa):
     model2 = g.robot_model_from_description(desc, dtype=model.dtype)
     f4 = api._fd_ad_runner(model2, -9.81, "vmap")
     assert f4 is not f1
+    # the cache is a bounded LRU (review r3 #3: closures strongly reference
+    # their model, so boundedness must come from eviction, not weakrefs)
+    for gsign in range(api._AD_CACHE_MAX + 8):
+        api._fd_ad_runner(model, float(gsign), "vmap")
+    assert len(api._AD_CACHE) <= api._AD_CACHE_MAX

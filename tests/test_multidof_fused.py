@@ -109,6 +109,37 @@ def test_md_grad_fused_interpret(md_setup):
                                atol=1e-9)
 
 
+def test_md_grad_forest_topology():
+    """Forest topologies (several chains mounted directly on the base) make
+    M block-diagonal with no Cholesky fill-in between branches — the
+    M⁻¹ unit-column solves then carry structural zeros that must assemble
+    as zeros, not crash (code-review r3 finding #1)."""
+    # dual-arm: two 2-joint chains on the base, one with a ball joint
+    b = zoo.UrdfBuilder("dualarm")
+    b.link("base")
+    for arm, x in (("a", 0.2), ("b", -0.2)):
+        parent = "base"
+        for i in range(2):
+            nm = f"{arm}{i}"
+            b.link(nm, mass=0.5, ixx=0.01, iyy=0.01, izz=0.01)
+            b.joint(f"j{arm}{i}", parent, nm, xyz=(x, 0.1, 0.1),
+                    axis=(0, 1, 0) if i else (0, 0, 1))
+            parent = nm
+    model = _model(b.build())
+    assert sum(1 for pr in model.topology.parents if pr < 0) == 2
+    B = 3
+    rng = np.random.default_rng(5)
+    q = jnp.tile(md.neutral_q(model)[None], (B, 1))
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, model.nv)))
+    u = jnp.asarray(rng.uniform(-3, 3, (B, model.nv)))
+
+    Fq, Fqd, Fu = md.md_forward_dynamics_gradient_batched(
+        model, q, qd, u, impl="vmap")
+    gq, gqd, gu = md.md_forward_dynamics_gradient(model, q[0], qd[0], u[0])
+    np.testing.assert_allclose(np.asarray(Fq[0]), np.asarray(gq), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(Fu[0]), np.asarray(gu), atol=1e-9)
+
+
 def test_md_workset_gate():
     assert mf.md_workset_ok(5, 15)       # ball_arm scale
     assert mf.md_workset_ok(8, 13)       # free-joint iiwa
