@@ -568,6 +568,7 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     n = ffm.n
     _check_contacts(n, links, offsets)
     k = len(links)
+    offsets_raw, anchors_raw = offsets, anchors   # pre-jnp, for the kernel
     offsets = jnp.asarray(offsets, q.dtype)
     shape_b = q.shape[:-1]
     flat = lambda x: x.reshape((-1, x.shape[-1])).T      # (..., d) → (d, B)
@@ -576,14 +577,16 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
 
     if _impl_auto(impl, q) == "pallas":
         # the fused kernel bakes the geometry as literals, so offsets /
-        # anchors must be concrete here; the XLA path below keeps them
-        # traceable (e.g. jax.grad w.r.t. foot offsets)
+        # anchors must be concrete (the raw arguments, before any traced
+        # jnp conversion); the XLA path below keeps them traceable
+        # (e.g. jax.grad w.r.t. foot offsets)
         from .kernels import contact_fused as _cf
 
         dvb, qdd2, lam2 = _cf.stance_fd_fused(
             ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, links,
-            np.asarray(offsets, np.float64),
-            None if anchors is None else np.asarray(anchors, np.float64),
+            np.asarray(offsets_raw, np.float64),
+            None if anchors_raw is None
+            else np.asarray(anchors_raw, np.float64),
             gravity, baumgarte, reg)
         unflat2 = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
             shape_b + (arr.shape[0],))
@@ -840,6 +843,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     B = q.shape[0]
     n = ffm.n
     k = len(links)
+    offsets_raw = offsets                          # pre-jnp, for the kernel
     offsets = jnp.asarray(offsets, q.dtype)
     flat = lambda x: x.T
     quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
@@ -847,14 +851,15 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     dtype = q_bl.dtype
 
     if _impl_auto(impl, q) == "pallas":
-        # the fused kernel bakes offsets as literals (concrete required);
-        # the XLA path below keeps them traceable
+        # the fused kernel bakes offsets as literals (concrete required —
+        # the raw argument, before any traced jnp conversion); the XLA
+        # path below keeps them traceable
         from .kernels import contact_fused as _cf
 
         mu_bl = _mu_to_bl(mu, k, B, dtype)
         q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
             ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl, dt,
-            links, np.asarray(offsets, np.float64), ground_z, gravity,
+            links, np.asarray(offsets_raw, np.float64), ground_z, gravity,
             iters, erp, margin, restitution)
         nxt = (q2.T, p2.T, qq2.T, vb2.T, qd2.T)
         return nxt, jnp.moveaxis(imp, 0, -1).reshape(B, k, 3)

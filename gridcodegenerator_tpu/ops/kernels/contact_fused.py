@@ -282,11 +282,30 @@ def _chol_apply_e(L, r):
     return x
 
 
-def _dot_e(row, x, m):
-    """Σ_c row[c]·x[c] over (1,B)/None entries."""
-    return _sum_terms([
-        row[c] * x[c] for c in range(m)
-        if row[c] is not None and x[c] is not None])
+def _stack_rows(entries, like):
+    """List of (1,B)/None → one (R,B) array (None fills zero).
+
+    The register-utilization fix for the scalar solve chain: a (1, 128)
+    value occupies one sublane of an (8, 128) vector register, so chains
+    of (1,B) ops run the VPU at 1/8 payload. Stacking the 3k contact rows
+    into (3k, B) arrays lets the Delassus solves, G assembly, and PGS run
+    full-register ops (the multi-rhs forms below), ~3k/8-wide instead of
+    1-wide."""
+    zero = jnp.zeros_like(like)
+    return jnp.concatenate([e if e is not None else zero for e in entries])
+
+
+def _jt_stacks(J, m, like):
+    """Contact rows (list 3k × list m of (1,B)/None) → per-COLUMN stacks:
+    JT[c] = (3k, B) holding J[r][c] for every row r. None columns (joints
+    outside every contact's support) stay None."""
+    k3 = len(J)
+    JT = []
+    for c in range(m):
+        ent = [J[r][c] for r in range(k3)]
+        JT.append(None if all(e is None for e in ent)
+                  else _stack_rows(ent, like))
+    return JT
 
 
 # --------------------------------------------------------------------------
@@ -363,7 +382,8 @@ def _vfull_list(km, vb, qd):
 def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
                  anchors, gravity, baumgarte, reg):
     """Stance FD on one lane tile: returns (dvb (6,B), qdd (n,B), lam (3k,B)).
-    Mirrors :func:`..contact.fb_constrained_fd_batched` term by term."""
+    Mirrors :func:`..contact.fb_constrained_fd_batched` term by term; the
+    Delassus chain runs on (3k, B) row stacks (see :func:`_stack_rows`)."""
     n = km.topology.n
     m = 6 + n
     k = len(links)
@@ -376,13 +396,17 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
 
     J, xs = _ff_contact_rows_s(km, X, R, links, offsets)
     vfull = _vfull_list(km, vb, qd)
+    JT = _jt_stacks(J, m, q[0:1])              # per-column (3k, B) stacks
 
-    # bias = J̇·[vb; q̇]: exact jvp of the velocity map along the state flow
+    # bias = J̇·[vb; q̇]: exact jvp of the velocity map along the state flow,
+    # assembled as ONE (3k, B) array
     def vel(quat_, q_):
         X_ = blops.joint_transforms_bl(km, q_)
         R_ = _quat_rot_s(quat_)
         J_, _ = _ff_contact_rows_s(km, X_, R_, links, offsets)
-        return [_dot_e(J_[r], vfull, m) for r in range(3 * k)]
+        JT_ = _jt_stacks(J_, m, q_[0:1])
+        return _sum_terms([JT_[c] * vfull[c] for c in range(m)
+                           if JT_[c] is not None])
 
     w, xq, yq, zq = quat[0:1], quat[1:2], quat[2:3], quat[3:4]
     ox, oy, oz = vb[0:1], vb[1:2], vb[2:3]
@@ -392,50 +416,50 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
         w * oy + zq * ox - xq * oz,
         w * oz + xq * oy - yq * ox,
     ])
-    _, bias = jax.jvp(vel, (quat, q), (dquat, qd))
+    _, bias = jax.jvp(vel, (quat, q), (dquat, qd))    # (3k, B)
 
     alpha, beta = baumgarte
-    a_star = [None] * (3 * k)
+    a_star = None                                     # (3k, B) or None
     if alpha != 0.0:
-        for r in range(3 * k):
-            a_star[r] = _sum_terms(
-                [a_star[r], -2.0 * alpha * _dot_e(J[r], vfull, m)])
+        Jv = _sum_terms([JT[c] * vfull[c] for c in range(m)
+                         if JT[c] is not None])
+        a_star = -2.0 * alpha * Jv
     # anchors=None pins each point to its CURRENT position (pure
     # velocity-level constraint): the position drift is identically zero,
     # so the β term only exists for explicit anchors — same semantics as
     # ..contact.fb_constrained_forward_dynamics
     if beta != 0.0 and anchors is not None:
+        drifts = []
         for ci in range(k):
             x_w = pos + _mv3s(R, xs[ci])                       # world foot
-            for d in range(3):
-                drift = x_w[d:d + 1] - float(anchors[ci][d])
-                a_star[3 * ci + d] = _sum_terms(
-                    [a_star[3 * ci + d], -beta * beta * drift])
+            drifts.extend(x_w[d:d + 1] - float(anchors[ci][d])
+                          for d in range(3))
+        a_star = _sum_terms([a_star,
+                             -beta * beta * jnp.concatenate(drifts)])
 
-    # Delassus via the shared mass factorization
-    MiJt = [_chol_apply_e(Lm, J[r]) for r in range(3 * k)]     # cols (m,)
-    lam = _delassus_solve(J, MiJt, y_free, bias, a_star, m, k, reg)
+    # Delassus via the shared mass factorization, multi-rhs: ONE solve with
+    # (3k, B) row entries instead of 3k scalar-entry solves
+    MiJt = _chol_apply_e(Lm, JT)               # list m of (3k,B)/None
+    G_rows = [                                 # row r of G as (3k, B)
+        _sum_terms([J[r][c] * MiJt[c] for c in range(m)
+                    if J[r][c] is not None and MiJt[c] is not None])
+        for r in range(3 * k)]
+    Jyf = _sum_terms([JT[c] * y_free[c] for c in range(m)
+                      if JT[c] is not None])
+    rhs_arr = -(Jyf + bias - (0.0 if a_star is None else a_star))
+    G = [[G_rows[r][s:s + 1] for s in range(3 * k)] for r in range(3 * k)]
+    Lg = _chol_factor_e(G, 3 * k, reg=reg)
+    lam = _chol_apply_e(Lg, [rhs_arr[r:r + 1] for r in range(3 * k)])
+    lam_out = jnp.concatenate(lam)
     y = [
-        _sum_terms([y_free[c]] + [MiJt[s][c] * lam[s] for s in range(3 * k)
-                                  if MiJt[s][c] is not None])
+        None if MiJt[c] is None else
+        _sum_terms([y_free[c],
+                    jnp.sum(MiJt[c] * lam_out, axis=0, keepdims=True)])
         for c in range(m)]
+    y = [y_free[c] if yc is None else yc for c, yc in enumerate(y)]
     dvb = jnp.concatenate(y[:6])
     qdd = jnp.concatenate(y[6:])
-    lam_out = jnp.concatenate(lam)
     return dvb, qdd, lam_out
-
-
-def _delassus_solve(J, MiJt, y_free, bias, a_star, m, k, reg):
-    """G λ = −(J y_free + bias − a*) with G = J·M⁻¹·Jᵀ (list-entry form)."""
-    G = [[_dot_e(J[r], MiJt[s], m) for s in range(3 * k)]
-         for r in range(3 * k)]
-    rhs = []
-    for r in range(3 * k):
-        t = _sum_terms([_dot_e(J[r], y_free, m), bias[r],
-                        None if a_star[r] is None else -a_star[r]])
-        rhs.append(-t if t is not None else None)
-    Lg = _chol_factor_e(G, 3 * k, reg=reg)
-    return _chol_apply_e(Lg, rhs)
 
 
 def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
@@ -458,6 +482,7 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
     v_free = [v[c] + dt * dv[c] for c in range(m)]
 
     J, xs = _ff_contact_rows_s(km, X, R, links, offsets)
+    JT = _jt_stacks(J, m, q[0:1])              # per-column (3k, B) stacks
     # world foot heights → activation masks (k × (1,B))
     active = []
     gaps = []
@@ -468,27 +493,32 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
         gaps.append(gap)
         active.append((gap < margin).astype(q.dtype))
 
-    MiJt = [_chol_apply_e(Lm, J[r]) for r in range(3 * k)]
-    G = [[_dot_e(J[r], MiJt[s], m) for s in range(3 * k)]
-         for r in range(3 * k)]
-    for d in range(3 * k):
-        G[d][d] = _sum_terms([G[d][d], jnp.full_like(gaps[0], 1e-9)])
-    Jv = [_dot_e(J[r], v, m) for r in range(3 * k)]
-    Jvf = [_dot_e(J[r], v_free, m) for r in range(3 * k)]
-    b = list(Jvf)
+    # Delassus chain on (3k, B) row stacks (one multi-rhs solve; see
+    # _stack_rows for the register-utilization rationale)
+    MiJt = _chol_apply_e(Lm, JT)               # list m of (3k,B)/None
+    G_rows = [
+        _sum_terms([J[r][c] * MiJt[c] for c in range(m)
+                    if J[r][c] is not None and MiJt[c] is not None])
+        for r in range(3 * k)]
+    eye_reg = 1e-9
+    Jv = _sum_terms([JT[c] * v[c] for c in range(m) if JT[c] is not None])
+    b = _sum_terms([JT[c] * v_free[c] for c in range(m)
+                    if JT[c] is not None])
+    brows = [b[r:r + 1] for r in range(3 * k)]
     for ci in range(k):
-        vn_now = Jv[3 * ci + 2]
+        vn_now = Jv[3 * ci + 2:3 * ci + 3]
         v_star = (-erp * jnp.minimum(gaps[ci], 0.0) / dt
                   - restitution * jnp.minimum(vn_now, 0.0))
-        b[3 * ci + 2] = b[3 * ci + 2] - v_star
+        brows[3 * ci + 2] = brows[3 * ci + 2] - v_star
+    b = jnp.concatenate(brows)
 
-    p_imp = _pgs_e(G, b, mu, active, k, iters)
+    p_imp_arr = _pgs_rows(G_rows, b, mu, active, k, iters, eye_reg)
 
     v_new = [
-        _sum_terms([v_free[c]] + [MiJt[s][c] * p_imp[s]
-                                  for s in range(3 * k)
-                                  if MiJt[s][c] is not None])
+        v_free[c] if MiJt[c] is None else
+        v_free[c] + jnp.sum(MiJt[c] * p_imp_arr, axis=0, keepdims=True)
         for c in range(m)]
+    p_imp = [p_imp_arr[r:r + 1] for r in range(3 * k)]
     vb2 = jnp.concatenate(v_new[:6])
     qd2 = jnp.concatenate(v_new[6:])
     quat2 = _quat_mul_s(quat, _quat_exp_s(vb2[:3] * dt))
@@ -500,30 +530,36 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
     return quat2, pos2, q2, vb2, qd2, imp
 
 
-def _pgs_e(G, b, mu, active, k, iters):
-    """Projected Gauss-Seidel on (1,B)-entry G/b; ``mu`` (k,B), ``active``
-    list of k (1,B). Carry = the 3k impulse entries (a pytree of (1,B))."""
-    diag = [jnp.clip(G[d][d], 1e-9, None) for d in range(3 * k)]
-    zero = jnp.zeros_like(b[0])
+def _pgs_rows(G_rows, b, mu, active, k, iters, reg):
+    """Projected Gauss-Seidel on row stacks: G_rows list of 3k (3k,B)
+    arrays (WITHOUT the ridge — ``reg`` is applied algebraically:
+    (G+reg·I)p = Gp + reg·p), b (3k,B), mu (k,B), active list of k (1,B)
+    → impulses (3k,B). Carry = ONE (3k,B) array; each residual is a
+    full-register multiply + sublane reduction instead of 3k scalar-lane
+    FMAs. Numerics mirror :func:`..contact.pgs_solve_bl` exactly."""
+    diag = [jnp.clip(G_rows[d][d:d + 1] + reg, 1e-9, None)
+            for d in range(3 * k)]
 
     def sweep(_, p):
-        p = list(p)
         for i in range(k):
             s = 3 * i
             cand = []
             for d in range(3):
-                r = _sum_terms([_dot_e(G[s + d], p, 3 * k), b[s + d]])
-                cand.append(p[s + d] - r / diag[s + d])
+                r = (jnp.sum(G_rows[s + d] * p, axis=0, keepdims=True)
+                     + reg * p[s + d:s + d + 1] + b[s + d:s + d + 1])
+                cand.append(p[s + d:s + d + 1] - r / diag[s + d])
             pn = jnp.maximum(cand[2], 0.0) * active[i]
-            norm_t = jnp.sqrt(cand[0] * cand[0] + cand[1] * cand[1] + 1e-30)
+            norm_t = jnp.sqrt(cand[0] ** 2 + cand[1] ** 2 + 1e-30)
             scale = jnp.minimum(1.0, mu[i:i + 1] * pn / norm_t)
-            p[s] = cand[0] * scale
-            p[s + 1] = cand[1] * scale
-            p[s + 2] = pn
-        return tuple(p)
+            # skip empty edge slices: Mosaic rejects zero-size vectors
+            parts = ([p[:s]] if s > 0 else [])
+            parts += [cand[0] * scale, cand[1] * scale, pn]
+            if s + 3 < 3 * k:
+                parts.append(p[s + 3:])
+            p = jnp.concatenate(parts)
+        return p
 
-    p0 = tuple(zero for _ in range(3 * k))
-    return list(jax.lax.fori_loop(0, iters, sweep, p0))
+    return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
 
 
 # --------------------------------------------------------------------------
