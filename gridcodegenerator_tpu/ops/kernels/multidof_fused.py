@@ -442,31 +442,29 @@ def _md_fd_grad_body(km, q, qd, u, *, gravity):
     qdd = jnp.concatenate(qdd_l)
     Dq_id, Dqd_id = _md_id_grad_body(km, q, qd, qdd, gravity=gravity)
 
-    # D (nv, nv, B): per column j solve M x = D[:, j], emit −x
-    zero = jnp.zeros_like(qd[0:1])
+    # Multi-rhs backsolves: ONE triangular solve per ∂-tensor with (nv, B)
+    # row entries (all nv columns at once — full-register ops) instead of
+    # nv scalar-entry solves. Structurally zero rows (forest topologies:
+    # block-diagonal M, no cross-branch fill-in) stay None and assemble
+    # as zeros.
+    zero_row = jnp.zeros_like(Dq_id[0])        # (nv, B)
 
-    def assemble(cols):
-        """cols[j][r] (1,B)/None → (nv, nv, B); None (a structurally zero
-        solve entry — e.g. cross-branch blocks of a forest topology, where
-        M is block-diagonal with no Cholesky fill-in) fills with zero."""
-        return jnp.stack([
-            jnp.concatenate([cols[j][r] if cols[j][r] is not None else zero
-                             for j in range(nv)])
-            for r in range(nv)])
+    def assemble(x_rows, negate):
+        rows = [r_ if r_ is not None else zero_row for r_ in x_rows]
+        return jnp.stack([-r_ for r_ in rows] if negate else rows)
 
-    outs = []
-    for D in (Dq_id, Dqd_id):
-        cols = []
-        for j in range(nv):
-            x = _chol_apply_e(L, [D[r, j:j + 1] for r in range(nv)])
-            cols.append([None if xc is None else -xc for xc in x])
-        outs.append(assemble(cols))
-    # Du = M⁻¹: solve unit columns
+    outs = [
+        assemble(_chol_apply_e(L, [D[r] for r in range(nv)]), negate=True)
+        for D in (Dq_id, Dqd_id)]
+    # Du = M⁻¹: one multi-rhs solve against I, unit rows built from an
+    # input-derived one (never a pure constant chain)
     one = jnp.ones_like(qd[0:1])
-    eye_cols = [
-        _chol_apply_e(L, [one if r == j else None for r in range(nv)])
-        for j in range(nv)]
-    return outs[0], outs[1], assemble(eye_cols)
+    zero = jnp.zeros_like(one)
+    eye_rows = [
+        jnp.concatenate([one if c == r else zero for c in range(nv)])
+        for r in range(nv)]
+    Du = assemble(_chol_apply_e(L, eye_rows), negate=False)
+    return outs[0], outs[1], Du
 
 
 def md_id_grad_fused(model, q, qd, qdd=None, gravity=-9.81, interpret=False,
