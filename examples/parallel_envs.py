@@ -32,8 +32,11 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_enable_x64", True)   # f64 on CPU
     import jax.numpy as jnp
+    # on TPU the stepper routes to the fused Pallas kernel
+    # (ops/kernels/contact_fused.py) in f32 — one kernel per 128-env tile
+    dtype = jnp.float64 if args.cpu else jnp.float32
 
     import gridcodegenerator_tpu as g
     from gridcodegenerator_tpu.models import zoo
@@ -41,23 +44,23 @@ def main():
     from gridcodegenerator_tpu.ops import freeflyer as ff
 
     ffm = g.free_flyer_model(g.parse_urdf(zoo.hyq(damping=0.2)),
-                             dtype=jnp.float64)
+                             dtype=dtype)
     n, B = ffm.n, args.envs
     feet = (2, 5, 8, 11)
-    offs = jnp.asarray(np.tile([0.35, 0.0, 0.0], (4, 1)))
+    offs = jnp.asarray(np.tile([0.35, 0.0, 0.0], (4, 1)), dtype)
     rng = np.random.default_rng(0)
 
-    q_stand = jnp.asarray(np.tile([-0.1, 0.7, -1.2], 4))
+    q_stand = jnp.asarray(np.tile([-0.1, 0.7, -1.2], 4), dtype)
     foot_z = min(float(ct._fb_point_base(ffm, q_stand, l, offs[i])[0][2])
                  for i, l in enumerate(feet))
-    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (B, 1))
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (B, 1))
     pos = jnp.asarray(np.column_stack([
         rng.uniform(-1, 1, B), rng.uniform(-1, 1, B),
-        -foot_z + rng.uniform(0.0, 0.05, B)]))
+        -foot_z + rng.uniform(0.0, 0.05, B)]), dtype)
     q = jnp.asarray(np.tile(np.asarray(q_stand), (B, 1))
-                    + rng.uniform(-0.05, 0.05, (B, n)))
-    vb = jnp.zeros((B, 6))
-    qd = jnp.zeros((B, n))
+                    + rng.uniform(-0.05, 0.05, (B, n)), dtype)
+    vb = jnp.zeros((B, 6), dtype)
+    qd = jnp.zeros((B, n), dtype)
 
     X = ffm.arm.joint_transforms(q_stand)
     p_b, c_j = ff.fb_bias(ffm, X, ff.quat_to_rot(quat[0]), jnp.zeros(6),
