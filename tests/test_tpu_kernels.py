@@ -31,10 +31,11 @@ if os.environ.get("GRID_TPU_TESTS") != "1":
 
 @pytest.fixture(scope="module")
 def tpu_setup():
-    # 600 s default: the Atlas staged pipeline adds ~6 distinct kernel
-    # compilations over the round-2 tier (each ~50 s when the tunnel's
-    # remote-compile service is degraded)
-    budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "600"))
+    # 900 s default: the tier now carries 9 tests (fixed-base x3, staged
+    # atlas, contact kernels, multi-dof kernels, pallas-vs-vmap, trig A/B)
+    # and measured 587 s warm-cache on a healthy tunnel; cold or degraded
+    # compiles need the headroom
+    budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "900"))
     done = threading.Event()
 
     def watchdog():
