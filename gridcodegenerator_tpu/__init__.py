@@ -43,6 +43,7 @@ from .ops.contact import (
     fb_contact_jacobian,
     fb_simulate_constrained,
     fb_simulate_ground,
+    fb_simulate_ground_batched,
     fb_step_ground,
     fb_step_ground_batched,
     project_velocity,
@@ -98,6 +99,7 @@ __all__ = [
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",
     "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
+    "fb_simulate_ground_batched",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_batched",
     "fb_forward_dynamics_gradient", "fb_id_grad",

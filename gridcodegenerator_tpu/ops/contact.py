@@ -929,6 +929,26 @@ def fb_simulate_ground(ffm, state0, taus, dt, links, offsets, mu=0.8,
     return jax.lax.scan(step, state0, taus)
 
 
+def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
+                               mu=0.8, ground_z=0.0, gravity=-9.81,
+                               iters: int = 30, erp: float = 0.2,
+                               margin: float = 1e-3,
+                               restitution: float = 0.0, impl="auto"):
+    """``lax.scan`` rollout of :func:`fb_step_ground_batched` — T steps of
+    N frictional environments in ONE device dispatch (the RL-training
+    inner loop; on TPU each step is one fused Pallas kernel per lane
+    tile). ``state0 = (quat (B,4), pos (B,3), q (B,n), vb (B,6),
+    qd (B,n))``, ``taus (T, B, n)``. Returns (final state, per-step
+    impulse stacks (T, B, k, 3))."""
+    def step(s, tau):
+        nxt, imp = fb_step_ground_batched(
+            ffm, s, tau, dt, links, offsets, mu, ground_z, gravity, iters,
+            erp, margin, restitution, impl=impl)
+        return nxt, imp
+
+    return jax.lax.scan(step, state0, taus)
+
+
 def fb_simulate_constrained(ffm, state0, taus, dt, links, offsets,
                             anchors=None, gravity=-9.81,
                             baumgarte=(10.0, 10.0), reg=0.0):

@@ -92,6 +92,36 @@ def test_step_ground_fused_interpret_matches_xla(hyq_ff):
         "test states produced no active contacts — equivalence is vacuous"
 
 
+def test_fb_simulate_ground_batched_matches_loop():
+    """One-dispatch scan rollout == a python loop of batched steps."""
+    ffm = ff.free_flyer_model(g.parse_urdf(zoo.serial_chain(3, damping=0.1)),
+                              dtype=jnp.float64)
+    n = ffm.n
+    links, offs = (n - 1,), np.asarray([[0.1, 0.0, 0.0]])
+    B, T = 3, 4
+    rng = np.random.default_rng(33)
+    quat = rng.normal(size=(B, 4))
+    quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+    state = (jnp.asarray(quat),
+             jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.2]),
+             jnp.asarray(rng.uniform(-0.3, 0.3, (B, n))),
+             jnp.asarray(rng.uniform(-0.3, 0.3, (B, 6))),
+             jnp.asarray(rng.uniform(-0.3, 0.3, (B, n))))
+    taus = jnp.asarray(rng.uniform(-2, 2, (T, B, n)))
+
+    final, imps = jax.jit(lambda s, t: ct.fb_simulate_ground_batched(
+        ffm, s, t, 1e-3, links, offs, mu=0.7, impl="vmap"))(state, taus)
+    assert imps.shape == (T, B, 1, 3)
+    s = state
+    for t in range(T):
+        s, imp = ct.fb_step_ground_batched(
+            ffm, s, taus[t], 1e-3, links, offs, mu=0.7, impl="vmap")
+        np.testing.assert_allclose(np.asarray(imps[t]), np.asarray(imp),
+                                   atol=1e-11)
+    for a, b in zip(final, s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
 def test_ff_workset_gate():
     """The lane-tile VMEM gate admits the quadruped/humanoid shapes the
     kernel exists for and rejects absurd ones (falling back to XLA)."""
