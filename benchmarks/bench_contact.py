@@ -138,6 +138,28 @@ def main(argv=None):
             print(f"# step   hyq  B={B:7d}  {med*1e3:9.3f} ms  "
                   f"{B/med:11.3e} env-steps/s", file=sys.stderr)
 
+    # ---- scan rollout: T fused steps per dispatch (RL inner loop) ---------
+    if "rollout" in args.cases:
+        T = 16
+        B = min(args.batches)
+
+        @jax.jit
+        def roll(state, taus):
+            return ct.fb_simulate_ground_batched(
+                ffm, state, taus, 1e-3, feet, foff, mu=0.8,
+                impl=args.impl)[0][2]
+
+        quat, pos, q, vb, qd, tau = states_for(B)
+        taus = jnp.broadcast_to(tau[None], (T,) + tau.shape)
+        med, mn = time_fn(roll, ((quat, pos, q, vb, qd), taus),
+                          reps=max(2, args.reps // 4))
+        row = dict(case="ground_rollout_hyq", n=nh, contacts=4, batch=B,
+                   horizon=T, impl=args.impl, median_ms=med * 1e3,
+                   env_steps_per_sec=B * T / med)
+        print(json.dumps(row))
+        print(f"# roll   hyq  B={B:7d} T={T}  {med*1e3:9.3f} ms  "
+              f"{B*T/med:11.3e} env-steps/s", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
