@@ -42,7 +42,8 @@ from .. import blops
 from .fused import _LANES, _MODEL_FIELDS
 from .staged import _CAL, _LANE_BUDGET
 
-__all__ = ["stance_fd_fused", "step_ground_fused", "ff_workset_ok"]
+__all__ = ["stance_fd_fused", "step_ground_fused", "fb_fd_fused",
+           "ff_workset_ok"]
 
 
 # --------------------------------------------------------------------------
@@ -58,27 +59,20 @@ def _cross3s(a, b):
 
 
 def _mv3s(A, x, tA=False):
-    """(3,3,B) @ (3,B) → (3,B); every term a (1,B) FMA."""
-    if tA:
-        rows = [sum(A[j, i:i + 1, :] * x[j:j + 1] for j in range(3))
-                for i in range(3)]
-    else:
-        rows = [sum(A[i, j:j + 1, :] * x[j:j + 1] for j in range(3))
-                for i in range(3)]
-    return jnp.concatenate(rows)
+    """(3,3,B) @ (3,B) → (3,B): 3 column-wise (3,B)-wide FMAs (column k of
+    A times scalar x_k), not 9 scalar-lane ops."""
+    col = (lambda k: A[k]) if tA else (lambda k: A[:, k, :])
+    return sum(col(k) * x[k:k + 1] for k in range(3))
 
 
 def _mm33s(A, B, tA=False, tB=False):
-    """(3,3,B) @ (3,3,B) → (3,3,B), 27 (1,B) FMAs."""
-    a = (lambda i, k: A[k, i:i + 1, :]) if tA else (
-        lambda i, k: A[i, k:k + 1, :])
-    b = (lambda k, j: B[j, k:k + 1, :]) if tB else (
+    """(3,3,B) @ (3,3,B) → (3,3,B): 9 column-wise (3,B)-wide FMAs
+    (out[:, j] = Σ_k A[:, k]·B[k, j])."""
+    acol = (lambda k: A[k]) if tA else (lambda k: A[:, k, :])
+    bent = (lambda k, j: B[j, k:k + 1, :]) if tB else (
         lambda k, j: B[k, j:j + 1, :])
-    # each entry (1,B); a row concatenates to (3,B), rows stack to (3,3,B)
-    return jnp.stack([
-        jnp.concatenate([sum(a(i, k) * b(k, j) for k in range(3))
-                         for j in range(3)])
-        for i in range(3)])
+    cols = [sum(acol(k) * bent(k, j) for k in range(3)) for j in range(3)]
+    return jnp.stack(cols, axis=1)
 
 
 def _quat_rot_s(quat):
