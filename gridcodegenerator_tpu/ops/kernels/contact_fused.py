@@ -358,32 +358,29 @@ def _ff_contact_rows_s(km, X, R, links, offsets):
             for i in range(3)])
         xs.append(x_b)
         support = set(topo.ancestors[l]) | {l}
-        # arm columns in base coordinates: a_ang = Rs[j]·S_ang, col =
-        # a_ang × (x_b − p_j) + a_lin
-        arm_cols = {}
+        # every column built ONCE as a (3,B)-wide world vector; the 3k×m
+        # entry rows below are pure slice views of these
+        zero1 = x_b[0:1] * 0.0
+        # ω_b columns: R (e_j × x_b) with (e_0×x) = (0, −x2, x1),
+        # (e_1×x) = (x2, 0, −x0), (e_2×x) = (−x1, x0, 0)
+        ex = [jnp.concatenate([zero1, -x_b[2:3], x_b[1:2]]),
+              jnp.concatenate([x_b[2:3], zero1, -x_b[0:1]]),
+              jnp.concatenate([-x_b[1:2], x_b[0:1], zero1])]
+        wcols = [_mv3s(R, e) for e in ex]                      # 3 × (3,B)
+        acols = {}
         for j in sorted(support):
             a_ang = _mv3s(Rs[j], km.S[j][:3])
             a_lin = _mv3s(Rs[j], km.S[j][3:])
-            arm_cols[j] = _cross3s(a_ang, x_b - ps[j]) + a_lin     # (3,B)
+            # world-frame q̇ column: R (a_ang × (x_b − p_j) + a_lin)
+            acols[j] = _mv3s(R, _cross3s(a_ang, x_b - ps[j]) + a_lin)
         for r in range(3):
             row = [None] * (6 + n)
-            # ω_b columns: R (e_j × x_b) — e_j one-hot, cross by literal
-            # basis: (e_0×x) = (0, −x2, x1), (e_1×x) = (x2, 0, −x0),
-            # (e_2×x) = (−x1, x0, 0)
-            ex = [
-                (None, -x_b[2:3], x_b[1:2]),
-                (x_b[2:3], None, -x_b[0:1]),
-                (-x_b[1:2], x_b[0:1], None),
-            ]
             for j in range(3):
-                row[j] = _sum_terms([
-                    R[r, c:c + 1, :] * ex[j][c] for c in range(3)
-                    if ex[j][c] is not None])
+                row[j] = wcols[j][r:r + 1]
             for j in range(3):                  # v_b columns: R[:, j]
                 row[3 + j] = R[r, j:j + 1, :]
-            for j, col in arm_cols.items():     # q̇ columns (world frame)
-                row[6 + j] = _sum_terms([
-                    R[r, c:c + 1, :] * col[c:c + 1] for c in range(3)])
+            for j, col in acols.items():        # q̇ columns (world frame)
+                row[6 + j] = col[r:r + 1]
             rows.append(row)
     return rows, xs
 
