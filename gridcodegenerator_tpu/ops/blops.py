@@ -569,9 +569,17 @@ def minv_cols_bl(model: RobotModel, X, U, Dinv, c0: int, cb: int):
 
 
 def rnea_grad_cols_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
-                      c0: int = 0, cb: int | None = None, sides=("q", "qd")):
+                      c0: int = 0, cb: int | None = None, sides=("q", "qd"),
+                      as_rows: bool = False):
     """Column-blocked batch-last ∂ID: the ``cb`` differentiation directions
     [c0, c0+cb) of ∂c/∂u for the requested sides, each (n, cb, *batch).
+
+    ``as_rows=True`` returns, per side, the per-joint row list instead of the
+    stacked tensor: ``rows[i]`` is ∂c_i/∂u_blk of shape (cb, *batch), or
+    ``None`` where the row is structurally zero (joint i outside
+    ancestors∪subtree of the block). This exposes the exact sparsity set to
+    callers that consume the block immediately (the staged ∇FD finish
+    contracts −M⁻¹·∂c over the nonzero rows only).
 
     This is the VMEM-era counterpart of the reference's packed column
     compression (``_inverse_dynamics_gradient.py:55-96``): instead of packing
@@ -707,17 +715,21 @@ def rnea_grad_cols_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
                 acc = sow(zeros_cols() if acc is None else acc, i, corr)
             df[p] = acc
 
-        dc = jnp.stack([
+        rows = [
             sum(S_bl[i][r:r + 1] * df[i][r] for r in range(6))
-            if df[i] is not None
-            else jnp.zeros((cb,) + bshape, dtype)
-            for i in range(n)])
+            if df[i] is not None else None
+            for i in range(n)]
         if not is_q:
             # damping on the global diagonal: row j gets damping_j at the
             # local column holding direction j
-            r_ = jax.lax.broadcasted_iota(jnp.int32, (n, cb) + (1,) * bnd, 0)
-            damp_b = (_damping_col(model, bnd) * ones1B)[:, None]
-            dc = dc + (r_ == gcol).astype(dtype) * damp_b
-        return dc
+            damp_b = _damping_col(model, bnd) * ones1B
+            for i in range(c0, min(c0 + cb, n)):
+                d = (gcol[0] == i).astype(dtype) * damp_b[i:i + 1]
+                rows[i] = d if rows[i] is None else rows[i] + d
+        if as_rows:
+            return rows
+        return jnp.stack([r if r is not None
+                          else jnp.zeros((cb,) + bshape, dtype)
+                          for r in rows])
 
     return {side: one_side(side) for side in sides}

@@ -60,9 +60,12 @@ def _tile_plan(per_state: float):
     return None, False
 
 
-def _col_block(n: int) -> int:
+def _col_block(n: int, extra: float = 0.0) -> int:
     """Largest ∂ID column-block width whose K5 working set
-    (≈ 60n + 19n·cb floats/state) fits the best available tile tier.
+    (≈ 60n + 19n·cb + extra·(1 + cb/n)… floats/state) fits the best
+    available tile tier. ``extra`` adds a cb-independent term to the live
+    set (the fused −M⁻¹·∂c finish holds the (n,n) M⁻¹ tile in VMEM: pass
+    extra = n² + n·cb ≈ handled by the +2n·cb slope below).
 
     Prefers a block width that divides n evenly: uniform blocks mean ONE
     compiled kernel shape instead of a ragged tail (v5e 2026-08-16: a
@@ -70,9 +73,12 @@ def _col_block(n: int) -> int:
     compiler with ``Check failed: limits[i] <= dim(i) (2 vs. 1)``; uniform
     widths also reuse layouts better). Falls back to the ragged maximum
     only when the best divisor would waste more than half the budget."""
-    cb_2d = int((_2D_BUDGET / 1024 / _CAL - 60.0 * n) // (19.0 * n))
+    slope = 19.0 * n + (2.0 * n if extra else 0.0)
+    cb_2d = int((_2D_BUDGET / 1024 / _CAL - 60.0 * n - extra) // slope)
     cb_max = cb_2d if cb_2d >= 1 else int(
-        (_LANE_BUDGET / _CAL - 60.0 * n) // (19.0 * n))
+        (_LANE_BUDGET / _CAL - 60.0 * n - extra) // slope)
+    if extra and cb_max < 1:
+        return 0          # no valid fused-finish tile: caller falls back
     cb_max = max(1, min(cb_max, n))
     divisors = [d for d in range(1, cb_max + 1) if n % d == 0]
     best = max(divisors) if divisors else 1
@@ -189,18 +195,39 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
 
 
 def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
-                   cb=None, interpret=False):
+                   cb=None, interpret=False, fuse_finish=None):
     """Staged ∇FD — the large-robot counterpart of
     :func:`..kernels.fused.fd_grad_fused`: returns (ddq, ddqd), each (n,n,B).
 
     Same dataflow as the single-tile kernel (X shared, v reused across the
     two RNEA sweeps, sides processed sequentially); the ∂-tensors never
-    materialize wider than ``cb`` columns in VMEM, and the two batched
-    (n,n,B)×(n,n,B) contractions run in XLA."""
+    materialize wider than ``cb`` columns in VMEM.
+
+    By default (``fuse_finish=None`` → auto) the −M⁻¹·∂c finish is fused
+    into the K5 blocks: each launch takes the staged M⁻¹ as an extra VMEM
+    input and contracts −M⁻¹·∂c_blk **over the structurally nonzero ∂c rows
+    only** (ancestors∪subtree of the block — the same trace-time sparsity
+    the reference packs in shared memory,
+    ``/root/reference/algorithms/_inverse_dynamics_gradient.py:55-96``).
+    The ∂c block then never round-trips HBM and the dense XLA einsum
+    (n³·B FMAs/side plus an (n,n,B) relayout) disappears; the extra cost is
+    re-reading M⁻¹ per launch. ``fuse_finish=False`` restores the
+    stage-then-einsum path (equivalence-tested)."""
     n = model.n
-    cb = cb or _col_block(n)
+    if fuse_finish is None or fuse_finish:
+        cb_f = cb or _col_block(n, extra=float(n * n))
+        if fuse_finish is None:
+            fuse_finish = cb_f > 0
+        elif cb_f <= 0:
+            raise ValueError(
+                f"fuse_finish: no VMEM-valid column block for n={n}")
+    if not fuse_finish:
+        cb_f = cb or _col_block(n)
+    cb = cb_f
     k1_block, k1_lane = _plan(block_b, 70.0 * n)
-    k5_block, k5_lane = _plan(block_b, 60.0 * n + 19.0 * n * cb)
+    k5_per_state = 60.0 * n + 19.0 * n * cb \
+        + (float(n * n + 2 * n * cb) if fuse_finish else 0.0)
+    k5_block, k5_lane = _plan(block_b, k5_per_state)
 
     c, v = bias_and_v_staged(model, q, qd, gravity, block_b, interpret)
     Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
@@ -221,17 +248,39 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     for side in ("q", "qd"):
         blocks = []
         for c0, w in _split_cols(None, n, cb):
-            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
-                X = blops.joint_transforms_bl(km, q)
-                vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
-                dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
-                                             c0=c0, cb=w, sides=(side,))
-                return (dc[side],)
+            if fuse_finish:
+                def body_grad(km, q, qd, v, a, f, Minv,
+                              c0=c0, w=w, side=side):
+                    X = blops.joint_transforms_bl(km, q)
+                    vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                    rows = blops.rnea_grad_cols_bl(
+                        km, X, qd, vl, al, fl, gravity,
+                        c0=c0, cb=w, sides=(side,), as_rows=True)[side]
+                    acc = None
+                    for i, r in enumerate(rows):
+                        if r is None:
+                            continue
+                        term = Minv[:, i][:, None] * r[None]
+                        acc = term if acc is None else acc + term
+                    return (-acc,)
 
-            (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
-                                        [(n, w)], k5_block, interpret,
-                                        lane_tile=k5_lane)
+                (blk,) = _pallas_batch_call(
+                    model, body_grad, [q, qd, v, a, f, Minv],
+                    [(n, w)], k5_block, interpret, lane_tile=k5_lane)
+            else:
+                def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
+                    X = blops.joint_transforms_bl(km, q)
+                    vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                    dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl,
+                                                 gravity, c0=c0, cb=w,
+                                                 sides=(side,))
+                    return (dc[side],)
+
+                (blk,) = _pallas_batch_call(
+                    model, body_grad, [q, qd, v, a, f],
+                    [(n, w)], k5_block, interpret, lane_tile=k5_lane)
             blocks.append(blk)
-        dc = jnp.concatenate(blocks, axis=1)
-        outs[side] = blops.matmatN(Minv, dc, negate=True)
+        out = jnp.concatenate(blocks, axis=1)
+        outs[side] = out if fuse_finish \
+            else blops.matmatN(Minv, out, negate=True)
     return outs["q"], outs["qd"]

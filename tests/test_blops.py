@@ -244,6 +244,17 @@ def test_staged_pipeline_interpret(bl_setup):
     qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
     ddq, ddqd = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4, cb=2,
                                       interpret=True)
+    if not desc.topology.is_serial_chain:
+        # fused −M⁻¹·∂c finish (default) vs the stage-then-einsum path on the
+        # branched robot — the sparse-row contraction must be exact up to f32
+        # reassociation, including the rows it skips as structural zeros
+        dq2, dqd2 = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4,
+                                          cb=2, interpret=True,
+                                          fuse_finish=False)
+        np.testing.assert_allclose(np.asarray(ddq), np.asarray(dq2),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ddqd), np.asarray(dqd2),
+                                   atol=2e-5)
     J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
     M = staged.minv_staged(model32, qa, block_b=4, cb=3, interpret=True)
     qdd = staged.fd_staged(model32, qa, qda, ua, block_b=4, interpret=True)
