@@ -300,25 +300,29 @@ def _crm_cols(m, col):
     return blops.crm_apply_bl(m, col)
 
 
-def _md_id_grad_body(km, q, qd, qdd, *, gravity):
-    """Generalized tangent-space ∂ID on a lane tile → (Dq (nv,nv,B),
-    Dqd (nv,nv,B)). Mirrors :func:`..multidof.md_id_grad` with per-joint
-    derivative COLUMN LISTS (None = structurally zero: columns of joints
-    outside ancestors∪self never materialize — the multi-dof form of the
-    subtree sparsity in ``blops.rnea_grad_cols_bl``)."""
+def _md_id_grad_body(km, q, qd, qdd, *, gravity, cols=None, vaf=None,
+                     minv=None, sides=("q", "qd")):
+    """Generalized tangent-space ∂ID on a lane tile → per requested side a
+    (nv, cb, B) block (cb = nv by default). Mirrors
+    :func:`..multidof.md_id_grad` with per-joint derivative COLUMN LISTS
+    (None = structurally zero: columns of joints outside ancestors∪self
+    never materialize — the multi-dof form of the subtree sparsity in
+    ``blops.rnea_grad_cols_bl``).
+
+    ``cols=(c0, cb)`` restricts the propagation to differentiation
+    directions [c0, c0+cb) — the column-blocked form used by the staged
+    large-nv pipeline (:mod:`.multidof_staged`). ``vaf=(v, a, f_acc)``
+    supplies precomputed kinematics lists (each n × (6,B)) instead of
+    re-running the RNEA sweeps. ``minv`` (an (nv, nv, B) M⁻¹ value) fuses
+    the −M⁻¹·∂c finish: the returned block is then −M⁻¹·∂c[:, blk],
+    contracted over the structurally nonzero ∂c rows only."""
     topo = km.topology
     n = topo.n
     nv = km.nv
+    c0, cbw = cols if cols is not None else (0, nv)
     minus_g = float(-gravity)
     X = _md_transforms_s(km, q)
-    v, a, f = _md_vaf_s(km, X, qd, qdd, gravity)
-
-    # joint-of-column map and constant S columns
-    S_of = []
-    for i in range(n):
-        sv, w = km.v_slices[i]
-        for c in range(w):
-            S_of.append((i, c))
+    v, a, f = vaf if vaf is not None else _md_vaf_s(km, X, qd, qdd, gravity)
 
     def Scol_b(i, c, like):
         """Constant S column broadcast against a live (6,B) value (scalar
@@ -330,7 +334,7 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity):
             for r in range(6)])
 
     outs = {}
-    for side in ("q", "qd"):
+    for side in sides:
         is_q = side == "q"
         DV = [None] * n   # per joint: list of nv columns of (6,B)/None
         DA = [None] * n
@@ -354,6 +358,8 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity):
                       else X[i][:, 5, :] * minus_g)
             for c in range(w):
                 j = sv + c
+                if not (c0 <= j < c0 + cbw):
+                    continue      # direction outside the column block
                 if is_q:
                     if Xv is not None:
                         dv[j] = _sum_terms(
@@ -390,6 +396,8 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity):
                 sv, w = km.v_slices[i]
                 for c in range(w):
                     j = sv + c
+                    if not (c0 <= j < c0 + cbw):
+                        continue
                     contrib[j] = _sum_terms(
                         [contrib[j],
                          blops.crf_apply_bl(Scol_b(i, c, f[i]), f[i])])
@@ -398,7 +406,7 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity):
                     up = blops.matvec6_T(X[i], contrib[j])
                     DF[p][j] = _sum_terms([DF[p][j], up])
 
-        # rows: ∂τ_(i,c) over all nv columns
+        # rows: ∂τ_(i,c) over the block's cbw columns
         rows = []
         for i in range(n):
             sv, w = km.v_slices[i]
@@ -406,7 +414,7 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity):
             for c in range(w):
                 col = cols_i[c]
                 ent = []
-                for j in range(nv):
+                for j in range(c0, c0 + cbw):
                     dfj = DF[i][j]
                     if dfj is None:
                         ent.append(None)
@@ -416,17 +424,34 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity):
                             if col[r] != 0.0]))
                 if not is_q:
                     jd = sv + c
-                    damp = km.damping[jd:jd + 1, 0:1]
-                    base = ent[jd]
-                    one = jnp.ones_like(qd[0:1])
-                    ent[jd] = _sum_terms([base, damp * one])
+                    if c0 <= jd < c0 + cbw:
+                        damp = km.damping[jd:jd + 1, 0:1]
+                        base = ent[jd - c0]
+                        one = jnp.ones_like(qd[0:1])
+                        ent[jd - c0] = _sum_terms([base, damp * one])
                 rows.append(ent)
         zero = jnp.zeros_like(qd[0:1])
-        D = jnp.stack([
-            jnp.concatenate([e if e is not None else zero for e in row])
-            for row in rows])
+        if minv is None:
+            D = jnp.stack([
+                jnp.concatenate([e if e is not None else zero for e in row])
+                for row in rows])
+        else:
+            # fused −M⁻¹·∂c finish: one (nv, B)-wide FMA per structurally
+            # nonzero ∂c entry (minv[r] is M⁻¹[r, :] = M⁻¹[:, r] — symmetric)
+            out_cols = []
+            for jj in range(cbw):
+                acc = None
+                for r in range(nv):
+                    e = rows[r][jj]
+                    if e is None:
+                        continue
+                    t = minv[r] * e
+                    acc = t if acc is None else acc + t
+                out_cols.append(-acc if acc is not None
+                                else jnp.zeros_like(minv[0]))
+            D = jnp.stack(out_cols, axis=1)            # (nv, cbw, B)
         outs[side] = D
-    return outs["q"], outs["qd"]
+    return tuple(outs[s] for s in sides)
 
 
 def _md_fd_grad_body(km, q, qd, u, *, gravity):
@@ -518,9 +543,10 @@ def _md_model_args(model, dtype):
 
 
 def _run_md(model, body, states, out_dims, interpret, force_xla=False,
-            grad=False):
+            grad=False, gate=None):
     dtype = states[0].dtype
-    gate = md_grad_workset_ok if grad else md_workset_ok
+    if gate is None:
+        gate = md_grad_workset_ok if grad else md_workset_ok
     out_dims = [d if isinstance(d, tuple) else (d,) for d in out_dims]
     if force_xla or not gate(model.n_joints, model.nv):
         B_sh = states[0].shape[-1:]

@@ -1,0 +1,199 @@
+"""Staged multi-kernel pipeline for LARGE multi-dof robots (humanoid
+free-flyer scale: Atlas + floating base is n=29 joints, nv=34).
+
+The fused single-tile gradient kernels (:mod:`.multidof_fused`) hold the
+full per-joint DV/DA/DF derivative worksets (≈ 18·n·nv floats/state) in
+VMEM and gate out beyond nv ≈ 20 (``md_grad_workset_ok``); past the gate
+the batched entries previously fell back to one giant plain-XLA program —
+the compile-time blowup class that blocked the round-2 ground stepper.
+This module is the generalized-coordinate counterpart of the fixed-base
+staged pipeline (:mod:`.staged`) and of the reference's packed
+ancestor/subtree column compression
+(``/root/reference/algorithms/_inverse_dynamics_gradient.py:55-96``):
+the tangent-space ∂ID propagation is split into column blocks of ``cb``
+differentiation directions so each kernel's live set is ∝ n·cb, with only
+small per-state tensors staged through HBM:
+
+  FD    q,q̇,u     → q̈                (existing fused FD kernel)
+  K1md  q,q̇,(q̈)  → v, a, f_acc      (vaf at the true accelerations)
+  K2md  q          → M⁻¹              (CRBA + multi-rhs Cholesky vs I)
+  K5md^k q,q̇,v,a,f(,M⁻¹) → block     (column-blocked tangent-space ∂ID;
+                                       with M⁻¹ the −M⁻¹·∂c finish is
+                                       fused and the ∂c block never
+                                       round-trips HBM)
+
+∂q̈/∂u = M⁻¹ falls out of K2md directly. Kernel bodies are the SAME
+functions the single-tile kernels run (``_md_id_grad_body`` with
+``cols=(c0, cb)``), so interpret-mode equivalence tests cover this path
+on CPU. Equivalence: tests/test_multidof_fused.py (staged vs fused vs
+per-state analytic gradients).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import multidof_fused as mf
+from .staged import _CAL, _LANE_BUDGET
+
+__all__ = ["md_id_grad_staged", "md_fd_grad_staged", "md_staged_ok",
+           "md_col_block"]
+
+
+# Analytic live-set models (floats/state) for the staged kernel bodies,
+# calibrated by the same Mosaic stack factor as the fixed-base pipeline.
+def _vaf_ws(n: int) -> float:
+    return 90.0 * n + 200.0
+
+
+def _minv_ws(n: int, nv: int) -> float:
+    # X + IC (72n) + M/L/eye/y/x (≈5 nv² live across the multi-rhs solve)
+    return 72.0 * n + 5.0 * nv * nv + 200.0
+
+
+def _k5_ws(n: int, nv: int, cb: int, fused: bool) -> float:
+    return (54.0 * n + 18.0 * n * cb + 2.0 * nv * cb + 200.0
+            + (float(nv * nv) if fused else 0.0))
+
+
+def md_col_block(n: int, nv: int, fused: bool = True) -> int:
+    """Largest K5md column-block width that fits a 128-state lane tile
+    (the 2-D ≥1024-state tier is out of reach for these bodies). Returns
+    0 when even cb=1 does not fit."""
+    budget = _LANE_BUDGET / _CAL
+    base = 54.0 * n + 200.0 + (float(nv * nv) if fused else 0.0)
+    slope = 18.0 * n + 2.0 * nv
+    cb = int((budget - base) // slope)
+    if cb < 1:
+        return 0
+    return min(cb, nv)
+
+
+def _split_cols(nv: int, cb: int):
+    """Equal-ish column blocks (at most two distinct widths — a ragged
+    tiny tail block is both a wasted launch and the shape class that once
+    crashed Mosaic, see ``staged._col_block``)."""
+    nb = -(-nv // cb)
+    base, rem = divmod(nv, nb)
+    out, c0 = [], 0
+    for k in range(nb):
+        w = base + (1 if k < rem else 0)
+        out.append((c0, w))
+        c0 += w
+    return out
+
+
+def md_staged_ok(n: int, nv: int) -> bool:
+    """True when every stage of the staged gradient pipeline fits a lane
+    tile (FD solve, vaf, M⁻¹, and at least a width-1 fused K5 block)."""
+    return (mf.md_workset_ok(n, nv)
+            and _vaf_ws(n) * _CAL <= _LANE_BUDGET
+            and _minv_ws(n, nv) * _CAL <= _LANE_BUDGET
+            and md_col_block(n, nv, fused=True) > 0)
+
+
+def md_vaf_staged(model, q, qd, qdd, gravity=-9.81, interpret=False,
+                  force_xla=False):
+    """K1md: v, a, f_acc, each (6, n, B), at the given accelerations."""
+    n = model.n_joints
+    grav = float(gravity)
+
+    def body(km, q, qd, *rest):
+        X = mf._md_transforms_s(km, q)
+        v, a, f = mf._md_vaf_s(km, X, qd, rest[0] if rest else None, grav)
+        return (jnp.stack(v, axis=1), jnp.stack(a, axis=1),
+                jnp.stack(f, axis=1))
+
+    states = [q, qd] + ([] if qdd is None else [qdd])
+    return mf._run_md(model, body, states, [(6, n)] * 3, interpret,
+                      force_xla,
+                      gate=lambda n_, nv_: _vaf_ws(n_) * _CAL <= _LANE_BUDGET)
+
+
+def md_minv_fused(model, q, interpret=False, force_xla=False):
+    """K2md: dense M⁻¹ (nv, nv, B) — CRBA + one multi-rhs Cholesky solve
+    against I in a single kernel. Row r of the output is M⁻¹[r, :]
+    (= M⁻¹[:, r]; M⁻¹ is symmetric)."""
+    nv = model.nv
+
+    def body(km, q):
+        X = mf._md_transforms_s(km, q)
+        M = mf._md_crba_s(km, X)
+        L = mf._chol_factor_e(M, nv)
+        one = jnp.ones_like(q[0:1])
+        zero = jnp.zeros_like(one)
+        eye_rows = [
+            jnp.concatenate([one if c == r else zero for c in range(nv)])
+            for r in range(nv)]
+        rows = mf._chol_apply_e(L, eye_rows)
+        zrow = jnp.zeros((nv,) + one.shape[1:], one.dtype)
+        return (jnp.stack([r if r is not None else zrow for r in rows]),)
+
+    (Minv,) = mf._run_md(
+        model, body, [q], [(nv, nv)], interpret, force_xla,
+        gate=lambda n_, nv_: _minv_ws(n_, nv_) * _CAL <= _LANE_BUDGET)
+    return Minv
+
+
+def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
+                 force_xla):
+    """K5md launches for one side; returns the concatenated (nv, nv, B)
+    result (−M⁻¹·∂c when ``Minv`` is given, raw ∂c otherwise)."""
+    n, nv = model.n_joints, model.nv
+    grav = float(gravity)
+    fused = Minv is not None
+    blocks = []
+    for c0, w in _split_cols(nv, cb):
+        def body(km, q, qd, v, a, f, *rest, c0=c0, w=w):
+            nj = km.topology.n
+            vaf = tuple([t[:, i] for i in range(nj)] for t in (v, a, f))
+            (D,) = mf._md_id_grad_body(
+                km, q, qd, None, gravity=grav, cols=(c0, w), vaf=vaf,
+                minv=rest[0] if rest else None, sides=(side,))
+            return (D,)
+
+        states = [q, qd, v, a, f] + ([Minv] if fused else [])
+        (blk,) = mf._run_md(
+            model, body, states, [(nv, w)], interpret, force_xla,
+            gate=lambda n_, nv_, w=w: (
+                _k5_ws(n_, nv_, w, fused) * _CAL <= _LANE_BUDGET))
+        blocks.append(blk)
+    return jnp.concatenate(blocks, axis=1)
+
+
+def md_id_grad_staged(model, q, qd, qdd=None, gravity=-9.81, cb=None,
+                      interpret=False, force_xla=False):
+    """Staged tangent-space ∂ID for large-nv robots: q (nq,B), qd/qdd
+    (nv,B) → (∂τ/∂δq, ∂τ/∂q̇), each (nv, nv, B). Large-robot counterpart
+    of :func:`.multidof_fused.md_id_grad_fused`."""
+    cb = cb or md_col_block(model.n_joints, model.nv, fused=False)
+    if cb <= 0:
+        raise ValueError(
+            f"md_id_grad_staged: no VMEM-valid column block for "
+            f"n={model.n_joints}, nv={model.nv}")
+    v, a, f = md_vaf_staged(model, q, qd, qdd, gravity, interpret, force_xla)
+    return tuple(
+        _grad_blocks(model, q, qd, v, a, f, None, side, gravity, cb,
+                     interpret, force_xla)
+        for side in ("q", "qd"))
+
+
+def md_fd_grad_staged(model, q, qd, u, gravity=-9.81, cb=None,
+                      interpret=False, force_xla=False):
+    """Staged tangent-space ∇FD for large-nv robots: (∂q̈/∂δq, ∂q̈/∂q̇,
+    ∂q̈/∂u), each (nv, nv, B). The −M⁻¹·∂c finish is fused into the K5md
+    blocks (M⁻¹ re-read per launch, ∂c never staged); ∂q̈/∂u = M⁻¹ comes
+    straight from K2md."""
+    cb = cb or md_col_block(model.n_joints, model.nv, fused=True)
+    if cb <= 0:
+        raise ValueError(
+            f"md_fd_grad_staged: no VMEM-valid column block for "
+            f"n={model.n_joints}, nv={model.nv}")
+    qdd = mf.md_fd_fused(model, q, qd, u, gravity, interpret, force_xla)
+    v, a, f = md_vaf_staged(model, q, qd, qdd, gravity, interpret, force_xla)
+    Minv = md_minv_fused(model, q, interpret, force_xla)
+    Dq, Dqd = (
+        _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb,
+                     interpret, force_xla)
+        for side in ("q", "qd"))
+    return Dq, Dqd, Minv

@@ -432,17 +432,28 @@ def md_id_grad_batched(model: MultiDofModel, q, qd, qdd=None, gravity=-9.81,
     """Batched tangent-space ∂ID: q (..., nq), qd/qdd (..., nv) →
     (∂τ/∂δq, ∂τ/∂q̇), each (..., nv, nv). On TPU the whole derivative
     recursion runs fused per lane tile
-    (:func:`.kernels.multidof_fused.md_id_grad_fused`)."""
+    (:func:`.kernels.multidof_fused.md_id_grad_fused`); past the
+    single-tile VMEM gate (humanoid free-flyer scale) the column-blocked
+    staged pipeline (:mod:`.kernels.multidof_staged`) takes over."""
     from .contact import _impl_auto
     from .kernels import multidof_fused as _mf
 
     shape_b = qd.shape[:-1]
     flat = lambda x: x.reshape((-1, x.shape[-1])).T
-    Dq, Dqd = _mf.md_id_grad_fused(
-        model, flat(q), flat(qd), None if qdd is None else flat(qdd),
-        gravity, force_xla=_impl_auto(impl, q) != "pallas")
+    force_xla = _impl_auto(impl, q) != "pallas"
     unflat = lambda D: jnp.moveaxis(D, -1, 0).reshape(
         shape_b + (model.nv, model.nv))
+    if not force_xla and not _mf.md_grad_workset_ok(model.n_joints,
+                                                    model.nv):
+        from .kernels import multidof_staged as _ms
+        if _ms.md_staged_ok(model.n_joints, model.nv):
+            Dq, Dqd = _ms.md_id_grad_staged(
+                model, flat(q), flat(qd),
+                None if qdd is None else flat(qdd), gravity)
+            return unflat(Dq), unflat(Dqd)
+    Dq, Dqd = _mf.md_id_grad_fused(
+        model, flat(q), flat(qd), None if qdd is None else flat(qdd),
+        gravity, force_xla=force_xla)
     return unflat(Dq), unflat(Dqd)
 
 
@@ -450,15 +461,28 @@ def md_forward_dynamics_gradient_batched(model: MultiDofModel, q, qd, u,
                                          gravity=-9.81, impl="auto"):
     """Batched tangent-space ∇FD: (∂q̈/∂δq, ∂q̈/∂q̇, ∂q̈/∂u), each
     (..., nv, nv) — the Carpentier-Mansard pipeline fused per lane tile on
-    TPU (:func:`.kernels.multidof_fused.md_fd_grad_fused`)."""
+    TPU (:func:`.kernels.multidof_fused.md_fd_grad_fused`); past the
+    single-tile VMEM gate (humanoid free-flyer scale) the column-blocked
+    staged pipeline (:mod:`.kernels.multidof_staged`) takes over."""
     from .contact import _impl_auto
     from .kernels import multidof_fused as _mf
 
     shape_b = qd.shape[:-1]
     flat = lambda x: x.reshape((-1, x.shape[-1])).T
-    Ds = _mf.md_fd_grad_fused(
-        model, flat(q), flat(qd), flat(u), gravity,
-        force_xla=_impl_auto(impl, q) != "pallas")
+    force_xla = _impl_auto(impl, q) != "pallas"
+    if not force_xla and not _mf.md_grad_workset_ok(model.n_joints,
+                                                    model.nv):
+        from .kernels import multidof_staged as _ms
+        if _ms.md_staged_ok(model.n_joints, model.nv):
+            Ds = _ms.md_fd_grad_staged(model, flat(q), flat(qd), flat(u),
+                                       gravity)
+        else:
+            Ds = _mf.md_fd_grad_fused(model, flat(q), flat(qd), flat(u),
+                                      gravity, force_xla=True)
+    else:
+        Ds = _mf.md_fd_grad_fused(
+            model, flat(q), flat(qd), flat(u), gravity,
+            force_xla=force_xla)
     unflat = lambda D: jnp.moveaxis(D, -1, 0).reshape(
         shape_b + (model.nv, model.nv))
     return tuple(unflat(D) for D in Ds)

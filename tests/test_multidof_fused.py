@@ -144,3 +144,67 @@ def test_md_workset_gate():
     assert mf.md_workset_ok(5, 15)       # ball_arm scale
     assert mf.md_workset_ok(8, 13)       # free-joint iiwa
     assert not mf.md_workset_ok(200, 80)
+
+
+def test_md_staged_matches_fused(md_setup):
+    """The column-blocked staged pipeline (ops/kernels/multidof_staged.py,
+    the large-nv path) == the fused single-tile bodies, forced on small
+    robots with cb=3 so every launch kind (vaf, M⁻¹, ragged-width K5md
+    blocks, fused −M⁻¹·∂c finish) runs."""
+    from gridcodegenerator_tpu.ops.kernels import multidof_staged as ms
+
+    model, (q, qd, u) = md_setup
+    bl = lambda a: a.T
+    qb, qdb, ub = bl(q), bl(qd), bl(u)
+    Dq_f, Dqd_f = mf.md_id_grad_fused(model, qb, qdb, ub, force_xla=True)
+    Fq_f, Fqd_f, Fu_f = mf.md_fd_grad_fused(model, qb, qdb, ub,
+                                            force_xla=True)
+    Dq_s, Dqd_s = ms.md_id_grad_staged(model, qb, qdb, ub, cb=3,
+                                       force_xla=True)
+    Fq_s, Fqd_s, Fu_s = ms.md_fd_grad_staged(model, qb, qdb, ub, cb=3,
+                                             force_xla=True)
+    for ref, got in [(Dq_f, Dq_s), (Dqd_f, Dqd_s), (Fq_f, Fq_s),
+                     (Fqd_f, Fqd_s), (Fu_f, Fu_s)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-9)
+
+
+@pytest.mark.mid
+def test_md_staged_interpret(md_setup):
+    """Staged pipeline through the actual Pallas kernels (interpret mode =
+    the TPU lowering bodies) == the fused XLA reference."""
+    from gridcodegenerator_tpu.ops.kernels import multidof_staged as ms
+
+    model, (q, qd, u) = md_setup
+    if model.joint_types[0] != "floating":
+        pytest.skip("one interpret-mode robot suffices (slow on CPU); the "
+                    "free-joint robot covers quaternion+1-dof mixed trees")
+    bl = lambda a: a.T
+    qb, qdb, ub = bl(q), bl(qd), bl(u)
+    Fq_f, Fqd_f, Fu_f = mf.md_fd_grad_fused(model, qb, qdb, ub,
+                                            force_xla=True)
+    Fq_s, Fqd_s, Fu_s = ms.md_fd_grad_staged(model, qb, qdb, ub, cb=3,
+                                             interpret=True)
+    for ref, got in [(Fq_f, Fq_s), (Fqd_f, Fqd_s), (Fu_f, Fu_s)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-8)
+
+
+def test_md_staged_gate_and_routing():
+    """Humanoid free-flyer scale (Atlas + floating base: n=29, nv=34) is
+    past the single-tile gradient gate but inside the staged one — the
+    batched entries must route there instead of the giant-XLA fallback."""
+    from gridcodegenerator_tpu.ops.kernels import multidof_staged as ms
+
+    n, nv = 29, 34
+    assert not mf.md_grad_workset_ok(n, nv)
+    assert ms.md_staged_ok(n, nv)
+    cb = ms.md_col_block(n, nv, fused=True)
+    assert cb >= 4
+    splits = ms._split_cols(nv, cb)
+    assert sum(w for _, w in splits) == nv
+    assert max(w for _, w in splits) - min(w for _, w in splits) <= 1
+    assert all(c0 == sum(w for _, w in splits[:k])
+               for k, (c0, _) in enumerate(splits))
+    # the non-fused (raw ∂c) block width is at least as wide
+    assert ms.md_col_block(n, nv, fused=False) >= cb
