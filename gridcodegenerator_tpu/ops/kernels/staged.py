@@ -158,12 +158,19 @@ def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
 
 
 def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
-                   block_b=None, cb=None, interpret=False):
-    """Staged ∂ID for large robots: (dc_dq, dc_dqd), each (n, n, B)."""
+                   block_b=None, cb=None, interpret=False, stage_dtype=None):
+    """Staged ∂ID for large robots: (dc_dq, dc_dqd), each (n, n, B).
+
+    ``stage_dtype`` (e.g. ``jnp.bfloat16``) stores the inter-kernel HBM
+    tensors (v, a, f) at reduced precision — each K5 launch then reads
+    half the bytes and upcasts in VMEM. Compute stays in ``q.dtype``.
+    Parity cost is ~bf16 roundoff on the gradient (measured in
+    BENCHLOG.md); default ``None`` keeps full precision."""
     n = model.n
     cb = cb or _col_block(n)
     k1_block, k1_lane = _plan(block_b, 70.0 * n)
     k5_block, k5_lane = _plan(block_b, 60.0 * n + 19.0 * n * cb)
+    cdt = q.dtype
 
     def body_vaf(km, q, qd, qdd):
         X = blops.joint_transforms_bl(km, q)
@@ -174,6 +181,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
     v, a, f = _pallas_batch_call(model, body_vaf, [q, qd, qdd],
                                  [(6, n)] * 3, k1_block, interpret,
                                  lane_tile=k1_lane)
+    if stage_dtype is not None:
+        v, a, f = (t.astype(stage_dtype) for t in (v, a, f))
 
     sides = {}
     for side in ("q", "qd"):
@@ -181,7 +190,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
         for c0, w in _split_cols(None, n, cb):
             def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
                 X = blops.joint_transforms_bl(km, q)
-                vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                vl, al, fl = (_as_list(t.astype(cdt), km.n)
+                              for t in (v, a, f))
                 dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
                                              c0=c0, cb=w, sides=(side,))
                 return (dc[side],)
@@ -195,7 +205,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
 
 
 def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
-                   cb=None, interpret=False, fuse_finish=None):
+                   cb=None, interpret=False, fuse_finish=None,
+                   stage_dtype=None):
     """Staged ∇FD — the large-robot counterpart of
     :func:`..kernels.fused.fd_grad_fused`: returns (ddq, ddqd), each (n,n,B).
 
@@ -212,8 +223,13 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     The ∂c block then never round-trips HBM and the dense XLA einsum
     (n³·B FMAs/side plus an (n,n,B) relayout) disappears; the extra cost is
     re-reading M⁻¹ per launch. ``fuse_finish=False`` restores the
-    stage-then-einsum path (equivalence-tested)."""
+    stage-then-einsum path (equivalence-tested).
+
+    ``stage_dtype`` (e.g. ``jnp.bfloat16``) stores the inter-kernel HBM
+    tensors (v, a, f, and the M⁻¹ copy the K5 launches re-read) at reduced
+    precision; compute — including the q̈ solve — stays in ``q.dtype``."""
     n = model.n
+    cdt = q.dtype
     if fuse_finish is None or fuse_finish:
         cb_f = cb or _col_block(n, extra=float(n * n))
         if fuse_finish is None:
@@ -232,10 +248,13 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     c, v = bias_and_v_staged(model, q, qd, gravity, block_b, interpret)
     Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
     qdd = blops.matvecN(Minv, u - c)
+    if stage_dtype is not None:
+        v = v.astype(stage_dtype)
+        Minv = Minv.astype(stage_dtype)
 
     def body_af(km, q, qd, qdd, v):
         X = blops.joint_transforms_bl(km, q)
-        vl = _as_list(v, km.n)
+        vl = _as_list(v.astype(cdt), km.n)
         _, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity, v_known=vl)
         _, f = blops.rnea_bwd_bl(km, X, f, None)
         return jnp.stack(a, axis=1), jnp.stack(f, axis=1)
@@ -243,6 +262,8 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     a, f = _pallas_batch_call(model, body_af, [q, qd, qdd, v],
                               [(6, n)] * 2, k1_block, interpret,
                               lane_tile=k1_lane)
+    if stage_dtype is not None:
+        a, f = a.astype(stage_dtype), f.astype(stage_dtype)
 
     outs = {}
     for side in ("q", "qd"):
@@ -252,7 +273,9 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
                 def body_grad(km, q, qd, v, a, f, Minv,
                               c0=c0, w=w, side=side):
                     X = blops.joint_transforms_bl(km, q)
-                    vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                    vl, al, fl = (_as_list(t.astype(cdt), km.n)
+                                  for t in (v, a, f))
+                    Minv = Minv.astype(cdt)
                     rows = blops.rnea_grad_cols_bl(
                         km, X, qd, vl, al, fl, gravity,
                         c0=c0, cb=w, sides=(side,), as_rows=True)[side]
@@ -270,7 +293,8 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
             else:
                 def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
                     X = blops.joint_transforms_bl(km, q)
-                    vl, al, fl = (_as_list(t, km.n) for t in (v, a, f))
+                    vl, al, fl = (_as_list(t.astype(cdt), km.n)
+                                  for t in (v, a, f))
                     dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl,
                                                  gravity, c0=c0, cb=w,
                                                  sides=(side,))
@@ -282,5 +306,5 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
             blocks.append(blk)
         out = jnp.concatenate(blocks, axis=1)
         outs[side] = out if fuse_finish \
-            else blops.matmatN(Minv, out, negate=True)
+            else blops.matmatN(Minv.astype(cdt), out, negate=True)
     return outs["q"], outs["qd"]

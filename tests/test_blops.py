@@ -269,6 +269,29 @@ def test_staged_pipeline_interpret(bl_setup):
                                    atol=2e-4)
 
 
+@pytest.mark.mid
+def test_staged_bf16_staging(bl_setup):
+    """``stage_dtype=bfloat16`` (halved HBM traffic for the inter-kernel
+    v/a/f/M⁻¹ tensors, f32 compute) must track the f32-staged result to
+    bf16 roundoff — and the default must stay exactly the f32 path."""
+    from gridcodegenerator_tpu.ops.kernels import staged
+
+    desc, gold, model, q, qd, u = bl_setup
+    if desc.topology.is_serial_chain:
+        pytest.skip("one branched robot suffices (interpret mode is slow)")
+    model32 = model.astype(jnp.float32)
+    qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
+    f32 = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4, cb=2,
+                                interpret=True)
+    b16 = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4, cb=2,
+                                interpret=True, stage_dtype=jnp.bfloat16)
+    for a, b in zip(f32, b16):
+        a, b = np.asarray(a), np.asarray(b)
+        assert b.dtype == np.float32          # outputs stay full precision
+        rel = np.abs(a - b).max() / max(1.0, np.abs(a).max())
+        assert rel < 2e-2, f"bf16 staging rel err {rel:.3e}"
+
+
 @pytest.mark.slow
 def test_staged_pipeline_atlas():
     """Atlas (n=28) routes to the staged pipeline (the VERDICT round-1 gap:

@@ -31,10 +31,11 @@ if os.environ.get("GRID_TPU_TESTS") != "1":
 
 @pytest.fixture(scope="module")
 def tpu_setup():
-    # 900 s default: the tier now carries 9 tests (fixed-base x3, staged
-    # atlas, contact kernels, multi-dof kernels, pallas-vs-vmap, trig A/B)
-    # and measured 587 s warm-cache on a healthy tunnel; cold or degraded
-    # compiles need the headroom
+    # 900 s default: the tier now carries 10 tests (fixed-base x3, staged
+    # atlas, contact kernels, multi-dof fused + staged kernels,
+    # pallas-vs-vmap, trig A/B) and measured 587 s warm-cache on a healthy
+    # tunnel before the staged-md addition; cold or degraded compiles need
+    # the headroom
     budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "900"))
     done = threading.Event()
 
@@ -269,6 +270,63 @@ def test_multidof_fused_kernels_on_tpu(tpu_setup):
                     err = np_.abs(got - r).max() / scale
                     assert err < 3e-5, \
                         f"{model.name}/fd_grad {nm}@{k}: {err:.3e}"
+
+
+def test_multidof_staged_kernels_on_tpu(tpu_setup):
+    """The column-blocked staged md gradient pipeline (ops/kernels/
+    multidof_staged.py) through real Mosaic lowering at the humanoid
+    free-flyer scale it exists for (Atlas + floating base: n=29, nv=34 —
+    past the single-tile ``md_grad_workset_ok`` gate, so the public
+    batched entries route here) vs per-state analytic tangent-space
+    gradients computed on the host CPU."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import multidof as md
+    from gridcodegenerator_tpu.ops.kernels import multidof_fused as mf
+    from gridcodegenerator_tpu.ops.kernels import multidof_staged as ms
+
+    model = md.multidof_model_from_description(
+        g.parse_urdf(zoo.with_free_joint(zoo.atlas(damping=0.05))),
+        dtype=jnp.float32)
+    assert not mf.md_grad_workset_ok(model.n_joints, model.nv)
+    assert ms.md_staged_ok(model.n_joints, model.nv)
+    B = 256
+    rng = np_.random.default_rng(53)
+    cpu = jax.devices("cpu")[0]
+    q0 = np_.tile(np_.asarray(md.neutral_q(model)), (B, 1))
+    dq = rng.uniform(-0.4, 0.4, (B, model.nv))
+    with jax.default_device(cpu):
+        q = jnp.asarray(np_.stack([
+            np_.asarray(md.md_tangent_apply(
+                model, jnp.asarray(q0[k], jnp.float32),
+                jnp.asarray(dq[k], jnp.float32)))
+            for k in range(B)]))
+    qd = jnp.asarray(rng.uniform(-0.6, 0.6, (B, model.nv)), jnp.float32)
+    u = jnp.asarray(rng.uniform(-5, 5, (B, model.nv)), jnp.float32)
+
+    Dq, Dqd = (np_.asarray(x) for x in md.md_id_grad_batched(
+        model, q, qd, u, impl="pallas"))
+    Fq, Fqd, Fu = (np_.asarray(x)
+                   for x in md.md_forward_dynamics_gradient_batched(
+                       model, q, qd, u, impl="pallas"))
+    with jax.default_device(cpu):
+        for k in (0, 127, B - 1):
+            rq, rqd = (np_.asarray(x) for x in md.md_id_grad(
+                model, q[k], qd[k], u[k]))
+            for nm, got, r in (("id_dq", Dq[k], rq), ("id_dqd", Dqd[k], rqd)):
+                scale = max(1.0, np_.abs(r).max())
+                err = np_.abs(got - r).max() / scale
+                assert err < 3e-5, f"staged {nm}@{k}: {err:.3e}"
+            gq, gqd, gu = md.md_forward_dynamics_gradient(
+                model, q[k], qd[k], u[k])
+            for nm, got, r in (("dq", Fq[k], gq), ("dqd", Fqd[k], gqd),
+                               ("du", Fu[k], gu)):
+                r = np_.asarray(r)
+                scale = max(1.0, np_.abs(r).max())
+                err = np_.abs(got - r).max() / scale
+                assert err < 3e-5, f"staged fd_grad {nm}@{k}: {err:.3e}"
 
 
 def test_pallas_vs_vmap_on_tpu(tpu_setup):
