@@ -269,7 +269,6 @@ def test_staged_pipeline_interpret(bl_setup):
                                    atol=2e-4)
 
 
-@pytest.mark.mid
 def test_staged_bf16_staging(bl_setup):
     """``stage_dtype=bfloat16`` (halved HBM traffic for the inter-kernel
     v/a/f/M⁻¹ tensors, f32 compute) must track the f32-staged result to
