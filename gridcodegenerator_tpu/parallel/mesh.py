@@ -138,6 +138,38 @@ def sharded_fd_grad_fused(model: RobotModel, mesh: Mesh, gravity: float = -9.81,
     return jax.jit(lambda q, qd, u: _run(model, q, qd, u))
 
 
+def sharded_md_fd_grad(model, mesh: Mesh, gravity: float = -9.81,
+                       impl: str = "auto"):
+    """dp-sharded batched tangent-space ∇FD for multi-dof / floating-base
+    models (:class:`..ops.multidof.MultiDofModel`): the batch shards over
+    the mesh, each shard runs the batched production path —
+    ``md_forward_dynamics_gradient_batched``, which on TPU routes to the
+    fused single-tile kernel or, past the VMEM gate (humanoid free-flyer
+    scale), the column-blocked staged md pipeline
+    (`ops/kernels/multidof_staged.py`). Pure data parallelism (the
+    tangent-space recursion is per-state); no collectives.
+
+    Returns a jitted ``fn(q (B,nq), qd (B,nv), u (B,nv)) -> (∂q̈/∂δq,
+    ∂q̈/∂q̇, ∂q̈/∂u)``, each (B, nv, nv), B divisible by the mesh size."""
+    from ..ops import multidof as _md
+
+    spec = P(("dp", "cp"))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=(spec, spec, spec),
+        # pallas bodies are per-shard pure (no collectives); vma is vacuous
+        check_vma=False)
+    def _run(q, qd, u):
+        # model is a closure capture, NOT a shard_map operand: the md
+        # kernels bake its constants as trace-time literals (concrete
+        # required), same as sharded_ground_step's ffm
+        return _md.md_forward_dynamics_gradient_batched(
+            model, q, qd, u, gravity=gravity, impl=impl)
+
+    return jax.jit(_run)
+
+
 def sharded_constrained_fd(model: RobotModel, mesh: Mesh, links, offsets,
                            anchors=None, gravity: float = -9.81,
                            baumgarte=(0.0, 0.0), reg: float = 0.0):

@@ -192,3 +192,41 @@ def test_sharded_constrained_fd(eight_devices, iiwa):
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(lam_s[k]), np.asarray(ref_lam),
                                    atol=1e-9)
+
+
+@pytest.mark.mid
+def test_sharded_md_fd_grad(eight_devices):
+    """dp-sharded multi-dof tangent-space ∇FD == the unsharded batched
+    entry == per-state analytic gradients — the free-flyer/humanoid
+    counterpart of test_dp_sharded_matches_local (pure data parallelism
+    through `parallel.sharded_md_fd_grad`)."""
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import multidof as md
+
+    model = md.multidof_model_from_description(
+        g.parse_urdf(zoo.with_free_joint(zoo.iiwa14(damping=0.1))),
+        dtype=jnp.float64)
+    nv, nq = model.nv, model.nq
+    m = pmesh.make_mesh(dp=4, cp=2, devices=eight_devices)
+    B = 16
+    rng = np.random.default_rng(71)
+    q0 = jnp.tile(jnp.asarray(md.neutral_q(model))[None, :], (B, 1))
+    dq = jnp.asarray(rng.uniform(-0.4, 0.4, (B, nv)))
+    q = jax.vmap(lambda a, b: md.md_tangent_apply(model, a, b))(q0, dq)
+    qd = jnp.asarray(rng.uniform(-0.6, 0.6, (B, nv)))
+    u = jnp.asarray(rng.uniform(-5, 5, (B, nv)))
+
+    f = pmesh.sharded_md_fd_grad(model, m)
+    Fq_s, Fqd_s, Fu_s = f(q, qd, u)
+    assert Fq_s.shape == (B, nv, nv)
+    Fq_b, Fqd_b, Fu_b = md.md_forward_dynamics_gradient_batched(
+        model, q, qd, u)
+    for a, b in zip((Fq_s, Fqd_s, Fu_s), (Fq_b, Fqd_b, Fu_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    for k in (0, B - 1):
+        gq, gqd, gu = md.md_forward_dynamics_gradient(
+            model, q[k], qd[k], u[k])
+        for got, ref in ((Fq_s[k], gq), (Fqd_s[k], gqd), (Fu_s[k], gu)):
+            scale = max(1.0, float(jnp.abs(ref).max()))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-9 * scale)
