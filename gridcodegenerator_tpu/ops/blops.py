@@ -123,6 +123,26 @@ def crm_cols_left(m, D):
     ])
 
 
+def crf_cols_right(D, x):
+    """crf(D_col)·x per column: D (6,k,*b), x (6,*b) → (6,k,*b)."""
+    xw = x[:3][:, None]
+    xv = x[3:][:, None]
+    return jnp.concatenate([
+        _cross3_cols(D[:3], xw) + _cross3_cols(D[3:], xv),
+        _cross3_cols(D[:3], xv),
+    ])
+
+
+def crf_cols_left(m, D):
+    """crf(m)·D_col per column: m (6,*b), D (6,k,*b) → (6,k,*b)."""
+    w = m[:3][:, None]
+    u_ = m[3:][:, None]
+    return jnp.concatenate([
+        _cross3_cols(w, D[:3]) + _cross3_cols(u_, D[3:]),
+        _cross3_cols(w, D[3:]),
+    ])
+
+
 def _cross3_cols(A, Bc):
     return jnp.stack([
         A[1] * Bc[2] - A[2] * Bc[1],
@@ -368,31 +388,6 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
         (Mosaic has no scatter-add)."""
         return D + (col_iota == i).astype(D.dtype) * vec[:, None]
 
-    def cross3_cols(A, Bc):
-        return jnp.stack([
-            A[1] * Bc[2] - A[2] * Bc[1],
-            A[2] * Bc[0] - A[0] * Bc[2],
-            A[0] * Bc[1] - A[1] * Bc[0],
-        ])
-
-    def crf_cols_right(D, x):
-        """crf(D_col)·x per column: D (6,k,*b), x (6,*b) → (6,k,*b)."""
-        xw = x[:3][:, None]
-        xv = x[3:][:, None]
-        return jnp.concatenate([
-            cross3_cols(D[:3], xw) + cross3_cols(D[3:], xv),
-            cross3_cols(D[:3], xv),
-        ])
-
-    def crf_cols_left(m, D):
-        """crf(m)·D_col per column: m (6,*b), D (6,k,*b) → (6,k,*b)."""
-        w = m[:3][:, None]
-        u_ = m[3:][:, None]
-        return jnp.concatenate([
-            cross3_cols(w, D[:3]) + cross3_cols(u_, D[3:]),
-            cross3_cols(w, D[3:]),
-        ])
-
     def one_side(side):
         is_q = side == "q"
         # Ancestor sparsity (the dense-tile form of the reference's
@@ -604,29 +599,6 @@ def rnea_grad_cols_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
     S_bl = [batchify1(model.S[i], ones1B) for i in range(n)]
 
     gcol = jax.lax.broadcasted_iota(jnp.int32, (1, cb) + (1,) * bnd, 1) + c0
-
-    def cross3_cols(A, Bc):
-        return jnp.stack([
-            A[1] * Bc[2] - A[2] * Bc[1],
-            A[2] * Bc[0] - A[0] * Bc[2],
-            A[0] * Bc[1] - A[1] * Bc[0],
-        ])
-
-    def crf_cols_right(D, x):
-        xw = x[:3][:, None]
-        xv = x[3:][:, None]
-        return jnp.concatenate([
-            cross3_cols(D[:3], xw) + cross3_cols(D[3:], xv),
-            cross3_cols(D[:3], xv),
-        ])
-
-    def crf_cols_left(m, D):
-        w = m[:3][:, None]
-        u_ = m[3:][:, None]
-        return jnp.concatenate([
-            cross3_cols(w, D[:3]) + cross3_cols(u_, D[3:]),
-            cross3_cols(w, D[3:]),
-        ])
 
     def zeros_cols():
         return jnp.zeros((6, cb) + bshape, dtype)

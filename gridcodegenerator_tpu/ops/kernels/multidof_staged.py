@@ -32,12 +32,185 @@ per-state analytic gradients).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
+from .. import blops
 from . import multidof_fused as mf
 from .staged import _CAL, _LANE_BUDGET
 
 __all__ = ["md_id_grad_staged", "md_fd_grad_staged", "md_staged_ok",
            "md_col_block"]
+
+
+# --------------------------------------------------------------------------
+# wide (column-tensor) tangent-space ∂ID — the K5md kernel body
+# --------------------------------------------------------------------------
+def _md_id_grad_cols_wide(km, q, qd, v, a, f, *, gravity, c0, cb,
+                          minv=None, sides=("q", "qd")):
+    """Column-blocked tangent-space ∂ID with the block's ``cb``
+    differentiation directions processed as ONE (6, cb, B) tensor per
+    joint — the multi-dof generalization of
+    :func:`...blops.rnea_grad_cols_bl` (same dense-within-block layout,
+    same trace-time subtree skipping of whole joints). Equals
+    :func:`..multidof_fused._md_id_grad_body` with ``cols=(c0, cb)``
+    exactly up to f32 reassociation; the per-column-list body issues one
+    (6, B) op per live column, this one issues (6, cb, B) ops — ~cb×
+    fewer instructions for Mosaic to schedule at the same flop count.
+
+    v, a, f are per-joint lists of (6, B) (the staged K1md outputs);
+    ``minv`` (nv, nv, B) fuses the −M⁻¹·∂c finish as in the narrow body.
+    Returns per side an (nv, cb, B) block."""
+    topo = km.topology
+    n = topo.n
+    nv = km.nv
+    minus_g = float(-gravity)
+    dtype = qd.dtype
+    bshape = qd.shape[1:]
+    X = mf._md_transforms_s(km, q)
+
+    # joint j owns directions [sv_j, sv_j + w_j); the block's live subtree =
+    # joints below (or at) any direction-owning joint of the block
+    owns = [max(km.v_slices[i][0], c0)
+            < min(km.v_slices[i][0] + km.v_slices[i][1], c0 + cb)
+            for i in range(n)]
+    in_subtree = [False] * n
+    for i in range(n):
+        p = topo.parents[i]
+        in_subtree[i] = owns[i] or (p >= 0 and in_subtree[p])
+
+    def zeros_cols():
+        return jnp.zeros((6, cb) + bshape, dtype)
+
+    def S_wide(i, like):
+        """Joint i's S columns overlapping the block, as (6, k, B) live
+        values (scalar × input-derived — never a pure constant chain)."""
+        sv, w = km.v_slices[i]
+        js, je = max(sv, c0), min(sv + w, c0 + cb)
+        S = np.asarray(km.S_np[i])[:, js - sv:je - sv]
+        zero = jnp.zeros_like(like[0:1])[:, None]
+        rows = []
+        for r in range(6):
+            rows.append(jnp.concatenate(
+                [zero + float(S[r, k]) if S[r, k] != 0.0 else zero
+                 for k in range(je - js)], axis=1))
+        return jnp.concatenate(rows, axis=0)
+
+    def insert(i, seed_w):
+        """(6, k, B) seeds for joint i's block-overlapping directions →
+        (6, cb, B) with the seeds at their local columns (static concat —
+        the directions are contiguous, no masks needed)."""
+        sv, w = km.v_slices[i]
+        js, je = max(sv, c0), min(sv + w, c0 + cb)
+        parts = []
+        if js > c0:
+            parts.append(jnp.zeros((6, js - c0) + bshape, dtype))
+        parts.append(seed_w)
+        if c0 + cb > je:
+            parts.append(jnp.zeros((6, c0 + cb - je) + bshape, dtype))
+        return jnp.concatenate(parts, axis=1)
+
+    def vJ_of(i):
+        sv, w = km.v_slices[i]
+        cols = mf._S_cols(km, i)
+        return mf._Smatvec(cols, [qd[sv + c:sv + c + 1]
+                                  for c in range(w)])
+
+    outs = {}
+    for side in sides:
+        is_q = side == "q"
+        DV = [None] * n
+        DA = [None] * n
+        DF = [None] * n
+        for i in range(n):
+            p = topo.parents[i]
+            if not in_subtree[i]:
+                continue
+            dv = (None if (p < 0 or DV[p] is None)
+                  else blops.matmat6(X[i], DV[p]))
+            da = (None if (p < 0 or DA[p] is None)
+                  else blops.matmat6(X[i], DA[p]))
+            if owns[i]:
+                if is_q:
+                    Xv = blops.matvec6(X[i], v[p]) if p >= 0 else None
+                    Xa = (blops.matvec6(X[i], a[p]) if p >= 0
+                          else X[i][:, 5, :] * minus_g)
+                    Sw = S_wide(i, Xa)
+                    if Xv is not None:
+                        dv_seed = insert(i, blops.crm_cols_left(Xv, Sw))
+                        dv = dv_seed if dv is None else dv + dv_seed
+                    da_seed = insert(i, blops.crm_cols_left(Xa, Sw))
+                else:
+                    Sw = S_wide(i, v[i])
+                    dv_seed = insert(i, Sw)
+                    dv = dv_seed if dv is None else dv + dv_seed
+                    da_seed = insert(i, blops.crm_cols_left(v[i], Sw))
+                da = da_seed if da is None else da + da_seed
+            if dv is not None:
+                term = -blops.crm_cols_left(vJ_of(i), dv)
+                da = term if da is None else da + term
+            Ii = km.inertia[i]
+            df = None
+            if da is not None:
+                df = blops.matmat6(Ii, da)
+            if dv is not None:
+                Iv = blops.matvec6(Ii, v[i])
+                t = (blops.crf_cols_right(dv, Iv)
+                     + blops.crf_cols_left(v[i], blops.matmat6(Ii, dv)))
+                df = t if df is None else df + t
+            DV[i], DA[i], DF[i] = dv, da, df
+
+        for i in range(n - 1, -1, -1):
+            p = topo.parents[i]
+            if p < 0:
+                continue
+            acc = DF[i]
+            if is_q and owns[i]:
+                Sw = S_wide(i, f[i])
+                corr = insert(i, blops.crf_cols_right(Sw, f[i]))
+                acc = corr if acc is None else acc + corr
+            if acc is not None:
+                up = blops.matmat6_T(X[i], acc)
+                DF[p] = up if DF[p] is None else DF[p] + up
+
+        # rows: ∂τ_(i,c) = S_iᵀ · DF_i, (w_i, cb, B) per joint
+        rows = [None] * nv
+        for i in range(n):
+            sv, w = km.v_slices[i]
+            if DF[i] is None:
+                continue
+            S = np.asarray(km.S_np[i])
+            for c in range(w):
+                rows[sv + c] = sum(
+                    float(S[r, c]) * DF[i][r] for r in range(6)
+                    if S[r, c] != 0.0)
+        if not is_q:
+            # damping on the global diagonal, static one-hot insertion
+            for jd in range(max(0, c0), min(nv, c0 + cb)):
+                d1 = km.damping[jd:jd + 1, 0:1] * jnp.ones_like(qd[0:1])
+                parts = []
+                if jd > c0:
+                    parts.append(jnp.zeros((1, jd - c0) + bshape, dtype))
+                parts.append(d1[:, None])
+                if c0 + cb > jd + 1:
+                    parts.append(
+                        jnp.zeros((1, c0 + cb - jd - 1) + bshape, dtype))
+                dmask = jnp.concatenate(parts, axis=1)[0]
+                rows[jd] = dmask if rows[jd] is None else rows[jd] + dmask
+        zero_row = jnp.zeros((cb,) + bshape, dtype)
+        if minv is None:
+            D = jnp.stack([r if r is not None else zero_row for r in rows])
+        else:
+            # fused −M⁻¹·∂c finish over the structurally nonzero rows
+            acc = None
+            for r in range(nv):
+                if rows[r] is None:
+                    continue
+                t = minv[r][:, None] * rows[r][None]
+                acc = t if acc is None else acc + t
+            D = -acc if acc is not None else jnp.zeros(
+                (nv, cb) + bshape, dtype)
+        outs[side] = D
+    return tuple(outs[s] for s in sides)
 
 
 # Analytic live-set models (floats/state) for the staged kernel bodies,
@@ -136,9 +309,12 @@ def md_minv_fused(model, q, interpret=False, force_xla=False):
 
 
 def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
-                 force_xla):
+                 force_xla, wide=True):
     """K5md launches for one side; returns the concatenated (nv, nv, B)
-    result (−M⁻¹·∂c when ``Minv`` is given, raw ∂c otherwise)."""
+    result (−M⁻¹·∂c when ``Minv`` is given, raw ∂c otherwise). ``wide``
+    selects the (6, cb, B) column-tensor body (default — ~cb× fewer
+    instructions at the same flops); ``wide=False`` keeps the
+    per-column-list body for equivalence testing."""
     n, nv = model.n_joints, model.nv
     grav = float(gravity)
     fused = Minv is not None
@@ -147,6 +323,11 @@ def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
         def body(km, q, qd, v, a, f, *rest, c0=c0, w=w):
             nj = km.topology.n
             vaf = tuple([t[:, i] for i in range(nj)] for t in (v, a, f))
+            if wide:
+                (D,) = _md_id_grad_cols_wide(
+                    km, q, qd, *vaf, gravity=grav, c0=c0, cb=w,
+                    minv=rest[0] if rest else None, sides=(side,))
+                return (D,)
             (D,) = mf._md_id_grad_body(
                 km, q, qd, None, gravity=grav, cols=(c0, w), vaf=vaf,
                 minv=rest[0] if rest else None, sides=(side,))
@@ -162,7 +343,7 @@ def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
 
 
 def md_id_grad_staged(model, q, qd, qdd=None, gravity=-9.81, cb=None,
-                      interpret=False, force_xla=False):
+                      interpret=False, force_xla=False, wide=True):
     """Staged tangent-space ∂ID for large-nv robots: q (nq,B), qd/qdd
     (nv,B) → (∂τ/∂δq, ∂τ/∂q̇), each (nv, nv, B). Large-robot counterpart
     of :func:`.multidof_fused.md_id_grad_fused`."""
@@ -174,12 +355,12 @@ def md_id_grad_staged(model, q, qd, qdd=None, gravity=-9.81, cb=None,
     v, a, f = md_vaf_staged(model, q, qd, qdd, gravity, interpret, force_xla)
     return tuple(
         _grad_blocks(model, q, qd, v, a, f, None, side, gravity, cb,
-                     interpret, force_xla)
+                     interpret, force_xla, wide=wide)
         for side in ("q", "qd"))
 
 
 def md_fd_grad_staged(model, q, qd, u, gravity=-9.81, cb=None,
-                      interpret=False, force_xla=False):
+                      interpret=False, force_xla=False, wide=True):
     """Staged tangent-space ∇FD for large-nv robots: (∂q̈/∂δq, ∂q̈/∂q̇,
     ∂q̈/∂u), each (nv, nv, B). The −M⁻¹·∂c finish is fused into the K5md
     blocks (M⁻¹ re-read per launch, ∂c never staged); ∂q̈/∂u = M⁻¹ comes
@@ -194,6 +375,6 @@ def md_fd_grad_staged(model, q, qd, u, gravity=-9.81, cb=None,
     Minv = md_minv_fused(model, q, interpret, force_xla)
     Dq, Dqd = (
         _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb,
-                     interpret, force_xla)
+                     interpret, force_xla, wide=wide)
         for side in ("q", "qd"))
     return Dq, Dqd, Minv

@@ -167,6 +167,14 @@ def test_md_staged_matches_fused(md_setup):
                      (Fqd_f, Fqd_s), (Fu_f, Fu_s)]:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-9)
+    # the per-column-list K5md body (wide=False) stays equivalent to the
+    # default (6,cb,B) column-tensor body
+    Dq_n, Dqd_n = ms.md_id_grad_staged(model, qb, qdb, ub, cb=3,
+                                       force_xla=True, wide=False)
+    np.testing.assert_allclose(np.asarray(Dq_n), np.asarray(Dq_s),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Dqd_n), np.asarray(Dqd_s),
+                               atol=1e-11)
 
 
 @pytest.mark.mid
