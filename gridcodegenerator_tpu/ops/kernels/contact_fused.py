@@ -310,6 +310,43 @@ def _chol_apply_e(L, r):
     return x
 
 
+def _chol_solve_wide(Lcols, Bmat):
+    """Solve (L Lᵀ) X = B for a WIDE rhs tensor B (m, k, *b) with the
+    column factor from :func:`_chol_factor_cols` — column-oriented
+    forward/back substitution: one (m−j, k, *b) FMA per column instead of
+    m²/2 entry ops per rhs (the register-utilization fix applied to the
+    multi-rhs solve; the K2md dense-M⁻¹ kernel is the heavy user: nv=34
+    rhs columns at humanoid free-flyer scale)."""
+    m = len(Lcols)
+
+    def replace_row(T, j, row, tail=None):
+        # static concat; zero-width slices skipped (Mosaic rejects 0-sized
+        # vector types)
+        parts = ([T[:j]] if j > 0 else []) + [row[None]]
+        if j + 1 < m:
+            parts.append(T[j + 1:] if tail is None else tail)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    Y = Bmat
+    for j in range(m):
+        dj = Lcols[j][j:j + 1]                       # (1, *b)
+        yj = Y[j] / dj                               # (k, *b)
+        tail = (Y[j + 1:] - Lcols[j][j + 1:][:, None] * yj[None]
+                if j + 1 < m else None)
+        Y = replace_row(Y, j, yj, tail)
+    X = Y
+    for j in reversed(range(m)):
+        dj = Lcols[j][j:j + 1]
+        if j + 1 < m:
+            # xj = (y_j − Σ_{p>j} L[p,j] x_p) / d_j; L[p,j] = Lcols[j][p]
+            corr = jnp.sum(Lcols[j][j + 1:][:, None] * X[j + 1:], axis=0)
+            xj = (X[j] - corr) / dj
+        else:
+            xj = X[j] / dj
+        X = replace_row(X, j, xj)
+    return X
+
+
 def _stack_rows(entries, like):
     """List of (1,B)/None → one (R,B) array (None fills zero).
 

@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import blops
-from .contact_fused import (_chol_apply_e, _chol_factor_e, _mm33s,
+from .contact_fused import (_chol_apply_e, _chol_factor_cols,
+                            _chol_factor_e, _chol_solve_wide, _mm33s,
                             _quat_rot_s, _sum_terms)
 from .fused import _LANES
 from .staged import _CAL, _LANE_BUDGET
@@ -265,9 +266,11 @@ def _md_fd_body(km, q, qd, u, *, gravity):
     X = _md_transforms_s(km, q)
     c, *_ = _md_rnea_s(km, X, qd, None, gravity)
     M = _md_crba_s(km, X)
-    L = _chol_factor_e(M, km.nv)
+    # left-looking column factor: nv²/2 wide ops instead of nv³/6 scalar
+    # (1,B)-entry ops (contact_fused's register-utilization fix)
+    _, Lview = _chol_factor_cols(M, km.nv)
     rhs = [u[r:r + 1] - c[r:r + 1] for r in range(km.nv)]
-    qdd = _chol_apply_e(L, rhs)
+    qdd = _chol_apply_e(Lview, rhs)
     return (jnp.concatenate(qdd),)
 
 
@@ -454,6 +457,179 @@ def _md_id_grad_body(km, q, qd, qdd, *, gravity, cols=None, vaf=None,
     return tuple(outs[s] for s in sides)
 
 
+# --------------------------------------------------------------------------
+# wide (column-tensor) tangent-space ∂ID — the K5md kernel body
+# --------------------------------------------------------------------------
+def _md_id_grad_cols_wide(km, q, qd, v, a, f, *, gravity, c0, cb,
+                          minv=None, sides=("q", "qd"), X=None):
+    """Column-blocked tangent-space ∂ID with the block's ``cb``
+    differentiation directions processed as ONE (6, cb, B) tensor per
+    joint — the multi-dof generalization of
+    :func:`...blops.rnea_grad_cols_bl` (same dense-within-block layout,
+    same trace-time subtree skipping of whole joints). Equals
+    :func:`..multidof_fused._md_id_grad_body` with ``cols=(c0, cb)``
+    exactly up to f32 reassociation; the per-column-list body issues one
+    (6, B) op per live column, this one issues (6, cb, B) ops — ~cb×
+    fewer instructions for Mosaic to schedule at the same flop count.
+
+    v, a, f are per-joint lists of (6, B) (the staged K1md outputs);
+    ``minv`` (nv, nv, B) fuses the −M⁻¹·∂c finish as in the narrow body.
+    Returns per side an (nv, cb, B) block."""
+    topo = km.topology
+    n = topo.n
+    nv = km.nv
+    minus_g = float(-gravity)
+    dtype = qd.dtype
+    bshape = qd.shape[1:]
+    if X is None:
+        X = _md_transforms_s(km, q)
+
+    # joint j owns directions [sv_j, sv_j + w_j); the block's live subtree =
+    # joints below (or at) any direction-owning joint of the block
+    owns = [max(km.v_slices[i][0], c0)
+            < min(km.v_slices[i][0] + km.v_slices[i][1], c0 + cb)
+            for i in range(n)]
+    in_subtree = [False] * n
+    for i in range(n):
+        p = topo.parents[i]
+        in_subtree[i] = owns[i] or (p >= 0 and in_subtree[p])
+
+    def zeros_cols():
+        return jnp.zeros((6, cb) + bshape, dtype)
+
+    def S_wide(i, like):
+        """Joint i's S columns overlapping the block, as (6, k, B) live
+        values (scalar × input-derived — never a pure constant chain)."""
+        sv, w = km.v_slices[i]
+        js, je = max(sv, c0), min(sv + w, c0 + cb)
+        S = np.asarray(km.S_np[i])[:, js - sv:je - sv]
+        zero = jnp.zeros_like(like[0:1])[:, None]
+        rows = []
+        for r in range(6):
+            rows.append(jnp.concatenate(
+                [zero + float(S[r, k]) if S[r, k] != 0.0 else zero
+                 for k in range(je - js)], axis=1))
+        return jnp.concatenate(rows, axis=0)
+
+    def insert(i, seed_w):
+        """(6, k, B) seeds for joint i's block-overlapping directions →
+        (6, cb, B) with the seeds at their local columns (static concat —
+        the directions are contiguous, no masks needed)."""
+        sv, w = km.v_slices[i]
+        js, je = max(sv, c0), min(sv + w, c0 + cb)
+        parts = []
+        if js > c0:
+            parts.append(jnp.zeros((6, js - c0) + bshape, dtype))
+        parts.append(seed_w)
+        if c0 + cb > je:
+            parts.append(jnp.zeros((6, c0 + cb - je) + bshape, dtype))
+        return jnp.concatenate(parts, axis=1)
+
+    def vJ_of(i):
+        sv, w = km.v_slices[i]
+        cols = _S_cols(km, i)
+        return _Smatvec(cols, [qd[sv + c:sv + c + 1]
+                                  for c in range(w)])
+
+    outs = {}
+    for side in sides:
+        is_q = side == "q"
+        DV = [None] * n
+        DA = [None] * n
+        DF = [None] * n
+        for i in range(n):
+            p = topo.parents[i]
+            if not in_subtree[i]:
+                continue
+            dv = (None if (p < 0 or DV[p] is None)
+                  else blops.matmat6(X[i], DV[p]))
+            da = (None if (p < 0 or DA[p] is None)
+                  else blops.matmat6(X[i], DA[p]))
+            if owns[i]:
+                if is_q:
+                    Xv = blops.matvec6(X[i], v[p]) if p >= 0 else None
+                    Xa = (blops.matvec6(X[i], a[p]) if p >= 0
+                          else X[i][:, 5, :] * minus_g)
+                    Sw = S_wide(i, Xa)
+                    if Xv is not None:
+                        dv_seed = insert(i, blops.crm_cols_left(Xv, Sw))
+                        dv = dv_seed if dv is None else dv + dv_seed
+                    da_seed = insert(i, blops.crm_cols_left(Xa, Sw))
+                else:
+                    Sw = S_wide(i, v[i])
+                    dv_seed = insert(i, Sw)
+                    dv = dv_seed if dv is None else dv + dv_seed
+                    da_seed = insert(i, blops.crm_cols_left(v[i], Sw))
+                da = da_seed if da is None else da + da_seed
+            if dv is not None:
+                term = -blops.crm_cols_left(vJ_of(i), dv)
+                da = term if da is None else da + term
+            Ii = km.inertia[i]
+            df = None
+            if da is not None:
+                df = blops.matmat6(Ii, da)
+            if dv is not None:
+                Iv = blops.matvec6(Ii, v[i])
+                t = (blops.crf_cols_right(dv, Iv)
+                     + blops.crf_cols_left(v[i], blops.matmat6(Ii, dv)))
+                df = t if df is None else df + t
+            DV[i], DA[i], DF[i] = dv, da, df
+
+        for i in range(n - 1, -1, -1):
+            p = topo.parents[i]
+            if p < 0:
+                continue
+            acc = DF[i]
+            if is_q and owns[i]:
+                Sw = S_wide(i, f[i])
+                corr = insert(i, blops.crf_cols_right(Sw, f[i]))
+                acc = corr if acc is None else acc + corr
+            if acc is not None:
+                up = blops.matmat6_T(X[i], acc)
+                DF[p] = up if DF[p] is None else DF[p] + up
+
+        # rows: ∂τ_(i,c) = S_iᵀ · DF_i, (w_i, cb, B) per joint
+        rows = [None] * nv
+        for i in range(n):
+            sv, w = km.v_slices[i]
+            if DF[i] is None:
+                continue
+            S = np.asarray(km.S_np[i])
+            for c in range(w):
+                rows[sv + c] = sum(
+                    float(S[r, c]) * DF[i][r] for r in range(6)
+                    if S[r, c] != 0.0)
+        if not is_q:
+            # damping on the global diagonal, static one-hot insertion
+            for jd in range(max(0, c0), min(nv, c0 + cb)):
+                d1 = km.damping[jd:jd + 1, 0:1] * jnp.ones_like(qd[0:1])
+                parts = []
+                if jd > c0:
+                    parts.append(jnp.zeros((1, jd - c0) + bshape, dtype))
+                parts.append(d1[:, None])
+                if c0 + cb > jd + 1:
+                    parts.append(
+                        jnp.zeros((1, c0 + cb - jd - 1) + bshape, dtype))
+                dmask = jnp.concatenate(parts, axis=1)[0]
+                rows[jd] = dmask if rows[jd] is None else rows[jd] + dmask
+        zero_row = jnp.zeros((cb,) + bshape, dtype)
+        if minv is None:
+            D = jnp.stack([r if r is not None else zero_row for r in rows])
+        else:
+            # fused −M⁻¹·∂c finish over the structurally nonzero rows
+            acc = None
+            for r in range(nv):
+                if rows[r] is None:
+                    continue
+                t = minv[r][:, None] * rows[r][None]
+                acc = t if acc is None else acc + t
+            D = -acc if acc is not None else jnp.zeros(
+                (nv, cb) + bshape, dtype)
+        outs[side] = D
+    return tuple(outs[s] for s in sides)
+
+
+
 def _md_fd_grad_body(km, q, qd, u, *, gravity):
     """Generalized tangent-space ∇FD: Carpentier-Mansard over the fused
     pieces — FD solve, ∂ID at the solution, −M⁻¹·∂c and M⁻¹ itself —
@@ -462,33 +638,25 @@ def _md_fd_grad_body(km, q, qd, u, *, gravity):
     X = _md_transforms_s(km, q)
     c, *_ = _md_rnea_s(km, X, qd, None, gravity)
     M = _md_crba_s(km, X)
-    L = _chol_factor_e(M, nv)
-    qdd_l = _chol_apply_e(L, [u[r:r + 1] - c[r:r + 1] for r in range(nv)])
+    # left-looking column factor + column-oriented wide multi-rhs solves
+    # (contact_fused's register-utilization machinery): nv²-scale wide ops
+    # instead of nv³-scale (1,B)-entry ops
+    Lcols, Lview = _chol_factor_cols(M, nv)
+    qdd_l = _chol_apply_e(Lview, [u[r:r + 1] - c[r:r + 1]
+                                  for r in range(nv)])
     qdd = jnp.concatenate(qdd_l)
-    Dq_id, Dqd_id = _md_id_grad_body(km, q, qd, qdd, gravity=gravity)
-
-    # Multi-rhs backsolves: ONE triangular solve per ∂-tensor with (nv, B)
-    # row entries (all nv columns at once — full-register ops) instead of
-    # nv scalar-entry solves. Structurally zero rows (forest topologies:
-    # block-diagonal M, no cross-branch fill-in) stay None and assemble
-    # as zeros.
-    zero_row = jnp.zeros_like(Dq_id[0])        # (nv, B)
-
-    def assemble(x_rows, negate):
-        rows = [r_ if r_ is not None else zero_row for r_ in x_rows]
-        return jnp.stack([-r_ for r_ in rows] if negate else rows)
-
-    outs = [
-        assemble(_chol_apply_e(L, [D[r] for r in range(nv)]), negate=True)
-        for D in (Dq_id, Dqd_id)]
-    # Du = M⁻¹: one multi-rhs solve against I, unit rows built from an
+    v, a, f = _md_vaf_s(km, X, qd, qdd, gravity)
+    Dq_id, Dqd_id = _md_id_grad_cols_wide(
+        km, q, qd, v, a, f, gravity=gravity, c0=0, cb=nv, X=X)
+    outs = [-_chol_solve_wide(Lcols, D) for D in (Dq_id, Dqd_id)]
+    # Du = M⁻¹: one wide solve against I, unit rows built from an
     # input-derived one (never a pure constant chain)
     one = jnp.ones_like(qd[0:1])
     zero = jnp.zeros_like(one)
-    eye_rows = [
+    eye = jnp.stack([
         jnp.concatenate([one if c == r else zero for c in range(nv)])
-        for r in range(nv)]
-    Du = assemble(_chol_apply_e(L, eye_rows), negate=False)
+        for r in range(nv)])
+    Du = _chol_solve_wide(Lcols, eye)
     return outs[0], outs[1], Du
 
 
@@ -500,8 +668,12 @@ def md_id_grad_fused(model, q, qd, qdd=None, gravity=-9.81, interpret=False,
     nv = model.nv
 
     def body(km, q, qd, *rest):
-        return _md_id_grad_body(km, q, qd, rest[0] if rest else None,
-                                gravity=float(gravity))
+        X = _md_transforms_s(km, q)
+        v, a, f = _md_vaf_s(km, X, qd, rest[0] if rest else None,
+                            float(gravity))
+        return _md_id_grad_cols_wide(km, q, qd, v, a, f,
+                                     gravity=float(gravity), c0=0,
+                                     cb=km.nv, X=X)
 
     states = [q, qd] + ([] if qdd is None else [qdd])
     return tuple(_run_md(model, body, states, [(nv, nv)] * 2, interpret,
