@@ -31,11 +31,11 @@ if os.environ.get("GRID_TPU_TESTS") != "1":
 
 @pytest.fixture(scope="module")
 def tpu_setup():
-    # 900 s default: the tier now carries 10 tests (fixed-base x3, staged
+    # 900 s default: the tier carries 9 tests (fixed-base x3, staged
     # atlas, contact kernels, multi-dof fused + staged kernels,
-    # pallas-vs-vmap, trig A/B) and measured 587 s warm-cache on a healthy
-    # tunnel before the staged-md addition; cold or degraded compiles need
-    # the headroom
+    # pallas-vs-vmap, trig A/B); measured 1077 s with fresh Mosaic
+    # compiles of the md wide-rewrite kernels (2026-08-17), so cold or
+    # degraded runs should raise GRID_TPU_TEST_BUDGET_S
     budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "900"))
     done = threading.Event()
 
