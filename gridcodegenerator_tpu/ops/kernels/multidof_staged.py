@@ -136,6 +136,39 @@ def md_minv_fused(model, q, interpret=False, force_xla=False):
     return Minv
 
 
+def md_minv_qdd_fused(model, q, qd, u, gravity=-9.81, interpret=False,
+                      force_xla=False):
+    """K2md+FD merged: ONE kernel computes X, the bias c, CRBA M, the
+    column Cholesky, dense M⁻¹ (wide multi-rhs solve vs I) AND
+    q̈ = M⁻¹(u − c) — the staged ∇FD previously launched a separate FD
+    kernel that recomputed X/CRBA/factor just for q̈. Returns
+    (M⁻¹ (nv,nv,B), q̈ (nv,B))."""
+    nv = model.nv
+    grav = float(gravity)
+
+    def body(km, q, qd, u):
+        from .contact_fused import _chol_factor_cols, _chol_solve_wide
+
+        X = mf._md_transforms_s(km, q)
+        c, *_ = mf._md_rnea_s(km, X, qd, None, grav)
+        M = mf._md_crba_s(km, X)
+        Lcols, _ = _chol_factor_cols(M, nv)
+        one = jnp.ones_like(q[0:1])
+        zero = jnp.zeros_like(one)
+        eye = jnp.stack([
+            jnp.concatenate([one if cc == r else zero for cc in range(nv)])
+            for r in range(nv)])
+        Minv = _chol_solve_wide(Lcols, eye)
+        rhs = u - c
+        qdd = sum(Minv[:, j] * rhs[j:j + 1] for j in range(nv))
+        return Minv, qdd
+
+    return mf._run_md(
+        model, body, [q, qd, u], [(nv, nv), (nv,)], interpret, force_xla,
+        gate=lambda n_, nv_: (
+            (_minv_ws(n_, nv_) + 90.0 * n_) * _CAL <= _LANE_BUDGET))
+
+
 def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
                  force_xla, wide=True):
     """K5md launches for one side; returns the concatenated (nv, nv, B)
@@ -198,9 +231,9 @@ def md_fd_grad_staged(model, q, qd, u, gravity=-9.81, cb=None,
         raise ValueError(
             f"md_fd_grad_staged: no VMEM-valid column block for "
             f"n={model.n_joints}, nv={model.nv}")
-    qdd = mf.md_fd_fused(model, q, qd, u, gravity, interpret, force_xla)
+    Minv, qdd = md_minv_qdd_fused(model, q, qd, u, gravity, interpret,
+                                  force_xla)
     v, a, f = md_vaf_staged(model, q, qd, qdd, gravity, interpret, force_xla)
-    Minv = md_minv_fused(model, q, interpret, force_xla)
     Dq, Dqd = (
         _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb,
                      interpret, force_xla, wide=wide)
