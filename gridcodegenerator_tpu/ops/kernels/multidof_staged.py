@@ -89,7 +89,7 @@ def md_staged_ok(n: int, nv: int) -> bool:
     tile (FD solve, vaf, M⁻¹, and at least a width-1 fused K5 block)."""
     return (mf.md_workset_ok(n, nv)
             and _vaf_ws(n) * _CAL <= _LANE_BUDGET
-            and _minv_ws(n, nv) * _CAL <= _LANE_BUDGET
+            and (_minv_ws(n, nv) + 18.0 * n) * _CAL <= _LANE_BUDGET
             and md_col_block(n, nv, fused=True) > 0)
 
 
@@ -163,10 +163,16 @@ def md_minv_qdd_fused(model, q, qd, u, gravity=-9.81, interpret=False,
         qdd = sum(Minv[:, j] * rhs[j:j + 1] for j in range(nv))
         return Minv, qdd
 
+    # gate: K2md's live-set model plus the small extras that survive into
+    # the solve phase (c, rhs, q̈ ≈ 3nv + the (6,B) vaf lists are freed
+    # before the nv² solve peak — same liveness argument as the contact
+    # kernels' staged phases). At n=29/nv=34 this must stay under budget:
+    # failing the gate silently routes to the giant-XLA fallback, which
+    # measured 13× slower end-to-end.
     return mf._run_md(
         model, body, [q, qd, u], [(nv, nv), (nv,)], interpret, force_xla,
         gate=lambda n_, nv_: (
-            (_minv_ws(n_, nv_) + 90.0 * n_) * _CAL <= _LANE_BUDGET))
+            (_minv_ws(n_, nv_) + 18.0 * n_) * _CAL <= _LANE_BUDGET))
 
 
 def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
