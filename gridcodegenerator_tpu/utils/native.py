@@ -39,6 +39,11 @@ def _load():
     lib.grid_fd_grad.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
     lib.grid_fb_fd.argtypes = hdr + [_D, _D, _D, _D, _D, _D,
                                      ctypes.c_double, _D, _D]
+    mdh = [ctypes.c_int, ctypes.c_int, ctypes.c_int, _I, _I, _I, _I,
+           _D, _D, _D, _D]
+    lib.grid_md_id.argtypes = mdh + [_D, _D, ctypes.c_void_p,
+                                     ctypes.c_double, _D]
+    lib.grid_md_fd.argtypes = mdh + [_D, _D, _D, ctypes.c_double, _D]
     return lib
 
 
@@ -110,3 +115,57 @@ class NativeOracle:
                              np.ascontiguousarray(tau, np.float64),
                              gravity, dvb, qdd)
         return dvb, qdd
+
+
+_MD_JT = {"revolute": 0, "continuous": 0, "prismatic": 1, "spherical": 2,
+          "floating": 3}
+
+
+class NativeMdOracle:
+    """Single-state float64 GENERALIZED dynamics (spherical + in-tree
+    floating joints, quaternion coordinates, nq != nv) — the independent
+    oracle for ``ops/multidof.py`` (md_rnea / md_forward_dynamics)."""
+
+    def __init__(self, model):
+        # model: ops.multidof.MultiDofModel (constants re-read as float64)
+        self.n = model.n_joints
+        self.nv = model.nv
+        self.nq = model.nq
+        self._parents = np.asarray(model.topology.parents, np.int32)
+        self._jtype = np.asarray([_MD_JT[t] for t in model.joint_types],
+                                 np.int32)
+        self._qs = np.asarray([s for s, _ in model.q_slices], np.int32)
+        self._vs = np.asarray([s for s, _ in model.v_slices], np.int32)
+        self._XT = np.ascontiguousarray(
+            np.asarray(model.XT, np.float64).reshape(self.n, 36))
+        self._axis = np.ascontiguousarray(np.asarray(model.axis, np.float64))
+        self._I = np.ascontiguousarray(
+            np.asarray(model.inertia, np.float64).reshape(self.n, 36))
+        self._damping = np.ascontiguousarray(
+            np.asarray(model.damping, np.float64))
+        self._lib = _load()
+
+    def _hdr(self):
+        return (self.n, self.nv, self.nq, self._parents, self._jtype,
+                self._qs, self._vs, self._XT, self._axis, self._I,
+                self._damping)
+
+    def md_id(self, q, qd, qdd=None, gravity=-9.81):
+        out = np.zeros(self.nv)
+        qdd_arr = (np.ascontiguousarray(qdd, np.float64)
+                   if qdd is not None else None)
+        qdd_p = qdd_arr.ctypes.data if qdd_arr is not None else None
+        self._lib.grid_md_id(*self._hdr(),
+                             np.ascontiguousarray(q, np.float64),
+                             np.ascontiguousarray(qd, np.float64), qdd_p,
+                             gravity, out)
+        return out
+
+    def md_fd(self, q, qd, u, gravity=-9.81):
+        out = np.zeros(self.nv)
+        self._lib.grid_md_fd(*self._hdr(),
+                             np.ascontiguousarray(q, np.float64),
+                             np.ascontiguousarray(qd, np.float64),
+                             np.ascontiguousarray(u, np.float64), gravity,
+                             out)
+        return out

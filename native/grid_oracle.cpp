@@ -594,3 +594,273 @@ void grid_fd_grad(int n, const int* parents, const int* jtype,
 }
 
 }  // extern "C"
+
+// ==========================================================================
+// Multi-dof oracle: spherical (ball) + in-tree floating joints, quaternion
+// coordinates (nq != nv). Independent float64 reference for
+// gridcodegenerator_tpu/ops/multidof.py (generalized RNEA / CRBA / FD with
+// (6,w) motion subspaces; conventions mirrored from
+// multidof.py::md_joint_transforms / md_rnea / md_crba).
+// ==========================================================================
+namespace md {
+
+struct MdRobot {
+  int n, nv, nq;
+  const int* parents;
+  const int* jtype;      // 0 revolute, 1 prismatic, 2 spherical, 3 floating
+  const int* qs;         // per-joint q start
+  const int* vs;         // per-joint v start
+  const double* XT;      // n x 36 row-major origin transforms
+  const double* axis;    // n x 3 single-dof axes
+  const double* inertia; // n x 36
+  const double* damping; // nv
+};
+
+inline int vwidth(int t) { return t == 2 ? 3 : (t == 3 ? 6 : 1); }
+
+// R (world<-base) from a unit quaternion (w,x,y,z)
+inline void quat_rot(const double* quat, double R[9]) {
+  const double w = quat[0], x = quat[1], y = quat[2], z = quat[3];
+  R[0] = 1 - 2 * (y * y + z * z); R[1] = 2 * (x * y - w * z); R[2] = 2 * (x * z + w * y);
+  R[3] = 2 * (x * y + w * z); R[4] = 1 - 2 * (x * x + z * z); R[5] = 2 * (y * z - w * x);
+  R[6] = 2 * (x * z - w * y); R[7] = 2 * (y * z + w * x); R[8] = 1 - 2 * (x * x + y * y);
+}
+
+// XJ = [[E, 0], [-E p_hat, E]] (p nullable -> pure rotation blockdiag)
+inline void xj_from_E(const double E[9], const double* p, Mat6& XJ) {
+  mat6_zero(XJ);
+  for (int r = 0; r < 3; ++r)
+    for (int c = 0; c < 3; ++c) {
+      XJ.m[r][c] = E[r * 3 + c];
+      XJ.m[r + 3][c + 3] = E[r * 3 + c];
+    }
+  if (p) {
+    const double P[9] = {0, -p[2], p[1], p[2], 0, -p[0], -p[1], p[0], 0};
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c) {
+        double acc = 0;
+        for (int k = 0; k < 3; ++k) acc += E[r * 3 + k] * P[k * 3 + c];
+        XJ.m[r + 3][c] = -acc;
+      }
+  }
+}
+
+void joint_xforms(const MdRobot& rb, const double* q, std::vector<Mat6>& X) {
+  X.resize(rb.n);
+  for (int i = 0; i < rb.n; ++i) {
+    const int t = rb.jtype[i];
+    const double* qi = q + rb.qs[i];
+    Mat6 XJ;
+    if (t == 3 || t == 2) {            // floating / spherical: E = R^T
+      double R[9], E[9];
+      quat_rot(qi, R);
+      for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c) E[r * 3 + c] = R[c * 3 + r];
+      xj_from_E(E, t == 3 ? qi + 4 : nullptr, XJ);
+    } else if (t == 1) {               // prismatic: I + q * [[0,0],[-K,0]]
+      const double* a = rb.axis + 3 * i;
+      const double K[9] = {0, -a[2], a[1], a[2], 0, -a[0], -a[1], a[0], 0};
+      mat6_zero(XJ);
+      for (int r = 0; r < 6; ++r) XJ.m[r][r] = 1.0;
+      for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c)
+          XJ.m[r + 3][c] = -qi[0] * K[r * 3 + c];
+    } else {                           // revolute Rodrigues: E = I - sK + (1-c)K^2
+      const double* a = rb.axis + 3 * i;
+      const double K[9] = {0, -a[2], a[1], a[2], 0, -a[0], -a[1], a[0], 0};
+      const double s = std::sin(qi[0]), cc = 1.0 - std::cos(qi[0]);
+      double E[9];
+      for (int r = 0; r < 3; ++r)
+        for (int c = 0; c < 3; ++c) {
+          double kk = 0;
+          for (int k = 0; k < 3; ++k) kk += K[r * 3 + k] * K[k * 3 + c];
+          E[r * 3 + c] = (r == c ? 1.0 : 0.0) - s * K[r * 3 + c] + cc * kk;
+        }
+      xj_from_E(E, nullptr, XJ);
+    }
+    Mat6 XT;
+    std::memcpy(&XT.m[0][0], rb.XT + 36 * i, sizeof(XT.m));
+    matmat(XJ, XT, X[i]);
+  }
+}
+
+// column c of joint i's (6, w) motion subspace
+inline void S_col(const MdRobot& rb, int i, int c, double* s6) {
+  for (int r = 0; r < 6; ++r) s6[r] = 0.0;
+  const int t = rb.jtype[i];
+  if (t == 3 || t == 2) {
+    s6[c] = 1.0;                       // I6 / angular-identity columns
+  } else if (t == 1) {
+    for (int r = 0; r < 3; ++r) s6[3 + r] = rb.axis[3 * i + r];
+  } else {
+    for (int r = 0; r < 3; ++r) s6[r] = rb.axis[3 * i + r];
+  }
+}
+
+// generalized RNEA: tau(nv) = ID(q, qd, qdd) (qdd nullable -> bias force);
+// damping * qd always added (multidof.py::md_rnea semantics)
+void rnea(const MdRobot& rb, const std::vector<Mat6>& X, const double* qd,
+          const double* qdd, double gravity, double* tau_out) {
+  const int n = rb.n;
+  std::vector<double> v(6 * n), a(6 * n), f(6 * n);
+  for (int i = 0; i < n; ++i) {
+    const int p = rb.parents[i];
+    const int w = vwidth(rb.jtype[i]);
+    double vJ[6] = {0, 0, 0, 0, 0, 0}, s6[6];
+    for (int c = 0; c < w; ++c) {
+      S_col(rb, i, c, s6);
+      for (int r = 0; r < 6; ++r) vJ[r] += s6[r] * qd[rb.vs[i] + c];
+    }
+    double* vi = &v[6 * i];
+    double* ai = &a[6 * i];
+    if (p < 0) {
+      for (int r = 0; r < 6; ++r) vi[r] = vJ[r];
+      double ab[6] = {0, 0, 0, 0, 0, -gravity};
+      matvec(X[i], ab, ai);
+    } else {
+      matvec(X[i], &v[6 * p], vi);
+      for (int r = 0; r < 6; ++r) vi[r] += vJ[r];
+      matvec(X[i], &a[6 * p], ai);
+    }
+    double cr[6];
+    crm_apply(vi, vJ, cr);
+    for (int r = 0; r < 6; ++r) ai[r] += cr[r];
+    if (qdd) {
+      for (int c = 0; c < w; ++c) {
+        S_col(rb, i, c, s6);
+        for (int r = 0; r < 6; ++r) ai[r] += s6[r] * qdd[rb.vs[i] + c];
+      }
+    }
+    Mat6 I;
+    std::memcpy(&I.m[0][0], rb.inertia + 36 * i, sizeof(I.m));
+    double Iv[6], Ia[6], cf[6];
+    matvec(I, vi, Iv);
+    matvec(I, ai, Ia);
+    crf_apply(vi, Iv, cf);
+    for (int r = 0; r < 6; ++r) f[6 * i + r] = Ia[r] + cf[r];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    const int p = rb.parents[i];
+    if (p >= 0) {
+      double up[6];
+      matTvec(X[i], &f[6 * i], up);
+      for (int r = 0; r < 6; ++r) f[6 * p + r] += up[r];
+    }
+  }
+  for (int i = 0; i < n; ++i) {
+    const int w = vwidth(rb.jtype[i]);
+    double s6[6];
+    for (int c = 0; c < w; ++c) {
+      S_col(rb, i, c, s6);
+      double acc = 0;
+      for (int r = 0; r < 6; ++r) acc += s6[r] * f[6 * i + r];
+      const int j = rb.vs[i] + c;
+      tau_out[j] = acc + rb.damping[j] * qd[j];
+    }
+  }
+}
+
+// generalized CRBA: dense symmetric M (nv x nv, row-major)
+void crba(const MdRobot& rb, const std::vector<Mat6>& X, double* M) {
+  const int n = rb.n, nv = rb.nv;
+  std::vector<Mat6> IC(n);
+  for (int i = 0; i < n; ++i)
+    std::memcpy(&IC[i].m[0][0], rb.inertia + 36 * i, sizeof(IC[i].m));
+  for (int i = n - 1; i >= 0; --i) {
+    const int p = rb.parents[i];
+    if (p >= 0) {
+      Mat6 T1, T2;
+      matmat(IC[i], X[i], T1);     // IC_i X_i
+      matTmat(X[i], T1, T2);       // X_i^T IC_i X_i
+      for (int k = 0; k < 36; ++k) (&IC[p].m[0][0])[k] += (&T2.m[0][0])[k];
+    }
+  }
+  for (int k = 0; k < nv * nv; ++k) M[k] = 0.0;
+  for (int i = 0; i < n; ++i) {
+    const int wi = vwidth(rb.jtype[i]);
+    double F[36];                    // 6 x wi column-major-by-c
+    double s6[6];
+    for (int c = 0; c < wi; ++c) {
+      S_col(rb, i, c, s6);
+      matvec(IC[i], s6, F + 6 * c);
+    }
+    for (int ci = 0; ci < wi; ++ci)
+      for (int cj = 0; cj < wi; ++cj) {
+        S_col(rb, i, cj, s6);
+        double acc = 0;
+        for (int r = 0; r < 6; ++r) acc += s6[r] * F[6 * ci + r];
+        M[(rb.vs[i] + ci) * nv + (rb.vs[i] + cj)] = acc;
+      }
+    int j = i;
+    while (rb.parents[j] >= 0) {
+      for (int c = 0; c < wi; ++c) {
+        double t[6];
+        matTvec(X[j], F + 6 * c, t);
+        std::memcpy(F + 6 * c, t, sizeof(t));
+      }
+      j = rb.parents[j];
+      const int wj = vwidth(rb.jtype[j]);
+      for (int ci = 0; ci < wi; ++ci)
+        for (int cj = 0; cj < wj; ++cj) {
+          S_col(rb, j, cj, s6);
+          double acc = 0;
+          for (int r = 0; r < 6; ++r) acc += s6[r] * F[6 * ci + r];
+          M[(rb.vs[i] + ci) * nv + (rb.vs[j] + cj)] = acc;
+          M[(rb.vs[j] + cj) * nv + (rb.vs[i] + ci)] = acc;
+        }
+    }
+  }
+}
+
+}  // namespace md
+
+extern "C" {
+
+void grid_md_id(int n, int nv, int nq, const int* parents, const int* jtype,
+                const int* q_start, const int* v_start, const double* XT,
+                const double* axis, const double* inertia,
+                const double* damping, const double* q, const double* qd,
+                const double* qdd /* nullable */, double gravity,
+                double* tau_out) {
+  md::MdRobot rb{n, nv, nq, parents, jtype, q_start, v_start,
+                 XT, axis, inertia, damping};
+  std::vector<Mat6> X;
+  md::joint_xforms(rb, q, X);
+  md::rnea(rb, X, qd, qdd, gravity, tau_out);
+}
+
+void grid_md_fd(int n, int nv, int nq, const int* parents, const int* jtype,
+                const int* q_start, const int* v_start, const double* XT,
+                const double* axis, const double* inertia,
+                const double* damping, const double* q, const double* qd,
+                const double* u, double gravity, double* qdd_out) {
+  md::MdRobot rb{n, nv, nq, parents, jtype, q_start, v_start,
+                 XT, axis, inertia, damping};
+  std::vector<Mat6> X;
+  md::joint_xforms(rb, q, X);
+  std::vector<double> c(nv), M(nv * nv);
+  md::rnea(rb, X, qd, nullptr, gravity, c.data());
+  md::crba(rb, X, M.data());
+  // in-place Cholesky solve of M qdd = u - c
+  std::vector<double> L(M);
+  for (int i = 0; i < nv; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = L[i * nv + j];
+      for (int k = 0; k < j; ++k) s -= L[i * nv + k] * L[j * nv + k];
+      L[i * nv + j] = (i == j) ? std::sqrt(s) : s / L[j * nv + j];
+    }
+  }
+  std::vector<double> y(nv);
+  for (int i = 0; i < nv; ++i) {
+    double s = u[i] - c[i];
+    for (int k = 0; k < i; ++k) s -= L[i * nv + k] * y[k];
+    y[i] = s / L[i * nv + i];
+  }
+  for (int i = nv - 1; i >= 0; --i) {
+    double s = y[i];
+    for (int k = i + 1; k < nv; ++k) s -= L[k * nv + i] * qdd_out[k];
+    qdd_out[i] = s / L[i * nv + i];
+  }
+}
+
+}  // extern "C"

@@ -84,3 +84,47 @@ def test_native_freeflyer_oracle():
         dvb_o, qdd_o = oracle.fb_fd(quat, q, vb, qd, tau)
         np.testing.assert_allclose(np.asarray(dvb_j), dvb_o, atol=1e-10)
         np.testing.assert_allclose(np.asarray(qdd_j), qdd_o, atol=1e-10)
+
+
+@pytest.mark.parametrize("robot", ["ball", "free", "mixed", "free_atlas"])
+def test_native_md_oracle(robot):
+    """The generalized C++ oracle (grid_md_id / grid_md_fd — spherical +
+    in-tree floating joints, quaternion coordinates) vs the JAX md
+    implementation: two independent float64 implementations of the
+    generalized RNEA/CRBA/FD must agree to roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import multidof as md
+    from gridcodegenerator_tpu.utils.native import NativeMdOracle
+
+    urdf = {
+        "ball": lambda: zoo.ball_arm(damping=0.1),
+        "free": lambda: zoo.with_free_joint(zoo.iiwa14(damping=0.1)),
+        "mixed": lambda: zoo.serial_chain(5, damping=0.1, prismatic_every=2),
+        "free_atlas": lambda: zoo.with_free_joint(zoo.atlas(damping=0.05)),
+    }[robot]()
+    mdl = md.multidof_model_from_description(g.parse_urdf(urdf),
+                                             dtype=jnp.float64)
+    orc = NativeMdOracle(mdl)
+    nv = mdl.nv
+    rng = np.random.default_rng(97)
+    for k in range(3):
+        q = md.md_tangent_apply(mdl, jnp.asarray(md.neutral_q(mdl)),
+                                jnp.asarray(rng.uniform(-0.6, 0.6, nv)))
+        qd = rng.uniform(-0.8, 0.8, nv)
+        u = rng.uniform(-6, 6, nv)
+        tau_py = np.asarray(md.md_inverse_dynamics(
+            mdl, q, jnp.asarray(qd), jnp.asarray(u)))
+        np.testing.assert_allclose(orc.md_id(np.asarray(q), qd, u), tau_py,
+                                   atol=1e-11 * max(1, np.abs(tau_py).max()))
+        np.testing.assert_allclose(
+            orc.md_id(np.asarray(q), qd, None),
+            np.asarray(md.md_inverse_dynamics(mdl, q, jnp.asarray(qd))),
+            atol=1e-9)
+        fd_py = np.asarray(md.md_forward_dynamics(
+            mdl, q, jnp.asarray(qd), jnp.asarray(u)))
+        np.testing.assert_allclose(orc.md_fd(np.asarray(q), qd, u), fd_py,
+                                   atol=1e-11 * max(1, np.abs(fd_py).max()))
