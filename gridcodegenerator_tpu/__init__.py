@@ -29,8 +29,10 @@ from .api import (
 )
 from .codegen import (
     CompiledFreeFlyer,
+    CompiledMultiDof,
     CompiledRobot,
     compile_freeflyer,
+    compile_multidof,
     compile_robot,
     export_robot,
     load_exported,
@@ -91,6 +93,7 @@ __all__ = [
     "forward_dynamics_ad", "map_batched",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "compile_freeflyer", "CompiledFreeFlyer",
+    "compile_multidof", "CompiledMultiDof",
     "simulate", "linearize_trajectory",
     "fk", "point_position", "world_jacobian",
     "contact_jacobian", "constrained_forward_dynamics",

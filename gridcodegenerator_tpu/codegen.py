@@ -200,6 +200,70 @@ def compile_freeflyer(ffm, links, offsets, batch_sizes=(1024,), *,
 
 
 @dataclass
+class CompiledMultiDof:
+    """AOT-compiled generalized-coordinate algorithm set (spherical /
+    in-tree floating joints, quaternion coordinates) at fixed batch sizes
+    — the md-family analog of :class:`CompiledRobot`. On TPU the gradient
+    entries embed the fused single-tile kernels or, past the VMEM gate,
+    the column-blocked staged md pipeline."""
+
+    name: str
+    nq: int
+    nv: int
+    batch_sizes: tuple
+    compiled: dict = field(default_factory=dict)
+
+    def _call(self, alg, B, *args):
+        key = (alg, B)
+        if key not in self.compiled:
+            raise KeyError(
+                f"{alg} not compiled for batch {B}; available: "
+                f"{sorted(self.compiled)}")
+        return self.compiled[key](*args)
+
+    def inverse_dynamics(self, q, qd, qdd):
+        return self._call("md_id", q.shape[0], q, qd, qdd)
+
+    def forward_dynamics(self, q, qd, u):
+        return self._call("md_fd", q.shape[0], q, qd, u)
+
+    def id_grad(self, q, qd, qdd):
+        return self._call("md_id_grad", q.shape[0], q, qd, qdd)
+
+    def forward_dynamics_gradient(self, q, qd, u):
+        return self._call("md_fd_grad", q.shape[0], q, qd, u)
+
+
+def compile_multidof(model, batch_sizes=(1024,), *, gravity: float = -9.81,
+                     dtype=jnp.float32, impl: str = "auto") -> CompiledMultiDof:
+    """AOT-compile the multi-dof algorithm set (ID, FD, tangent-space
+    ∂ID/∇FD) for a :class:`~gridcodegenerator_tpu.ops.multidof.
+    MultiDofModel` — zero tracing at serving time."""
+    from .ops import multidof as _md
+
+    algs = {
+        "md_id": lambda q, qd, qdd: _md.md_inverse_dynamics_batched(
+            model, q, qd, qdd, gravity, impl=impl),
+        "md_fd": lambda q, qd, u: _md.md_forward_dynamics_batched(
+            model, q, qd, u, gravity, impl=impl),
+        "md_id_grad": lambda q, qd, qdd: _md.md_id_grad_batched(
+            model, q, qd, qdd, gravity, impl=impl),
+        "md_fd_grad":
+            lambda q, qd, u: _md.md_forward_dynamics_gradient_batched(
+                model, q, qd, u, gravity, impl=impl),
+    }
+    out = CompiledMultiDof(name=model.name, nq=model.nq, nv=model.nv,
+                           batch_sizes=tuple(batch_sizes))
+    for name, fn in algs.items():
+        for B in batch_sizes:
+            shapes = [jax.ShapeDtypeStruct((B, model.nq), dtype),
+                      jax.ShapeDtypeStruct((B, model.nv), dtype),
+                      jax.ShapeDtypeStruct((B, model.nv), dtype)]
+            out.compiled[(name, B)] = jax.jit(fn).lower(*shapes).compile()
+    return out
+
+
+@dataclass
 class ExportedRobot:
     """Reloaded serialized robot — callable without URDF/parsing/tracing."""
 
