@@ -347,6 +347,135 @@ def _chol_solve_wide(Lcols, Bmat):
     return X
 
 
+def _chol_factor_act(M, m):
+    """Left-looking column Cholesky restricted to the ACTIVE region:
+    ``cols[j]`` is the (m−j, B) stack of rows j..m−1 of L's column j
+    (``cols[j][0:1]`` is the diagonal). The full-height form
+    (:func:`_chol_factor_cols`) runs every column update over all m rows
+    — 2/3 of which sit above the diagonal and hold structural zeros /
+    stale partial sums; slicing the update to the active region cuts the
+    factor from m³/2 to m³/6 wide-op flops (the triangular-structure
+    counterpart of the register-utilization fix)."""
+    zero = None
+    for row in M:
+        for e in row:
+            if e is not None:
+                zero = jnp.zeros_like(e)
+                break
+        if zero is not None:
+            break
+    cols = []
+    for j in range(m):
+        c = jnp.concatenate([
+            zero if M[i][j] is None else M[i][j]
+            for i in range(j, m)])                         # (m-j, B)
+        for p in range(j):
+            # L[j:, p] = cols[p][j-p:], L[j, p] = cols[p][j-p : j-p+1]
+            c = c - cols[p][j - p:] * cols[p][j - p:j - p + 1]
+        cols.append(c / jnp.sqrt(c[0:1]))
+    return cols
+
+
+def _act_view(cols, m):
+    """Active columns → the ``Lview[i][j]`` (1,B) entry table consumed by
+    the entry-wise solves (:func:`_chol_apply_e`)."""
+    return [[cols[j][i - j:i - j + 1] if j <= i else None
+             for j in range(m)] for i in range(m)]
+
+
+def _chol_factor_ev(M, m):
+    """Drop-in for ``_chol_factor_cols(M, m)[1]``: entry-view factor at
+    the active-region flop count."""
+    return _act_view(_chol_factor_act(M, m), m)
+
+
+def _chol_solve_act(cols, Bmat):
+    """Solve (L Lᵀ) X = B for a wide rhs B (m, k, *b) with the ACTIVE
+    column factor from :func:`_chol_factor_act` — identical recurrence to
+    :func:`_chol_solve_wide`, reading the diagonal / below-diagonal parts
+    from the sliced columns."""
+    m = len(cols)
+
+    def replace_row(T, j, row, tail=None):
+        parts = ([T[:j]] if j > 0 else []) + [row[None]]
+        if j + 1 < m:
+            parts.append(T[j + 1:] if tail is None else tail)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    Y = Bmat
+    for j in range(m):
+        dj = cols[j][0:1]                            # (1, *b)
+        yj = Y[j] / dj                               # (k, *b)
+        tail = (Y[j + 1:] - cols[j][1:][:, None] * yj[None]
+                if j + 1 < m else None)
+        Y = replace_row(Y, j, yj, tail)
+    X = Y
+    for j in reversed(range(m)):
+        dj = cols[j][0:1]
+        if j + 1 < m:
+            corr = jnp.sum(cols[j][1:][:, None] * X[j + 1:], axis=0)
+            xj = (X[j] - corr) / dj
+        else:
+            xj = X[j] / dj
+        X = replace_row(X, j, xj)
+    return X
+
+
+def _chol_minv_sym(cols, m):
+    """Dense symmetric inverse (m, m, B) from the active column factor:
+    M⁻¹ = L⁻ᵀ·L⁻¹ with both stages sliced to their triangular live
+    regions. The straight route — ``_chol_solve_wide(L, I)`` — runs a
+    full-width forward + backward substitution (m³ wide-op flops) and
+    ignores that (a) L⁻¹ is lower-triangular so the forward pass only
+    ever touches columns ≤ j, and (b) M⁻¹ is symmetric so only one
+    triangle needs computing. L⁻¹ (m³/6) + symmetric product (m³/6)
+    replaces the m³ solve — with the sliced factor (m³/6 vs m³/2), the
+    whole dense-M⁻¹ pipeline drops 3×, the op-count lever for the K2md
+    staged kernel at humanoid scale (nv = 34)."""
+    b = cols[0].shape[1:]
+    dtype = cols[0].dtype
+    one = jnp.ones_like(cols[0][0:1])
+    zero = jnp.zeros_like(one)
+
+    def zrow(k):
+        return jnp.zeros((k,) + b, dtype)
+
+    # Y = L⁻¹ as a full (m, m, B) lower-triangular tensor, built with
+    # column-sliced updates: at step j only columns ≤ j of the remaining
+    # rows carry corrections; columns > j still hold their identity part.
+    Y = jnp.stack([
+        jnp.concatenate([one if c == r else zero for c in range(m)])
+        for r in range(m)])                              # (m, m, B)
+    for j in range(m):
+        dj = cols[j][0:1]
+        yj = Y[j, :j + 1] / dj                           # (j+1, B)
+        yj_full = (jnp.concatenate([yj, zrow(m - j - 1)])
+                   if j + 1 < m else yj)
+        parts = ([Y[:j]] if j > 0 else []) + [yj_full[None]]
+        if j + 1 < m:
+            upd = Y[j + 1:, :j + 1] - cols[j][1:][:, None] * yj[None]
+            parts.append(jnp.concatenate([upd, Y[j + 1:, j + 1:]], axis=1))
+        Y = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    # Symmetric product, upper triangle only: column j of M⁻¹ above the
+    # diagonal = Σ_{p≥j} L⁻¹[p, :j+1] · L⁻¹[p, j]  (one wide contraction
+    # per column). T[j] holds that column padded to height m, so
+    # T[j, i] = M⁻¹[i, j] for i ≤ j; the transpose supplies the upper
+    # triangle + diagonal and T itself (diagonal zeroed) the strict lower.
+    Tfull, Tstrict = [], []
+    for j in range(m):
+        colj = jnp.sum(Y[j:, :j + 1] * Y[j:, j][:, None], axis=0)  # (j+1,B)
+        pad = zrow(m - j - 1) if j + 1 < m else None
+        Tfull.append(jnp.concatenate([colj, pad])
+                     if pad is not None else colj)
+        strict = ([colj[:j]] if j > 0 else []) + [zrow(m - j)]
+        Tstrict.append(jnp.concatenate(strict) if len(strict) > 1
+                       else strict[0])
+    Tfull = jnp.stack(Tfull)                             # (m, m, B)
+    Tstrict = jnp.stack(Tstrict)
+    return jnp.swapaxes(Tfull, 0, 1) + Tstrict
+
+
 def _stack_rows(entries, like):
     """List of (1,B)/None → one (R,B) array (None fills zero).
 
@@ -451,7 +580,7 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
     k = len(links)
     X, R, f_b, c_j, M = _stance_prelude(km, I_base, quat, q, vb, qd, tau,
                                         gravity)
-    _, Lm = _chol_factor_cols(M, m)
+    Lm = _chol_factor_ev(M, m)
     rhs_free = ([-f_b[c:c + 1] for c in range(6)]
                 + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
 
@@ -538,7 +667,7 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
     k = len(links)
     X, R, f_b, c_j, M = _stance_prelude(km, I_base, quat, q, vb, qd, tau,
                                         gravity)
-    _, Lm = _chol_factor_cols(M, m)
+    Lm = _chol_factor_ev(M, m)
     rhs_free = ([-f_b[c:c + 1] for c in range(6)]
                 + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
     v = _vfull_list(km, vb, qd)
@@ -759,7 +888,7 @@ def _fb_fd_body(km, I_base, quat, q, vb, qd, tau, *, gravity):
     R = _quat_rot_s(quat)
     f_b, c_j = _fb_bias_s(km, I_base, X, R, vb, qd, gravity)
     M = _fb_mass_s(km, I_base, X)
-    _, Lm = _chol_factor_cols(M, m)
+    Lm = _chol_factor_ev(M, m)
     rhs = ([-f_b[c:c + 1] for c in range(6)]
            + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
     y = _chol_apply_e(Lm, rhs)

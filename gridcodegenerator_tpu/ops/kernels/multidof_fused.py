@@ -32,9 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import blops
-from .contact_fused import (_chol_apply_e, _chol_factor_cols,
-                            _chol_factor_e, _chol_solve_wide, _mm33s,
-                            _quat_rot_s, _sum_terms)
+from .contact_fused import (_act_view, _chol_apply_e, _chol_factor_act,
+                            _chol_factor_ev, _chol_minv_sym,
+                            _chol_solve_act, _mm33s, _quat_rot_s, _sum_terms)
 from .fused import _LANES
 from .staged import _CAL, _LANE_BUDGET
 
@@ -266,9 +266,10 @@ def _md_fd_body(km, q, qd, u, *, gravity):
     X = _md_transforms_s(km, q)
     c, *_ = _md_rnea_s(km, X, qd, None, gravity)
     M = _md_crba_s(km, X)
-    # left-looking column factor: nv²/2 wide ops instead of nv³/6 scalar
-    # (1,B)-entry ops (contact_fused's register-utilization fix)
-    _, Lview = _chol_factor_cols(M, km.nv)
+    # active-region column factor: nv²/6 wide ops instead of nv³/6 scalar
+    # (1,B)-entry ops (contact_fused's register-utilization fix plus the
+    # triangular-structure slicing)
+    Lview = _chol_factor_ev(M, km.nv)
     rhs = [u[r:r + 1] - c[r:r + 1] for r in range(km.nv)]
     qdd = _chol_apply_e(Lview, rhs)
     return (jnp.concatenate(qdd),)
@@ -638,25 +639,20 @@ def _md_fd_grad_body(km, q, qd, u, *, gravity):
     X = _md_transforms_s(km, q)
     c, *_ = _md_rnea_s(km, X, qd, None, gravity)
     M = _md_crba_s(km, X)
-    # left-looking column factor + column-oriented wide multi-rhs solves
-    # (contact_fused's register-utilization machinery): nv²-scale wide ops
-    # instead of nv³-scale (1,B)-entry ops
-    Lcols, Lview = _chol_factor_cols(M, nv)
-    qdd_l = _chol_apply_e(Lview, [u[r:r + 1] - c[r:r + 1]
-                                  for r in range(nv)])
+    # active-region column factor + column-oriented wide multi-rhs solves
+    # (contact_fused's register-utilization machinery sliced to the
+    # triangular live region): nv³/6-scale wide flops instead of nv³-scale
+    cols = _chol_factor_act(M, nv)
+    qdd_l = _chol_apply_e(_act_view(cols, nv),
+                          [u[r:r + 1] - c[r:r + 1] for r in range(nv)])
     qdd = jnp.concatenate(qdd_l)
     v, a, f = _md_vaf_s(km, X, qd, qdd, gravity)
     Dq_id, Dqd_id = _md_id_grad_cols_wide(
         km, q, qd, v, a, f, gravity=gravity, c0=0, cb=nv, X=X)
-    outs = [-_chol_solve_wide(Lcols, D) for D in (Dq_id, Dqd_id)]
-    # Du = M⁻¹: one wide solve against I, unit rows built from an
-    # input-derived one (never a pure constant chain)
-    one = jnp.ones_like(qd[0:1])
-    zero = jnp.zeros_like(one)
-    eye = jnp.stack([
-        jnp.concatenate([one if c == r else zero for c in range(nv)])
-        for r in range(nv)])
-    Du = _chol_solve_wide(Lcols, eye)
+    outs = [-_chol_solve_act(cols, D) for D in (Dq_id, Dqd_id)]
+    # Du = M⁻¹ via L⁻ᵀ·L⁻¹ with both stages sliced to their triangular
+    # live regions (3× the wide solve against I)
+    Du = _chol_minv_sym(cols, nv)
     return outs[0], outs[1], Du
 
 

@@ -118,17 +118,14 @@ def md_minv_fused(model, q, interpret=False, force_xla=False):
     nv = model.nv
 
     def body(km, q):
-        from .contact_fused import _chol_factor_cols, _chol_solve_wide
+        from .contact_fused import _chol_factor_act, _chol_minv_sym
 
         X = mf._md_transforms_s(km, q)
         M = mf._md_crba_s(km, X)
-        Lcols, _ = _chol_factor_cols(M, nv)
-        one = jnp.ones_like(q[0:1])
-        zero = jnp.zeros_like(one)
-        eye = jnp.stack([
-            jnp.concatenate([one if c == r else zero for c in range(nv)])
-            for r in range(nv)])                        # (nv, nv, B)
-        return (_chol_solve_wide(Lcols, eye),)
+        # active-region factor (nv³/6 wide flops) + symmetric L⁻ᵀ·L⁻¹
+        # inverse (nv³/3) — 3× fewer wide flops than the full-width
+        # factor + multi-rhs solve against I
+        return (_chol_minv_sym(_chol_factor_act(M, nv), nv),)
 
     (Minv,) = mf._run_md(
         model, body, [q], [(nv, nv)], interpret, force_xla,
@@ -147,18 +144,14 @@ def md_minv_qdd_fused(model, q, qd, u, gravity=-9.81, interpret=False,
     grav = float(gravity)
 
     def body(km, q, qd, u):
-        from .contact_fused import _chol_factor_cols, _chol_solve_wide
+        from .contact_fused import _chol_factor_act, _chol_minv_sym
 
         X = mf._md_transforms_s(km, q)
         c, *_ = mf._md_rnea_s(km, X, qd, None, grav)
         M = mf._md_crba_s(km, X)
-        Lcols, _ = _chol_factor_cols(M, nv)
-        one = jnp.ones_like(q[0:1])
-        zero = jnp.zeros_like(one)
-        eye = jnp.stack([
-            jnp.concatenate([one if cc == r else zero for cc in range(nv)])
-            for r in range(nv)])
-        Minv = _chol_solve_wide(Lcols, eye)
+        # active-region factor + symmetric inverse: 3× fewer wide flops
+        # than the full-width factor + solve against I (see md_minv_fused)
+        Minv = _chol_minv_sym(_chol_factor_act(M, nv), nv)
         rhs = u - c
         qdd = sum(Minv[:, j] * rhs[j:j + 1] for j in range(nv))
         return Minv, qdd
