@@ -236,60 +236,6 @@ def _fb_mass_s(km, I_base, X):
 # --------------------------------------------------------------------------
 # (1,B)-entry linear algebra: Cholesky, solves
 # --------------------------------------------------------------------------
-def _chol_factor_e(M, m, reg=0.0):
-    """Cholesky of an m×m list-of-lists of (1,B)/None entries → dense
-    lower-tri list-of-lists of (1,B)."""
-    L = [[None] * m for _ in range(m)]
-    for i in range(m):
-        for j in range(i + 1):
-            terms = ([M[i][j]] if M[i][j] is not None else [])
-            if reg and i == j:
-                terms.append(jnp.full_like(M[i][i], reg))
-            terms.extend(-L[i][p] * L[j][p] for p in range(j)
-                         if L[i][p] is not None and L[j][p] is not None)
-            s = _sum_terms(terms)
-            if i == j:
-                L[i][j] = jnp.sqrt(s)
-            else:
-                L[i][j] = (s / L[j][j]) if s is not None else None
-    return L
-
-
-def _chol_factor_cols(M, m):
-    """Left-looking column Cholesky of an m×m list-of-lists of (1,B)/None
-    entries → (Lcols, Lview): ``Lcols[j]`` is the (m, B) stack of column j
-    (rows < j hold zeros), ``Lview[i][j]`` the (1,B) entry view for the
-    entry-wise solves. Each column update is ONE (m,B)-wide FMA per prior
-    column instead of a row of scalar ops — m²/2 wide ops vs m³/6 scalar
-    ops (the register-utilization fix applied to the factorization)."""
-    zero = None
-    for row in M:
-        for e in row:
-            if e is not None:
-                zero = jnp.zeros_like(e)
-                break
-        if zero is not None:
-            break
-    Lcols = []
-    diag = []
-    for j in range(m):
-        c = jnp.concatenate([
-            (zero if M[i][j] is None else M[i][j]) if i >= j else zero
-            for i in range(m)])                            # (m, B)
-        for p in range(j):
-            c = c - Lcols[p] * Lcols[p][j:j + 1]
-        d = jnp.sqrt(c[j:j + 1])
-        col = c / d
-        # zero the rows above the diagonal (they hold stale partial sums)
-        if j > 0:
-            col = jnp.concatenate([jnp.zeros_like(c[:j]), col[j:]])
-        Lcols.append(col)
-        diag.append(d)
-    Lview = [[Lcols[j][i:i + 1] if j <= i else None for j in range(m)]
-             for i in range(m)]
-    return Lcols, Lview
-
-
 def _chol_apply_e(L, r):
     """Solve (L Lᵀ) x = r with r a list of m (1,B)/None entries."""
     m = len(L)
@@ -310,52 +256,17 @@ def _chol_apply_e(L, r):
     return x
 
 
-def _chol_solve_wide(Lcols, Bmat):
-    """Solve (L Lᵀ) X = B for a WIDE rhs tensor B (m, k, *b) with the
-    column factor from :func:`_chol_factor_cols` — column-oriented
-    forward/back substitution: one (m−j, k, *b) FMA per column instead of
-    m²/2 entry ops per rhs (the register-utilization fix applied to the
-    multi-rhs solve; the K2md dense-M⁻¹ kernel is the heavy user: nv=34
-    rhs columns at humanoid free-flyer scale)."""
-    m = len(Lcols)
-
-    def replace_row(T, j, row, tail=None):
-        # static concat; zero-width slices skipped (Mosaic rejects 0-sized
-        # vector types)
-        parts = ([T[:j]] if j > 0 else []) + [row[None]]
-        if j + 1 < m:
-            parts.append(T[j + 1:] if tail is None else tail)
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-
-    Y = Bmat
-    for j in range(m):
-        dj = Lcols[j][j:j + 1]                       # (1, *b)
-        yj = Y[j] / dj                               # (k, *b)
-        tail = (Y[j + 1:] - Lcols[j][j + 1:][:, None] * yj[None]
-                if j + 1 < m else None)
-        Y = replace_row(Y, j, yj, tail)
-    X = Y
-    for j in reversed(range(m)):
-        dj = Lcols[j][j:j + 1]
-        if j + 1 < m:
-            # xj = (y_j − Σ_{p>j} L[p,j] x_p) / d_j; L[p,j] = Lcols[j][p]
-            corr = jnp.sum(Lcols[j][j + 1:][:, None] * X[j + 1:], axis=0)
-            xj = (X[j] - corr) / dj
-        else:
-            xj = X[j] / dj
-        X = replace_row(X, j, xj)
-    return X
-
-
-def _chol_factor_act(M, m):
-    """Left-looking column Cholesky restricted to the ACTIVE region:
-    ``cols[j]`` is the (m−j, B) stack of rows j..m−1 of L's column j
-    (``cols[j][0:1]`` is the diagonal). The full-height form
-    (:func:`_chol_factor_cols`) runs every column update over all m rows
-    — 2/3 of which sit above the diagonal and hold structural zeros /
-    stale partial sums; slicing the update to the active region cuts the
-    factor from m³/2 to m³/6 wide-op flops (the triangular-structure
-    counterpart of the register-utilization fix)."""
+def _chol_factor_act(M, m, reg=0.0):
+    """Left-looking column Cholesky of an m×m list-of-lists of (1,B)/None
+    entries, restricted to the ACTIVE region: ``cols[j]`` is the (m−j, B)
+    stack of rows j..m−1 of L's column j (``cols[j][0:1]`` is the
+    diagonal). Each column update is one wide FMA per prior column
+    (the register-utilization fix applied to the factorization), and
+    slicing the update to the at-or-below-diagonal region — a full-height
+    form would spend 2/3 of each update on structural zeros / stale
+    partial sums above the diagonal — puts the factor at m³/6 wide-op
+    flops in ~m²/2 instructions. ``reg`` adds Tikhonov mass to the
+    diagonal (the Delassus factor's singular-stance guard)."""
     zero = None
     for row in M:
         for e in row:
@@ -369,6 +280,9 @@ def _chol_factor_act(M, m):
         c = jnp.concatenate([
             zero if M[i][j] is None else M[i][j]
             for i in range(j, m)])                         # (m-j, B)
+        if reg:
+            c = jnp.concatenate([c[0:1] + reg] +
+                                ([c[1:]] if m - j > 1 else []))
         for p in range(j):
             # L[j:, p] = cols[p][j-p:], L[j, p] = cols[p][j-p : j-p+1]
             c = c - cols[p][j - p:] * cols[p][j - p:j - p + 1]
@@ -384,16 +298,18 @@ def _act_view(cols, m):
 
 
 def _chol_factor_ev(M, m):
-    """Drop-in for ``_chol_factor_cols(M, m)[1]``: entry-view factor at
+    """Entry-view factor (for the entry-wise merged multi-rhs solves) at
     the active-region flop count."""
     return _act_view(_chol_factor_act(M, m), m)
 
 
 def _chol_solve_act(cols, Bmat):
-    """Solve (L Lᵀ) X = B for a wide rhs B (m, k, *b) with the ACTIVE
-    column factor from :func:`_chol_factor_act` — identical recurrence to
-    :func:`_chol_solve_wide`, reading the diagonal / below-diagonal parts
-    from the sliced columns."""
+    """Solve (L Lᵀ) X = B for a WIDE rhs tensor B (m, k, *b) with the
+    active column factor from :func:`_chol_factor_act` — column-oriented
+    forward/back substitution: one (m−j, k, *b) FMA per column instead of
+    m²/2 entry ops per rhs (the register-utilization fix applied to the
+    multi-rhs solve), reading the diagonal / below-diagonal parts from
+    the sliced columns."""
     m = len(cols)
 
     def replace_row(T, j, row, tail=None):
@@ -424,8 +340,8 @@ def _chol_solve_act(cols, Bmat):
 def _chol_minv_sym(cols, m):
     """Dense symmetric inverse (m, m, B) from the active column factor:
     M⁻¹ = L⁻ᵀ·L⁻¹ with both stages sliced to their triangular live
-    regions. The straight route — ``_chol_solve_wide(L, I)`` — runs a
-    full-width forward + backward substitution (m³ wide-op flops) and
+    regions. The straight route — a wide multi-rhs solve against I — runs
+    a full-width forward + backward substitution (m³ wide-op flops) and
     ignores that (a) L⁻¹ is lower-triangular so the forward pass only
     ever touches columns ≤ j, and (b) M⁻¹ is symmetric so only one
     triangle needs computing. L⁻¹ (m³/6) + symmetric product (m³/6)
@@ -645,9 +561,10 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
                       if JT[c] is not None])
     rhs_arr = -(Jyf + bias - (0.0 if a_star is None else a_star))
     G = [[G_rows[r][s:s + 1] for s in range(3 * k)] for r in range(3 * k)]
-    Lg = _chol_factor_e(G, 3 * k, reg=reg)
-    lam = _chol_apply_e(Lg, [rhs_arr[r:r + 1] for r in range(3 * k)])
-    lam_out = jnp.concatenate(lam)
+    # active-region factor + wide single-rhs solve: ~(3k)²/2 wide
+    # instructions instead of (3k)³/6 scalar entry ops
+    Lg = _chol_factor_act(G, 3 * k, reg=reg)
+    lam_out = _chol_solve_act(Lg, rhs_arr[:, None])[:, 0]
     y = [y_free[c] + jnp.sum(MiJt[c] * lam_out, axis=0, keepdims=True)
          for c in range(m)]
     dvb = jnp.concatenate(y[:6])
