@@ -52,18 +52,25 @@ def _minv_ws(n: int, nv: int) -> float:
     return 72.0 * n + 5.0 * nv * nv + 200.0
 
 
-def _k5_ws(n: int, nv: int, cb: int, fused: bool) -> float:
+def _k5_ws(n: int, nv: int, cb: int, fused: bool,
+           n_sides: int = 1) -> float:
+    # the sides run sequentially inside the body (the first side's
+    # DV/DA/DF workset is freed before the second starts), so extra
+    # sides only park their finished (nv, cb) output block
     return (54.0 * n + 18.0 * n * cb + 2.0 * nv * cb + 200.0
-            + (float(nv * nv) if fused else 0.0))
+            + (float(nv * nv) if fused else 0.0)
+            + (n_sides - 1) * float(nv) * cb)
 
 
-def md_col_block(n: int, nv: int, fused: bool = True) -> int:
+def md_col_block(n: int, nv: int, fused: bool = True,
+                 n_sides: int = 1) -> int:
     """Largest K5md column-block width that fits a 128-state lane tile
     (the 2-D ≥1024-state tier is out of reach for these bodies). Returns
-    0 when even cb=1 does not fit."""
+    0 when even cb=1 does not fit. ``n_sides=2`` sizes the merged
+    both-sides launch (∂/∂q and ∂/∂q̇ from one kernel)."""
     budget = _LANE_BUDGET / _CAL
     base = 54.0 * n + 200.0 + (float(nv * nv) if fused else 0.0)
-    slope = 18.0 * n + 2.0 * nv
+    slope = 18.0 * n + 2.0 * nv + (n_sides - 1) * float(nv)
     cb = int((budget - base) // slope)
     if cb < 1:
         return 0
@@ -168,73 +175,97 @@ def md_minv_qdd_fused(model, q, qd, u, gravity=-9.81, interpret=False,
             (_minv_ws(n_, nv_) + 18.0 * n_) * _CAL <= _LANE_BUDGET))
 
 
-def _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb, interpret,
+def _grad_blocks(model, q, qd, v, a, f, Minv, sides, gravity, cb, interpret,
                  force_xla, wide=True):
-    """K5md launches for one side; returns the concatenated (nv, nv, B)
-    result (−M⁻¹·∂c when ``Minv`` is given, raw ∂c otherwise). ``wide``
-    selects the (6, cb, B) column-tensor body (default — ~cb× fewer
-    instructions at the same flops); ``wide=False`` keeps the
-    per-column-list body for equivalence testing."""
+    """K5md launches; returns per side the concatenated (nv, nv, B)
+    result (−M⁻¹·∂c when ``Minv`` is given, raw ∂c otherwise). With
+    ``sides=("q", "qd")`` each launch emits BOTH sides of its column
+    block — the sides share the launch's X transforms and its q/q̇/vaf
+    (18n floats/state) and M⁻¹ (nv² floats/state) HBM reads, halving
+    the K5 launch count. ``wide`` selects the (6, cb, B) column-tensor
+    body (default — ~cb× fewer instructions at the same flops);
+    ``wide=False`` keeps the per-column-list body for equivalence
+    testing."""
     n, nv = model.n_joints, model.nv
     grav = float(gravity)
     fused = Minv is not None
-    blocks = []
+    ns = len(sides)
+    blocks = [[] for _ in sides]
     for c0, w in _split_cols(nv, cb):
         def body(km, q, qd, v, a, f, *rest, c0=c0, w=w):
             nj = km.topology.n
             vaf = tuple([t[:, i] for i in range(nj)] for t in (v, a, f))
             if wide:
-                (D,) = mf._md_id_grad_cols_wide(
+                return mf._md_id_grad_cols_wide(
                     km, q, qd, *vaf, gravity=grav, c0=c0, cb=w,
-                    minv=rest[0] if rest else None, sides=(side,))
-                return (D,)
-            (D,) = mf._md_id_grad_body(
+                    minv=rest[0] if rest else None, sides=sides)
+            return mf._md_id_grad_body(
                 km, q, qd, None, gravity=grav, cols=(c0, w), vaf=vaf,
-                minv=rest[0] if rest else None, sides=(side,))
-            return (D,)
+                minv=rest[0] if rest else None, sides=sides)
 
         states = [q, qd, v, a, f] + ([Minv] if fused else [])
-        (blk,) = mf._run_md(
-            model, body, states, [(nv, w)], interpret, force_xla,
+        blks = mf._run_md(
+            model, body, states, [(nv, w)] * ns, interpret, force_xla,
             gate=lambda n_, nv_, w=w: (
-                _k5_ws(n_, nv_, w, fused) * _CAL <= _LANE_BUDGET))
-        blocks.append(blk)
-    return jnp.concatenate(blocks, axis=1)
+                _k5_ws(n_, nv_, w, fused, ns) * _CAL <= _LANE_BUDGET))
+        for s, blk in enumerate(blks):
+            blocks[s].append(blk)
+    return tuple(jnp.concatenate(bs, axis=1) for bs in blocks)
+
+
+def _side_plan(n, nv, fused, cb, merge_sides):
+    """Resolve (cb, launch plan): one both-sides launch per block when
+    the merged workspace fits (default), else per-side launches."""
+    if merge_sides:
+        cbm = cb or md_col_block(n, nv, fused=fused, n_sides=2)
+        if cbm >= 1 and (cb is None or _k5_ws(n, nv, cbm, fused, 2) * _CAL
+                         <= _LANE_BUDGET):
+            return cbm, (("q", "qd"),)
+    cb1 = cb or md_col_block(n, nv, fused=fused)
+    return cb1, (("q",), ("qd",))
 
 
 def md_id_grad_staged(model, q, qd, qdd=None, gravity=-9.81, cb=None,
-                      interpret=False, force_xla=False, wide=True):
+                      interpret=False, force_xla=False, wide=True,
+                      merge_sides=True):
     """Staged tangent-space ∂ID for large-nv robots: q (nq,B), qd/qdd
     (nv,B) → (∂τ/∂δq, ∂τ/∂q̇), each (nv, nv, B). Large-robot counterpart
-    of :func:`.multidof_fused.md_id_grad_fused`."""
-    cb = cb or md_col_block(model.n_joints, model.nv, fused=False)
+    of :func:`.multidof_fused.md_id_grad_fused`. Both sides of each
+    column block come from ONE launch by default (``merge_sides``);
+    ``merge_sides=False`` keeps the per-side launches for A/B."""
+    n, nv = model.n_joints, model.nv
+    cb, plan = _side_plan(n, nv, False, cb, merge_sides)
     if cb <= 0:
         raise ValueError(
             f"md_id_grad_staged: no VMEM-valid column block for "
-            f"n={model.n_joints}, nv={model.nv}")
+            f"n={n}, nv={nv}")
     v, a, f = md_vaf_staged(model, q, qd, qdd, gravity, interpret, force_xla)
-    return tuple(
-        _grad_blocks(model, q, qd, v, a, f, None, side, gravity, cb,
-                     interpret, force_xla, wide=wide)
-        for side in ("q", "qd"))
+    out = []
+    for sides in plan:
+        out.extend(_grad_blocks(model, q, qd, v, a, f, None, sides, gravity,
+                                cb, interpret, force_xla, wide=wide))
+    return tuple(out)
 
 
 def md_fd_grad_staged(model, q, qd, u, gravity=-9.81, cb=None,
-                      interpret=False, force_xla=False, wide=True):
+                      interpret=False, force_xla=False, wide=True,
+                      merge_sides=True):
     """Staged tangent-space ∇FD for large-nv robots: (∂q̈/∂δq, ∂q̈/∂q̇,
     ∂q̈/∂u), each (nv, nv, B). The −M⁻¹·∂c finish is fused into the K5md
     blocks (M⁻¹ re-read per launch, ∂c never staged); ∂q̈/∂u = M⁻¹ comes
-    straight from K2md."""
-    cb = cb or md_col_block(model.n_joints, model.nv, fused=True)
+    straight from K2md. Both sides of each column block come from ONE
+    launch by default (``merge_sides``)."""
+    n, nv = model.n_joints, model.nv
+    cb, plan = _side_plan(n, nv, True, cb, merge_sides)
     if cb <= 0:
         raise ValueError(
             f"md_fd_grad_staged: no VMEM-valid column block for "
-            f"n={model.n_joints}, nv={model.nv}")
+            f"n={n}, nv={nv}")
     Minv, qdd = md_minv_qdd_fused(model, q, qd, u, gravity, interpret,
                                   force_xla)
     v, a, f = md_vaf_staged(model, q, qd, qdd, gravity, interpret, force_xla)
-    Dq, Dqd = (
-        _grad_blocks(model, q, qd, v, a, f, Minv, side, gravity, cb,
-                     interpret, force_xla, wide=wide)
-        for side in ("q", "qd"))
-    return Dq, Dqd, Minv
+    out = []
+    for sides in plan:
+        out.extend(_grad_blocks(model, q, qd, v, a, f, Minv, sides, gravity,
+                                cb, interpret, force_xla, wide=wide))
+    return out[0], out[1], Minv

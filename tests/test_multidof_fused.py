@@ -198,6 +198,29 @@ def test_md_staged_interpret(md_setup):
                                    atol=1e-8)
 
 
+def test_md_staged_merge_sides(md_setup):
+    """The merged both-sides K5md launch (one kernel emits ∂/∂q AND
+    ∂/∂q̇ for its column block) == the per-side launches, and the
+    merged-launch block width is sized at Atlas-free-flyer scale."""
+    from gridcodegenerator_tpu.ops.kernels import multidof_staged as ms
+
+    model, (q, qd, u) = md_setup
+    bl = lambda a: a.T
+    qb, qdb, ub = bl(q), bl(qd), bl(u)
+    a_m = ms.md_fd_grad_staged(model, qb, qdb, ub, cb=3, force_xla=True,
+                               merge_sides=True)
+    a_s = ms.md_fd_grad_staged(model, qb, qdb, ub, cb=3, force_xla=True,
+                               merge_sides=False)
+    for got, ref in zip(a_m, a_s):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-11)
+    # merged block width at humanoid free-flyer scale: fits, and within
+    # a column or two of the per-side width
+    cb2 = ms.md_col_block(29, 34, fused=True, n_sides=2)
+    cb1 = ms.md_col_block(29, 34, fused=True)
+    assert cb2 >= 1 and cb1 - 2 <= cb2 <= cb1
+
+
 def test_md_staged_gate_and_routing():
     """Humanoid free-flyer scale (Atlas + floating base: n=29, nv=34) is
     past the single-tile gradient gate but inside the staged one — the
