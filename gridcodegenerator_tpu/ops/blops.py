@@ -521,6 +521,47 @@ def minv_UD_bl(model: RobotModel, X):
     return U, Dinv
 
 
+def crba_bl(model: RobotModel, X):
+    """Batch-last Composite Rigid Body Algorithm: the joint-space mass
+    matrix as an (n, n) list-of-lists of (1, *b) entries, ``None`` where
+    structurally zero (M[i,j] ≠ 0 only for j on i's root path — the same
+    ancestor sparsity the reference's gradient compression packs,
+    ``/root/reference/helpers/_topology_helpers.py:193-215``). The
+    list-of-lists form feeds the active-region Cholesky
+    (``kernels/contact_fused._chol_factor_act``) directly; densify with
+    ``jnp.concatenate`` per row if a tensor is needed.
+
+    The reference has no CRBA (it ships the articulated M⁻¹ recursion
+    only, ``_direct_minv.py``); this exists because M = CRBA followed by
+    a wide triangular factor + symmetric inverse is ~3× fewer wide ops
+    than the column-blocked F/row recursions at Atlas scale (see
+    ``kernels/staged.minv_qdd_dense_staged``), and because it feeds the
+    golden M⁻¹·M = I cross-check."""
+    topo = model.topology
+    n = topo.n
+    bshape = X[0].shape[2:]
+    dtype = X[0].dtype
+    ones1B = jnp.ones((1,) + bshape, dtype)
+    IC = [batchify2(model.inertia[i], ones1B) for i in range(n)]
+    Sb = [batchify1(model.S[i], ones1B) for i in range(n)]
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            IC[p] = IC[p] + matmat6_T(X[i], matmat6(IC[i], X[i]))
+    M = [[None] * n for _ in range(n)]
+    for i in range(n):
+        F = sum(IC[i][:, c] * Sb[i][c:c + 1] for c in range(6))   # (6,*b)
+        M[i][i] = sum(Sb[i][c:c + 1] * F[c:c + 1] for c in range(6))
+        j = i
+        while topo.parents[j] >= 0:
+            F = matvec6_T(X[j], F)
+            j = topo.parents[j]
+            val = sum(Sb[j][c:c + 1] * F[c:c + 1] for c in range(6))
+            M[i][j] = val
+            M[j][i] = val
+    return M
+
+
 def minv_cols_bl(model: RobotModel, X, U, Dinv, c0: int, cb: int):
     """Columns [c0, c0+cb) of the upper-triangular M⁻¹ (rows stacked to
     (n, cb, *b)) given precomputed U/D⁻¹ — the F and row recursions restricted

@@ -35,7 +35,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import multidof_fused as mf
-from .staged import _CAL, _LANE_BUDGET
+# _MERGE_BASE: merged-body base multiplier, hardware-calibrated — see
+# its definition in .staged (two gate models OOM'd on real silicon
+# before it). With it, _side_plan's launch-count comparison auto-rejects
+# merging at humanoid scale while still allowing it on robots where the
+# merged body genuinely fits.
+from .staged import _CAL, _LANE_BUDGET, _MERGE_BASE
 
 __all__ = ["md_id_grad_staged", "md_fd_grad_staged", "md_staged_ok",
            "md_col_block"]
@@ -54,12 +59,10 @@ def _minv_ws(n: int, nv: int) -> float:
 
 def _k5_ws(n: int, nv: int, cb: int, fused: bool,
            n_sides: int = 1) -> float:
-    # the sides run sequentially inside the body (the first side's
-    # DV/DA/DF workset is freed before the second starts), so extra
-    # sides only park their finished (nv, cb) output block
-    return (54.0 * n + 18.0 * n * cb + 2.0 * nv * cb + 200.0
-            + (float(nv * nv) if fused else 0.0)
-            + (n_sides - 1) * float(nv) * cb)
+    base = 54.0 * n + 200.0 + (float(nv * nv) if fused else 0.0)
+    if n_sides > 1:
+        base *= _MERGE_BASE
+    return base + n_sides * (18.0 * n + 2.0 * nv) * cb
 
 
 def md_col_block(n: int, nv: int, fused: bool = True,
@@ -67,10 +70,13 @@ def md_col_block(n: int, nv: int, fused: bool = True,
     """Largest K5md column-block width that fits a 128-state lane tile
     (the 2-D ≥1024-state tier is out of reach for these bodies). Returns
     0 when even cb=1 does not fit. ``n_sides=2`` sizes the merged
-    both-sides launch (∂/∂q and ∂/∂q̇ from one kernel)."""
+    both-sides launch (∂/∂q and ∂/∂q̇ from one kernel) with the
+    hardware-calibrated merged-base multiplier (see ``_MERGE_BASE``)."""
     budget = _LANE_BUDGET / _CAL
     base = 54.0 * n + 200.0 + (float(nv * nv) if fused else 0.0)
-    slope = 18.0 * n + 2.0 * nv + (n_sides - 1) * float(nv)
+    if n_sides > 1:
+        base *= _MERGE_BASE
+    slope = n_sides * (18.0 * n + 2.0 * nv)
     cb = int((budget - base) // slope)
     if cb < 1:
         return 0
@@ -215,13 +221,19 @@ def _grad_blocks(model, q, qd, v, a, f, Minv, sides, gravity, cb, interpret,
 
 def _side_plan(n, nv, fused, cb, merge_sides):
     """Resolve (cb, launch plan): one both-sides launch per block when
-    the merged workspace fits (default), else per-side launches."""
+    the merged workspace fits AND strictly reduces the launch count
+    (merging halves the shared-base traffic per column-side, but each
+    side still pays its full per-column workset — see :func:`_k5_ws` —
+    so the merged block width is ~half the per-side width and the win
+    is only the shared X/vaf/M⁻¹ reads). Else per-side launches."""
+    cb1 = cb or md_col_block(n, nv, fused=fused)
     if merge_sides:
         cbm = cb or md_col_block(n, nv, fused=fused, n_sides=2)
-        if cbm >= 1 and (cb is None or _k5_ws(n, nv, cbm, fused, 2) * _CAL
-                         <= _LANE_BUDGET):
+        if (cbm >= 1
+                and _k5_ws(n, nv, cbm, fused, 2) * _CAL <= _LANE_BUDGET
+                and (cb is not None
+                     or cb1 < 1 or -(-nv // cbm) < 2 * -(-nv // cb1))):
             return cbm, (("q", "qd"),)
-    cb1 = cb or md_col_block(n, nv, fused=fused)
     return cb1, (("q",), ("qd",))
 
 

@@ -13,11 +13,15 @@ not n²), staging only small per-state tensors (c, v, a, f, U, D⁻¹, M⁻¹ ro
 vs. 36n·B of HBM traffic per launch — flops are cheaper than bandwidth):
 
   K1  q,q̇      → c, v            (bias RNEA; v is q̈-independent)
-  K2  q         → U, D⁻¹          (articulated-body backward sweep)
-  K3ᵏ q,U,D⁻¹   → M⁻¹[:, blkₖ]    (column-blocked F/row recursions)
-      XLA: densify M⁻¹, q̈ = M⁻¹(u − c)   (tiny batched matmul)
+  K2′ q,u−c     → M⁻¹, q̈         (ONE kernel: CRBA + active-region
+      Cholesky + symmetric L⁻ᵀL⁻¹ inverse + the q̈ solve — default)
+  [A/B "recursion" path:
+   K2  q         → U, D⁻¹         (articulated-body backward sweep)
+   K3ᵏ q,U,D⁻¹   → M⁻¹[:, blkₖ]   (column-blocked F/row recursions)
+       XLA: densify M⁻¹, q̈ = M⁻¹(u − c)]
   K4  q,q̇,q̈,v  → a, f            (vaf at the true q̈, v reused)
-  K5ˢᵏ q,q̇,v,a,f → ∂c_s[:, blkₖ]  (column-blocked ∂ID, per side s)
+  K5ᵏ  q,q̇,v,a,f → ∂c_q[:, blkₖ], ∂c_q̇[:, blkₖ]  (column-blocked ∂ID;
+       both sides from one launch by default, per-side for A/B)
       XLA: ∂q̈ = −M⁻¹ · ∂c        (batched matmul)
 
 Every kernel body reuses the same :mod:`..blops` functions the single-tile
@@ -44,6 +48,14 @@ _CAL = 3.1
 # (n=28 FD), so gate at 28 k rather than the raw ceiling
 _LANE_BUDGET = 28_000.0
 _2D_BUDGET = 3_400_000.0   # floats/tile on (8·k, 128) tiles (≥1024 states)
+# Merged (both-sides) gradient bodies ~triple their cb-independent base:
+# hardware calibration (v5e 2026-08-18, md pipeline at n=29/nv=34) — two
+# successive gate models OOM'd on real silicon ("parked output only"
+# predicted 13.6 MB vs 20.8 MB allocated at cb=9; "full per-side slope"
+# predicted 13.9 MB vs 18.0 MB at cb=5); the two measured points fit
+# real ≈ (3.2·base + per-side slopes·cb)·stack-factor. Mosaic neither
+# reuses the first side's stack nor shares its X/vaf/input copies.
+_MERGE_BASE = 3.2
 
 
 def _tile_plan(per_state: float):
@@ -60,12 +72,34 @@ def _tile_plan(per_state: float):
     return None, False
 
 
-def _col_block(n: int, extra: float = 0.0) -> int:
+def _k5_slope(n: int, extra: float, n_sides: int) -> float:
+    """Per-column (cb-proportional) K5 live-set slope, floats/state: the
+    18·n ∂-workset + n output row block, +2n when the fused −M⁻¹·∂c
+    finish is live — PER SIDE (Mosaic does not reuse the first side's
+    stack for the second, hardware-measured on the md pipeline, v5e
+    2026-08-18; see ``multidof_staged._MERGE_BASE``)."""
+    return n_sides * (19.0 * n + (2.0 * n if extra else 0.0))
+
+
+def _k5_per_state(n: int, cb: int, extra: float = 0.0,
+                  n_sides: int = 1) -> float:
+    """Modeled K5 working set (floats/state) for a width-``cb`` block.
+    A merged both-sides body ~triples the cb-independent base as well
+    (hardware calibration ``multidof_staged._MERGE_BASE``: two gate
+    models in a row OOM'd on real silicon before that multiplier)."""
+    base = 60.0 * n + extra
+    if n_sides > 1:
+        base *= _MERGE_BASE
+    return base + _k5_slope(n, extra, n_sides) * cb
+
+
+def _col_block(n: int, extra: float = 0.0, n_sides: int = 1) -> int:
     """Largest ∂ID column-block width whose K5 working set
-    (≈ 60n + 19n·cb + extra·(1 + cb/n)… floats/state) fits the best
-    available tile tier. ``extra`` adds a cb-independent term to the live
-    set (the fused −M⁻¹·∂c finish holds the (n,n) M⁻¹ tile in VMEM: pass
-    extra = n² + n·cb ≈ handled by the +2n·cb slope below).
+    (:func:`_k5_per_state`) fits the best available tile tier. ``extra``
+    adds a cb-independent term to the live set (the fused −M⁻¹·∂c finish
+    holds the (n,n) M⁻¹ tile in VMEM: pass extra = n²; its n·cb output
+    interaction is the +2n·cb slope term). ``n_sides=2`` sizes the merged
+    both-sides launch (∂/∂q and ∂/∂q̇ from one kernel).
 
     Prefers a block width that divides n evenly: uniform blocks mean ONE
     compiled kernel shape instead of a ragged tail (v5e 2026-08-16: a
@@ -73,16 +107,37 @@ def _col_block(n: int, extra: float = 0.0) -> int:
     compiler with ``Check failed: limits[i] <= dim(i) (2 vs. 1)``; uniform
     widths also reuse layouts better). Falls back to the ragged maximum
     only when the best divisor would waste more than half the budget."""
-    slope = 19.0 * n + (2.0 * n if extra else 0.0)
-    cb_2d = int((_2D_BUDGET / 1024 / _CAL - 60.0 * n - extra) // slope)
+    slope = _k5_slope(n, extra, n_sides)
+    base = (60.0 * n + extra) * (_MERGE_BASE if n_sides > 1 else 1.0)
+    cb_2d = int((_2D_BUDGET / 1024 / _CAL - base) // slope)
     cb_max = cb_2d if cb_2d >= 1 else int(
-        (_LANE_BUDGET / _CAL - 60.0 * n - extra) // slope)
-    if extra and cb_max < 1:
-        return 0          # no valid fused-finish tile: caller falls back
+        (_LANE_BUDGET / _CAL - base) // slope)
+    if (extra or n_sides > 1) and cb_max < 1:
+        return 0          # no valid tile for this mode: caller falls back
     cb_max = max(1, min(cb_max, n))
     divisors = [d for d in range(1, cb_max + 1) if n % d == 0]
     best = max(divisors) if divisors else 1
     return best if best * 2 > cb_max else cb_max
+
+
+def _side_plan(n: int, extra: float, cb, merge_sides: bool):
+    """Resolve (cb, launch plan): one both-sides launch per column block
+    when the merged workspace fits a tile tier AND strictly reduces the
+    launch count (each side pays its full per-column workset — see
+    :func:`_k5_slope` — so the merged width is ~half the per-side width
+    and the win is the shared X recompute + q/q̇/v/a/f (and M⁻¹) HBM
+    reads per launch). Else per-side launches. Mirrors the md pipeline
+    (``multidof_staged._side_plan``)."""
+    cb1 = cb or _col_block(n, extra)
+    if merge_sides:
+        cbm = cb or _col_block(n, extra, n_sides=2)
+        if (cbm >= 1
+                and _tile_plan(
+                    _k5_per_state(n, cbm, extra, 2)) != (None, False)
+                and (cb is not None
+                     or cb1 < 1 or -(-n // cbm) < 2 * -(-n // cb1))):
+            return cbm, (("q", "qd"),)
+    return cb1, (("q",), ("qd",))
 
 
 def _split_cols(arr_axis1_n, n, cb):
@@ -149,6 +204,42 @@ def minv_staged(model: RobotModel, q, block_b=None, cb=None, interpret=False):
     return blops.densify_rows([upper[i] for i in range(n)])
 
 
+def minv_qdd_dense_staged(model: RobotModel, q, rhs=None, block_b=None,
+                          interpret=False):
+    """K2′: ONE kernel emits the dense symmetric M⁻¹ (n, n, B) — and
+    q̈ = M⁻¹·``rhs`` when ``rhs`` (n, B) is given — via CRBA + the
+    active-region column Cholesky + the triangular-sliced L⁻ᵀ·L⁻¹
+    symmetric inverse. This is the fixed-base port of the md pipeline's
+    ``multidof_staged.md_minv_qdd_fused``: it replaces the articulated
+    path's K2 (U/D⁻¹) + ⌈n/cb⌉ column-blocked K3 launches + XLA densify
+    (+ the XLA q̈ solve) with one launch at ~3× fewer wide-op flops
+    (M = CRBA ~n·matmat6 + ancestor dots; factor n³/6; inverse n³/3 —
+    vs the F/row recursions' per-column 6-vector chains).
+
+    The articulated recursion (:func:`minv_staged`) remains the
+    reference-semantics path (``/root/reference/algorithms/
+    _direct_minv.py``) and the A/B alternative."""
+    n = model.n
+    blk, lane = _plan(block_b, 72.0 * n + 5.0 * n * n + 200.0)
+
+    def body(km, q, *rest):
+        from .contact_fused import _chol_factor_act, _chol_minv_sym
+
+        X = blops.joint_transforms_bl(km, q)
+        M = blops.crba_bl(km, X)
+        Minv = _chol_minv_sym(_chol_factor_act(M, km.n), km.n)
+        if not rest:
+            return (Minv,)
+        r = rest[0]
+        qdd = sum(Minv[:, j] * r[j:j + 1] for j in range(km.n))
+        return Minv, qdd
+
+    states = [q] + ([] if rhs is None else [rhs])
+    outs = [(n, n)] + ([] if rhs is None else [(n,)])
+    return _pallas_batch_call(model, body, states, outs, blk, interpret,
+                              lane_tile=lane)
+
+
 def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
               interpret=False):
     """Staged forward dynamics for large robots: q̈ (n, B)."""
@@ -158,8 +249,14 @@ def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
 
 
 def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
-                   block_b=None, cb=None, interpret=False, stage_dtype=None):
+                   block_b=None, cb=None, interpret=False, stage_dtype=None,
+                   merge_sides=True):
     """Staged ∂ID for large robots: (dc_dq, dc_dqd), each (n, n, B).
+
+    Both sides of each column block come from ONE launch by default
+    (``merge_sides`` — the sides run sequentially inside the body and
+    share the launch's X recompute and HBM reads); ``merge_sides=False``
+    keeps the per-side launches for A/B.
 
     ``stage_dtype`` (e.g. ``jnp.bfloat16``) stores the inter-kernel HBM
     tensors (v, a, f) at reduced precision — each K5 launch then reads
@@ -167,9 +264,10 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
     Parity cost is ~bf16 roundoff on the gradient (measured in
     BENCHLOG.md); default ``None`` keeps full precision."""
     n = model.n
-    cb = cb or _col_block(n)
+    cb, plan = _side_plan(n, 0.0, cb, merge_sides)
     k1_block, k1_lane = _plan(block_b, 70.0 * n)
-    k5_block, k5_lane = _plan(block_b, 60.0 * n + 19.0 * n * cb)
+    k5_block, k5_lane = _plan(
+        block_b, _k5_per_state(n, cb, 0.0, len(plan[0])))
     cdt = q.dtype
 
     def body_vaf(km, q, qd, qdd):
@@ -184,35 +282,39 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
     if stage_dtype is not None:
         v, a, f = (t.astype(stage_dtype) for t in (v, a, f))
 
-    sides = {}
-    for side in ("q", "qd"):
-        blocks = []
+    outs = {"q": [], "qd": []}
+    for sides in plan:
         for c0, w in _split_cols(None, n, cb):
-            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
+            def body_grad(km, q, qd, v, a, f, c0=c0, w=w, sides=sides):
                 X = blops.joint_transforms_bl(km, q)
                 vl, al, fl = (_as_list(t.astype(cdt), km.n)
                               for t in (v, a, f))
                 dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl, gravity,
-                                             c0=c0, cb=w, sides=(side,))
-                return (dc[side],)
+                                             c0=c0, cb=w, sides=sides)
+                return tuple(dc[s] for s in sides)
 
-            (blk,) = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
-                                        [(n, w)], k5_block, interpret,
-                                        lane_tile=k5_lane)
-            blocks.append(blk)
-        sides[side] = jnp.concatenate(blocks, axis=1)
-    return sides["q"], sides["qd"]
+            blks = _pallas_batch_call(model, body_grad, [q, qd, v, a, f],
+                                      [(n, w)] * len(sides), k5_block,
+                                      interpret, lane_tile=k5_lane)
+            for s, blk in zip(sides, blks):
+                outs[s].append(blk)
+    return (jnp.concatenate(outs["q"], axis=1),
+            jnp.concatenate(outs["qd"], axis=1))
 
 
 def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
                    cb=None, interpret=False, fuse_finish=None,
-                   stage_dtype=None):
+                   stage_dtype=None, merge_sides=True, minv_impl="dense"):
     """Staged ∇FD — the large-robot counterpart of
     :func:`..kernels.fused.fd_grad_fused`: returns (ddq, ddqd), each (n,n,B).
 
     Same dataflow as the single-tile kernel (X shared, v reused across the
     two RNEA sweeps, sides processed sequentially); the ∂-tensors never
-    materialize wider than ``cb`` columns in VMEM.
+    materialize wider than ``cb`` columns in VMEM. Both sides of each
+    column block come from ONE launch by default (``merge_sides`` —
+    halves the K5 launch count, sharing each launch's X recompute and its
+    q/q̇/v/a/f and M⁻¹ HBM reads); ``merge_sides=False`` keeps per-side
+    launches for A/B.
 
     By default (``fuse_finish=None`` → auto) the −M⁻¹·∂c finish is fused
     into the K5 blocks: each launch takes the staged M⁻¹ as an extra VMEM
@@ -227,7 +329,11 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
 
     ``stage_dtype`` (e.g. ``jnp.bfloat16``) stores the inter-kernel HBM
     tensors (v, a, f, and the M⁻¹ copy the K5 launches re-read) at reduced
-    precision; compute — including the q̈ solve — stays in ``q.dtype``."""
+    precision; compute — including the q̈ solve — stays in ``q.dtype``.
+
+    ``minv_impl`` selects the M⁻¹+q̈ stage: ``"dense"`` (default) is the
+    single K2′ kernel (:func:`minv_qdd_dense_staged`, CRBA + active-region
+    Cholesky); ``"recursion"`` the articulated K2/K3/densify path."""
     n = model.n
     cdt = q.dtype
     if fuse_finish is None or fuse_finish:
@@ -237,17 +343,22 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
         elif cb_f <= 0:
             raise ValueError(
                 f"fuse_finish: no VMEM-valid column block for n={n}")
-    if not fuse_finish:
-        cb_f = cb or _col_block(n)
-    cb = cb_f
+    extra = float(n * n) if fuse_finish else 0.0
+    cb, plan = _side_plan(n, extra, cb, merge_sides)
     k1_block, k1_lane = _plan(block_b, 70.0 * n)
-    k5_per_state = 60.0 * n + 19.0 * n * cb \
-        + (float(n * n + 2 * n * cb) if fuse_finish else 0.0)
-    k5_block, k5_lane = _plan(block_b, k5_per_state)
+    k5_block, k5_lane = _plan(
+        block_b, _k5_per_state(n, cb, extra, len(plan[0])))
 
     c, v = bias_and_v_staged(model, q, qd, gravity, block_b, interpret)
-    Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
-    qdd = blops.matvecN(Minv, u - c)
+    if minv_impl == "dense":
+        # K2′: one kernel for dense M⁻¹ AND q̈ (CRBA + active-region
+        # Cholesky) instead of K2 + ⌈n/cb⌉ K3 launches + XLA densify/solve
+        Minv, qdd = minv_qdd_dense_staged(model, q, u - c,
+                                          block_b=block_b,
+                                          interpret=interpret)
+    else:
+        Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
+        qdd = blops.matvecN(Minv, u - c)
     if stage_dtype is not None:
         v = v.astype(stage_dtype)
         Minv = Minv.astype(stage_dtype)
@@ -265,46 +376,56 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     if stage_dtype is not None:
         a, f = a.astype(stage_dtype), f.astype(stage_dtype)
 
-    outs = {}
-    for side in ("q", "qd"):
-        blocks = []
+    outs = {"q": [], "qd": []}
+    for sides in plan:
         for c0, w in _split_cols(None, n, cb):
             if fuse_finish:
                 def body_grad(km, q, qd, v, a, f, Minv,
-                              c0=c0, w=w, side=side):
+                              c0=c0, w=w, sides=sides):
                     X = blops.joint_transforms_bl(km, q)
                     vl, al, fl = (_as_list(t.astype(cdt), km.n)
                                   for t in (v, a, f))
                     Minv = Minv.astype(cdt)
-                    rows = blops.rnea_grad_cols_bl(
-                        km, X, qd, vl, al, fl, gravity,
-                        c0=c0, cb=w, sides=(side,), as_rows=True)[side]
-                    acc = None
-                    for i, r in enumerate(rows):
-                        if r is None:
-                            continue
-                        term = Minv[:, i][:, None] * r[None]
-                        acc = term if acc is None else acc + term
-                    return (-acc,)
+                    res = []
+                    # sides sequential: side 1's ∂-workset and row list
+                    # free before side 2 traces; only the finished (n, w)
+                    # contraction parks (the _k5_per_state n_sides term)
+                    for side in sides:
+                        rows = blops.rnea_grad_cols_bl(
+                            km, X, qd, vl, al, fl, gravity,
+                            c0=c0, cb=w, sides=(side,), as_rows=True)[side]
+                        acc = None
+                        for i, r in enumerate(rows):
+                            if r is None:
+                                continue
+                            term = Minv[:, i][:, None] * r[None]
+                            acc = term if acc is None else acc + term
+                        res.append(-acc)
+                    return tuple(res)
 
-                (blk,) = _pallas_batch_call(
+                blks = _pallas_batch_call(
                     model, body_grad, [q, qd, v, a, f, Minv],
-                    [(n, w)], k5_block, interpret, lane_tile=k5_lane)
+                    [(n, w)] * len(sides), k5_block, interpret,
+                    lane_tile=k5_lane)
             else:
-                def body_grad(km, q, qd, v, a, f, c0=c0, w=w, side=side):
+                def body_grad(km, q, qd, v, a, f, c0=c0, w=w, sides=sides):
                     X = blops.joint_transforms_bl(km, q)
                     vl, al, fl = (_as_list(t.astype(cdt), km.n)
                                   for t in (v, a, f))
                     dc = blops.rnea_grad_cols_bl(km, X, qd, vl, al, fl,
                                                  gravity, c0=c0, cb=w,
-                                                 sides=(side,))
-                    return (dc[side],)
+                                                 sides=sides)
+                    return tuple(dc[s] for s in sides)
 
-                (blk,) = _pallas_batch_call(
+                blks = _pallas_batch_call(
                     model, body_grad, [q, qd, v, a, f],
-                    [(n, w)], k5_block, interpret, lane_tile=k5_lane)
-            blocks.append(blk)
-        out = jnp.concatenate(blocks, axis=1)
-        outs[side] = out if fuse_finish \
+                    [(n, w)] * len(sides), k5_block, interpret,
+                    lane_tile=k5_lane)
+            for s, blk in zip(sides, blks):
+                outs[s].append(blk)
+    res = {}
+    for side in ("q", "qd"):
+        out = jnp.concatenate(outs[side], axis=1)
+        res[side] = out if fuse_finish \
             else blops.matmatN(Minv.astype(cdt), out, negate=True)
-    return outs["q"], outs["qd"]
+    return res["q"], res["qd"]

@@ -255,6 +255,16 @@ def test_staged_pipeline_interpret(bl_setup):
                                    atol=2e-5)
         np.testing.assert_allclose(np.asarray(ddqd), np.asarray(dqd2),
                                    atol=2e-5)
+        # merged both-sides K5 launches (default) vs per-side launches:
+        # each side's body traces identically, so the results must agree
+        # to f32 roundoff of the shared upstream stages
+        dq4, dqd4 = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4,
+                                          cb=2, interpret=True,
+                                          merge_sides=False)
+        np.testing.assert_allclose(np.asarray(ddq), np.asarray(dq4),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ddqd), np.asarray(dqd4),
+                                   atol=1e-6)
     J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
     M = staged.minv_staged(model32, qa, block_b=4, cb=3, interpret=True)
     qdd = staged.fd_staged(model32, qa, qda, ua, block_b=4, interpret=True)
@@ -267,6 +277,52 @@ def test_staged_pipeline_interpret(bl_setup):
         np.testing.assert_allclose(np.asarray(qdd)[:, k],
                                    gold.fd(q[:, k], qd[:, k], u[:, k]),
                                    atol=2e-4)
+
+
+@pytest.mark.mid
+def test_crba_and_dense_minv_staged(bl_setup):
+    """``blops.crba_bl`` (mass matrix, ancestor-sparse list-of-lists) and
+    the K2′ single-kernel dense M⁻¹+q̈ (CRBA + active-region Cholesky +
+    symmetric L⁻ᵀL⁻¹) vs the golden model and the articulated-recursion
+    A/B path, at f64 where everything must match to roundoff."""
+    from gridcodegenerator_tpu.ops.kernels import staged
+
+    desc, gold, model, q, qd, u = bl_setup
+    n = desc.n
+    qa, qda, ua = (jnp.asarray(x) for x in (q, qd, u))
+    X = blops.crba_bl(model, blops.joint_transforms_bl(model, qa))
+    # ancestor sparsity: M[i][j] is None exactly off the root paths
+    amask = desc.topology.ancestor_mask
+    for i in range(n):
+        for j in range(n):
+            anc = i == j or amask[i, j] or amask[j, i]
+            assert (X[i][j] is not None) == anc
+    c, _ = staged.bias_and_v_staged(model, qa, qda, -9.81, 4, True)
+    Minv, qdd = staged.minv_qdd_dense_staged(model, qa, ua - c,
+                                             block_b=4, interpret=True)
+    Minv2 = staged.minv_staged(model, qa, block_b=4, cb=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(Minv), np.asarray(Minv2),
+                               atol=1e-9)
+    for k in range(q.shape[-1]):
+        Md = np.array([[np.asarray(X[i][j])[0, k]
+                        if X[i][j] is not None else 0.0
+                        for j in range(n)] for i in range(n)])
+        np.testing.assert_allclose(Md @ np.asarray(Minv)[:, :, k],
+                                   np.eye(n), atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(Minv)[:, :, k], gold.minv(q[:, k], True), atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(qdd)[:, k], gold.fd(q[:, k], qd[:, k], u[:, k]),
+            atol=1e-9)
+    # the fd_grad_staged minv_impl A/B: dense (default) vs recursion
+    dq_d, dqd_d = staged.fd_grad_staged(model, qa, qda, ua, block_b=4,
+                                        cb=2, interpret=True)
+    dq_r, dqd_r = staged.fd_grad_staged(model, qa, qda, ua, block_b=4,
+                                        cb=2, interpret=True,
+                                        minv_impl="recursion")
+    np.testing.assert_allclose(np.asarray(dq_d), np.asarray(dq_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dqd_d), np.asarray(dqd_r),
+                               atol=1e-8)
 
 
 def test_staged_bf16_staging(bl_setup):

@@ -214,11 +214,17 @@ def test_md_staged_merge_sides(md_setup):
     for got, ref in zip(a_m, a_s):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-11)
-    # merged block width at humanoid free-flyer scale: fits, and within
-    # a column or two of the per-side width
-    cb2 = ms.md_col_block(29, 34, fused=True, n_sides=2)
-    cb1 = ms.md_col_block(29, 34, fused=True)
-    assert cb2 >= 1 and cb1 - 2 <= cb2 <= cb1
+    # At humanoid free-flyer scale the hardware-calibrated merged-body
+    # model (staged._MERGE_BASE: Mosaic neither reuses the first side's
+    # stack nor shares its input copies — two gate models OOM'd on the
+    # v5e before this calibration) must reject the merge: the auto plan
+    # falls back to per-side launches even with merge_sides=True.
+    cb1, plan = ms._side_plan(29, 34, True, None, True)
+    assert plan == (("q",), ("qd",))
+    assert cb1 == ms.md_col_block(29, 34, fused=True) >= 4
+    # ... while small robots (where the merged body fits) still merge
+    cb_s, plan_s = ms._side_plan(model.n_joints, model.nv, True, None, True)
+    assert plan_s == (("q", "qd"),) and cb_s >= 1
 
 
 def test_md_staged_gate_and_routing():
