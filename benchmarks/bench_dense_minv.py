@@ -48,7 +48,7 @@ def main(argv=None):
 
     import gridcodegenerator_tpu as g
     from gridcodegenerator_tpu.models import zoo
-    from gridcodegenerator_tpu.ops.kernels import fused, staged
+    from gridcodegenerator_tpu.ops.kernels import staged
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -57,6 +57,26 @@ def main(argv=None):
 
     model = g.load_robot(zoo.ZOO[args.robot](), dtype=jnp.float32)
     n = model.n
+    from gridcodegenerator_tpu.ops import blops
+    from gridcodegenerator_tpu.ops.kernels.fused import _pallas_batch_call
+
+    def _minv_lane(q):
+        """The pre-dense production path: articulated recursion on a lane
+        tile (bypasses minv_fused's new dense routing for the A/B)."""
+        def body(km, q):
+            X = blops.joint_transforms_bl(km, q)
+            rows, _, _ = blops.minv_bl(km, X)
+            return (blops.densify_rows(rows),)
+        (M,) = _pallas_batch_call(model, body, [q], [(n, n)], None,
+                                  False, lane_tile=True)
+        return M
+
+    def _fd_lane(q, qd, u):
+        def body(km, q, qd, u):
+            return (blops.fd_bl(km, q, qd, u, -9.81),)
+        (qdd,) = _pallas_batch_call(model, body, [q, qd, u], [(n,)], None,
+                                    False, lane_tile=True)
+        return qdd
 
     for B in args.batches:
         rng = np.random.default_rng(0)
@@ -70,8 +90,10 @@ def main(argv=None):
                 model, q, qd, u, minv_impl="recursion")),
             ("minv dense-kernel", lambda q, qd, u: staged.
              minv_qdd_dense_staged(model, q)[0]),
-            ("minv lane-recursion", lambda q, qd, u: fused.minv_fused(
-                model, q)),
+            ("minv lane-recursion", lambda q, qd, u: _minv_lane(q)),
+            ("fd factor-solve", lambda q, qd, u: staged.fd_dense_staged(
+                model, q, qd, u)),
+            ("fd lane-recursion", lambda q, qd, u: _fd_lane(q, qd, u)),
         ]
         outs = {}
         for tag, fn in cases:

@@ -279,6 +279,16 @@ def minv_fused(model: RobotModel, q, gravity=-9.81, block_b=None,
     """Fused analytic M⁻¹: q (n,B) → dense symmetric (n,n,B)."""
     block_b = block_b or _default_block(model.n, "minv")
     if block_b is None:
+        from .staged import _CAL, _LANE_BUDGET, minv_qdd_dense_staged, \
+            minv_staged
+        n = model.n
+        # CRBA + active-region Cholesky + symmetric L⁻ᵀL⁻¹ in one lane-tile
+        # kernel: measured 2.1×/1.1× the articulated lane-recursion kernel
+        # on Atlas at 16k/262k (v5e 2026-08-18, benchmarks/
+        # bench_dense_minv.py) — prefer it whenever its working set fits
+        if (72.0 * n + 5.0 * n * n + 200.0) * _CAL <= _LANE_BUDGET:
+            (M,) = minv_qdd_dense_staged(model, q, interpret=interpret)
+            return M
         if _lane_tile_ok(model.n, "minv"):
             def body(km, q):
                 X = blops.joint_transforms_bl(km, q)
@@ -288,7 +298,6 @@ def minv_fused(model: RobotModel, q, gravity=-9.81, block_b=None,
                                       [(model.n, model.n)], None,
                                       interpret, lane_tile=True)
             return M
-        from .staged import minv_staged
         return minv_staged(model, q, interpret=interpret)
 
     def body(km, q):
@@ -306,6 +315,15 @@ def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
     """Fused FD: (n,B)³ → q̈ (n,B)."""
     block_b = block_b or _default_block(model.n, "fd")
     if block_b is None:
+        from .staged import _CAL, _LANE_BUDGET, fd_dense_staged, fd_staged
+        n = model.n
+        # CRBA + Cholesky factor + single-rhs solve (never forms M⁻¹):
+        # prefer it on the lane tier whenever its working set fits — the
+        # dense-M⁻¹ sibling measured 2.1× the articulated lane kernel on
+        # Atlas (bench_dense_minv.py) and FD skips the inverse entirely
+        if (102.0 * n + 1.5 * n * n + 200.0) * _CAL <= _LANE_BUDGET:
+            return fd_dense_staged(model, q, qd, u, gravity,
+                                   interpret=interpret)
         if _lane_tile_ok(model.n, "fd"):
             def body(km, q, qd, u):
                 return (blops.fd_bl(km, q, qd, u, gravity),)
@@ -313,7 +331,6 @@ def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
                                         [(model.n,)], None, interpret,
                                         lane_tile=True)
             return qdd
-        from .staged import fd_staged
         return fd_staged(model, q, qd, u, gravity, interpret=interpret)
 
     def body(km, q, qd, u):

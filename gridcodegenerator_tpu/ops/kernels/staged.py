@@ -248,6 +248,31 @@ def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
     return blops.matvecN(Minv, u - c)
 
 
+def fd_dense_staged(model: RobotModel, q, qd, u, gravity=-9.81,
+                    block_b=None, interpret=False):
+    """ONE-kernel large-robot FD: X → bias RNEA → CRBA → active-region
+    Cholesky → single-rhs wide solve. Unlike every M⁻¹-based FD path this
+    never forms the inverse — factor (n³/6 wide flops) + one forward/back
+    substitution (n²) replace the articulated M⁻¹ recursion + matvec.
+    The dense-M⁻¹ sibling is :func:`minv_qdd_dense_staged` (used by ∇FD,
+    which needs the full inverse for the −M⁻¹·∂c finish)."""
+    n = model.n
+    blk, lane = _plan(block_b, 102.0 * n + 1.5 * n * n + 200.0)
+
+    def body(km, q, qd, u):
+        from .contact_fused import _chol_factor_act, _chol_solve_act
+
+        X = blops.joint_transforms_bl(km, q)
+        _, a0, f0 = blops.rnea_fwd_bl(km, X, qd, None, gravity)
+        c, _ = blops.rnea_bwd_bl(km, X, f0, qd)
+        cols = _chol_factor_act(blops.crba_bl(km, X), km.n)
+        return (_chol_solve_act(cols, (u - c)[:, None])[:, 0],)
+
+    (qdd,) = _pallas_batch_call(model, body, [q, qd, u], [(n,)], blk,
+                                interpret, lane_tile=lane)
+    return qdd
+
+
 def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
                    block_b=None, cb=None, interpret=False, stage_dtype=None,
                    merge_sides=True):

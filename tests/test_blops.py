@@ -314,6 +314,10 @@ def test_crba_and_dense_minv_staged(bl_setup):
         np.testing.assert_allclose(
             np.asarray(qdd)[:, k], gold.fd(q[:, k], qd[:, k], u[:, k]),
             atol=1e-9)
+    # the factor+solve FD kernel (never forms M⁻¹) on the same states
+    qdd2 = staged.fd_dense_staged(model, qa, qda, ua, block_b=4,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(qdd2), np.asarray(qdd), atol=1e-9)
     # the fd_grad_staged minv_impl A/B: dense (default) vs recursion
     dq_d, dqd_d = staged.fd_grad_staged(model, qa, qda, ua, block_b=4,
                                         cb=2, interpret=True)
