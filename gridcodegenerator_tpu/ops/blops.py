@@ -461,19 +461,26 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
     return {side: one_side(side) for side in sides}
 
 
-def fd_grad_bl(model: RobotModel, q, qd, u, gravity=-9.81):
+def fd_grad_bl(model: RobotModel, q, qd, u, gravity=-9.81, minv_fn=None):
     """Batch-last ∇FD: q/qd/u (n, *batch) → (ddq, ddqd), each (n, n, *batch).
 
     Same pipeline as :func:`..ops.fd_grad.forward_dynamics_gradient` (one X
     evaluation, v reused across the two RNEA sweeps). The q and q̇ sides run
     sequentially and each is contracted with M⁻¹ immediately, so the two
     sides' ∂-tensors are never live together (halves peak VMEM in the fused
-    kernel at no extra FLOPs)."""
+    kernel at no extra FLOPs).
+
+    ``minv_fn(model, X) -> (n, n, *batch)`` overrides the dense-M⁻¹ stage
+    (e.g. CRBA + Cholesky instead of the articulated recursion — the
+    kernel layer picks per measured hardware throughput)."""
     X = joint_transforms_bl(model, q)
     v, a0, f0 = rnea_fwd_bl(model, X, qd, None, gravity)
     c, _ = rnea_bwd_bl(model, X, f0, qd)
-    rows, _, _ = minv_bl(model, X)
-    Minv = densify_rows(rows)                       # (n,n,*b)
+    if minv_fn is None:
+        rows, _, _ = minv_bl(model, X)
+        Minv = densify_rows(rows)                   # (n,n,*b)
+    else:
+        Minv = minv_fn(model, X)
     qdd = matvecN(Minv, u - c)
     _, a, f = rnea_fwd_bl(model, X, qd, qdd, gravity, v_known=v)
     _, f = rnea_bwd_bl(model, X, f, None)

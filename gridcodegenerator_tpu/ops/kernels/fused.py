@@ -42,7 +42,7 @@ _LANES = 128
 _MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping")
 
 
-def _block_for(per_state_floats: float):
+def _block_for(per_state_floats: float, cap: int = 2048):
     """Batch-tile size (whole (8,128) register rows, i.e. multiples of 1024
     states) for a kernel whose VMEM working set is ``per_state_floats``
     floats per state, or None when even one 1024-state tile cannot fit.
@@ -51,7 +51,7 @@ def _block_for(per_state_floats: float):
     validated on hardware (n=7 ∇FD @2048 and n=12 ∇FD @1024 fit)."""
     budget = 3_400_000  # f32 VMEM floats usable by one kernel instance
     blk = int(budget // max(1.0, per_state_floats)) // 1024 * 1024
-    return int(min(blk, 2048)) or None
+    return int(min(blk, cap)) or None
 
 
 def _default_block(n: int, kind: str = "fd_grad"):
@@ -66,8 +66,18 @@ def _default_block(n: int, kind: str = "fd_grad"):
     A ``None`` means the single-tile fusion is impossible for this robot —
     callers fall back to the 1-D lane-tile kernel (8× smaller minimum tile,
     see :func:`_pallas_batch_call`), then the column-blocked staged pipeline
-    (:mod:`.staged`), then the plain-XLA batch-last path."""
-    return _block_for(_WORKSET[kind](n))
+    (:mod:`.staged`), then the plain-XLA batch-last path.
+
+    The gradient kernels are capped at 1024 states/tile: the n=7 ∇FD body
+    at 2048 sits exactly on the 16 MB scoped-VMEM cliff — it fits when the
+    batch arrives via on-device producers (how every round-1/2 bench
+    measured it) but OOMs by 128 KB when the states are *runtime jit
+    arguments* (XLA's boundary copy/bitcast fusions change the kernel's
+    operand layouts — measured v5e 2026-08-18), which is the normal user
+    call. 1024 measured equal-or-faster anyway (7.78e7 vs 7.69e7 evals/s
+    headline, ``benchmarks/bench_dense_headline.py``)."""
+    cap = 1024 if kind in ("fd_grad", "id_grad") else 2048
+    return _block_for(_WORKSET[kind](n), cap)
 
 
 _WORKSET = {
@@ -341,18 +351,35 @@ def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
     return qdd
 
 
+def _dense_minv_bl(km, X):
+    """CRBA + active-region Cholesky + symmetric L⁻ᵀL⁻¹ dense M⁻¹ — the
+    kernel-internal dense alternative to the articulated recursion."""
+    from .contact_fused import _chol_factor_act, _chol_minv_sym
+    return _chol_minv_sym(_chol_factor_act(blops.crba_bl(km, X), km.n), km.n)
+
+
 def fd_grad_fused(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
-                  interpret=False):
+                  interpret=False, minv_impl="recursion"):
     """Fused ∇FD — the north-star kernel: the full pipeline
     (X → RNEA → M⁻¹ → q̈ → vaf → ∂ID → −M⁻¹·∂c) in ONE kernel launch per
     batch tile, everything VMEM-resident. For robots too large for a single
     tile, delegates to the column-blocked staged pipeline (:mod:`.staged`).
-    Returns (ddq, ddqd), each (n,n,B)."""
+    Returns (ddq, ddqd), each (n,n,B).
+
+    ``minv_impl="dense"`` swaps the articulated M⁻¹ recursion for CRBA +
+    Cholesky inside the single-tile kernel: measured +14% on iiwa-14
+    (8.89e7 vs 7.78e7 evals/s @262k) and +3% on HyQ, but with a 2.7×
+    worse f32-vs-golden parity tail (max 1.49e-5 vs 5.5e-6 over 256
+    states, v5e 2026-08-18, ``benchmarks/bench_dense_headline.py``) —
+    opt-in because the ≤ ~5e-6 parity bound is the tighter north
+    star."""
+    minv_fn = _dense_minv_bl if minv_impl == "dense" else None
     block_b = block_b or _default_block(model.n, "fd_grad")
     if block_b is None:
         if _lane_tile_ok(model.n, "fd_grad"):
             def body(km, q, qd, u):
-                return blops.fd_grad_bl(km, q, qd, u, gravity)
+                return blops.fd_grad_bl(km, q, qd, u, gravity,
+                                        minv_fn=minv_fn)
             n_ = model.n
             ddq, ddqd = _pallas_batch_call(model, body, [q, qd, u],
                                            [(n_, n_), (n_, n_)], None,
@@ -362,7 +389,7 @@ def fd_grad_fused(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
         return fd_grad_staged(model, q, qd, u, gravity, interpret=interpret)
 
     def body(km, q, qd, u):
-        return blops.fd_grad_bl(km, q, qd, u, gravity)
+        return blops.fd_grad_bl(km, q, qd, u, gravity, minv_fn=minv_fn)
 
     n = model.n
     ddq, ddqd = _pallas_batch_call(model, body, [q, qd, u],

@@ -80,6 +80,23 @@ def test_pallas_interpret_fd_grad(bl_setup):
 
 
 @pytest.mark.mid
+def test_pallas_interpret_fd_grad_dense_minv(bl_setup):
+    """The opt-in ``minv_impl="dense"`` ∇FD (CRBA + Cholesky inside the
+    single-tile kernel instead of the articulated M⁻¹ recursion) matches
+    the golden model through the same interpret-mode lowering."""
+    desc, gold, model, q, qd, u = bl_setup
+    model32 = model.astype(jnp.float32)
+    qa, qda, ua = (jnp.asarray(x, jnp.float32) for x in (q, qd, u))
+    ddq, ddqd = fused.fd_grad_fused(model32, qa, qda, ua, block_b=4,
+                                    interpret=True, minv_impl="dense")
+    J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
+    for k in range(q.shape[-1]):
+        ref = gold.fd_grad(q[:, k], qd[:, k], u[:, k])
+        np.testing.assert_allclose(J[..., k], ref,
+                                   atol=2e-4 * max(1, np.abs(ref).max()))
+
+
+@pytest.mark.mid
 def test_pallas_interpret_rnea_and_minv(bl_setup):
     desc, gold, model, q, qd, u = bl_setup
     model32 = model.astype(jnp.float32)
