@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Gradient-based policy learning by BPTT through the analytic dynamics.
+
+Trains a small MLP torque policy for an iiwa-14 reaching task by
+backpropagating through K steps of semi-implicit integration. The forward
+dynamics inside the rollout is `g.forward_dynamics_ad` — FD with a custom
+VJP whose backward pass evaluates the engine's closed-form ∂q̈/∂(q, q̇, u)
+(on TPU: the fused Pallas ∂ID / M⁻¹ kernels; `api.py::_fd_ad_runner`).
+This is the workload the reference exists for — gradient-based
+optimization through rigid-body dynamics (its ∇FD kernels feed
+DDP/iLQR/policy search; `/root/reference/algorithms/
+_forward_dynamics_gradient.py`) — expressed the JAX way: the policy, the
+integrator, and the analytic dynamics gradient compose under one
+`jax.grad`.
+
+Run:  python examples/policy_bptt.py --cpu --envs 16 --steps 160 --iters 200
+(~60 s on one CPU core; reaches ~16 cm mean EE error on fresh starts)
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--envs", type=int, default=32,
+                    help="parallel rollouts per update")
+    ap.add_argument("--steps", type=int, default=160,
+                    help="BPTT horizon (integration steps)")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--dt", type=float, default=5e-3)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+
+    dtype = jnp.float32
+    model = g.load_robot(zoo.iiwa14(damping=0.5), dtype=dtype)
+    n = model.n
+    ee_link = n - 1                       # reach with the last link's tip
+    ee_off = np.array([0.0, 0.0, 0.1])
+    target = jnp.asarray([0.45, 0.25, 0.55], dtype)
+
+    # ---- policy: obs (q, qd, target-relative EE error) → torques ---------
+    key = jax.random.key(args.seed)
+
+    def init_mlp(key, sizes):
+        params = []
+        for li, (din, dout) in enumerate(zip(sizes[:-1], sizes[1:])):
+            key, k1 = jax.random.split(key)
+            # zero-init the output layer: the untrained policy commands
+            # zero torque, so early BPTT sees a stable passive rollout
+            scale = 0.0 if li == len(sizes) - 2 else 1.0 / np.sqrt(din)
+            w = scale * jax.random.normal(k1, (din, dout), dtype)
+            params.append((w, jnp.zeros((dout,), dtype)))
+        return params
+
+    def mlp(params, x):
+        for w, b in params[:-1]:
+            x = jnp.tanh(x @ w + b)
+        w, b = params[-1]
+        return x @ w + b
+
+    obs_dim = 2 * n + 3
+    params = init_mlp(key, (obs_dim, args.hidden, args.hidden, n))
+
+    def ee_pos(q):                                   # (n,) → (3,)
+        return g.point_position(model, q, ee_link, ee_off)
+
+    ee_pos_b = jax.vmap(ee_pos)
+
+    def policy(params, q, qd):                       # batched (B, n)
+        err = ee_pos_b(q) - target
+        obs = jnp.concatenate([q, qd, err], axis=-1)
+        return 60.0 * jnp.tanh(mlp(params, obs))     # torque limits ±60 Nm
+
+    # ---- differentiable rollout ------------------------------------------
+    # semi-implicit Euler; FD via the custom-VJP entry so the BPTT backward
+    # pass runs the analytic fused ∂FD kernels rather than differentiating
+    # the unrolled articulated recursions op by op.
+    def rollout_loss(params, q0, qd0):
+        def step(carry, t):
+            q, qd = carry
+            u = policy(params, q, qd)
+            qdd = g.forward_dynamics_ad(model, q, qd, u)
+            # soft velocity bound (±4 rad/s): keeps the exploratory
+            # early-training rollouts integrable at this dt — a standard
+            # differentiable-simulation stabilizer, smooth for BPTT
+            qd2 = 4.0 * jnp.tanh((qd + args.dt * qdd) / 4.0)
+            q2 = q + args.dt * qd2
+            err = ee_pos_b(q2) - target
+            # ramp the tracking weight toward the end of the horizon so
+            # the optimum is "arrive and stay", not "average nearness"
+            w = ((t + 1.0) / args.steps) ** 2
+            cost = (w * jnp.sum(err ** 2, -1)
+                    + 1e-3 * jnp.sum(qd2 ** 2, -1)
+                    + 2e-5 * jnp.sum(u ** 2, -1))
+            return (q2, qd2), cost
+
+        ts = jnp.arange(args.steps, dtype=dtype)
+        (_, _), costs = jax.lax.scan(step, (q0, qd0), ts)
+        return costs.mean()
+
+    loss_grad = jax.jit(jax.value_and_grad(rollout_loss))
+
+    # ---- training loop ----------------------------------------------------
+    opt = optax.chain(optax.zero_nans(),
+                  optax.clip_by_global_norm(1.0),
+                      optax.adam(args.lr))
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(args.seed)
+
+    # one fixed training set of start states: BPTT then optimizes a
+    # deterministic objective (policy-parameterized trajectory
+    # optimization); the evaluation batch below is freshly sampled
+    q0_train = jnp.asarray(rng.uniform(-0.6, 0.6, (args.envs, n)), dtype)
+    qd0_train = jnp.asarray(rng.uniform(-0.1, 0.1, (args.envs, n)), dtype)
+
+    t0 = time.perf_counter()
+    for it in range(args.iters):
+        loss, grads = loss_grad(params, q0_train, qd0_train)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        if it % 10 == 0 or it == args.iters - 1:
+            print(f"iter {it:4d}  loss {float(loss):9.5f}  "
+                  f"[{time.perf_counter() - t0:6.1f}s]", flush=True)
+
+    # ---- evaluation: final EE distance from a fresh batch ------------------
+    q0 = jnp.asarray(rng.uniform(-0.6, 0.6, (args.envs, n)), dtype)
+    qd0 = jnp.zeros((args.envs, n), dtype)
+
+    def final_dist(params, q0, qd0):
+        def step(carry, _):
+            q, qd = carry
+            u = policy(params, q, qd)
+            qdd = g.forward_dynamics_ad(model, q, qd, u)
+            qd2 = 4.0 * jnp.tanh((qd + args.dt * qdd) / 4.0)
+            return (q + args.dt * qd2, qd2), None
+
+        (qT, _), _ = jax.lax.scan(step, (q0, qd0), None, length=args.steps)
+        return jnp.linalg.norm(ee_pos_b(qT) - target, axis=-1)
+
+    d = jax.jit(final_dist)(params, q0, qd0)
+    print(f"final EE distance: mean {float(d.mean())*100:.2f} cm  "
+          f"worst {float(d.max())*100:.2f} cm over {args.envs} fresh envs")
+    ok = float(d.mean()) < 0.25
+    print("TRAINED" if ok else "did not converge (try more iters)")
+
+
+if __name__ == "__main__":
+    main()
