@@ -240,6 +240,38 @@ def minv_qdd_dense_staged(model: RobotModel, q, rhs=None, block_b=None,
                               lane_tile=lane)
 
 
+_MINV_AF_WS = lambda n: 172.0 * n + 5.0 * n * n + 200.0
+
+
+def minv_qdd_af_dense_staged(model: RobotModel, q, qd, umc, v,
+                             gravity=-9.81, block_b=None, interpret=False):
+    """K2″: the K2′ + K4 merge for the staged ∇FD — ONE kernel emitting the
+    dense symmetric M⁻¹ AND the true-q̈ second RNEA sweep's (a, f), given
+    ``umc = u − c`` and the K1-staged ``v``. q̈ = M⁻¹·umc is computed and
+    consumed *inside* the kernel (never round-trips HBM, and the separate
+    K4 launch's X recompute disappears). Returns (Minv (n,n,B), a (6,n,B),
+    f (6,n,B))."""
+    n = model.n
+    blk, lane = _plan(block_b, _MINV_AF_WS(n))
+    cdt = q.dtype
+
+    def body(km, q, qd, umc, v):
+        from .contact_fused import _chol_factor_act, _chol_minv_sym
+
+        X = blops.joint_transforms_bl(km, q)
+        M = blops.crba_bl(km, X)
+        Minv = _chol_minv_sym(_chol_factor_act(M, km.n), km.n)
+        qdd = sum(Minv[:, j] * umc[j:j + 1] for j in range(km.n))
+        vl = _as_list(v.astype(cdt), km.n)
+        _, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity, v_known=vl)
+        _, f = blops.rnea_bwd_bl(km, X, f, None)
+        return Minv, jnp.stack(a, axis=1), jnp.stack(f, axis=1)
+
+    return _pallas_batch_call(model, body, [q, qd, umc, v],
+                              [(n, n), (6, n), (6, n)], blk, interpret,
+                              lane_tile=lane)
+
+
 def fd_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
               interpret=False):
     """Staged forward dynamics for large robots: q̈ (n, B)."""
@@ -329,7 +361,8 @@ def id_grad_staged(model: RobotModel, q, qd, qdd, gravity=-9.81,
 
 def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
                    cb=None, interpret=False, fuse_finish=None,
-                   stage_dtype=None, merge_sides=True, minv_impl="dense"):
+                   stage_dtype=None, merge_sides=True, minv_impl="dense",
+                   merge_af=False):
     """Staged ∇FD — the large-robot counterpart of
     :func:`..kernels.fused.fd_grad_fused`: returns (ddq, ddqd), each (n,n,B).
 
@@ -358,7 +391,16 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
 
     ``minv_impl`` selects the M⁻¹+q̈ stage: ``"dense"`` (default) is the
     single K2′ kernel (:func:`minv_qdd_dense_staged`, CRBA + active-region
-    Cholesky); ``"recursion"`` the articulated K2/K3/densify path."""
+    Cholesky); ``"recursion"`` the articulated K2/K3/densify path.
+
+    ``merge_af`` (dense path only, measured-off): fold the K4 second
+    sweep (a, f) into the K2′ kernel (:func:`minv_qdd_af_dense_staged`) —
+    one launch and one X recompute fewer, q̈ never round-trips HBM.
+    Hardware (v5e 2026-08-18, Atlas n=28, bench_dense_minv.py): **−6% at
+    batch 16k** (4.04e6 vs 4.29e6 evals/s) and +1% (noise) at 262k — the
+    saved launch does not pay for the merged body's worse Mosaic
+    scheduling, so the default stays the two-launch K2′+K4 path; the
+    merged kernel is kept as the measured A/B."""
     n = model.n
     cdt = q.dtype
     if fuse_finish is None or fuse_finish:
@@ -375,12 +417,20 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
         block_b, _k5_per_state(n, cb, extra, len(plan[0])))
 
     c, v = bias_and_v_staged(model, q, qd, gravity, block_b, interpret)
+    a = None
     if minv_impl == "dense":
-        # K2′: one kernel for dense M⁻¹ AND q̈ (CRBA + active-region
-        # Cholesky) instead of K2 + ⌈n/cb⌉ K3 launches + XLA densify/solve
-        Minv, qdd = minv_qdd_dense_staged(model, q, u - c,
-                                          block_b=block_b,
-                                          interpret=interpret)
+        if merge_af and _plan(block_b, _MINV_AF_WS(n)) != (None, False):
+            # K2″: M⁻¹ + in-kernel q̈ + the second sweep's (a, f) from ONE
+            # launch (shared X; q̈ never staged through HBM)
+            Minv, a, f = minv_qdd_af_dense_staged(
+                model, q, qd, u - c, v, gravity, block_b=block_b,
+                interpret=interpret)
+        else:
+            # K2′: one kernel for dense M⁻¹ AND q̈ (CRBA + active-region
+            # Cholesky) instead of K2 + ⌈n/cb⌉ K3 + XLA densify/solve
+            Minv, qdd = minv_qdd_dense_staged(model, q, u - c,
+                                              block_b=block_b,
+                                              interpret=interpret)
     else:
         Minv = minv_staged(model, q, block_b=block_b, interpret=interpret)
         qdd = blops.matvecN(Minv, u - c)
@@ -388,16 +438,17 @@ def fd_grad_staged(model: RobotModel, q, qd, u, gravity=-9.81, block_b=None,
         v = v.astype(stage_dtype)
         Minv = Minv.astype(stage_dtype)
 
-    def body_af(km, q, qd, qdd, v):
-        X = blops.joint_transforms_bl(km, q)
-        vl = _as_list(v.astype(cdt), km.n)
-        _, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity, v_known=vl)
-        _, f = blops.rnea_bwd_bl(km, X, f, None)
-        return jnp.stack(a, axis=1), jnp.stack(f, axis=1)
+    if a is None:
+        def body_af(km, q, qd, qdd, v):
+            X = blops.joint_transforms_bl(km, q)
+            vl = _as_list(v.astype(cdt), km.n)
+            _, a, f = blops.rnea_fwd_bl(km, X, qd, qdd, gravity, v_known=vl)
+            _, f = blops.rnea_bwd_bl(km, X, f, None)
+            return jnp.stack(a, axis=1), jnp.stack(f, axis=1)
 
-    a, f = _pallas_batch_call(model, body_af, [q, qd, qdd, v],
-                              [(6, n)] * 2, k1_block, interpret,
-                              lane_tile=k1_lane)
+        a, f = _pallas_batch_call(model, body_af, [q, qd, qdd, v],
+                                  [(6, n)] * 2, k1_block, interpret,
+                                  lane_tile=k1_lane)
     if stage_dtype is not None:
         a, f = a.astype(stage_dtype), f.astype(stage_dtype)
 

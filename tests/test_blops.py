@@ -282,6 +282,16 @@ def test_staged_pipeline_interpret(bl_setup):
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(ddqd), np.asarray(dqd4),
                                    atol=1e-6)
+        # K2″ merged M⁻¹+q̈+(a,f) kernel (measured-off A/B) vs the default
+        # K2′+K4 two-launch path: identical math, only the staging
+        # boundary moves
+        dq5, dqd5 = staged.fd_grad_staged(model32, qa, qda, ua, block_b=4,
+                                          cb=2, interpret=True,
+                                          merge_af=True)
+        np.testing.assert_allclose(np.asarray(ddq), np.asarray(dq5),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ddqd), np.asarray(dqd5),
+                                   atol=1e-6)
     J = np.concatenate([np.asarray(ddq), np.asarray(ddqd)], axis=1)
     M = staged.minv_staged(model32, qa, block_b=4, cb=3, interpret=True)
     qdd = staged.fd_staged(model32, qa, qda, ua, block_b=4, interpret=True)
