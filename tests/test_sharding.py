@@ -230,3 +230,27 @@ def test_sharded_md_fd_grad(eight_devices):
             scale = max(1.0, float(jnp.abs(ref).max()))
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-9 * scale)
+
+
+def test_multihost_plumbing_single_process(eight_devices, iiwa):
+    """The DCN scale-out helpers degrade exactly to the single-host path in
+    a one-process run: a host_local_batch-assembled global batch through a
+    sharded entry point matches the unsharded result. (True multi-process
+    DCN runs exercise the same `shard_map` program — it addresses devices,
+    not processes.)"""
+    from gridcodegenerator_tpu.parallel import multihost
+
+    desc, gold, model = iiwa
+    m = pmesh.make_mesh(dp=8, cp=1, devices=eight_devices)
+    B = 32
+    q, qd, u = random_state(desc.n, seed=52, batch=(B,))
+    qg, qdg, ug = multihost.host_local_batch(m, q, qd, u)
+    # the assembled arrays are dp-sharded and numerically identical
+    assert qg.sharding.spec[0] == "dp"
+    np.testing.assert_array_equal(np.asarray(qg), np.asarray(q))
+    run = pmesh.sharded_fd_grad(model, m)
+    got = np.asarray(run(qg, qdg, ug))
+    ref = np.asarray(g.forward_dynamics_gradient(model, jnp.asarray(q),
+                                                 jnp.asarray(qd),
+                                                 jnp.asarray(u)))
+    np.testing.assert_allclose(got, ref, atol=1e-11)
