@@ -39,6 +39,12 @@ def _load():
     lib.grid_fd_grad.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
     lib.grid_fb_fd.argtypes = hdr + [_D, _D, _D, _D, _D, _D,
                                      ctypes.c_double, _D, _D]
+    lib.grid_fb_step_ground.argtypes = hdr + [
+        _D, _D, _D, _D, _D, _D, _D,           # I_base, quat, pos, q, vb, qd, tau
+        ctypes.c_double, ctypes.c_int, _I, _D, _D,          # dt, k, links, offsets, mu
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,     # ground_z, gravity, iters
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # erp, margin, restitution
+        _D, _D, _D, _D, _D, _D]               # quat2, pos2, q2, vb2, qd2, imp
     mdh = [ctypes.c_int, ctypes.c_int, ctypes.c_int, _I, _I, _I, _I,
            _D, _D, _D, _D]
     lib.grid_md_id.argtypes = mdh + [_D, _D, ctypes.c_void_p,
@@ -101,6 +107,31 @@ class NativeOracle:
                                np.ascontiguousarray(u, np.float64), gravity,
                                out)
         return out
+
+    def fb_step_ground(self, state, tau, dt, links, offsets, mu=0.8,
+                       ground_z=0.0, gravity=-9.81, iters=30, erp=0.2,
+                       margin=1e-3, restitution=0.0):
+        """One frictional ground step of the free-flyer — the independent
+        oracle for ``ops/contact.py::fb_step_ground`` (and the fused TPU
+        stepper). ``state = (quat, pos, q, vb, qd)``; returns
+        ``(next_state, impulses (k, 3))``."""
+        quat, pos, q, vb, qd = (np.ascontiguousarray(x, np.float64)
+                                for x in state)
+        n, k = self.n, len(links)
+        links_a = np.asarray(links, np.int32)
+        offs = np.ascontiguousarray(offsets, np.float64).reshape(k * 3)
+        mu_a = np.ascontiguousarray(np.broadcast_to(
+            np.asarray(mu, np.float64), (k,)))
+        quat2, pos2 = np.zeros(4), np.zeros(3)
+        q2, vb2, qd2 = np.zeros(n), np.zeros(6), np.zeros(n)
+        imp = np.zeros(k * 3)
+        self._lib.grid_fb_step_ground(
+            *self._hdr(), self._I_base, quat, pos, q, vb, qd,
+            np.ascontiguousarray(tau, np.float64), float(dt), k, links_a,
+            offs, mu_a, float(ground_z), float(gravity), int(iters),
+            float(erp), float(margin), float(restitution),
+            quat2, pos2, q2, vb2, qd2, imp)
+        return (quat2, pos2, q2, vb2, qd2), imp.reshape(k, 3)
 
     def fb_fd(self, quat, q, vb, qd, tau, gravity=-9.81):
         """Free-flyer forward dynamics (quaternion base) — the independent

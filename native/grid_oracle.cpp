@@ -15,6 +15,7 @@
 // Build: g++ -O2 -shared -fPIC -o libgrid_oracle.so grid_oracle.cpp
 // (done automatically by gridcodegenerator_tpu/utils/native.py).
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <vector>
@@ -591,6 +592,349 @@ void grid_fd_grad(int n, const int* parents, const int* jtype,
       for (int k = 0; k < n; ++k) acc += M[i * n + k] * dc[k * n + jj];
       dfdu_out[i * 2 * n + j] = -acc;
     }
+}
+
+}  // extern "C"
+
+// ==========================================================================
+// Contact oracle: one frictional ground step of the free-flyer
+// (independent float64 reference for ops/contact.py::fb_step_ground and
+// the fused kernel ops/kernels/contact_fused.py::step_ground_fused).
+// ==========================================================================
+namespace {
+
+inline void quat_rot_wb(const double* quat, double R[3][3]) {
+  const double w = quat[0], x = quat[1], y = quat[2], z = quat[3];
+  R[0][0] = 1 - 2 * (y * y + z * z); R[0][1] = 2 * (x * y - w * z);
+  R[0][2] = 2 * (x * z + w * y);
+  R[1][0] = 2 * (x * y + w * z); R[1][1] = 1 - 2 * (x * x + z * z);
+  R[1][2] = 2 * (y * z - w * x);
+  R[2][0] = 2 * (x * z - w * y); R[2][1] = 2 * (y * z + w * x);
+  R[2][2] = 1 - 2 * (x * x + y * y);
+}
+
+// bias wrench pb (6), joint bias cj (n, incl. damping), and the
+// (6+n)×(6+n) free-flyer mass matrix — the same construction grid_fb_fd
+// uses (moving-base RNEA sweep + CRBA with a 6-DoF base joint).
+void fb_bias_mass(const Robot& rb, const std::vector<Mat6>& X,
+                  const double* I_base, const double R[3][3],
+                  const double* vb, const double* qd, double gravity,
+                  double* pb, double* cj, std::vector<double>& M) {
+  const int n = rb.n, m = 6 + n;
+  double gb[3];
+  for (int r = 0; r < 3; ++r) gb[r] = R[2][r] * gravity;  // R^T (0,0,g)
+  double a0[6] = {0, 0, 0, -gb[0], -gb[1], -gb[2]};
+  std::vector<double> v(6 * n), a(6 * n), f(6 * n);
+  for (int i = 0; i < n; ++i) {
+    const int p = rb.parents[i];
+    const double* vp = p < 0 ? vb : &v[6 * p];
+    const double* ap = p < 0 ? a0 : &a[6 * p];
+    double Sqd[6], t[6];
+    for (int r = 0; r < 6; ++r) Sqd[r] = rb.S[6 * i + r] * qd[i];
+    matvec(X[i], vp, &v[6 * i]);
+    for (int r = 0; r < 6; ++r) v[6 * i + r] += Sqd[r];
+    matvec(X[i], ap, &a[6 * i]);
+    crm_apply(&v[6 * i], Sqd, t);
+    for (int r = 0; r < 6; ++r) a[6 * i + r] += t[r];
+    Mat6 Itmp;
+    const Mat6& Ii = imat(rb, i, Itmp);
+    double Iv[6], Ia[6], fx[6];
+    matvec(Ii, &v[6 * i], Iv);
+    matvec(Ii, &a[6 * i], Ia);
+    crf_apply(&v[6 * i], Iv, fx);
+    for (int r = 0; r < 6; ++r) f[6 * i + r] = Ia[r] + fx[r];
+  }
+  Mat6 Ib;
+  for (int r = 0; r < 6; ++r)
+    for (int c = 0; c < 6; ++c) Ib.m[r][c] = I_base[6 * r + c];
+  double Ivb[6], Iab[6], fxb[6];
+  matvec(Ib, vb, Ivb);
+  matvec(Ib, a0, Iab);
+  crf_apply(vb, Ivb, fxb);
+  for (int r = 0; r < 6; ++r) pb[r] = Iab[r] + fxb[r];
+  for (int i = n - 1; i >= 0; --i) {
+    const int p = rb.parents[i];
+    double t[6];
+    matTvec(X[i], &f[6 * i], t);
+    double* dst = p < 0 ? pb : &f[6 * p];
+    for (int r = 0; r < 6; ++r) dst[r] += t[r];
+  }
+  for (int i = 0; i < n; ++i) {
+    double acc = 0;
+    for (int r = 0; r < 6; ++r) acc += rb.S[6 * i + r] * f[6 * i + r];
+    cj[i] = acc + rb.damping[i] * qd[i];
+  }
+  // CRBA with the 6-DoF base
+  std::vector<Mat6> IC(n);
+  Mat6 ICb = Ib;
+  for (int i = 0; i < n; ++i) imat(rb, i, IC[i]);
+  for (int i = n - 1; i >= 0; --i) {
+    Mat6 t1, t2;
+    matmat(IC[i], X[i], t1);
+    matTmat(X[i], t1, t2);
+    const int p = rb.parents[i];
+    Mat6& dst = p < 0 ? ICb : IC[p];
+    for (int r = 0; r < 6; ++r)
+      for (int c = 0; c < 6; ++c) dst.m[r][c] += t2.m[r][c];
+  }
+  M.assign(m * m, 0.0);
+  for (int r = 0; r < 6; ++r)
+    for (int c = 0; c < 6; ++c) M[r * m + c] = ICb.m[r][c];
+  for (int i = 0; i < n; ++i) {
+    double F[6];
+    matvec(IC[i], rb.S + 6 * i, F);
+    double acc = 0;
+    for (int r = 0; r < 6; ++r) acc += rb.S[6 * i + r] * F[r];
+    M[(6 + i) * m + (6 + i)] = acc;
+    int j = i;
+    while (rb.parents[j] >= 0) {
+      double t[6];
+      matTvec(X[j], F, t);
+      std::memcpy(F, t, sizeof(t));
+      j = rb.parents[j];
+      double val = 0;
+      for (int r = 0; r < 6; ++r) val += F[r] * rb.S[6 * j + r];
+      M[(6 + i) * m + (6 + j)] = val;
+      M[(6 + j) * m + (6 + i)] = val;
+    }
+    double t[6];
+    matTvec(X[j], F, t);
+    for (int r = 0; r < 6; ++r) {
+      M[(6 + i) * m + r] = t[r];
+      M[r * m + (6 + i)] = t[r];
+    }
+  }
+}
+
+void chol_fac(int m, const std::vector<double>& A, std::vector<double>& L) {
+  L.assign(m * m, 0.0);
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j <= i; ++j) {
+      double acc = A[i * m + j];
+      for (int k = 0; k < j; ++k) acc -= L[i * m + k] * L[j * m + k];
+      if (i == j) L[i * m + i] = std::sqrt(acc);
+      else L[i * m + j] = acc / L[j * m + j];
+    }
+}
+
+void chol_sol(int m, const std::vector<double>& L, const double* rhs,
+              double* out) {
+  std::vector<double> y(m);
+  for (int i = 0; i < m; ++i) {
+    double acc = rhs[i];
+    for (int k = 0; k < i; ++k) acc -= L[i * m + k] * y[k];
+    y[i] = acc / L[i * m + i];
+  }
+  for (int i = m - 1; i >= 0; --i) {
+    double acc = y[i];
+    for (int k = i + 1; k < m; ++k) acc -= L[k * m + i] * out[k];
+    out[i] = acc / L[i * m + i];
+  }
+}
+
+// base-frame FK of the arm: world<-link is NOT needed — everything stays in
+// base coordinates. R_i = R_parent · Eᵀ, p_i = p_parent + R_parent · r with
+// E = X[:3,:3], r = unskew(−Eᵀ · X[3:,:3]) (the motion-transform origin
+// recovery, ops/kinematics.py::fk).
+void arm_fk(const Robot& rb, const std::vector<Mat6>& X,
+            std::vector<double>& Rb /*n*9*/, std::vector<double>& pb /*n*3*/) {
+  const int n = rb.n;
+  Rb.assign(n * 9, 0.0);
+  pb.assign(n * 3, 0.0);
+  for (int i = 0; i < n; ++i) {
+    const int p = rb.parents[i];
+    double Rp[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+    double pp[3] = {0, 0, 0};
+    if (p >= 0) {
+      for (int r = 0; r < 3; ++r) {
+        pp[r] = pb[3 * p + r];
+        for (int c = 0; c < 3; ++c) Rp[r][c] = Rb[9 * p + 3 * r + c];
+      }
+    }
+    // B = Eᵀ · X_bl (bottom-left 3×3); r_vec = [−B21, −B02, −B10]
+    double B[3][3];
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c) {
+        double acc = 0;
+        for (int k = 0; k < 3; ++k) acc += X[i].m[k][r] * X[i].m[3 + k][c];
+        B[r][c] = acc;
+      }
+    const double rv[3] = {-B[2][1], -B[0][2], -B[1][0]};
+    for (int r = 0; r < 3; ++r) {
+      double acc = 0;
+      for (int k = 0; k < 3; ++k) acc += Rp[r][k] * rv[k];
+      pb[3 * i + r] = pp[r] + acc;
+      for (int c = 0; c < 3; ++c) {
+        double a2 = 0;
+        for (int k = 0; k < 3; ++k) a2 += Rp[r][k] * X[i].m[c][k];  // Rp·Eᵀ
+        Rb[9 * i + 3 * r + c] = a2;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void grid_fb_step_ground(
+    int n, const int* parents, const int* jtype, const double* Xb,
+    const double* Xs, const double* Xc, const double* S,
+    const double* inertia, const double* damping, const double* I_base,
+    const double* quat, const double* pos, const double* q,
+    const double* vb, const double* qd, const double* tau, double dt, int k,
+    const int* links, const double* offsets /*k×3*/, const double* mu /*k*/,
+    double ground_z, double gravity, int iters, double erp, double margin,
+    double restitution, double* quat2, double* pos2, double* q2,
+    double* vb2, double* qd2, double* imp /*k×3*/) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  const int m = 6 + n;
+  double R[3][3];
+  quat_rot_wb(quat, R);
+
+  // free-velocity step: v_free = v + dt·M⁻¹([−pb; τ − cj])
+  double pb6[6];
+  std::vector<double> cj(n), M, L;
+  fb_bias_mass(rb, X, I_base, R, vb, qd, gravity, pb6, cj.data(), M);
+  chol_fac(m, M, L);
+  std::vector<double> v(m), rhs(m), acc_free(m), v_free(m);
+  for (int r = 0; r < 6; ++r) { v[r] = vb[r]; rhs[r] = -pb6[r]; }
+  for (int i = 0; i < n; ++i) { v[6 + i] = qd[i]; rhs[6 + i] = tau[i] - cj[i]; }
+  chol_sol(m, L, rhs.data(), acc_free.data());
+  for (int c = 0; c < m; ++c) v_free[c] = v[c] + dt * acc_free[c];
+
+  // world contact rows [x, y, z(=normal)] per foot + plane gaps
+  std::vector<double> Rb_fk, p_fk;
+  arm_fk(rb, X, Rb_fk, p_fk);
+  std::vector<double> J(3 * k * m, 0.0), gaps(k), active(k);
+  for (int i = 0; i < k; ++i) {
+    const int l = links[i];
+    double xb[3];
+    for (int r = 0; r < 3; ++r) {
+      double acc = 0;
+      for (int c = 0; c < 3; ++c)
+        acc += Rb_fk[9 * l + 3 * r + c] * offsets[3 * i + c];
+      xb[r] = p_fk[3 * l + r] + acc;
+    }
+    // base block in base coords: [−skew(x_b) | I₃]
+    double B6[3][6] = {{0, xb[2], -xb[1], 1, 0, 0},
+                       {-xb[2], 0, xb[0], 0, 1, 0},
+                       {xb[1], -xb[0], 0, 0, 0, 1}};
+    // arm columns (linear rows of the base-frame point Jacobian)
+    std::vector<double> Ja(3 * n, 0.0);
+    for (int j = l; j >= 0; j = rb.parents[j]) {
+      double aang[3], alin[3];
+      for (int r = 0; r < 3; ++r) {
+        double a1 = 0, a2 = 0;
+        for (int c = 0; c < 3; ++c) {
+          a1 += Rb_fk[9 * j + 3 * r + c] * rb.S[6 * j + c];
+          a2 += Rb_fk[9 * j + 3 * r + c] * rb.S[6 * j + 3 + c];
+        }
+        aang[r] = a1;
+        alin[r] = a2;
+      }
+      double d[3] = {xb[0] - p_fk[3 * j], xb[1] - p_fk[3 * j + 1],
+                     xb[2] - p_fk[3 * j + 2]};
+      double cr[3];
+      cross3(aang, d, cr);
+      for (int r = 0; r < 3; ++r) Ja[r * n + j] = cr[r] + alin[r];
+    }
+    // world rows: R · [B6 | Ja]
+    for (int r = 0; r < 3; ++r) {
+      for (int c = 0; c < 6; ++c) {
+        double acc = 0;
+        for (int t = 0; t < 3; ++t) acc += R[r][t] * B6[t][c];
+        J[(3 * i + r) * m + c] = acc;
+      }
+      for (int j = 0; j < n; ++j) {
+        double acc = 0;
+        for (int t = 0; t < 3; ++t) acc += R[r][t] * Ja[t * n + j];
+        J[(3 * i + r) * m + 6 + j] = acc;
+      }
+    }
+    double xw2 = 0;
+    for (int c = 0; c < 3; ++c) xw2 += R[2][c] * xb[c];
+    gaps[i] = pos[2] + xw2 - ground_z;
+    active[i] = gaps[i] < margin ? 1.0 : 0.0;
+  }
+
+  // Delassus G = J M⁻¹ Jᵀ + 1e-9·I and the PGS right-hand side
+  std::vector<double> MiJt(m * 3 * k), G(9 * k * k), b(3 * k);
+  for (int r = 0; r < 3 * k; ++r)
+    chol_sol(m, L, &J[r * m], &MiJt[r * m]);  // row r of J → col r of M⁻¹Jᵀ
+  for (int r = 0; r < 3 * k; ++r)
+    for (int s = 0; s < 3 * k; ++s) {
+      double acc = 0;
+      for (int c = 0; c < m; ++c) acc += J[r * m + c] * MiJt[s * m + c];
+      G[r * 3 * k + s] = acc + (r == s ? 1e-9 : 0.0);
+    }
+  for (int i = 0; i < k; ++i) {
+    double vn_now = 0;
+    for (int c = 0; c < m; ++c) vn_now += J[(3 * i + 2) * m + c] * v[c];
+    const double v_star =
+        -erp * std::min(gaps[i], 0.0) / dt -
+        restitution * std::min(vn_now, 0.0);
+    for (int r = 0; r < 3; ++r) {
+      double acc = 0;
+      for (int c = 0; c < m; ++c) acc += J[(3 * i + r) * m + c] * v_free[c];
+      b[3 * i + r] = acc - (r == 2 ? v_star : 0.0);
+    }
+  }
+
+  // projected Gauss-Seidel with friction-cone projection (pgs_solve)
+  std::vector<double> p(3 * k, 0.0);
+  for (int it = 0; it < iters; ++it)
+    for (int i = 0; i < k; ++i) {
+      const int s = 3 * i;
+      double cand[3];
+      for (int r = 0; r < 3; ++r) {
+        double res = b[s + r];
+        for (int c = 0; c < 3 * k; ++c) res += G[(s + r) * 3 * k + c] * p[c];
+        const double diag = std::max(G[(s + r) * 3 * k + s + r], 1e-9);
+        cand[r] = p[s + r] - res / diag;
+      }
+      const double pn = std::max(cand[2], 0.0) * active[i];
+      const double norm_t =
+          std::sqrt(cand[0] * cand[0] + cand[1] * cand[1] + 1e-30);
+      const double scale = std::min(1.0, mu[i] * pn / norm_t);
+      p[s] = cand[0] * scale;
+      p[s + 1] = cand[1] * scale;
+      p[s + 2] = pn;
+    }
+
+  // integrate: v⁺ = v_free + M⁻¹Jᵀ p; manifold pose update
+  std::vector<double> v_new(v_free);
+  for (int c = 0; c < m; ++c)
+    for (int r = 0; r < 3 * k; ++r) v_new[c] += MiJt[r * m + c] * p[r];
+  for (int r = 0; r < 6; ++r) vb2[r] = v_new[r];
+  for (int i = 0; i < n; ++i) {
+    qd2[i] = v_new[6 + i];
+    q2[i] = q[i] + dt * qd2[i];
+  }
+  // quat2 = normalize(quat ⊗ exp_body(ω⁺ dt))
+  const double hx = 0.5 * vb2[0] * dt, hy = 0.5 * vb2[1] * dt,
+               hz = 0.5 * vb2[2] * dt;
+  const double ang = std::sqrt(hx * hx + hy * hy + hz * hz + 1e-30);
+  const double sa = std::sin(ang) / ang;
+  const double e[4] = {std::cos(ang), sa * hx, sa * hy, sa * hz};
+  const double aw = quat[0], ax = quat[1], ay = quat[2], az = quat[3];
+  double qn[4] = {aw * e[0] - ax * e[1] - ay * e[2] - az * e[3],
+                  aw * e[1] + ax * e[0] + ay * e[3] - az * e[2],
+                  aw * e[2] + ay * e[0] + az * e[1] - ax * e[3],
+                  aw * e[3] + az * e[0] + ax * e[2] - ay * e[1]};
+  double nq2 = std::sqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2] +
+                         qn[3] * qn[3]);
+  for (int r = 0; r < 4; ++r) quat2[r] = qn[r] / nq2;
+  double R2[3][3];
+  quat_rot_wb(quat2, R2);
+  for (int r = 0; r < 3; ++r) {
+    double acc = 0;
+    for (int c = 0; c < 3; ++c) acc += R2[r][c] * vb2[3 + c];
+    pos2[r] = pos[r] + dt * acc;
+  }
+  for (int i = 0; i < 3 * k; ++i) imp[i] = p[i];
 }
 
 }  // extern "C"

@@ -128,3 +128,48 @@ def test_native_md_oracle(robot):
             mdl, q, jnp.asarray(qd), jnp.asarray(u)))
         np.testing.assert_allclose(orc.md_fd(np.asarray(q), qd, u), fd_py,
                                    atol=1e-11 * max(1, np.abs(fd_py).max()))
+
+
+def test_native_ground_step_oracle():
+    """One frictional ground step vs the independent C++ contact oracle
+    (FK, Delassus, PGS cone projection, manifold integration — all
+    re-derived in plain C++): the fourth opinion for the contact layer
+    beside the physics invariants, the batched-equals-single check, and
+    the fused-kernel equivalence. Covers active, separated, and sliding
+    contact regimes."""
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ctt
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    from gridcodegenerator_tpu.utils.native import NativeOracle
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    oracle = NativeOracle(desc)
+    feet = (2, 5, 8, 11)
+    offs = np.tile(np.array([0.35, 0.0, 0.0]), (4, 1))
+    rng = np.random.default_rng(77)
+    # three heights: deep contact, grazing (margin-sensitive), airborne
+    for base_z, vxy in ((0.48, 0.8), (0.55, 0.0), (0.9, 0.0)):
+        quat = np.array([1.0, 0.0, 0.0, 0.0])
+        quat += 0.05 * rng.standard_normal(4)
+        quat /= np.linalg.norm(quat)
+        pos = np.array([0.0, 0.0, base_z])
+        q = 0.2 * rng.standard_normal(desc.n)
+        vb = np.concatenate([0.2 * rng.standard_normal(3),
+                             [vxy, -vxy, -0.5]])
+        qd = 0.3 * rng.standard_normal(desc.n)
+        tau = 2.0 * rng.standard_normal(desc.n)
+        state = (quat, pos, q, vb, qd)
+        nxt_j, imp_j = ctt.fb_step_ground(
+            ffm, tuple(jnp.asarray(s) for s in state), jnp.asarray(tau),
+            1e-3, feet, offs, mu=0.7, iters=50)
+        nxt_o, imp_o = oracle.fb_step_ground(
+            state, tau, 1e-3, feet, offs, mu=0.7, iters=50)
+        for a, b, name in zip(nxt_j, nxt_o,
+                              ("quat", "pos", "q", "vb", "qd")):
+            np.testing.assert_allclose(np.asarray(a), b, atol=1e-9,
+                                       err_msg=name)
+        np.testing.assert_allclose(np.asarray(imp_j), imp_o, atol=1e-9)
