@@ -86,9 +86,9 @@ def main(argv=None):
         cases = [
             ("fd_grad dense", lambda q, qd, u: staged.fd_grad_staged(
                 model, q, qd, u, minv_impl="dense")),
-            ("fd_grad dense nomergeaf", lambda q, qd, u: staged.
+            ("fd_grad dense mergeaf", lambda q, qd, u: staged.
              fd_grad_staged(model, q, qd, u, minv_impl="dense",
-                            merge_af=False)),
+                            merge_af=True)),
             ("fd_grad recursion", lambda q, qd, u: staged.fd_grad_staged(
                 model, q, qd, u, minv_impl="recursion")),
             ("minv dense-kernel", lambda q, qd, u: staged.

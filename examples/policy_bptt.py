@@ -45,7 +45,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    import optax
+    try:
+        import optax
+    except ImportError:
+        sys.exit("this example needs optax (pip install optax) for the "
+                 "Adam/clipping update — the engine itself does not")
 
     import gridcodegenerator_tpu as g
     from gridcodegenerator_tpu.models import zoo

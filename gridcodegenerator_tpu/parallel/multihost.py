@@ -49,8 +49,9 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id, **kwargs)
-    except RuntimeError as e:          # already initialized → idempotent
-        if "already" not in str(e).lower():
+    except RuntimeError as e:          # double-init → idempotent no-op
+        msg = str(e).lower()
+        if "already" not in msg and "once" not in msg:
             raise
 
 
@@ -73,11 +74,13 @@ def host_local_batch(mesh: Mesh, *arrays, axis: str = "dp"):
     batch."""
     out = []
     for a in arrays:
-        a = np.asarray(a)
-        spec = P(axis, *([None] * (a.ndim - 1)))
+        spec = P(axis, *([None] * (np.ndim(a) - 1)))
         sharding = NamedSharding(mesh, spec)
         if jax.process_count() == 1:
+            # device_put accepts device-resident jax arrays directly — no
+            # host round-trip for the single-process case
             out.append(jax.device_put(a, sharding))
         else:
-            out.append(jax.make_array_from_process_local_data(sharding, a))
+            out.append(jax.make_array_from_process_local_data(
+                sharding, np.asarray(a)))
     return out[0] if len(out) == 1 else tuple(out)

@@ -380,226 +380,10 @@ Robot make_robot(int n, const int* parents, const int* jtype,
 
 }  // namespace
 
-extern "C" {
-
-void grid_rnea(int n, const int* parents, const int* jtype, const double* Xb,
-               const double* Xs, const double* Xc, const double* S,
-               const double* inertia, const double* damping, const double* q,
-               const double* qd, const double* qdd /* nullable */,
-               double gravity, double* c_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
-  std::vector<Mat6> X;
-  joint_xforms(rb, q, X);
-  rnea(rb, X, q, qd, qdd, gravity, c_out, nullptr, nullptr, nullptr);
-}
-
-void grid_minv(int n, const int* parents, const int* jtype, const double* Xb,
-               const double* Xs, const double* Xc, const double* S,
-               const double* inertia, const double* damping, const double* q,
-               double* minv_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
-  std::vector<Mat6> X;
-  joint_xforms(rb, q, X);
-  minv(rb, X, minv_out);
-}
-
-void grid_fd(int n, const int* parents, const int* jtype, const double* Xb,
-             const double* Xs, const double* Xc, const double* S,
-             const double* inertia, const double* damping, const double* q,
-             const double* qd, const double* u, double gravity,
-             double* qdd_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
-  std::vector<Mat6> X;
-  joint_xforms(rb, q, X);
-  std::vector<double> c(n), M(n * n);
-  rnea(rb, X, q, qd, nullptr, gravity, c.data(), nullptr, nullptr, nullptr);
-  minv(rb, X, M.data());
-  for (int i = 0; i < n; ++i) {
-    double acc = 0;
-    for (int j = 0; j < n; ++j) acc += M[i * n + j] * (u[j] - c[j]);
-    qdd_out[i] = acc;
-  }
-}
-
-// Free-flyer forward dynamics (quaternion base, S0 = I6): the independent
-// float64 oracle for ops/freeflyer.py. quat is (w,x,y,z) world<-base; vb is
-// the base twist in base coordinates; solves the dense SPD (6+n) system
-// with an in-place Cholesky.
-void grid_fb_fd(int n, const int* parents, const int* jtype, const double* Xb,
-                const double* Xs, const double* Xc, const double* S,
-                const double* inertia, const double* damping,
-                const double* I_base /*36*/, const double* quat,
-                const double* q, const double* vb, const double* qd,
-                const double* tau, double gravity, double* dvb_out,
-                double* qdd_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
-  std::vector<Mat6> X;
-  joint_xforms(rb, q, X);
-  const int m = 6 + n;
-
-  // R (world<-base) from the unit quaternion; g in base coordinates
-  const double w = quat[0], x = quat[1], y = quat[2], z = quat[3];
-  double R[3][3] = {
-      {1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)},
-      {2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)},
-      {2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)}};
-  double gb[3];
-  for (int r = 0; r < 3; ++r) gb[r] = R[2][r] * gravity;  // R^T (0,0,g)
-  double a0[6] = {0, 0, 0, -gb[0], -gb[1], -gb[2]};
-
-  // bias sweep with a moving base: v_i = X v_par + S qd_i, a from a0'
-  std::vector<double> v(6 * n), a(6 * n), f(6 * n);
-  for (int i = 0; i < n; ++i) {
-    const int p = parents[i];
-    const double* vp = p < 0 ? vb : &v[6 * p];
-    const double* ap = p < 0 ? a0 : &a[6 * p];
-    double Sqd[6], t[6];
-    for (int r = 0; r < 6; ++r) Sqd[r] = S[6 * i + r] * qd[i];
-    matvec(X[i], vp, &v[6 * i]);
-    for (int r = 0; r < 6; ++r) v[6 * i + r] += Sqd[r];
-    matvec(X[i], ap, &a[6 * i]);
-    crm_apply(&v[6 * i], Sqd, t);
-    for (int r = 0; r < 6; ++r) a[6 * i + r] += t[r];
-    Mat6 Itmp;
-    const Mat6& Ii = imat(rb, i, Itmp);
-    double Iv[6], Ia[6], fx[6];
-    matvec(Ii, &v[6 * i], Iv);
-    matvec(Ii, &a[6 * i], Ia);
-    crf_apply(&v[6 * i], Iv, fx);
-    for (int r = 0; r < 6; ++r) f[6 * i + r] = Ia[r] + fx[r];
-  }
-  // base link's own wrench, then backward accumulation
-  Mat6 Ib;
-  for (int r = 0; r < 6; ++r)
-    for (int c = 0; c < 6; ++c) Ib.m[r][c] = I_base[6 * r + c];
-  double pb[6], Ivb[6], Iab[6], fxb[6];
-  matvec(Ib, vb, Ivb);
-  matvec(Ib, a0, Iab);
-  crf_apply(vb, Ivb, fxb);
-  for (int r = 0; r < 6; ++r) pb[r] = Iab[r] + fxb[r];
-  for (int i = n - 1; i >= 0; --i) {
-    const int p = parents[i];
-    double t[6];
-    matTvec(X[i], &f[6 * i], t);
-    double* dst = p < 0 ? pb : &f[6 * p];
-    for (int r = 0; r < 6; ++r) dst[r] += t[r];
-  }
-  std::vector<double> cj(n);
-  for (int i = 0; i < n; ++i) {
-    double acc = 0;
-    for (int r = 0; r < 6; ++r) acc += S[6 * i + r] * f[6 * i + r];
-    cj[i] = acc + damping[i] * qd[i];
-  }
-
-  // CRBA-style free-flyer mass matrix (base = 6-DoF joint)
-  std::vector<Mat6> IC(n);
-  Mat6 ICb = Ib;
-  for (int i = 0; i < n; ++i) imat(rb, i, IC[i]);
-  for (int i = n - 1; i >= 0; --i) {
-    Mat6 t1, t2;
-    matmat(IC[i], X[i], t1);   // IC_i X_i
-    matTmat(X[i], t1, t2);     // X_i^T IC_i X_i
-    const int p = parents[i];
-    Mat6& dst = p < 0 ? ICb : IC[p];
-    for (int r = 0; r < 6; ++r)
-      for (int c = 0; c < 6; ++c) dst.m[r][c] += t2.m[r][c];
-  }
-  std::vector<double> M(m * m, 0.0);
-  for (int r = 0; r < 6; ++r)
-    for (int c = 0; c < 6; ++c) M[r * m + c] = ICb.m[r][c];
-  for (int i = 0; i < n; ++i) {
-    double F[6];
-    matvec(IC[i], S + 6 * i, F);
-    double acc = 0;
-    for (int r = 0; r < 6; ++r) acc += S[6 * i + r] * F[r];
-    M[(6 + i) * m + (6 + i)] = acc;
-    int j = i;
-    while (parents[j] >= 0) {
-      double t[6];
-      matTvec(X[j], F, t);
-      std::memcpy(F, t, sizeof(t));
-      j = parents[j];
-      double val = 0;
-      for (int r = 0; r < 6; ++r) val += F[r] * S[6 * j + r];
-      M[(6 + i) * m + (6 + j)] = val;
-      M[(6 + j) * m + (6 + i)] = val;
-    }
-    double t[6];
-    matTvec(X[j], F, t);  // into base coordinates
-    for (int r = 0; r < 6; ++r) {
-      M[(6 + i) * m + r] = t[r];
-      M[r * m + (6 + i)] = t[r];
-    }
-  }
-
-  // solve M sol = [-pb ; tau - cj] via Cholesky (M is SPD)
-  std::vector<double> rhs(m);
-  for (int r = 0; r < 6; ++r) rhs[r] = -pb[r];
-  for (int i = 0; i < n; ++i) rhs[6 + i] = tau[i] - cj[i];
-  std::vector<double> L(m * m, 0.0);
-  for (int i = 0; i < m; ++i) {
-    for (int j = 0; j <= i; ++j) {
-      double acc = M[i * m + j];
-      for (int k = 0; k < j; ++k) acc -= L[i * m + k] * L[j * m + k];
-      if (i == j)
-        L[i * m + i] = std::sqrt(acc);
-      else
-        L[i * m + j] = acc / L[j * m + j];
-    }
-  }
-  std::vector<double> ytmp(m);
-  for (int i = 0; i < m; ++i) {
-    double acc = rhs[i];
-    for (int k = 0; k < i; ++k) acc -= L[i * m + k] * ytmp[k];
-    ytmp[i] = acc / L[i * m + i];
-  }
-  std::vector<double> sol(m);
-  for (int i = m - 1; i >= 0; --i) {
-    double acc = ytmp[i];
-    for (int k = i + 1; k < m; ++k) acc -= L[k * m + i] * sol[k];
-    sol[i] = acc / L[i * m + i];
-  }
-  for (int r = 0; r < 6; ++r) dvb_out[r] = sol[r];
-  for (int i = 0; i < n; ++i) qdd_out[i] = sol[6 + i];
-}
-
-void grid_fd_grad(int n, const int* parents, const int* jtype,
-                  const double* Xb, const double* Xs, const double* Xc,
-                  const double* S, const double* inertia,
-                  const double* damping, const double* q, const double* qd,
-                  const double* u, double gravity, double* dfdu_out /*n×2n*/) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
-  std::vector<Mat6> X;
-  joint_xforms(rb, q, X);
-  std::vector<double> c(n), M(n * n), qdd(n);
-  rnea(rb, X, q, qd, nullptr, gravity, c.data(), nullptr, nullptr, nullptr);
-  minv(rb, X, M.data());
-  for (int i = 0; i < n; ++i) {
-    double acc = 0;
-    for (int j = 0; j < n; ++j) acc += M[i * n + j] * (u[j] - c[j]);
-    qdd[i] = acc;
-  }
-  std::vector<double> v(6 * n), a(6 * n), f(6 * n), dcdq(n * n), dcdqd(n * n);
-  rnea(rb, X, q, qd, qdd.data(), gravity, nullptr, v.data(), a.data(),
-       f.data());
-  rnea_grad(rb, X, qd, v.data(), a.data(), f.data(), gravity, dcdq.data(),
-            dcdqd.data());
-  for (int i = 0; i < n; ++i)
-    for (int j = 0; j < 2 * n; ++j) {
-      const double* dc = j < n ? dcdq.data() : dcdqd.data();
-      const int jj = j < n ? j : j - n;
-      double acc = 0;
-      for (int k = 0; k < n; ++k) acc += M[i * n + k] * dc[k * n + jj];
-      dfdu_out[i * 2 * n + j] = -acc;
-    }
-}
-
-}  // extern "C"
-
 // ==========================================================================
-// Contact oracle: one frictional ground step of the free-flyer
-// (independent float64 reference for ops/contact.py::fb_step_ground and
-// the fused kernel ops/kernels/contact_fused.py::step_ground_fused).
+// Free-flyer helpers shared by grid_fb_fd and the contact oracle
+// (grid_fb_step_ground): base rotation, moving-base bias + CRBA mass
+// matrix, dense Cholesky, base-frame arm FK.
 // ==========================================================================
 namespace {
 
@@ -774,6 +558,116 @@ void arm_fk(const Robot& rb, const std::vector<Mat6>& X,
 }
 
 }  // namespace
+
+extern "C" {
+
+void grid_rnea(int n, const int* parents, const int* jtype, const double* Xb,
+               const double* Xs, const double* Xc, const double* S,
+               const double* inertia, const double* damping, const double* q,
+               const double* qd, const double* qdd /* nullable */,
+               double gravity, double* c_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  rnea(rb, X, q, qd, qdd, gravity, c_out, nullptr, nullptr, nullptr);
+}
+
+void grid_minv(int n, const int* parents, const int* jtype, const double* Xb,
+               const double* Xs, const double* Xc, const double* S,
+               const double* inertia, const double* damping, const double* q,
+               double* minv_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  minv(rb, X, minv_out);
+}
+
+void grid_fd(int n, const int* parents, const int* jtype, const double* Xb,
+             const double* Xs, const double* Xc, const double* S,
+             const double* inertia, const double* damping, const double* q,
+             const double* qd, const double* u, double gravity,
+             double* qdd_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  std::vector<double> c(n), M(n * n);
+  rnea(rb, X, q, qd, nullptr, gravity, c.data(), nullptr, nullptr, nullptr);
+  minv(rb, X, M.data());
+  for (int i = 0; i < n; ++i) {
+    double acc = 0;
+    for (int j = 0; j < n; ++j) acc += M[i * n + j] * (u[j] - c[j]);
+    qdd_out[i] = acc;
+  }
+}
+
+// Free-flyer forward dynamics (quaternion base, S0 = I6): the independent
+// float64 oracle for ops/freeflyer.py. quat is (w,x,y,z) world<-base; vb is
+// the base twist in base coordinates; solves the dense SPD (6+n) system
+// with an in-place Cholesky.
+void grid_fb_fd(int n, const int* parents, const int* jtype, const double* Xb,
+                const double* Xs, const double* Xc, const double* S,
+                const double* inertia, const double* damping,
+                const double* I_base /*36*/, const double* quat,
+                const double* q, const double* vb, const double* qd,
+                const double* tau, double gravity, double* dvb_out,
+                double* qdd_out) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  const int m = 6 + n;
+  double R[3][3];
+  quat_rot_wb(quat, R);
+  // moving-base bias (pb, cj) + the free-flyer CRBA mass matrix, then
+  // one SPD solve: M [dvb; qdd] = [-pb; tau - cj]
+  double pb6[6];
+  std::vector<double> cj(n), M, L, rhs(m), sol(m);
+  fb_bias_mass(rb, X, I_base, R, vb, qd, gravity, pb6, cj.data(), M);
+  chol_fac(m, M, L);
+  for (int r = 0; r < 6; ++r) rhs[r] = -pb6[r];
+  for (int i = 0; i < n; ++i) rhs[6 + i] = tau[i] - cj[i];
+  chol_sol(m, L, rhs.data(), sol.data());
+  for (int r = 0; r < 6; ++r) dvb_out[r] = sol[r];
+  for (int i = 0; i < n; ++i) qdd_out[i] = sol[6 + i];
+}
+
+void grid_fd_grad(int n, const int* parents, const int* jtype,
+                  const double* Xb, const double* Xs, const double* Xc,
+                  const double* S, const double* inertia,
+                  const double* damping, const double* q, const double* qd,
+                  const double* u, double gravity, double* dfdu_out /*n×2n*/) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  std::vector<double> c(n), M(n * n), qdd(n);
+  rnea(rb, X, q, qd, nullptr, gravity, c.data(), nullptr, nullptr, nullptr);
+  minv(rb, X, M.data());
+  for (int i = 0; i < n; ++i) {
+    double acc = 0;
+    for (int j = 0; j < n; ++j) acc += M[i * n + j] * (u[j] - c[j]);
+    qdd[i] = acc;
+  }
+  std::vector<double> v(6 * n), a(6 * n), f(6 * n), dcdq(n * n), dcdqd(n * n);
+  rnea(rb, X, q, qd, qdd.data(), gravity, nullptr, v.data(), a.data(),
+       f.data());
+  rnea_grad(rb, X, qd, v.data(), a.data(), f.data(), gravity, dcdq.data(),
+            dcdqd.data());
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < 2 * n; ++j) {
+      const double* dc = j < n ? dcdq.data() : dcdqd.data();
+      const int jj = j < n ? j : j - n;
+      double acc = 0;
+      for (int k = 0; k < n; ++k) acc += M[i * n + k] * dc[k * n + jj];
+      dfdu_out[i * 2 * n + j] = -acc;
+    }
+}
+
+}  // extern "C"
+
+// ==========================================================================
+// Contact oracle: one frictional ground step of the free-flyer
+// (independent float64 reference for ops/contact.py::fb_step_ground and
+// the fused kernel ops/kernels/contact_fused.py::step_ground_fused).
+// ==========================================================================
 
 extern "C" {
 
