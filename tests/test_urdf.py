@@ -170,3 +170,104 @@ def test_error_cases():
         from gridcodegenerator_tpu.models.robot import (
             robot_model_from_description)
         robot_model_from_description(desc)
+
+
+def test_real_world_urdf_noise_tags():
+    """Real URDF exports carry tags the engine must skim over without
+    choking: visual/collision geometry with meshes and materials,
+    <gazebo> plugin blocks, <transmission> actuator declarations,
+    joint <limit>/<dynamics friction=…>/<safety_controller>,
+    `continuous` wheel joints, and XML comments. The parser must ingest
+    all of it, keep only what dynamics needs (topology, inertials,
+    axes, damping), and produce a model the whole pipeline runs on."""
+    noisy = """<?xml version="1.0"?>
+<!-- exported by some-vendor-tool 3.2 -->
+<robot name="warehouse_bot" xmlns:xacro="http://ros.org/wiki/xacro">
+  <material name="grey"><color rgba="0.6 0.6 0.6 1.0"/></material>
+  <link name="base_link">
+    <inertial>
+      <origin xyz="0.01 0 0.05" rpy="0 0 0"/>
+      <mass value="12.0"/>
+      <inertia ixx="0.4" ixy="0.001" ixz="0.0" iyy="0.45" iyz="0.0" izz="0.3"/>
+    </inertial>
+    <visual>
+      <origin xyz="0 0 0.1" rpy="0 0 0"/>
+      <geometry><mesh filename="package://bot/meshes/base.dae" scale="1 1 1"/></geometry>
+      <material name="grey"/>
+    </visual>
+    <collision>
+      <geometry><box size="0.5 0.4 0.2"/></geometry>
+    </collision>
+  </link>
+  <link name="wheel_l">
+    <inertial>
+      <mass value="1.2"/>
+      <inertia ixx="0.002" ixy="0" ixz="0" iyy="0.002" iyz="0" izz="0.004"/>
+    </inertial>
+    <collision><geometry><cylinder radius="0.1" length="0.04"/></geometry></collision>
+  </link>
+  <link name="arm_1">
+    <inertial>
+      <origin xyz="0 0 0.15"/>
+      <mass value="2.5"/>
+      <inertia ixx="0.02" ixy="0" ixz="0" iyy="0.02" iyz="0" izz="0.005"/>
+    </inertial>
+  </link>
+  <link name="tool_mount">
+    <inertial>
+      <mass value="0.4"/>
+      <inertia ixx="0.001" ixy="0" ixz="0" iyy="0.001" iyz="0" izz="0.001"/>
+    </inertial>
+  </link>
+  <!-- a continuous wheel joint -->
+  <joint name="wheel_l_joint" type="continuous">
+    <origin xyz="0 0.22 0.0" rpy="-1.5707963 0 0"/>
+    <parent link="base_link"/>
+    <child link="wheel_l"/>
+    <axis xyz="0 0 1"/>
+    <dynamics damping="0.05" friction="0.2"/>
+  </joint>
+  <joint name="shoulder" type="revolute">
+    <origin xyz="0.1 0 0.2" rpy="0 0 0"/>
+    <parent link="base_link"/>
+    <child link="arm_1"/>
+    <axis xyz="0 1 0"/>
+    <limit lower="-2.9" upper="2.9" effort="80" velocity="2.0"/>
+    <dynamics damping="0.3"/>
+    <safety_controller soft_lower_limit="-2.8" soft_upper_limit="2.8"
+                       k_position="20" k_velocity="10"/>
+  </joint>
+  <joint name="tool_fix" type="fixed">
+    <origin xyz="0 0 0.3" rpy="0 0 0.5"/>
+    <parent link="arm_1"/>
+    <child link="tool_mount"/>
+  </joint>
+  <transmission name="shoulder_trans">
+    <type>transmission_interface/SimpleTransmission</type>
+    <joint name="shoulder"><hardwareInterface>EffortJointInterface</hardwareInterface></joint>
+    <actuator name="shoulder_motor"><mechanicalReduction>100</mechanicalReduction></actuator>
+  </transmission>
+  <gazebo reference="base_link">
+    <plugin name="drive" filename="libgazebo_ros_diff_drive.so">
+      <updateRate>50</updateRate>
+    </plugin>
+  </gazebo>
+</robot>"""
+    desc = g.parse_urdf(noisy)
+    # 2 moving joints (continuous wheel → revolute, shoulder); the fixed
+    # tool mount lumps into arm_1
+    assert desc.n == 2
+    assert desc.joint_types == ("revolute", "revolute")
+    assert abs(desc.damping[desc.topology.joint_names.index("wheel_l_joint")]
+               - 0.05) < 1e-12
+    assert abs(desc.damping[desc.topology.joint_names.index("shoulder")] - 0.3) < 1e-12
+    # the lumped arm_1 inertia gained the tool mass
+    gold = g.GoldenDynamics(desc)
+    model = g.robot_model_from_description(desc)
+    q = np.array([0.3, -0.7])
+    qd = np.array([1.0, 0.5])
+    u = np.array([0.2, -1.1])
+    qdd = np.asarray(g.forward_dynamics(model, q, qd, u))
+    np.testing.assert_allclose(qdd, gold.fd(q, qd, u), atol=1e-9)
+    J = np.asarray(g.forward_dynamics_gradient(model, q, qd, u))
+    np.testing.assert_allclose(J, gold.fd_grad(q, qd, u), atol=1e-8)
