@@ -45,6 +45,12 @@ def _load():
         ctypes.c_double, ctypes.c_double, ctypes.c_int,     # ground_z, gravity, iters
         ctypes.c_double, ctypes.c_double, ctypes.c_double,  # erp, margin, restitution
         _D, _D, _D, _D, _D, _D]               # quat2, pos2, q2, vb2, qd2, imp
+    lib.grid_fb_stance.argtypes = hdr + [
+        _D, _D, _D, _D, _D, _D, _D,           # I_base, quat, pos, q, vb, qd, tau
+        ctypes.c_int, _I, _D, ctypes.c_void_p,              # k, links, offsets, anchors
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # gravity, alpha, beta
+        ctypes.c_double,                                    # reg
+        _D, _D, _D]                           # dvb, qdd, lam
     mdh = [ctypes.c_int, ctypes.c_int, ctypes.c_int, _I, _I, _I, _I,
            _D, _D, _D, _D]
     lib.grid_md_id.argtypes = mdh + [_D, _D, ctypes.c_void_p,
@@ -107,6 +113,30 @@ class NativeOracle:
                                np.ascontiguousarray(u, np.float64), gravity,
                                out)
         return out
+
+    def fb_stance(self, quat, pos, q, vb, qd, tau, links, offsets,
+                  anchors=None, gravity=-9.81, baumgarte=(0.0, 0.0),
+                  reg=0.0):
+        """Stance-phase free-flyer FD (feet pinned to world anchors) — the
+        independent oracle for
+        ``ops/contact.py::fb_constrained_forward_dynamics``. The contact
+        bias J̇·v is computed analytically from the moving-base spatial
+        sweep (not by autodiff). Returns ``(v̇b (6,), q̈ (n,), λ (3k,))``."""
+        n, k = self.n, len(links)
+        quat, pos, q, vb, qd, tau = (np.ascontiguousarray(x, np.float64)
+                                     for x in (quat, pos, q, vb, qd, tau))
+        links_a = np.asarray(links, np.int32)
+        offs = np.ascontiguousarray(offsets, np.float64).reshape(k * 3)
+        anch = (None if anchors is None
+                else np.ascontiguousarray(anchors, np.float64).reshape(k * 3))
+        dvb, qdd, lam = np.zeros(6), np.zeros(n), np.zeros(3 * k)
+        self._lib.grid_fb_stance(
+            *self._hdr(), self._I_base, quat, pos, q, vb, qd, tau,
+            k, links_a, offs,
+            None if anch is None else anch.ctypes.data,
+            float(gravity), float(baumgarte[0]), float(baumgarte[1]),
+            float(reg), dvb, qdd, lam)
+        return dvb, qdd, lam
 
     def fb_step_ground(self, state, tau, dt, links, offsets, mu=0.8,
                        ground_z=0.0, gravity=-9.81, iters=30, erp=0.2,

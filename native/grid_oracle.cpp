@@ -378,6 +378,115 @@ Robot make_robot(int n, const int* parents, const int* jtype,
   return rb;
 }
 
+
+// World-frame linear contact rows J (3k × (6+n)) and base-frame contact
+// points x_b (k × 3) — the free-flyer point Jacobian of
+// ops/contact.py::fb_contact_jacobian.
+void fb_contact_rows(const Robot& rb, const std::vector<double>& Rb_fk,
+                     const std::vector<double>& p_fk, const double R[3][3],
+                     int k, const int* links, const double* offsets,
+                     std::vector<double>& J, std::vector<double>& xb_all) {
+  const int n = rb.n, m = 6 + n;
+  J.assign(3 * k * m, 0.0);
+  xb_all.assign(3 * k, 0.0);
+  for (int i = 0; i < k; ++i) {
+    const int l = links[i];
+    double* xb = &xb_all[3 * i];
+    for (int r = 0; r < 3; ++r) {
+      double acc = 0;
+      for (int c = 0; c < 3; ++c)
+        acc += Rb_fk[9 * l + 3 * r + c] * offsets[3 * i + c];
+      xb[r] = p_fk[3 * l + r] + acc;
+    }
+    // base block in base coords: [−skew(x_b) | I₃]
+    double B6[3][6] = {{0, xb[2], -xb[1], 1, 0, 0},
+                       {-xb[2], 0, xb[0], 0, 1, 0},
+                       {xb[1], -xb[0], 0, 0, 0, 1}};
+    // arm columns (linear rows of the base-frame point Jacobian)
+    std::vector<double> Ja(3 * n, 0.0);
+    for (int j = l; j >= 0; j = rb.parents[j]) {
+      double aang[3], alin[3];
+      for (int r = 0; r < 3; ++r) {
+        double a1 = 0, a2 = 0;
+        for (int c = 0; c < 3; ++c) {
+          a1 += Rb_fk[9 * j + 3 * r + c] * rb.S[6 * j + c];
+          a2 += Rb_fk[9 * j + 3 * r + c] * rb.S[6 * j + 3 + c];
+        }
+        aang[r] = a1;
+        alin[r] = a2;
+      }
+      double d[3] = {xb[0] - p_fk[3 * j], xb[1] - p_fk[3 * j + 1],
+                     xb[2] - p_fk[3 * j + 2]};
+      double cr[3];
+      cross3(aang, d, cr);
+      for (int r = 0; r < 3; ++r) Ja[r * n + j] = cr[r] + alin[r];
+    }
+    // world rows: R · [B6 | Ja]
+    for (int r = 0; r < 3; ++r) {
+      for (int c = 0; c < 6; ++c) {
+        double acc = 0;
+        for (int t = 0; t < 3; ++t) acc += R[r][t] * B6[t][c];
+        J[(3 * i + r) * m + c] = acc;
+      }
+      for (int j = 0; j < n; ++j) {
+        double acc = 0;
+        for (int t = 0; t < 3; ++t) acc += R[r][t] * Ja[t * n + j];
+        J[(3 * i + r) * m + 6 + j] = acc;
+      }
+    }
+  }
+}
+
+// World contact bias J̇·[vb; q̇] (3k) — analytic, via the moving-base
+// spatial sweep at v̇b = 0 (body rate), q̈ = 0, no gravity, then the
+// classical-acceleration conversion a_cl = a_lin(P) + ω × v_lin(P) in
+// link coordinates and rotation to world. Matches the exact jvp the
+// Python engine computes (ops/contact.py::fb_contact_bias).
+void fb_contact_bias_w(const Robot& rb, const std::vector<Mat6>& X,
+                       const std::vector<double>& Rb_fk,
+                       const double R[3][3], const double* vb,
+                       const double* qd, int k, const int* links,
+                       const double* offsets, std::vector<double>& bias) {
+  const int n = rb.n;
+  std::vector<double> v(6 * n), a(6 * n);
+  double a0[6] = {0, 0, 0, 0, 0, 0};
+  for (int i = 0; i < n; ++i) {
+    const int pj = rb.parents[i];
+    double Sqd[6], t[6];
+    for (int r = 0; r < 6; ++r) Sqd[r] = rb.S[6 * i + r] * qd[i];
+    matvec(X[i], pj < 0 ? vb : &v[6 * pj], &v[6 * i]);
+    for (int r = 0; r < 6; ++r) v[6 * i + r] += Sqd[r];
+    matvec(X[i], pj < 0 ? a0 : &a[6 * pj], &a[6 * i]);
+    crm_apply(&v[6 * i], Sqd, t);
+    for (int r = 0; r < 6; ++r) a[6 * i + r] += t[r];
+  }
+  bias.assign(3 * k, 0.0);
+  for (int i = 0; i < k; ++i) {
+    const int l = links[i];
+    const double* o = offsets + 3 * i;
+    const double* w = &v[6 * l];       // [ω; v_lin] at link frame origin
+    const double* al = &a[6 * l];      // [α; a_lin] spatial
+    double wxo[3], axo[3], vpt[3], acl[3], wxv[3];
+    cross3(w, o, wxo);
+    cross3(al, o, axo);
+    for (int r = 0; r < 3; ++r) vpt[r] = w[3 + r] + wxo[r];
+    cross3(w, vpt, wxv);
+    for (int r = 0; r < 3; ++r) acl[r] = al[3 + r] + axo[r] + wxv[r];
+    // world = R(quat) · R_base←link · a_cl
+    double ab[3];
+    for (int r = 0; r < 3; ++r) {
+      double acc = 0;
+      for (int c = 0; c < 3; ++c) acc += Rb_fk[9 * l + 3 * r + c] * acl[c];
+      ab[r] = acc;
+    }
+    for (int r = 0; r < 3; ++r) {
+      double acc = 0;
+      for (int c = 0; c < 3; ++c) acc += R[r][c] * ab[c];
+      bias[3 * i + r] = acc;
+    }
+  }
+}
+
 }  // namespace
 
 // ==========================================================================
@@ -700,56 +809,12 @@ void grid_fb_step_ground(
   for (int c = 0; c < m; ++c) v_free[c] = v[c] + dt * acc_free[c];
 
   // world contact rows [x, y, z(=normal)] per foot + plane gaps
-  std::vector<double> Rb_fk, p_fk;
+  std::vector<double> Rb_fk, p_fk, J, xb_all, gaps(k), active(k);
   arm_fk(rb, X, Rb_fk, p_fk);
-  std::vector<double> J(3 * k * m, 0.0), gaps(k), active(k);
+  fb_contact_rows(rb, Rb_fk, p_fk, R, k, links, offsets, J, xb_all);
   for (int i = 0; i < k; ++i) {
-    const int l = links[i];
-    double xb[3];
-    for (int r = 0; r < 3; ++r) {
-      double acc = 0;
-      for (int c = 0; c < 3; ++c)
-        acc += Rb_fk[9 * l + 3 * r + c] * offsets[3 * i + c];
-      xb[r] = p_fk[3 * l + r] + acc;
-    }
-    // base block in base coords: [−skew(x_b) | I₃]
-    double B6[3][6] = {{0, xb[2], -xb[1], 1, 0, 0},
-                       {-xb[2], 0, xb[0], 0, 1, 0},
-                       {xb[1], -xb[0], 0, 0, 0, 1}};
-    // arm columns (linear rows of the base-frame point Jacobian)
-    std::vector<double> Ja(3 * n, 0.0);
-    for (int j = l; j >= 0; j = rb.parents[j]) {
-      double aang[3], alin[3];
-      for (int r = 0; r < 3; ++r) {
-        double a1 = 0, a2 = 0;
-        for (int c = 0; c < 3; ++c) {
-          a1 += Rb_fk[9 * j + 3 * r + c] * rb.S[6 * j + c];
-          a2 += Rb_fk[9 * j + 3 * r + c] * rb.S[6 * j + 3 + c];
-        }
-        aang[r] = a1;
-        alin[r] = a2;
-      }
-      double d[3] = {xb[0] - p_fk[3 * j], xb[1] - p_fk[3 * j + 1],
-                     xb[2] - p_fk[3 * j + 2]};
-      double cr[3];
-      cross3(aang, d, cr);
-      for (int r = 0; r < 3; ++r) Ja[r * n + j] = cr[r] + alin[r];
-    }
-    // world rows: R · [B6 | Ja]
-    for (int r = 0; r < 3; ++r) {
-      for (int c = 0; c < 6; ++c) {
-        double acc = 0;
-        for (int t = 0; t < 3; ++t) acc += R[r][t] * B6[t][c];
-        J[(3 * i + r) * m + c] = acc;
-      }
-      for (int j = 0; j < n; ++j) {
-        double acc = 0;
-        for (int t = 0; t < 3; ++t) acc += R[r][t] * Ja[t * n + j];
-        J[(3 * i + r) * m + 6 + j] = acc;
-      }
-    }
     double xw2 = 0;
-    for (int c = 0; c < 3; ++c) xw2 += R[2][c] * xb[c];
+    for (int c = 0; c < 3; ++c) xw2 += R[2][c] * xb_all[3 * i + c];
     gaps[i] = pos[2] + xw2 - ground_z;
     active[i] = gaps[i] < margin ? 1.0 : 0.0;
   }
@@ -829,6 +894,80 @@ void grid_fb_step_ground(
     pos2[r] = pos[r] + dt * acc;
   }
   for (int i = 0; i < 3 * k; ++i) imp[i] = p[i];
+}
+
+void grid_fb_stance(
+    int n, const int* parents, const int* jtype, const double* Xb,
+    const double* Xs, const double* Xc, const double* S,
+    const double* inertia, const double* damping, const double* I_base,
+    const double* quat, const double* pos, const double* q,
+    const double* vb, const double* qd, const double* tau, int k,
+    const int* links, const double* offsets /*k×3*/,
+    const double* anchors /*k×3 or null*/, double gravity, double alpha,
+    double beta, double reg, double* dvb_out, double* qdd_out,
+    double* lam_out /*3k*/) {
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  std::vector<Mat6> X;
+  joint_xforms(rb, q, X);
+  const int m = 6 + n;
+  double R[3][3];
+  quat_rot_wb(quat, R);
+
+  double pb6[6];
+  std::vector<double> cj(n), M, L;
+  fb_bias_mass(rb, X, I_base, R, vb, qd, gravity, pb6, cj.data(), M);
+  chol_fac(m, M, L);
+  std::vector<double> rhs(m), y_free(m), v(m);
+  for (int r = 0; r < 6; ++r) { rhs[r] = -pb6[r]; v[r] = vb[r]; }
+  for (int i = 0; i < n; ++i) { rhs[6 + i] = tau[i] - cj[i]; v[6 + i] = qd[i]; }
+  chol_sol(m, L, rhs.data(), y_free.data());
+
+  std::vector<double> Rb_fk, p_fk, J, xb_all, bias;
+  arm_fk(rb, X, Rb_fk, p_fk);
+  fb_contact_rows(rb, Rb_fk, p_fk, R, k, links, offsets, J, xb_all);
+  fb_contact_bias_w(rb, X, Rb_fk, R, vb, qd, k, links, offsets, bias);
+
+  // Baumgarte targets: a* = −2α·Jv − β²·(x_w − anchor)
+  std::vector<double> a_star(3 * k, 0.0);
+  if (alpha != 0.0)
+    for (int r = 0; r < 3 * k; ++r) {
+      double jv = 0;
+      for (int c = 0; c < m; ++c) jv += J[r * m + c] * v[c];
+      a_star[r] -= 2.0 * alpha * jv;
+    }
+  if (beta != 0.0 && anchors)
+    for (int i = 0; i < k; ++i)
+      for (int r = 0; r < 3; ++r) {
+        double xw = pos[r];
+        for (int c = 0; c < 3; ++c) xw += R[r][c] * xb_all[3 * i + c];
+        a_star[3 * i + r] -= beta * beta * (xw - anchors[3 * i + r]);
+      }
+
+  // Delassus solve: G λ = −(J y_free + bias − a*)
+  std::vector<double> MiJt(m * 3 * k), G(9 * k * k), grhs(3 * k),
+      lam(3 * k), Lg;
+  for (int r = 0; r < 3 * k; ++r)
+    chol_sol(m, L, &J[r * m], &MiJt[r * m]);
+  for (int r = 0; r < 3 * k; ++r)
+    for (int s2 = 0; s2 < 3 * k; ++s2) {
+      double acc = 0;
+      for (int c = 0; c < m; ++c) acc += J[r * m + c] * MiJt[s2 * m + c];
+      G[r * 3 * k + s2] = acc + (r == s2 ? reg : 0.0);
+    }
+  for (int r = 0; r < 3 * k; ++r) {
+    double jy = 0;
+    for (int c = 0; c < m; ++c) jy += J[r * m + c] * y_free[c];
+    grhs[r] = -(jy + bias[r] - a_star[r]);
+  }
+  chol_fac(3 * k, G, Lg);
+  chol_sol(3 * k, Lg, grhs.data(), lam.data());
+
+  std::vector<double> y(y_free);
+  for (int c = 0; c < m; ++c)
+    for (int r = 0; r < 3 * k; ++r) y[c] += MiJt[r * m + c] * lam[r];
+  for (int r = 0; r < 6; ++r) dvb_out[r] = y[r];
+  for (int i = 0; i < n; ++i) qdd_out[i] = y[6 + i];
+  for (int r = 0; r < 3 * k; ++r) lam_out[r] = lam[r];
 }
 
 }  // extern "C"

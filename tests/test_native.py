@@ -173,3 +173,52 @@ def test_native_ground_step_oracle():
             np.testing.assert_allclose(np.asarray(a), b, atol=1e-9,
                                        err_msg=name)
         np.testing.assert_allclose(np.asarray(imp_j), imp_o, atol=1e-9)
+
+
+def test_native_stance_oracle():
+    """Stance-phase free-flyer FD vs the independent C++ oracle. The
+    oracle computes the contact bias J̇·v analytically (moving-base
+    spatial sweep + classical-acceleration conversion) where the engine
+    uses an exact jvp along the state flow — agreement validates both
+    formulations. Baumgarte position/velocity terms and world anchors
+    included."""
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ctt
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    from gridcodegenerator_tpu.utils.native import NativeOracle
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    oracle = NativeOracle(desc)
+    feet = (2, 5, 8, 11)
+    offs = np.tile(np.array([0.35, 0.0, 0.0]), (4, 1))
+    rng = np.random.default_rng(55)
+    for trial in range(3):
+        quat = np.array([1.0, 0.0, 0.0, 0.0]) + 0.1 * rng.standard_normal(4)
+        quat /= np.linalg.norm(quat)
+        pos = np.array([0.0, 0.0, 0.55]) + 0.05 * rng.standard_normal(3)
+        q = 0.3 * rng.standard_normal(desc.n)
+        vb = 0.4 * rng.standard_normal(6)
+        qd = 0.5 * rng.standard_normal(desc.n)
+        tau = 3.0 * rng.standard_normal(desc.n)
+        # anchors slightly off the current foot positions → nonzero β term
+        R = np.asarray(ff.quat_to_rot(jnp.asarray(quat)))
+        anchors = np.stack([
+            pos + R @ np.asarray(ctt._fb_point_base(
+                ffm, jnp.asarray(q), l, jnp.asarray(offs[i]))[0])
+            + 0.01 * rng.standard_normal(3)
+            for i, l in enumerate(feet)])
+        bg = (1.5, 8.0)
+        dvb_j, qdd_j, lam_j = ctt.fb_constrained_forward_dynamics(
+            ffm, jnp.asarray(quat), jnp.asarray(pos), jnp.asarray(q),
+            jnp.asarray(vb), jnp.asarray(qd), jnp.asarray(tau), feet, offs,
+            anchors=anchors, baumgarte=bg, reg=1e-10)
+        dvb_o, qdd_o, lam_o = oracle.fb_stance(
+            quat, pos, q, vb, qd, tau, feet, offs, anchors=anchors,
+            baumgarte=bg, reg=1e-10)
+        np.testing.assert_allclose(np.asarray(dvb_j), dvb_o, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(qdd_j), qdd_o, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(lam_j), lam_o, atol=1e-7)
