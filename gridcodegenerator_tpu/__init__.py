@@ -21,10 +21,14 @@ from .api import (
     direct_minv,
     forward_dynamics,
     forward_dynamics_gradient,
+    forward_dynamics_gradient_full,
+    forward_dynamics_hessian,
+    forward_dynamics_hessian_vp,
     forward_dynamics_ad,
     forward_dynamics_gradient_qdd_minv,
     inverse_dynamics,
     inverse_dynamics_gradient,
+    inverse_dynamics_hessian,
     map_batched,
 )
 from .codegen import (
@@ -50,6 +54,16 @@ from .ops.contact import (
     fb_step_ground_batched,
     project_velocity,
     simulate_constrained,
+)
+from .ops.centroidal import (
+    centroidal_momentum,
+    centroidal_momentum_bias,
+    centroidal_momentum_matrix,
+    com,
+    fb_centroidal_momentum,
+    fb_centroidal_momentum_matrix,
+    fb_com,
+    total_mass,
 )
 from .ops.fd import forward_dynamics_diff
 from .ops.kinematics import fk, point_position, world_jacobian

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .models.robot import RobotModel, load_robot  # re-export  # noqa: F401
-from .ops import fd, fd_grad, minv, rnea, rnea_grad
+from .ops import fd, fd_grad, minv, rnea, rnea_grad, so
 from .ops.kernels import fused
 
 
@@ -242,6 +242,66 @@ def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
         return _pallas_run(model, (q, qd, u), kernel=_k_fd_grad,
                            gravity=gravity)
     return _forward_dynamics_gradient_vmap(model, q, qd, u, gravity=gravity)
+
+
+# ------------------------------------------------------------- second order
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=3)
+def _fd_grad_full_vmap(model, q, qd, u, *, gravity=-9.81):
+    return so.fd_grad_full(model, q, qd, u, gravity)
+
+
+def forward_dynamics_gradient_full(model: RobotModel, q, qd, u, *,
+                                   gravity: float = -9.81):
+    """[∂q̈/∂q | ∂q̈/∂q̇ | ∂q̈/∂u] as (..., n, 3n) — the first-order gradient
+    extended by the ∂q̈/∂u = M⁻¹ block from the same pipeline."""
+    _check_states(model, (q, qd, u), ("q", "qd", "u"))
+    return _fd_grad_full_vmap(model, q, qd, u, gravity=gravity)
+
+
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=3)
+def _fd_hessian_vmap(model, q, qd, u, *, gravity=-9.81):
+    return so.forward_dynamics_hessian(model, q, qd, u, gravity)
+
+
+def forward_dynamics_hessian(model: RobotModel, q, qd, u, *,
+                             gravity: float = -9.81):
+    """∂²q̈/∂x∂x, x = (q, q̇, u): (..., n, 3n, 3n), symmetric in the trailing
+    pair. Second order runs forward-mode over the analytic first-order
+    gradient (``ops/so.py``) on the differentiable vmap path — there is no
+    ``impl=`` selector; on TPU the batch axis still fills the vector
+    lanes."""
+    _check_states(model, (q, qd, u), ("q", "qd", "u"))
+    return _fd_hessian_vmap(model, q, qd, u, gravity=gravity)
+
+
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=4)
+def _fd_hessian_vp_vmap(model, q, qd, u, lam, *, gravity=-9.81):
+    return so.forward_dynamics_hessian_vp(model, q, qd, u, lam, gravity)
+
+
+def forward_dynamics_hessian_vp(model: RobotModel, q, qd, u, lam, *,
+                                gravity: float = -9.81):
+    """λᵀ·∂²q̈/∂x∂x as (..., 3n, 3n) — the DDP backward-pass curvature term
+    (Σᵢ λᵢ·f_zz[i]) without materializing the rank-3 Hessian. ``lam`` is
+    (..., n), batched like the states."""
+    _check_states(model, (q, qd, u, lam), ("q", "qd", "u", "lam"))
+    return _fd_hessian_vp_vmap(model, q, qd, u, lam, gravity=gravity)
+
+
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=3)
+def _id_hessian_vmap(model, q, qd, qdd, *, gravity=-9.81):
+    return so.inverse_dynamics_hessian(model, q, qd, qdd, gravity)
+
+
+def inverse_dynamics_hessian(model: RobotModel, q, qd, qdd, *,
+                             gravity: float = -9.81):
+    """∂²c/∂x∂x, x = (q, q̇) at fixed q̈: (..., n, 2n, 2n)."""
+    _check_states(model, (q, qd, qdd), ("q", "qd", "qdd"))
+    return _id_hessian_vmap(model, q, qd, qdd, gravity=gravity)
 
 
 def forward_dynamics_ad(model: RobotModel, q, qd, u, *,
