@@ -265,14 +265,32 @@ def _fd_hessian_vmap(model, q, qd, u, *, gravity=-9.81):
     return so.forward_dynamics_hessian(model, q, qd, u, gravity)
 
 
+@functools.partial(jax.jit, static_argnames=("gravity", "with_lam"))
+def _fd_hessian_bl_run(model, states, *, gravity, with_lam):
+    """Boundary adapter for the batch-last second-order path: (..., n)
+    batch-first user arrays → (n, B) batch-last and back. The batch-first
+    vmap nest measured 3.2e4 evals/s and OOM'd at 65k states (28× padding
+    expansion on (B, 6, 6) remat temporaries); batch-last measures ~100×
+    faster — see ``ops/so.py``."""
+    n = model.n
+    batch_shape = states[0].shape[:-1]
+    flat = tuple(s.reshape(-1, n).T for s in states)
+    lam = flat[3] if with_lam else None
+    H = so.forward_dynamics_hessian_bl(model, *flat[:3], gravity, lam=lam)
+    return jnp.moveaxis(H, -1, 0).reshape(batch_shape + H.shape[:-1])
+
+
 def forward_dynamics_hessian(model: RobotModel, q, qd, u, *,
-                             gravity: float = -9.81):
+                             gravity: float = -9.81, impl: str = "auto"):
     """∂²q̈/∂x∂x, x = (q, q̇, u): (..., n, 3n, 3n), symmetric in the trailing
     pair. Second order runs forward-mode over the analytic first-order
-    gradient (``ops/so.py``) on the differentiable vmap path — there is no
-    ``impl=`` selector; on TPU the batch axis still fills the vector
-    lanes."""
+    gradient (``ops/so.py``); on TPU batches route to the batch-last
+    formulation (``impl="auto"``/``"pallas"``), elsewhere to the vmap nest
+    (``impl="vmap"``)."""
     _check_states(model, (q, qd, u), ("q", "qd", "u"))
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _fd_hessian_bl_run(model, (q, qd, u), gravity=gravity,
+                                  with_lam=False)
     return _fd_hessian_vmap(model, q, qd, u, gravity=gravity)
 
 
@@ -283,11 +301,14 @@ def _fd_hessian_vp_vmap(model, q, qd, u, lam, *, gravity=-9.81):
 
 
 def forward_dynamics_hessian_vp(model: RobotModel, q, qd, u, lam, *,
-                                gravity: float = -9.81):
+                                gravity: float = -9.81, impl: str = "auto"):
     """λᵀ·∂²q̈/∂x∂x as (..., 3n, 3n) — the DDP backward-pass curvature term
     (Σᵢ λᵢ·f_zz[i]) without materializing the rank-3 Hessian. ``lam`` is
     (..., n), batched like the states."""
     _check_states(model, (q, qd, u, lam), ("q", "qd", "u", "lam"))
+    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+        return _fd_hessian_bl_run(model, (q, qd, u, lam), gravity=gravity,
+                                  with_lam=True)
     return _fd_hessian_vp_vmap(model, q, qd, u, lam, gravity=gravity)
 
 

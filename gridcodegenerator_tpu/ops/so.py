@@ -83,6 +83,71 @@ def forward_dynamics_hessian_vp(model: RobotModel, q, qd, u, lam,
     return jax.jacfwd(g)(jnp.concatenate([q, qd, u]))
 
 
+# ----------------------------------------------------------- batch-last
+# The vmap nest above is correct everywhere but lays out per-state (6,6)
+# temporaries batch-FIRST — on TPU that puts structure dims on the (8,128)
+# register tile (measured: 3.2e4 evals/s at 16k and OOM at 65k from a 28×
+# padding expansion on f32[B,6,6,1] remat copies). These batch-LAST forms
+# differentiate ``ops/blops.py`` instead: one ``jax.linearize`` of the
+# batch-last analytic gradient, then the 3n coordinate tangents — each
+# broadcast over the batch — pushed through the linearized program with the
+# batch on the vector lanes throughout (same redesign that took the contact
+# layer 36×, ops/kinematics.py note).
+
+
+def fd_grad_full_bl(model: RobotModel, q, qd, u, gravity=-9.81):
+    """Batch-last [∂q̈/∂q | ∂q̈/∂q̇ | M⁻¹]: q/qd/u (n, *b) → (n, 3n, *b)."""
+    from .blops import (densify_rows, joint_transforms_bl, matmatN, matvecN,
+                        minv_bl, rnea_bwd_bl, rnea_fwd_bl,
+                        rnea_grad_inner_bl)
+
+    X = joint_transforms_bl(model, q)
+    v, _, f0 = rnea_fwd_bl(model, X, qd, None, gravity)
+    c, _ = rnea_bwd_bl(model, X, f0, qd)
+    rows, _, _ = minv_bl(model, X)
+    Minv = densify_rows(rows)
+    qdd = matvecN(Minv, u - c)
+    _, a, f = rnea_fwd_bl(model, X, qd, qdd, gravity, v_known=v)
+    _, f = rnea_bwd_bl(model, X, f, None)
+    dq = rnea_grad_inner_bl(model, X, qd, v, a, f, gravity,
+                            sides=("q",))["q"]
+    ddq = matmatN(Minv, dq, negate=True)
+    dqd = rnea_grad_inner_bl(model, X, qd, v, a, f, gravity,
+                             sides=("qd",))["qd"]
+    ddqd = matmatN(Minv, dqd, negate=True)
+    return jnp.concatenate([ddq, ddqd, Minv], axis=1)
+
+
+def _coord_tangents(n3, batch_shape, dtype):
+    """(n3, n3, *b): tangent k is the coordinate direction e_k broadcast
+    over the batch (every state perturbed the same way)."""
+    eye = jnp.eye(n3, dtype=dtype)
+    return eye.reshape((n3, n3) + (1,) * len(batch_shape))
+
+
+def forward_dynamics_hessian_bl(model: RobotModel, q, qd, u, gravity=-9.81,
+                                lam=None):
+    """Batch-last Hessian: (n, 3n, 3n, *b) — or, with ``lam`` (n, *b)
+    given, the contracted λᵀ·H of shape (3n, 3n, *b)."""
+    n = model.topology.n
+    batch_shape = q.shape[1:]
+    x = jnp.concatenate([q, qd, u], axis=0)
+
+    def G(x_):
+        J = fd_grad_full_bl(model, x_[:n], x_[n:2 * n], x_[2 * n:], gravity)
+        if lam is not None:
+            J = jnp.einsum("i...,ij...->j...", lam, J)
+        return J
+
+    _, fjvp = jax.linearize(G, x)
+    tangents = jnp.broadcast_to(
+        _coord_tangents(3 * n, batch_shape, x.dtype),
+        (3 * n, 3 * n) + batch_shape)
+    H = jax.vmap(fjvp)(tangents)       # (3n_dirs, [n,] 3n, *b)
+    # tangent axis k belongs after the Jacobian indices: (…, 3n, k, *b)
+    return jnp.moveaxis(H, 0, 2 if lam is None else 1)
+
+
 def inverse_dynamics_hessian(model: RobotModel, q, qd, qdd=None,
                              gravity=-9.81):
     """∂²c/∂x∂x, x = (q, q̇) with q̈ held fixed (the ∂ID family's

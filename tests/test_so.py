@@ -17,7 +17,7 @@ from gridcodegenerator_tpu.ops import fd as fd_ops
 from gridcodegenerator_tpu.ops import rnea as rnea_ops
 from gridcodegenerator_tpu.ops import so
 
-from conftest import random_state
+from conftest import get_setup, random_state
 
 
 def _concat_fd(model, gravity=-9.81):
@@ -115,6 +115,35 @@ def test_hessian_api_batched(iiwa):
         np.asarray(Hvp), np.einsum("bijk->bjk", np.asarray(Hb)), atol=1e-10)
     Hc = g.inverse_dynamics_hessian(model, q, qd, u)
     assert Hc.shape == (5, n, 2 * n, 2 * n)
+
+
+@pytest.mark.mid
+@pytest.mark.parametrize("name", ["dpend", "barm", "iiwa14"])
+def test_fd_hessian_batch_last_equivalence(name):
+    """The TPU production path (batch-last linearize over blops) must match
+    the vmap nest exactly — both plain and λ-contracted. Three robots only
+    (planar / branched tree / iiwa): the vmap-nest reference compile costs
+    ~100 s per robot on a 1-core host, and the blops body under the
+    linearize is already validated per-robot elsewhere."""
+    desc, _, model = get_setup(name)
+    n = desc.n
+    q, qd, u = (jnp.asarray(a) for a in random_state(n, seed=17, batch=(3,)))
+    lam = jnp.asarray(
+        np.random.default_rng(2).standard_normal((3, n)))
+    H_ref = g.forward_dynamics_hessian(model, q, qd, u, impl="vmap")
+    H_bl = so.forward_dynamics_hessian_bl(model, q.T, qd.T, u.T)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(H_bl, -1, 0)),
+                               np.asarray(H_ref), atol=1e-9, rtol=1e-9)
+    Hvp_ref = g.forward_dynamics_hessian_vp(model, q, qd, u, lam,
+                                            impl="vmap")
+    Hvp_bl = so.forward_dynamics_hessian_bl(model, q.T, qd.T, u.T,
+                                            lam=lam.T)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Hvp_bl, -1, 0)),
+                               np.asarray(Hvp_ref), atol=1e-9, rtol=1e-9)
+    # api routing with impl="pallas" uses the bl adapter on any backend
+    H_api = g.forward_dynamics_hessian(model, q, qd, u, impl="pallas")
+    np.testing.assert_allclose(np.asarray(H_api), np.asarray(H_ref),
+                               atol=1e-9, rtol=1e-9)
 
 
 def test_fd_hessian_taylor(iiwa):
