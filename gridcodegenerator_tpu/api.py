@@ -99,7 +99,12 @@ def _k_minv(m, q, gravity):
 
 
 def _k_fd(m, q, qd, u, gravity):
-    return fused.forward_dynamics_fused(m, q, qd, u, gravity)
+    # ABA (O(n), no M⁻¹) is the production FD kernel: measured 1.9×/4.5×
+    # the M⁻¹-composition kernel on iiwa/Atlas at batch 262k with an
+    # equal-or-better f32 parity tail (benchmarks/bench_aba.py, v5e
+    # 2026-08-18). forward_dynamics_fused keeps the reference-shaped
+    # minv+RNEA composition for A/B and for callers that also need M⁻¹.
+    return fused.forward_dynamics_aba_fused(m, q, qd, u, gravity)
 
 
 def _k_id_grad(m, q, qd, qdd, gravity):

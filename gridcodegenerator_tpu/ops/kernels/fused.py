@@ -86,6 +86,9 @@ _WORKSET = {
     "fd": lambda n: 7.0 * n * n + 120.0 * n,
     "fd_grad": lambda n: 16.6 * n * n,
     "id_grad": lambda n: 16.6 * n * n,
+    # ABA carries no O(n²) force matrix: X + IA (36n each) + v/ζ/pA (18n)
+    # + U (6n) + temps ≈ 110n
+    "aba": lambda n: 110.0 * n,
 }
 
 
@@ -348,6 +351,36 @@ def forward_dynamics_fused(model: RobotModel, q, qd, u, gravity=-9.81,
 
     (qdd,) = _pallas_batch_call(model, body, [q, qd, u], [(model.n,)], block_b,
                                 interpret)
+    return qdd
+
+
+def forward_dynamics_aba_fused(model: RobotModel, q, qd, u, gravity=-9.81,
+                               block_b=None, interpret=False):
+    """Fused FD via the articulated-body algorithm (``ops/aba.py``):
+    (n,B)³ → q̈ (n,B).
+
+    O(n) per state — no (6, n) force matrix, no M⁻¹ — so its VMEM working
+    set stays linear in n and even humanoid-scale robots fit the 2-D
+    batch-tile layout that the M⁻¹-composition FD kernel outgrows at
+    n ≈ 17. A/B'd against :func:`forward_dynamics_fused` on hardware; see
+    BENCHMARKS.md."""
+    from ..aba import aba_bl
+
+    block_b = block_b or _default_block(model.n, "aba")
+
+    def body(km, q, qd, u):
+        return (aba_bl(km, q, qd, u, gravity),)
+
+    if block_b is None:
+        if _lane_tile_ok(model.n, "aba"):
+            (qdd,) = _pallas_batch_call(model, body, [q, qd, u],
+                                        [(model.n,)], None, interpret,
+                                        lane_tile=True)
+            return qdd
+        return aba_bl(model, q, qd, u, gravity)
+
+    (qdd,) = _pallas_batch_call(model, body, [q, qd, u], [(model.n,)],
+                                block_b, interpret)
     return qdd
 
 
