@@ -25,6 +25,9 @@ from run_benchmarks import time_fn  # noqa: E402
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--robots", nargs="*", default=["iiwa14", "atlas"])
+    p.add_argument("--freeflyer", action="store_true",
+                   help="A/B the floating-base ABA vs the mass-matrix "
+                        "Cholesky kernel instead of the fixed-base FD")
     p.add_argument("--batches", nargs="*", type=int, default=[16384, 262144])
     p.add_argument("--reps", type=int, default=16)
     p.add_argument("--budget", type=float,
@@ -51,6 +54,41 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"# backend={jax.default_backend()} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    if args.freeflyer:
+        from gridcodegenerator_tpu.ops import freeflyer as ffmod
+        from gridcodegenerator_tpu.ops.kernels import contact_fused as cf
+        for name in args.robots:
+            ffm = ffmod.free_flyer_model(
+                g.parse_urdf(zoo.ZOO[name](damping=0.1)), dtype=jnp.float32)
+            n = ffm.n
+            for B in args.batches:
+                rng = np.random.default_rng(0)
+                quat = rng.standard_normal((4, B))
+                quat /= np.linalg.norm(quat, axis=0)
+                quat = jnp.asarray(quat, jnp.float32)
+                q, qd, tau = (jnp.asarray(rng.uniform(-1.5, 1.5, (n, B)),
+                                          jnp.float32) for _ in range(3))
+                vb = jnp.asarray(rng.uniform(-1, 1, (6, B)), jnp.float32)
+                cases = [
+                    ("fb_fd aba-fused", lambda *s: cf.fb_aba_fused(
+                        ffm, *s)[1]),
+                    ("fb_fd chol-fused", lambda *s: cf.fb_fd_fused(
+                        ffm, *s)[1]),
+                ]
+                for tag, fn in cases:
+                    jfn = jax.jit(fn)
+                    t0 = time.time()
+                    jax.block_until_ready(jfn(quat, q, vb, qd, tau))
+                    print(f"# {tag} B={B} compile+run {time.time()-t0:.1f}s",
+                          file=sys.stderr, flush=True)
+                    med, mn = time_fn(jfn, (quat, q, vb, qd, tau), args.reps)
+                    print(json.dumps(dict(robot=name, n=n, batch=B,
+                                          case=tag, median_ms=med * 1e3,
+                                          min_ms=mn * 1e3,
+                                          evals_per_sec=B / med)),
+                          flush=True)
+        return
 
     for name in args.robots:
         model = g.load_robot(zoo.ZOO[name](damping=0.1), dtype=jnp.float32)

@@ -65,7 +65,7 @@ from .ops.centroidal import (
     fb_com,
     total_mass,
 )
-from .ops.aba import aba, aba_bl
+from .ops.aba import aba, aba_bl, fb_aba
 from .ops.fd import forward_dynamics_diff
 from .ops.kinematics import fk, point_position, world_jacobian
 from .ops.freeflyer import (

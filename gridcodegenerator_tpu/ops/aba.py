@@ -83,6 +83,67 @@ def aba(model: RobotModel, q, qd, u, gravity=-9.81):
     return jnp.stack(qdd)
 
 
+# --------------------------------------------------------------- free-flyer
+def fb_aba(ffm, quat, q, vb, qd, tau, gravity=-9.81):
+    """Floating-base ABA: returns (v̇b (6,), q̈ (n,)), exactly
+    :func:`..freeflyer.fb_forward_dynamics` without ever assembling the
+    (6+n)² mass matrix — the articulated recursion runs in the engine's
+    gravity-offset coordinates (every acceleration carries the fictitious
+    base field a₀ = [0₃; −g_b], the same convention as ``fb_bias``), so the
+    base closes with one 6×6 solve ā_b = −(Iᴬ_b)⁻¹ pᴬ_b and the returned
+    twist derivative is ā_b − a₀."""
+    from .freeflyer import quat_to_rot, _gravity_world
+
+    arm = ffm.arm
+    topo = arm.topology
+    n = topo.n
+    X = arm.joint_transforms(q)
+    dtype = X.dtype
+    g_b = quat_to_rot(quat).T @ _gravity_world(gravity, dtype)
+    a0 = jnp.concatenate([jnp.zeros(3, dtype), -g_b])
+
+    v = [None] * n
+    zeta = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        Sqd = arm.S[i] * qd[i]
+        v[i] = (xform_apply(X[i], vb if p < 0 else v[p])) + Sqd
+        zeta[i] = crm_apply(v[i], Sqd)
+    IA = [arm.inertia[i] for i in range(n)]
+    pA = [crf_apply(v[i], arm.inertia[i] @ v[i]) for i in range(n)]
+    IA_b = ffm.I_base
+    pA_b = crf_apply(vb, ffm.I_base @ vb)
+
+    U = [None] * n
+    Dinv = [None] * n
+    ubar = [None] * n
+    for i in range(n - 1, -1, -1):
+        S = arm.S[i]
+        Ui = IA[i] @ S
+        Di = 1.0 / jnp.dot(S, Ui)
+        ui = tau[i] - arm.damping[i] * qd[i] - jnp.dot(S, pA[i])
+        U[i], Dinv[i], ubar[i] = Ui, Di, ui
+        Ia = IA[i] - Di * jnp.outer(Ui, Ui)
+        pa = pA[i] + Ia @ zeta[i] + Ui * (Di * ui)
+        p = topo.parents[i]
+        if p >= 0:
+            IA[p] = IA[p] + X[i].T @ Ia @ X[i]
+            pA[p] = pA[p] + xform_T_apply(X[i], pa)
+        else:
+            IA_b = IA_b + X[i].T @ Ia @ X[i]
+            pA_b = pA_b + xform_T_apply(X[i], pa)
+
+    ab = -jnp.linalg.solve(IA_b, pA_b)       # offset base acceleration ā_b
+    a = [None] * n
+    qdd = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        a_prime = xform_apply(X[i], ab if p < 0 else a[p]) + zeta[i]
+        qdd[i] = Dinv[i] * (ubar[i] - jnp.dot(U[i], a_prime))
+        a[i] = a_prime + arm.S[i] * qdd[i]
+    return ab - a0, jnp.stack(qdd)
+
+
 # --------------------------------------------------------------- batch-last
 def aba_bl(model: RobotModel, q, qd, u, gravity=-9.81, X=None):
     """Batch-last ABA: q/q̇/u (n, *b) → q̈ (n, *b). Same unrolled-broadcast

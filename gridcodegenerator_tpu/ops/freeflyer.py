@@ -221,27 +221,32 @@ def fb_forward_dynamics_batched(model: FreeFlyerModel, quat, q, vb, qd, tau,
     """Batched free-flyer FD over leading batch axes (batch-first user
     arrays ``(..., d)``): returns (v̇b (..., 6), q̈ (..., n)).
 
-    ``impl="auto"`` routes to the fused Pallas lane-tile kernel
-    (:func:`.kernels.contact_fused.fb_fd_fused`) on TPU — bias, CRBA mass
-    matrix, and the (6+n) Cholesky solve VMEM-resident per 128-state tile —
-    and to the identical batch-last body as plain XLA elsewhere."""
+    ``impl="auto"`` routes to the fused floating-base ABA lane-tile kernel
+    (:func:`.kernels.contact_fused.fb_aba_fused` — O(n), one 6×6 base
+    solve, no (6+n)² mass matrix: measured 1.2×/1.4× the mass-matrix
+    Cholesky kernel on HyQ/Atlas at 262k with a 4–10× better f32 tail,
+    v5e 2026-08-18) and to the identical batch-last body as plain XLA
+    elsewhere. ``impl="chol"`` keeps the mass-matrix kernel for A/B."""
     from .contact import _impl_auto  # shared platform resolution
     from .kernels import contact_fused as _cf
 
     shape_b = q.shape[:-1]
     flat = lambda x: x.reshape((-1, x.shape[-1])).T
-    interp = False
-    if _impl_auto(impl, q) != "pallas":
+    resolved = _impl_auto("auto" if impl == "chol" else impl, q)
+    body = _cf._fb_fd_body if impl == "chol" else _cf._fb_aba_body
+    if resolved != "pallas":
         # plain-XLA fallback body (same math, full batch) via the gate
         dvb, qdd = _cf._xla_fallback(
             model,
-            lambda km, I_base, *s: _cf._fb_fd_body(
+            lambda km, I_base, *s: body(
                 km, I_base, *s, gravity=float(gravity)),
             [flat(x) for x in (quat, q, vb, qd, tau)])
-    else:
+    elif impl == "chol":
         dvb, qdd = _cf.fb_fd_fused(model, flat(quat), flat(q), flat(vb),
-                                   flat(qd), flat(tau), gravity,
-                                   interpret=interp)
+                                   flat(qd), flat(tau), gravity)
+    else:
+        dvb, qdd = _cf.fb_aba_fused(model, flat(quat), flat(q), flat(vb),
+                                    flat(qd), flat(tau), gravity)
     unflat = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
         shape_b + (arr.shape[0],))
     return unflat(dvb), unflat(qdd)

@@ -828,6 +828,92 @@ def fb_fd_fused(ffm, quat, q, vb, qd, tau, gravity=-9.81, interpret=False):
     body._k_contacts = 0
     return tuple(_run_ff(ffm, body, [quat, q, vb, qd, tau], [6, n],
                          interpret))
+
+
+def _fb_aba_body(km, I_base, quat, q, vb, qd, tau, *, gravity):
+    """Floating-base ABA on a lane tile (``ops/aba.py::fb_aba`` in
+    batch-last form): (v̇b (6,B), q̈ (n,B)) without assembling the (6+n)²
+    mass matrix — the base closes with one 6×6 Cholesky."""
+    topo = km.topology
+    n = topo.n
+    X = blops.joint_transforms_bl(km, q)
+    R = _quat_rot_s(quat)
+    g = float(gravity)
+    a0_lin = jnp.concatenate([-g * R[2, i:i + 1, :] for i in range(3)])
+
+    v = [None] * n
+    zeta = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        Sqd = km.S[i] * qd[i:i + 1]
+        v[i] = blops.matvec6(X[i], vb if p < 0 else v[p]) + Sqd
+        zeta[i] = blops.crm_apply_bl(v[i], Sqd)
+    IA = [km.inertia[i] for i in range(n)]
+    pA = [blops.crf_apply_bl(v[i], blops.matvec6(km.inertia[i], v[i]))
+          for i in range(n)]
+    IA_b = I_base
+    pA_b = blops.crf_apply_bl(vb, blops.matvec6(I_base, vb))
+
+    U = [None] * n
+    Dinv = [None] * n
+    ubar = [None] * n
+    for i in range(n - 1, -1, -1):
+        S = km.S[i]
+        Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))
+        Di = 1.0 / sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))
+        SpA = sum(S[c:c + 1] * pA[i][c:c + 1] for c in range(6))
+        ui = tau[i:i + 1] - km.damping[i:i + 1, 0:1] * qd[i:i + 1] - SpA
+        U[i], Dinv[i], ubar[i] = Ui, Di, ui
+        UDi = Ui * Di
+        Ia = IA[i] - UDi[:, None] * Ui[None]
+        pa = pA[i] + blops.matvec6(Ia, zeta[i]) + UDi * ui
+        IaX = sum(Ia[:, c][:, None] * X[i][c][None] for c in range(6))
+        XIaX = sum(X[i][c][:, None] * IaX[c][None] for c in range(6))
+        p = topo.parents[i]
+        if p >= 0:
+            IA[p] = IA[p] + XIaX
+            pA[p] = pA[p] + blops.matvec6_T(X[i], pa)
+        else:
+            IA_b = IA_b + XIaX
+            pA_b = pA_b + blops.matvec6_T(X[i], pa)
+
+    # base: ā_b = −(Iᴬ_b)⁻¹ pᴬ_b, 6×6 SPD entry-view Cholesky
+    E = [[IA_b[r, c:c + 1, :] for c in range(6)] for r in range(6)]
+    L = _chol_factor_ev(E, 6)
+    ab = jnp.concatenate(
+        _chol_apply_e(L, [-pA_b[c:c + 1] for c in range(6)]))
+
+    a = [None] * n
+    qdd = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        a_prime = blops.matvec6(X[i], ab if p < 0 else a[p]) + zeta[i]
+        Ua = sum(U[i][c:c + 1] * a_prime[c:c + 1] for c in range(6))
+        qdd[i] = Dinv[i] * (ubar[i] - Ua)
+        a[i] = a_prime + km.S[i] * qdd[i]
+    # v̇b = ā_b − a₀ with a₀ = [0₃; a0_lin]
+    dvb = jnp.concatenate([ab[:3], ab[3:] - a0_lin])
+    return dvb, jnp.concatenate(qdd)
+
+
+def fb_aba_fused(ffm, quat, q, vb, qd, tau, gravity=-9.81, interpret=False):
+    """Fused floating-base ABA FD — same signature/outputs as
+    :func:`fb_fd_fused`, O(n) per state. A/B'd on hardware
+    (``benchmarks/bench_aba.py --freeflyer``); the linear working set
+    (≈110n floats/state) keeps humanoid-scale robots on the lane tile."""
+    n = ffm.n
+
+    def body(km, I_base, quat, q, vb, qd, tau):
+        return _fb_aba_body(km, I_base, quat, q, vb, qd, tau,
+                            gravity=float(gravity))
+
+    body._k_contacts = 0
+    if (110.0 * n + 300.0) * _CAL <= _LANE_BUDGET:
+        return tuple(_pallas_ff_call(ffm, body, [quat, q, vb, qd, tau],
+                                     [6, n], interpret))
+    return tuple(_xla_fallback(ffm, body, [quat, q, vb, qd, tau]))
+
+
 def stance_fd_fused(ffm, quat, pos, q, vb, qd, tau, links, offsets,
                     anchors=None, gravity=-9.81, baumgarte=(0.0, 0.0),
                     reg=0.0, interpret=False):

@@ -58,6 +58,53 @@ def test_aba_batch_last(robot):
                                np.asarray(ref), atol=TOL)
 
 
+@pytest.mark.parametrize("name", ["hyq", "barm"])
+def test_fb_aba_matches_mass_matrix_fd(name):
+    """Floating-base ABA (one 6×6 base solve, no (6+n)² mass matrix)
+    equals the dense free-flyer FD."""
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc, _, _ = get_setup(name)
+    ffm = ff.free_flyer_model(desc)
+    n = desc.n
+    rng = np.random.default_rng(41)
+    quat = rng.standard_normal(4)
+    quat = jnp.asarray(quat / np.linalg.norm(quat))
+    q, qd, tau = map(jnp.asarray, random_state(n, seed=42))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    ref = ff.fb_forward_dynamics(ffm, quat, q, vb, qd, tau)
+    got = aba.fb_aba(ffm, quat, q, vb, qd, tau)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=TOL)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=TOL)
+
+
+@pytest.mark.mid
+def test_fb_aba_fused_interpret():
+    """Fused floating-base ABA body (interpret mode) vs the mass-matrix
+    Cholesky kernel body on a batch."""
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    from gridcodegenerator_tpu.ops.kernels import contact_fused as cf
+
+    desc, _, _ = get_setup("hyq")
+    ffm = ff.free_flyer_model(desc)
+    n = desc.n
+    rng = np.random.default_rng(43)
+    B = 5
+    quat = rng.standard_normal((4, B))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=0))
+    q, qd, tau = (jnp.asarray(a).T
+                  for a in random_state(n, seed=44, batch=(B,)))
+    vb = jnp.asarray(rng.uniform(-1, 1, (6, B)))
+    ref = cf.fb_fd_fused(ffm, quat, q, vb, qd, tau, interpret=True)
+    got = cf.fb_aba_fused(ffm, quat, q, vb, qd, tau, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=TOL)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=TOL)
+
+
 @pytest.mark.mid
 @pytest.mark.parametrize("name", ["iiwa14", "atlas", "barm"])
 def test_aba_fused_interpret(name):
