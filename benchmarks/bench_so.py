@@ -73,6 +73,14 @@ def main(argv=None):
                                   g.forward_dynamics_hessian_vp(
                                       m, a, b, c, d, impl=impl)),
             }
+            if B * n * 9 * n * n * 4 > 5e8:
+                # the full rank-3 tensor alone is >0.5 GB per call; the
+                # rep-enqueued timing loop keeps several alive and OOMs
+                # HBM — only the contracted DDP form is a sane product
+                # shape at this batch
+                del cases["fd_hessian"]
+                print(f"# B={B}: full-Hessian output too large to "
+                      "rep-time, vp only", file=sys.stderr, flush=True)
             for label, fn in cases.items():
                 jfn = jax.jit(fn)
                 t0 = time.time()

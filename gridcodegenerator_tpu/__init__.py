@@ -57,8 +57,12 @@ from .ops.contact import (
 )
 from .ops.centroidal import (
     centroidal_momentum,
+    centroidal_momentum_batched,
     centroidal_momentum_bias,
+    centroidal_momentum_bias_batched,
     centroidal_momentum_matrix,
+    centroidal_momentum_matrix_batched,
+    com_batched,
     com,
     fb_centroidal_momentum,
     fb_centroidal_momentum_matrix,

@@ -279,10 +279,27 @@ def _fd_hessian_bl_run(model, states, *, gravity, with_lam):
     faster — see ``ops/so.py``."""
     n = model.n
     batch_shape = states[0].shape[:-1]
-    flat = tuple(s.reshape(-1, n).T for s in states)
-    lam = flat[3] if with_lam else None
-    H = so.forward_dynamics_hessian_bl(model, *flat[:3], gravity, lam=lam)
-    return jnp.moveaxis(H, -1, 0).reshape(batch_shape + H.shape[:-1])
+    flat = tuple(s.reshape(-1, n) for s in states)
+    B = flat[0].shape[0]
+
+    def run(st):
+        lam = st[3].T if with_lam else None
+        H = so.forward_dynamics_hessian_bl(model, *(s.T for s in st[:3]),
+                                           gravity, lam=lam)
+        return jnp.moveaxis(H, -1, 0)
+
+    # The 63 linearize tangents each carry (n, 3n, chunk)-scale live
+    # tensors; past ~2^16 states their sum exceeds HBM (measured OOM at
+    # 262k). Chunk big batches through lax.map — one compiled body, same
+    # amortization as api.map_batched.
+    chunk = _ROUTE_CHUNK
+    if B > chunk and B % chunk == 0:
+        out = jax.lax.map(run, tuple(s.reshape(B // chunk, chunk, n)
+                                     for s in flat))
+        out = out.reshape((B,) + out.shape[2:])
+    else:
+        out = run(flat)
+    return out.reshape(batch_shape + out.shape[1:])
 
 
 def forward_dynamics_hessian(model: RobotModel, q, qd, u, *,

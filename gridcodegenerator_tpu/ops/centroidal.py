@@ -16,8 +16,11 @@ only (the welded base has no velocity; its mass never enters momentum —
 document: CoM here is the CoM of the articulated chain). Free-flyer
 functions include the base body and return world-frame quantities.
 
-Single-state functions (vmap for batches), trace-unrolled like
-``ops/kinematics.py``.
+Single-state functions trace-unrolled like ``ops/kinematics.py``; the
+``*_bl`` forms are the batch-last production layout (batch on the vector
+lanes) and the ``*_batched`` wrappers take ordinary (…, n) batch-first
+arrays. The sweeps are O(n) light — plain XLA on the batch-last layout is
+already lane-parallel, no Pallas kernel needed.
 """
 
 from __future__ import annotations
@@ -102,6 +105,104 @@ def centroidal_momentum_bias(model: RobotModel, q, qd):
 
     _, hdot = jax.jvp(h, (q,), (qd,))
     return hdot
+
+
+# --------------------------------------------------------------- batch-last
+def cmm_bl(model: RobotModel, q):
+    """Batch-last CMM: q (n, *b) → A_G (6, n, *b) — the same Orin–Goswami
+    columns as :func:`centroidal_momentum_matrix` with the batch on the
+    vector lanes (one CRBA composite sweep + one FK, all (…, *b) FMAs)."""
+    from .blops import (batchify1, batchify2, joint_transforms_bl, matmat6,
+                        matmat6_T, matvec6)
+    from .kinematics import _cross_bl, _mv3, fk_bl
+
+    topo = model.topology
+    n = topo.n
+    dtype = q.dtype
+    bshape = q.shape[1:]
+    X = joint_transforms_bl(model, q)
+    ones1B = jnp.ones((1,) + bshape, dtype)
+    IC = [batchify2(model.inertia[i], ones1B) for i in range(n)]
+    for i in range(n - 1, -1, -1):
+        p = topo.parents[i]
+        if p >= 0:
+            IC[p] = IC[p] + matmat6_T(X[i], matmat6(IC[i], X[i]))
+    Rs, ps = fk_bl(model, q)
+    m, c = link_mass_com(model)
+    m = jnp.asarray(m, dtype)
+    # world CoM: x_g (3, *b)
+    xs = [ps[i] + _mv3(Rs[i], batchify1(jnp.asarray(c[i], dtype), ones1B))
+          for i in range(n)]
+    x_g = sum(m[i] * xs[i] for i in range(n)) / jnp.sum(m)
+    cols = []
+    for j in range(n):
+        h = matvec6(IC[j], batchify1(model.S[j], ones1B))     # (6, *b)
+        f_w = _mv3(Rs[j], h[3:])
+        n_w = _mv3(Rs[j], h[:3]) + _cross_bl(ps[j] - x_g, f_w)
+        cols.append(jnp.concatenate([n_w, f_w]))
+    return jnp.stack(cols, axis=1)                            # (6, n, *b)
+
+
+def com_bl(model: RobotModel, q):
+    """Batch-last CoM: q (n, *b) → (3, *b)."""
+    from .blops import batchify1
+    from .kinematics import _mv3, fk_bl
+
+    n = model.topology.n
+    dtype = q.dtype
+    ones1B = jnp.ones((1,) + q.shape[1:], dtype)
+    Rs, ps = fk_bl(model, q)
+    m, c = link_mass_com(model)
+    m = jnp.asarray(m, dtype)
+    xs = [ps[i] + _mv3(Rs[i], batchify1(jnp.asarray(c[i], dtype), ones1B))
+          for i in range(n)]
+    return sum(m[i] * xs[i] for i in range(n)) / jnp.sum(m)
+
+
+def centroidal_momentum_bl(model: RobotModel, q, qd):
+    """h_G = A_G·q̇ batch-last: (6, *b)."""
+    A = cmm_bl(model, q)
+    return sum(A[:, j] * qd[j:j + 1] for j in range(model.topology.n))
+
+
+def centroidal_momentum_bias_bl(model: RobotModel, q, qd):
+    """Ȧ_G·q̇ batch-last (6, *b), exact jvp along q̇ like the single-state
+    form."""
+    _, hdot = jax.jvp(lambda q_: centroidal_momentum_bl(model, q_, qd),
+                      (q,), (qd,))
+    return hdot
+
+
+def _batched(fn_bl, model, *states):
+    """(…, n) batch-first user arrays → batch-last compute → batch-first
+    out. The centroidal sweeps are O(n) light — plain XLA on the
+    batch-last layout is already lane-parallel; no kernel needed."""
+    n = model.topology.n
+    batch_shape = states[0].shape[:-1]
+    flat = tuple(s.reshape(-1, n).T for s in states)
+    out = fn_bl(model, *flat)
+    out = jnp.moveaxis(out, -1, 0)
+    return out.reshape(batch_shape + out.shape[1:])
+
+
+def centroidal_momentum_matrix_batched(model: RobotModel, q):
+    """Batched CMM: q (…, n) → A_G (…, 6, n), batch-last internally."""
+    return _batched(cmm_bl, model, q)
+
+
+def centroidal_momentum_batched(model: RobotModel, q, qd):
+    """Batched h_G: (…, n)² → (…, 6)."""
+    return _batched(centroidal_momentum_bl, model, q, qd)
+
+
+def centroidal_momentum_bias_batched(model: RobotModel, q, qd):
+    """Batched Ȧ_G·q̇: (…, n)² → (…, 6)."""
+    return _batched(centroidal_momentum_bias_bl, model, q, qd)
+
+
+def com_batched(model: RobotModel, q):
+    """Batched CoM: (…, n) → (…, 3)."""
+    return _batched(com_bl, model, q)
 
 
 # --------------------------------------------------------------- free-flyer

@@ -134,3 +134,32 @@ def test_fb_momentum_about_com_under_gravity():
         np.testing.assert_allclose(h[:3], h0[:3], atol=5e-6)
         np.testing.assert_allclose(
             h[3:], h0[3:] + np.array([0, 0, -9.81]) * m_tot * t, atol=5e-6)
+
+
+def test_centroidal_batched_matches_single(robot):
+    """The batch-last production forms (``cmm_bl`` etc., via the
+    ``*_batched`` wrappers) equal the single-state trace on every robot."""
+    desc, _, model = robot
+    n = desc.n
+    rng = np.random.default_rng(13)
+    B = 4
+    q = jnp.asarray(rng.uniform(-1.5, 1.5, (B, n)))
+    qd = jnp.asarray(rng.uniform(-1.0, 1.0, (B, n)))
+    A_ref = jnp.stack([cd.centroidal_momentum_matrix(model, q[b])
+                       for b in range(B)])
+    np.testing.assert_allclose(
+        np.asarray(cd.centroidal_momentum_matrix_batched(model, q)),
+        np.asarray(A_ref), atol=1e-12)
+    h_ref = jnp.stack([cd.centroidal_momentum(model, q[b], qd[b])
+                       for b in range(B)])
+    np.testing.assert_allclose(
+        np.asarray(cd.centroidal_momentum_batched(model, q, qd)),
+        np.asarray(h_ref), atol=1e-12)
+    hd_ref = jnp.stack([cd.centroidal_momentum_bias(model, q[b], qd[b])
+                        for b in range(B)])
+    np.testing.assert_allclose(
+        np.asarray(cd.centroidal_momentum_bias_batched(model, q, qd)),
+        np.asarray(hd_ref), atol=1e-12)
+    x_ref = jnp.stack([cd.com(model, q[b]) for b in range(B)])
+    np.testing.assert_allclose(np.asarray(cd.com_batched(model, q)),
+                               np.asarray(x_ref), atol=1e-12)
