@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--freeflyer", action="store_true",
                    help="A/B the floating-base ABA vs the mass-matrix "
                         "Cholesky kernel instead of the fixed-base FD")
+    p.add_argument("--multidof", action="store_true",
+                   help="A/B the generalized (spherical/free-joint) ABA "
+                        "vs the CRBA+Cholesky md kernel")
     p.add_argument("--batches", nargs="*", type=int, default=[16384, 262144])
     p.add_argument("--reps", type=int, default=16)
     p.add_argument("--budget", type=float,
@@ -54,6 +57,51 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     print(f"# backend={jax.default_backend()} "
           f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+    if args.multidof:
+        from gridcodegenerator_tpu.ops import multidof as md
+        from gridcodegenerator_tpu.ops.kernels import multidof_fused as mf
+        builders = {
+            "ball_arm": lambda: zoo.ball_arm(damping=0.1),
+            "free_iiwa": lambda: zoo.with_free_joint(
+                zoo.iiwa14(damping=0.1)),
+            "free_atlas": lambda: zoo.with_free_joint(
+                zoo.atlas(damping=0.1)),
+        }
+        robots = [r for r in args.robots if r in builders] or list(builders)
+        for name in robots:
+            model = md.multidof_model_from_description(
+                g.parse_urdf(builders[name]()), dtype=jnp.float32)
+            nq, nv = model.nq, model.nv
+            for B in args.batches:
+                rng = np.random.default_rng(0)
+                q0 = np.asarray(md.neutral_q(model))
+                qB = jnp.asarray(np.tile(q0[:, None], (1, B)), jnp.float32)
+                dq = jnp.asarray(rng.uniform(-0.8, 0.8, (nv, B)),
+                                 jnp.float32)
+                qB = jax.vmap(lambda qq, dd: md.md_tangent_apply(
+                    model, qq, dd), in_axes=1, out_axes=1)(qB, dq)
+                qd = jnp.asarray(rng.uniform(-1, 1, (nv, B)), jnp.float32)
+                u = jnp.asarray(rng.uniform(-5, 5, (nv, B)), jnp.float32)
+                cases = [
+                    ("md_fd aba-fused", lambda q_, qd_, u_: mf.md_aba_fused(
+                        model, q_, qd_, u_)),
+                    ("md_fd crba-fused", lambda q_, qd_, u_: mf.md_fd_fused(
+                        model, q_, qd_, u_)),
+                ]
+                for tag, fn in cases:
+                    jfn = jax.jit(fn)
+                    t0 = time.time()
+                    jax.block_until_ready(jfn(qB, qd, u))
+                    print(f"# {tag} B={B} compile+run {time.time()-t0:.1f}s",
+                          file=sys.stderr, flush=True)
+                    med, mn = time_fn(jfn, (qB, qd, u), args.reps)
+                    print(json.dumps(dict(robot=name, nq=nq, nv=nv, batch=B,
+                                          case=tag, median_ms=med * 1e3,
+                                          min_ms=mn * 1e3,
+                                          evals_per_sec=B / med)),
+                          flush=True)
+        return
 
     if args.freeflyer:
         from gridcodegenerator_tpu.ops import freeflyer as ffmod

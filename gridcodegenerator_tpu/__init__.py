@@ -84,6 +84,7 @@ from .ops.freeflyer import (
 )
 from .ops.multidof import (
     MultiDofModel,
+    md_aba,
     md_crba,
     md_forward_dynamics,
     md_forward_dynamics_batched,
@@ -110,6 +111,14 @@ __all__ = [
     "inverse_dynamics_gradient", "forward_dynamics_gradient",
     "forward_dynamics_gradient_qdd_minv", "forward_dynamics_diff",
     "forward_dynamics_ad", "map_batched",
+    "forward_dynamics_gradient_full", "forward_dynamics_hessian",
+    "forward_dynamics_hessian_vp", "inverse_dynamics_hessian",
+    "aba", "aba_bl", "fb_aba", "md_aba",
+    "com", "com_batched", "total_mass",
+    "centroidal_momentum", "centroidal_momentum_batched",
+    "centroidal_momentum_bias", "centroidal_momentum_bias_batched",
+    "centroidal_momentum_matrix", "centroidal_momentum_matrix_batched",
+    "fb_com", "fb_centroidal_momentum", "fb_centroidal_momentum_matrix",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "compile_freeflyer", "CompiledFreeFlyer",
     "compile_multidof", "CompiledMultiDof",

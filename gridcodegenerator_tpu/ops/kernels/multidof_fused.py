@@ -275,6 +275,109 @@ def _md_fd_body(km, q, qd, u, *, gravity):
     return (jnp.concatenate(qdd),)
 
 
+def _md_aba_body(km, q, qd, u, *, gravity):
+    """Generalized articulated-body FD on a lane tile
+    (``ops/multidof.py::md_aba`` in (1,B)-entry batch-last form): q̈ (nv,B)
+    with per-joint k×k entry Cholesky blocks instead of the (nv, nv)
+    CRBA factor — O(n) state, the md counterpart of
+    ``contact_fused._fb_aba_body``."""
+    topo = km.topology
+    n = topo.n
+    X = _md_transforms_s(km, q)
+    minus_g = float(-gravity)
+
+    v = [None] * n
+    zeta = [None] * n
+    for i in range(n):
+        p = topo.parents[i]
+        sv, w = km.v_slices[i]
+        cols = _S_cols(km, i)
+        vJ = _Smatvec(cols, [qd[sv + c:sv + c + 1] for c in range(w)])
+        v[i] = vJ if p < 0 else blops.matvec6(X[i], v[p]) + vJ
+        zeta[i] = blops.crm_apply_bl(v[i], vJ)
+    IA = [km.inertia[i] for i in range(n)]
+    pA = [blops.crf_apply_bl(v[i], blops.matvec6(km.inertia[i], v[i]))
+          for i in range(n)]
+
+    U = [None] * n        # list of w (6,B) columns per joint
+    Lc = [None] * n       # k×k entry-view Cholesky per joint
+    ub = [None] * n       # list of w (1,B) bias torques per joint
+    for i in range(n - 1, -1, -1):
+        sv, w = km.v_slices[i]
+        cols = _S_cols(km, i)
+        Ucols = [_sum_terms([float(col[k]) * IA[i][:, k, :]
+                             for k in range(6) if col[k] != 0.0])
+                 for col in cols]
+        D = [[_sum_terms([float(cols[cj][r]) * Ucols[ci][r:r + 1]
+                          for r in range(6) if cols[cj][r] != 0.0])
+              for cj in range(w)] for ci in range(w)]
+        L = _chol_factor_ev(D, w)
+        ubar = []
+        for c in range(w):
+            SpA = _sum_terms([float(cols[c][r]) * pA[i][r:r + 1]
+                              for r in range(6) if cols[c][r] != 0.0])
+            ubar.append(u[sv + c:sv + c + 1]
+                        - km.damping[sv + c:sv + c + 1, 0:1]
+                        * qd[sv + c:sv + c + 1] - SpA)
+        U[i], Lc[i], ub[i] = Ucols, L, ubar
+        p = topo.parents[i]
+        # W[r] = D⁻¹·Uᵀ[:, r] — list of w (1,B) entries per spatial row r
+        W = [_chol_apply_e(L, [Ucols[c][r:r + 1] for c in range(w)])
+             for r in range(6)]
+        # (U D⁻¹ Uᵀ)[r, k] = Σ_c U[r, c]·W[k][c]
+        UDU = jnp.stack([
+            jnp.concatenate([
+                _sum_terms([Ucols[c][r:r + 1] * W[k][c] for c in range(w)])
+                for k in range(6)])
+            for r in range(6)])
+        Ia = IA[i] - UDU
+        Dinv_u = _chol_apply_e(L, ubar)
+        pa = (pA[i] + blops.matvec6(Ia, zeta[i])
+              + sum(Ucols[c] * Dinv_u[c] for c in range(w)))
+        IaX = sum(Ia[:, c][:, None] * X[i][c][None] for c in range(6))
+        XIaX = sum(X[i][c][:, None] * IaX[c][None] for c in range(6))
+        if p >= 0:
+            IA[p] = IA[p] + XIaX
+            pA[p] = pA[p] + blops.matvec6_T(X[i], pa)
+
+    a = [None] * n
+    qdd_rows = [None] * km.nv
+    for i in range(n):
+        p = topo.parents[i]
+        if p < 0:
+            a_prime = X[i][:, 5, :] * minus_g + zeta[i]
+        else:
+            a_prime = blops.matvec6(X[i], a[p]) + zeta[i]
+        sv, w = km.v_slices[i]
+        rhs = [ub[i][c] - _sum_terms(
+            [U[i][c][r:r + 1] * a_prime[r:r + 1] for r in range(6)])
+            for c in range(w)]
+        qdd_i = _chol_apply_e(Lc[i], rhs)
+        for c in range(w):
+            qdd_rows[sv + c] = qdd_i[c]
+        a[i] = a_prime + _Smatvec(_S_cols(km, i), qdd_i)
+    return (jnp.concatenate(qdd_rows),)
+
+
+def md_aba_workset_ok(n: int, nv: int) -> bool:
+    """ABA carries no (nv, nv) factor: X+IA+v/ζ/pA+U ≈ 120n floats/state."""
+    ws = 120.0 * n + 200.0
+    return ws * _CAL <= _LANE_BUDGET
+
+
+def md_aba_fused(model, q, qd, u, gravity=-9.81, interpret=False,
+                 force_xla=False):
+    """Fused generalized ABA FD — same signature/outputs as
+    :func:`md_fd_fused`, O(n) per state (no CRBA, no nv³/3 factor).
+    A/B'd on hardware (``benchmarks/bench_aba.py --multidof``)."""
+    def body(km, q, qd, u):
+        return _md_aba_body(km, q, qd, u, gravity=float(gravity))
+
+    (qdd,) = _run_md(model, body, [q, qd, u], [model.nv], interpret,
+                     force_xla, gate=md_aba_workset_ok)
+    return qdd
+
+
 def md_workset_ok(n: int, nv: int) -> bool:
     """Lane-tile VMEM gate: X+IC+v/a/f ≈ 108n floats/state, mass+chol ≈
     1.5·nv², calibrated by the fixed-base Mosaic stack factor."""

@@ -391,3 +391,21 @@ def test_floating_chain_tumble_conserves_energy():
     drift = abs(E[-1] - E[0]) / max(1.0, abs(E[0]))
     assert drift < 2e-3, drift
     assert abs(float(jnp.linalg.norm(qT[:4])) - 1.0) < 1e-12
+
+
+def test_md_aba_matches_crba_fd(ball):
+    """Generalized ABA (per-joint k×k blocks, no mass matrix) equals the
+    CRBA+Cholesky FD — and on a free-joint humanoid too."""
+    for model in [ball[1],
+                  md.multidof_model_from_description(
+                      g.parse_urdf(zoo.with_free_joint(
+                          zoo.iiwa14(damping=0.1))))]:
+        rng = np.random.default_rng(51)
+        dq = jnp.asarray(rng.uniform(-0.8, 0.8, model.nv))
+        q = md.md_tangent_apply(model, md.neutral_q(model), dq)
+        qd = jnp.asarray(rng.uniform(-1, 1, model.nv))
+        u = jnp.asarray(rng.uniform(-5, 5, model.nv))
+        ref = md.md_forward_dynamics(model, q, qd, u)
+        got = md.md_aba(model, q, qd, u)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-9)

@@ -245,3 +245,16 @@ def test_md_staged_gate_and_routing():
                for k, (c0, _) in enumerate(splits))
     # the non-fused (raw ∂c) block width is at least as wide
     assert ms.md_col_block(n, nv, fused=False) >= cb
+
+
+def test_md_aba_fused_interpret(md_setup):
+    """Fused generalized ABA (interpret + force_xla) == the CRBA+Cholesky
+    kernel body — different recursions, same q̈."""
+    model, (q, qd, u) = md_setup
+    bl = lambda a: a.T
+    ref = mf.md_fd_fused(model, bl(q), bl(qd), bl(u), interpret=True)
+    got = mf.md_aba_fused(model, bl(q), bl(qd), bl(u), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-9)
+    got_xla = mf.md_aba_fused(model, bl(q), bl(qd), bl(u), force_xla=True)
+    np.testing.assert_allclose(np.asarray(got_xla), np.asarray(ref),
+                               atol=1e-9)
