@@ -71,6 +71,7 @@ from .ops.centroidal import (
 )
 from .ops.aba import aba, aba_bl, fb_aba
 from .ops.fd import forward_dynamics_diff
+from .ops.regressor import inertial_params, joint_torque_regressor
 from .ops.kinematics import fk, point_position, world_jacobian
 from .ops.freeflyer import (
     FreeFlyerModel,
@@ -119,6 +120,7 @@ __all__ = [
     "centroidal_momentum_bias", "centroidal_momentum_bias_batched",
     "centroidal_momentum_matrix", "centroidal_momentum_matrix_batched",
     "fb_com", "fb_centroidal_momentum", "fb_centroidal_momentum_matrix",
+    "joint_torque_regressor", "inertial_params",
     "compile_robot", "export_robot", "load_exported", "CompiledRobot",
     "compile_freeflyer", "CompiledFreeFlyer",
     "compile_multidof", "CompiledMultiDof",

@@ -235,6 +235,32 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
     return jax.jit(_step)
 
 
+def sharded_fb_fd(ffm, mesh: Mesh, gravity: float = -9.81,
+                  impl: str = "auto"):
+    """dp-sharded free-flyer forward dynamics: batch-first states shard
+    over the mesh, each shard runs the batched production path
+    (:func:`..ops.freeflyer.fb_forward_dynamics_batched` — the fused
+    floating-base ABA kernel on TPU). Pure data parallelism, no
+    collectives.
+
+    Returns a jitted ``fd(quat (B,4), q (B,n), vb (B,6), qd (B,n),
+    tau (B,n)) -> (v̇b (B,6), q̈ (B,n))``, B divisible by the mesh size."""
+    from ..ops import freeflyer as _ff
+
+    spec = P(("dp", "cp"))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec,) * 5, out_specs=(spec, spec),
+        # the fused kernel body is per-shard pure (no collectives)
+        check_vma=False)
+    def _run(quat, q, vb, qd, tau):
+        return _ff.fb_forward_dynamics_batched(
+            ffm, quat, q, vb, qd, tau, gravity, impl=impl)
+
+    return jax.jit(_run)
+
+
 def sharded_api(model: RobotModel, mesh: Mesh, gravity: float = -9.81):
     """Convenience bundle of dp-sharded batched entry points (the distributed
     equivalent of the reference host API set, ``GRiDCodeGenerator.py:243-279``).

@@ -105,8 +105,9 @@ def test_fb_aba_fused_interpret():
                                atol=TOL)
 
 
-@pytest.mark.mid
-@pytest.mark.parametrize("name", ["iiwa14", "atlas", "barm"])
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param("iiwa14", marks=pytest.mark.mid), "atlas", "barm"])
 def test_aba_fused_interpret(name):
     """The fused kernel body (interpret mode) equals the plain batch-last
     path bit-for-bit — same compute body, tiled dispatch."""

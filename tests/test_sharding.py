@@ -254,3 +254,31 @@ def test_multihost_plumbing_single_process(eight_devices, iiwa):
                                                  jnp.asarray(qd),
                                                  jnp.asarray(u)))
     np.testing.assert_allclose(got, ref, atol=1e-11)
+
+
+@pytest.mark.mid
+def test_sharded_fb_fd_matches_local(eight_devices):
+    """dp-sharded free-flyer FD (the fused floating-base ABA per shard,
+    XLA body on CPU) == the unsharded batched call."""
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    from gridcodegenerator_tpu.models import zoo
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.1))
+    ffm = ff.free_flyer_model(desc)
+    n = desc.n
+    m = pmesh.make_mesh(dp=8, devices=eight_devices)
+    rng = np.random.default_rng(61)
+    B = 16
+    quat = rng.standard_normal((B, 4))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=1, keepdims=True))
+    q, qd, tau = (jnp.asarray(rng.uniform(-1.5, 1.5, (B, n)))
+                  for _ in range(3))
+    vb = jnp.asarray(rng.uniform(-1, 1, (B, 6)))
+    ref = ff.fb_forward_dynamics_batched(ffm, quat, q, vb, qd, tau,
+                                         impl="vmap")
+    fd = pmesh.sharded_fb_fd(ffm, m)
+    got = fd(quat, q, vb, qd, tau)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=1e-11)

@@ -117,14 +117,16 @@ def test_hessian_api_batched(iiwa):
     assert Hc.shape == (5, n, 2 * n, 2 * n)
 
 
-@pytest.mark.mid
-@pytest.mark.parametrize("name", ["dpend", "barm", "iiwa14"])
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param("dpend", marks=pytest.mark.mid), "barm", "iiwa14"])
 def test_fd_hessian_batch_last_equivalence(name):
     """The TPU production path (batch-last linearize over blops) must match
     the vmap nest exactly — both plain and λ-contracted. Three robots only
     (planar / branched tree / iiwa): the vmap-nest reference compile costs
     ~100 s per robot on a 1-core host, and the blops body under the
-    linearize is already validated per-robot elsewhere."""
+    linearize is already validated per-robot elsewhere; only the cheapest
+    is in the ~5-minute mid tier."""
     desc, _, model = get_setup(name)
     n = desc.n
     q, qd, u = (jnp.asarray(a) for a in random_state(n, seed=17, batch=(3,)))
