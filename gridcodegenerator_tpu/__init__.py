@@ -42,6 +42,7 @@ from .codegen import (
     load_exported,
 )
 from .ops.contact import (
+    clamp_effort,
     constrained_inverse_dynamics,
     contact_jacobian,
     fb_constrained_fd_batched,
@@ -52,6 +53,8 @@ from .ops.contact import (
     fb_simulate_ground_batched,
     fb_step_ground,
     fb_step_ground_batched,
+    joint_limit_torque,
+    project_joint_limits,
     project_velocity,
     simulate_constrained,
 )
@@ -133,6 +136,7 @@ __all__ = [
     "fb_simulate_constrained",
     "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
     "fb_simulate_ground_batched",
+    "clamp_effort", "joint_limit_torque", "project_joint_limits",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_batched",
     "fb_forward_dynamics_gradient", "fb_id_grad",

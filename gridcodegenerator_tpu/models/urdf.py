@@ -99,6 +99,11 @@ class RobotDescription:
     damping: np.ndarray                   # (n,)
     inertia: np.ndarray                   # (n, 6, 6) moving-link spatial inertias
     base_inertia: np.ndarray              # (6, 6) inertia lumped into the fixed base
+    # URDF <limit> tags (±inf / inf when absent — continuous joints etc.)
+    q_lower: np.ndarray = None            # (n,)
+    q_upper: np.ndarray = None            # (n,)
+    effort: np.ndarray = None             # (n,) max |τ|
+    velocity: np.ndarray = None           # (n,) max |q̇|
 
     @property
     def n(self) -> int:
@@ -180,6 +185,13 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         dyn = j.find("dynamics")
         if dyn is not None and dyn.get("damping"):
             damping = float(dyn.get("damping"))
+        lim = j.find("limit")
+        inf = float("inf")
+        limits = dict(lower=-inf, upper=inf, effort=inf, velocity=inf)
+        if lim is not None and jtype != "continuous":
+            for key in limits:
+                if lim.get(key) is not None:
+                    limits[key] = float(lim.get(key))
         if jtype not in _MOVING_TYPES + ("fixed",):
             raise NotImplementedError(
                 f"joint type {jtype!r} not supported (supported: "
@@ -188,7 +200,7 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
             )
         joints.append(dict(
             name=j.get("name"), type=jtype, parent=parent, child=child,
-            xyz=xyz, rpy=rpy, axis=axis, damping=damping,
+            xyz=xyz, rpy=rpy, axis=axis, damping=damping, limits=limits,
         ))
 
     root_links = [ln for ln in links if ln not in child_links]
@@ -246,6 +258,8 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
     origin_R = np.stack([j["T_origin"][:3, :3] for j in ordered])
     axis = np.stack([j["axis"] / np.linalg.norm(j["axis"]) for j in ordered])
     damping = np.array([j["damping"] for j in ordered])
+    lims = {key: np.array([j["limits"][key] for j in ordered])
+            for key in ("lower", "upper", "effort", "velocity")}
     types = tuple("revolute" if j["type"] == "continuous" else j["type"] for j in ordered)
 
     topo = Topology(
@@ -259,6 +273,8 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         origin_rpy=np.stack([_matrix_to_rpy(R) for R in origin_R]),
         axis=axis, damping=damping, inertia=inertia,
         base_inertia=link_inertia6[root_link],
+        q_lower=lims["lower"], q_upper=lims["upper"],
+        effort=lims["effort"], velocity=lims["velocity"],
     )
     return desc
 

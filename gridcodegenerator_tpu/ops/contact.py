@@ -689,10 +689,47 @@ def pgs_solve(G, b, mu, active, iters: int = 30):
     return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
 
 
+def joint_limit_torque(q, qd, lo, hi, kp=200.0, kd=5.0):
+    """SOFT joint-limit torque (spring-damper, zero inside [lo, hi]):
+    τ_lim = kp·(lo − q)⁺ − kp·(q − hi)⁺, plus −kd·q̇ while violating AND
+    moving further out. A penalty utility for reward shaping / compliant
+    models — equilibrium excess under a constant push τ is τ/kp, and kp is
+    bounded by explicit-integration stability (kp ≲ I/dt² per joint). For
+    HARD limits use the steppers' ``limits=`` projection instead.
+    Elementwise over any shape broadcastable with (lo, hi) — single
+    states, batches, batch-last alike."""
+    over = jnp.maximum(q - hi, 0.0)
+    under = jnp.maximum(lo - q, 0.0)
+    outward = ((over > 0) & (qd > 0)) | ((under > 0) & (qd < 0))
+    return kp * (under - over) - kd * qd * outward.astype(q.dtype)
+
+
+def clamp_effort(tau, effort):
+    """URDF actuator saturation: clamp τ to ±effort (``desc.effort``;
+    ``inf`` entries are no-ops)."""
+    e = jnp.asarray(effort, tau.dtype)
+    return jnp.clip(tau, -e, e)
+
+
+def project_joint_limits(q, qd, lo, hi):
+    """HARD joint limits as a position-level projection (the standard
+    velocity-stepping treatment — unconditionally stable at any dt, unlike
+    an explicit penalty spring): clamp q into [lo, hi] and zero the
+    *outward* velocity component of joints at a bound. Applied to the
+    integrator outputs, so it composes with every impl including the
+    fused step kernels. Approximation (documented): the stopping impulse
+    is not propagated to the base momentum within the step."""
+    lo = jnp.asarray(lo, q.dtype)
+    hi = jnp.asarray(hi, q.dtype)
+    qc = jnp.clip(q, lo, hi)
+    stop = ((q >= hi) & (qd > 0)) | ((q <= lo) & (qd < 0))
+    return qc, jnp.where(stop, jnp.zeros_like(qd), qd)
+
+
 def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    ground_z=0.0, gravity=-9.81, iters: int = 30,
                    erp: float = 0.2, margin: float = 1e-3,
-                   restitution: float = 0.0):
+                   restitution: float = 0.0, limits=None, effort=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -714,6 +751,8 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     offsets = jnp.asarray(offsets, q.dtype)
+    if effort is not None:
+        tau = clamp_effort(tau, effort)
     k = len(links)
     n = ffm.n
     arm = ffm.arm
@@ -754,6 +793,8 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     quat2 = quat2 / jnp.linalg.norm(quat2)
     pos2 = pos + dt * (quat_to_rot(quat2) @ vb2[3:])
     q2 = q + dt * qd2
+    if limits is not None:
+        q2, qd2 = project_joint_limits(q2, qd2, limits[0], limits[1])
     return (quat2, pos2, q2, vb2, qd2), p_imp.reshape(k, 3)
 
 
@@ -826,7 +867,8 @@ def pgs_solve_bl(G, b, mu, active, iters: int = 30):
 def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            ground_z=0.0, gravity=-9.81, iters: int = 30,
                            erp: float = 0.2, margin: float = 1e-3,
-                           restitution: float = 0.0, impl="auto"):
+                           restitution: float = 0.0, impl="auto",
+                           limits=None, effort=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -840,6 +882,9 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     (:func:`.kernels.contact_fused.step_ground_fused`)."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
+    if effort is not None:
+        # composes with every impl (incl. the fused kernel): rewrites tau
+        tau = clamp_effort(tau, effort)
     B = q.shape[0]
     n = ffm.n
     k = len(links)
@@ -861,6 +906,9 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
             ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl, dt,
             links, np.asarray(offsets_raw, np.float64), ground_z, gravity,
             iters, erp, margin, restitution)
+        if limits is not None:
+            qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
+                                            limits[1][:, None])
         nxt = (q2.T, p2.T, qq2.T, vb2.T, qd2.T)
         return nxt, jnp.moveaxis(imp, 0, -1).reshape(B, k, 3)
 
@@ -910,6 +958,9 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     pos2 = pos_bl + dt * jnp.stack([
         sum(R2[i, j] * vb2[3 + j] for j in range(3)) for i in range(3)])
     q2 = q_bl + dt * qd2
+    if limits is not None:
+        q2, qd2 = project_joint_limits(q2, qd2, limits[0][:, None],
+                                       limits[1][:, None])
     nxt = (quat2.T, pos2.T, q2.T, vb2.T, qd2.T)
     return nxt, jnp.moveaxis(p_imp, 0, -1).reshape(B, k, 3)
 

@@ -752,3 +752,57 @@ def test_contact_geometry_validation(iiwa64):
         ct.contact_jacobian(model, q, (n + 3,), np.zeros((1, 3)))
     with pytest.raises(ValueError, match="offsets"):
         ct.contact_jacobian(model, q, (0, 1), np.zeros((1, 3)))
+
+
+def test_joint_limits_and_effort_in_ground_stepper():
+    """URDF <limit> support: parse_urdf exposes q_lower/q_upper/effort/
+    velocity; the stepper's ``limits=`` projection keeps q in bounds with
+    zero outward velocity at a stop; ``effort=`` saturates τ."""
+    import functools
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.5))
+    ffm = ff.free_flyer_model(desc)
+    n = desc.n
+    np.testing.assert_allclose(desc.q_upper, 2.96)
+    np.testing.assert_allclose(desc.effort, 300.0)
+    assert np.all(np.isinf(g.parse_urdf(zoo.serial_chain(
+        2)).velocity) | (g.parse_urdf(zoo.serial_chain(2)).velocity > 0))
+
+    knees = np.array([2, 5, 8, 11])
+    lo = jnp.asarray(desc.q_lower).at[knees].set(-0.8)
+    hi = jnp.asarray(desc.q_upper).at[knees].set(0.8)
+    tau = jnp.zeros(n).at[knees].set(40.0)
+    state = (jnp.array([1.0, 0, 0, 0]), jnp.array([0.0, 0, 0.55]),
+             jnp.zeros(n), jnp.zeros(6), jnp.zeros(n))
+    links, offs = (2, 5, 8, 11), np.array([[0.35, 0.0, 0.0]] * 4)
+    step = jax.jit(functools.partial(
+        ct.fb_step_ground, ffm, dt=0.002, links=links, offsets=offs,
+        limits=(lo, hi), effort=desc.effort))
+    s = state
+    for _ in range(700):
+        s, _ = step(state=s, tau=tau)
+    q, qd = np.asarray(s[2]), np.asarray(s[4])
+    assert np.isfinite(q).all() and np.isfinite(qd).all()
+    assert (q <= np.asarray(hi) + 1e-12).all()
+    assert (q >= np.asarray(lo) - 1e-12).all()
+    at_stop = np.isclose(q, np.asarray(hi)) | np.isclose(q, np.asarray(lo))
+    assert at_stop.any(), "the driven knees should reach their stop"
+    assert np.all(np.abs(qd[at_stop]) < 1e-12)
+
+    # effort saturation: clamped torque == the clipped value exactly
+    big = jnp.full(n, 1e4)
+    np.testing.assert_allclose(
+        np.asarray(ct.clamp_effort(big, desc.effort)), 300.0)
+
+    # batched stepper: same projection semantics (vmap/XLA body)
+    B = 3
+    bt = lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim)
+    sb = tuple(bt(x) for x in state)
+    stepb = jax.jit(functools.partial(
+        ct.fb_step_ground_batched, ffm, dt=0.002, links=links, offsets=offs,
+        impl="vmap", limits=(lo, hi), effort=desc.effort))
+    for _ in range(250):
+        sb, _ = stepb(state=sb, tau=bt(tau))
+    qb = np.asarray(sb[2])
+    assert np.isfinite(qb).all()
+    assert (qb <= np.asarray(hi)[None] + 1e-12).all()
