@@ -575,7 +575,9 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
     vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
 
-    if _impl_auto(impl, q) == "pallas":
+    # the fused step kernel has no limit rows — impulse-mode limits run
+    # the identical XLA batch-last body below
+    if _impl_auto(impl, q) == "pallas" and not impulse_limits:
         # the fused kernel bakes the geometry as literals, so offsets /
         # anchors must be concrete (the raw arguments, before any traced
         # jnp conversion); the XLA path below keeps them traceable
@@ -658,7 +660,7 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
 # --------------------------------------------------------------------------
 # Unilateral ground contact with Coulomb friction (velocity-stepping PGS)
 # --------------------------------------------------------------------------
-def pgs_solve(G, b, mu, active, iters: int = 30):
+def pgs_solve(G, b, mu, active, iters: int = 30, lim_active=None):
     """Projected Gauss-Seidel for the contact LCP/cone problem: find
     impulses p minimizing ½pᵀGp + pᵀb subject to, per contact i (rows
     ordered [t1, t2, n]): p_n ≥ 0 (only pushing), ‖p_t‖ ≤ μ p_n (Coulomb
@@ -668,9 +670,14 @@ def pgs_solve(G, b, mu, active, iters: int = 30):
     per-contact update unrolled (k is small). The per-contact step is a
     diagonal-block preconditioned descent followed by cone projection — the
     standard game-physics/MuJoCo-style PGS that converges linearly for the
-    SPD G produced by J M⁻¹ Jᵀ."""
-    k = b.shape[0] // 3
+    SPD G produced by J M⁻¹ Jᵀ.
+
+    ``lim_active`` (m,) appends m trailing NORMAL-ONLY rows (hard
+    joint-limit impulses, λ ≥ 0, no friction) after the 3k contact rows —
+    G/b must then be sized (3k+m, …)."""
     dtype = b.dtype
+    m = 0 if lim_active is None else lim_active.shape[0]
+    k = (b.shape[0] - m) // 3
     diag = jnp.clip(jnp.diagonal(G), 1e-9, None)
 
     def sweep(_, p):
@@ -684,6 +691,11 @@ def pgs_solve(G, b, mu, active, iters: int = 30):
             scale = jnp.minimum(1.0, mu[i] * pn / norm_t)
             p = p.at[s:s + 3].set(
                 jnp.concatenate([pt * scale, pn[None]]).astype(dtype))
+        for j in range(m):
+            row = 3 * k + j
+            r = G[row] @ p + b[row]
+            p = p.at[row].set(
+                jnp.maximum(p[row] - r / diag[row], 0.0) * lim_active[j])
         return p
 
     return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
@@ -729,7 +741,8 @@ def project_joint_limits(q, qd, lo, hi):
 def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    ground_z=0.0, gravity=-9.81, iters: int = 30,
                    erp: float = 0.2, margin: float = 1e-3,
-                   restitution: float = 0.0, limits=None, effort=None):
+                   restitution: float = 0.0, limits=None, effort=None,
+                   limit_mode: str = "project"):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -744,7 +757,14 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
 
     Complementarity at the solution (tested): p_n ≥ 0,
     p_n·(v_n⁺ − v_n*) ≈ 0, ‖p_t‖ ≤ μ·p_n, and sliding feet oppose their
-    tangential velocity."""
+    tangential velocity.
+
+    Joint limits (``limits=(lo, hi)``): ``limit_mode="project"`` clamps
+    q and zeroes outward velocity after integration (fast, fused-impl
+    compatible, drops the stopping impulse's base reaction);
+    ``"impulse"`` appends one normal-only row per near-limit joint to
+    the Delassus/PGS system — the momentum-consistent treatment (the
+    stopping impulse reacts on the whole tree incl. the base)."""
     from .freeflyer import (fb_bias, fb_mass_matrix, quat_exp_body,
                             quat_mul, quat_to_rot)
 
@@ -753,6 +773,10 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     offsets = jnp.asarray(offsets, q.dtype)
     if effort is not None:
         tau = clamp_effort(tau, effort)
+    if limit_mode not in ("project", "impulse"):
+        raise ValueError(f"limit_mode must be 'project' or 'impulse', "
+                         f"got {limit_mode!r}")
+    impulse_limits = limits is not None and limit_mode == "impulse"
     k = len(links)
     n = ffm.n
     arm = ffm.arm
@@ -775,25 +799,48 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     active = (gaps < margin).astype(q.dtype)
 
     J = J6  # world xyz rows; reorder per contact to [x(t1), y(t2), z(n)]
+    lim_active = None
+    if impulse_limits:
+        # one normal-only row per joint, direction −s·e_{6+j} (the
+        # direction that INCREASES the distance-to-bound "gap"): s = +1
+        # near the upper bound, −1 near the lower; gap g = hi−q or q−lo,
+        # ġ = −s·q̇, recovered with the same erp semantics as contacts
+        lo = jnp.asarray(limits[0], q.dtype)
+        hi = jnp.asarray(limits[1], q.dtype)
+        lim_margin = 10.0 * margin
+        s_hi = (q > hi - lim_margin)
+        s_lo = (q < lo + lim_margin)
+        sign = s_hi.astype(q.dtype) - s_lo.astype(q.dtype)
+        lim_active = (s_hi | s_lo).astype(q.dtype)
+        lim_gap = jnp.where(s_lo, q - lo, hi - q)
+        # ±inf bounds never activate; keep their gap finite for the math
+        lim_gap = jnp.where(jnp.isfinite(lim_gap), lim_gap, 1.0)
+        J_l = jnp.concatenate(
+            [jnp.zeros((n, 6), q.dtype), jnp.diag(-sign)], axis=1)
+        J = jnp.concatenate([J, J_l], axis=0)
     MiJt = msolve(J.T)
-    G = J @ MiJt + 1e-9 * jnp.eye(3 * k, dtype=q.dtype)
-    vn_now = (J @ v).reshape(k, 3)[:, 2]
+    G = J @ MiJt + 1e-9 * jnp.eye(J.shape[0], dtype=q.dtype)
+    vn_now = (J[:3 * k] @ v).reshape(k, 3)[:, 2]
     # normal velocity target: penetration recovery + restitution
     v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
               - restitution * jnp.minimum(vn_now, 0.0))
     b = J @ v_free
-    b = b.reshape(k, 3).at[:, 2].add(-v_star).reshape(3 * k)
+    b = b.at[2:3 * k:3].add(-v_star)
+    if impulse_limits:
+        v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
+        b = b.at[3 * k:].add(-v_star_l)
 
     mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k,))
-    p_imp = pgs_solve(G, b, mu_vec, active, iters)
+    p_imp = pgs_solve(G, b, mu_vec, active, iters, lim_active=lim_active)
 
     v_new = v_free + MiJt @ p_imp
+    p_imp = p_imp[:3 * k]
     vb2, qd2 = v_new[:6], v_new[6:]
     quat2 = quat_mul(quat, quat_exp_body(vb2[:3] * dt))
     quat2 = quat2 / jnp.linalg.norm(quat2)
     pos2 = pos + dt * (quat_to_rot(quat2) @ vb2[3:])
     q2 = q + dt * qd2
-    if limits is not None:
+    if limits is not None and limit_mode == "project":
         q2, qd2 = project_joint_limits(q2, qd2, limits[0], limits[1])
     return (quat2, pos2, q2, vb2, qd2), p_imp.reshape(k, 3)
 
@@ -839,13 +886,16 @@ def _mu_to_bl(mu, k, B, dtype):
     return jnp.broadcast_to(mu_arr, (k, B))
 
 
-def pgs_solve_bl(G, b, mu, active, iters: int = 30):
+def pgs_solve_bl(G, b, mu, active, iters: int = 30, lim_active=None):
     """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,) or
     (k,B) — static, traced, or per-environment — active (k,B) →
-    impulses (3k,B); every sweep step a lane-parallel op."""
-    k = b.shape[0] // 3
+    impulses (3k,B); every sweep step a lane-parallel op. ``lim_active``
+    (m,B) appends m normal-only joint-limit rows (G/b sized 3k+m)."""
+    m = 0 if lim_active is None else lim_active.shape[0]
+    k = (b.shape[0] - m) // 3
     mu = jnp.asarray(mu, b.dtype)
-    diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k)]), 1e-9, None)
+    rows = 3 * k + m
+    diag = jnp.clip(jnp.stack([G[d, d] for d in range(rows)]), 1e-9, None)
 
     def sweep(_, p):
         for i in range(k):
@@ -859,6 +909,11 @@ def pgs_solve_bl(G, b, mu, active, iters: int = 30):
             p = jnp.concatenate(
                 [p[:s], jnp.stack([pt0 * scale, pt1 * scale, pn]),
                  p[s + 3:]])
+        for j in range(m):
+            row = 3 * k + j
+            r = sum(G[row, c] * p[c] for c in range(rows)) + b[row]
+            pj = jnp.maximum(p[row] - r / diag[row], 0.0) * lim_active[j]
+            p = jnp.concatenate([p[:row], pj[None], p[row + 1:]])
         return p
 
     return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(b))
@@ -868,7 +923,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            ground_z=0.0, gravity=-9.81, iters: int = 30,
                            erp: float = 0.2, margin: float = 1e-3,
                            restitution: float = 0.0, impl="auto",
-                           limits=None, effort=None):
+                           limits=None, effort=None,
+                           limit_mode: str = "project"):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -885,6 +941,10 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     if effort is not None:
         # composes with every impl (incl. the fused kernel): rewrites tau
         tau = clamp_effort(tau, effort)
+    if limit_mode not in ("project", "impulse"):
+        raise ValueError(f"limit_mode must be 'project' or 'impulse', "
+                         f"got {limit_mode!r}")
+    impulse_limits = limits is not None and limit_mode == "impulse"
     B = q.shape[0]
     n = ffm.n
     k = len(links)
@@ -895,7 +955,9 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
     dtype = q_bl.dtype
 
-    if _impl_auto(impl, q) == "pallas":
+    # the fused step kernel has no limit rows — impulse-mode limits run
+    # the identical XLA batch-last body below
+    if _impl_auto(impl, q) == "pallas" and not impulse_limits:
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
@@ -929,28 +991,49 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         for i in range(k)])
     active = (gaps < margin).astype(dtype)
 
-    MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(3 * k)]
+    lim_active = None
+    if impulse_limits:
+        # normal-only limit rows: direction −s·e_{6+j} (see fb_step_ground)
+        lo = jnp.asarray(limits[0], dtype)[:, None]
+        hi = jnp.asarray(limits[1], dtype)[:, None]
+        lim_margin = 10.0 * margin
+        s_hi = (q_bl > hi - lim_margin)
+        s_lo = (q_bl < lo + lim_margin)
+        sign = s_hi.astype(dtype) - s_lo.astype(dtype)
+        lim_active = (s_hi | s_lo).astype(dtype)
+        lim_gap = jnp.where(s_lo, q_bl - lo, hi - q_bl)
+        lim_gap = jnp.where(jnp.isfinite(lim_gap), lim_gap,
+                            jnp.ones_like(lim_gap))
+        zero_row = jnp.zeros((6 + n, B), dtype)
+        J_l = [zero_row.at[6 + j].set(-sign[j]) for j in range(n)]
+        J = jnp.concatenate([J, jnp.stack(J_l)], axis=0)
+    rows = J.shape[0]
+    MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(rows)]
     G = jnp.stack([
         jnp.stack([sum(J[r, c] * MiJt_cols[s][c] for c in range(6 + n))
-                   for s in range(3 * k)])
-        for r in range(3 * k)]) + 1e-9 * jnp.eye(3 * k, dtype=dtype)[..., None]
+                   for s in range(rows)])
+        for r in range(rows)]) + 1e-9 * jnp.eye(rows, dtype=dtype)[..., None]
     Jv = jnp.stack([sum(J[r, c] * v[c] for c in range(6 + n))
                     for r in range(3 * k)])
     Jvf = jnp.stack([sum(J[r, c] * v_free[c] for c in range(6 + n))
-                     for r in range(3 * k)])
+                     for r in range(rows)])
     vn_now = jnp.stack([Jv[3 * i + 2] for i in range(k)])
     v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
               - restitution * jnp.minimum(vn_now, 0.0))
     b = Jvf
-    b = jnp.concatenate([
-        jnp.concatenate([b[3 * i:3 * i + 2],
-                         (b[3 * i + 2] - v_star[i])[None]])
-        for i in range(k)])
+    b = jnp.concatenate(
+        [jnp.concatenate([b[3 * i:3 * i + 2],
+                          (b[3 * i + 2] - v_star[i])[None]])
+         for i in range(k)]
+        + ([b[3 * k:] + erp * jnp.minimum(lim_gap, 0.0) / dt]
+           if impulse_limits else []))
 
-    p_imp = pgs_solve_bl(G, b, _mu_to_bl(mu, k, B, dtype), active, iters)
+    p_imp = pgs_solve_bl(G, b, _mu_to_bl(mu, k, B, dtype), active, iters,
+                         lim_active=lim_active)
 
     v_new = v_free + sum(MiJt_cols[s] * p_imp[s][None, :]
-                         for s in range(3 * k))
+                         for s in range(rows))
+    p_imp = p_imp[:3 * k]
     vb2, qd2 = v_new[:6], v_new[6:]
     quat2 = _quat_mul_bl(quat_bl, _quat_exp_bl(vb2[:3] * dt))
     quat2 = quat2 / jnp.sqrt(jnp.sum(quat2 * quat2, axis=0))
@@ -958,7 +1041,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     pos2 = pos_bl + dt * jnp.stack([
         sum(R2[i, j] * vb2[3 + j] for j in range(3)) for i in range(3)])
     q2 = q_bl + dt * qd2
-    if limits is not None:
+    if limits is not None and limit_mode == "project":
         q2, qd2 = project_joint_limits(q2, qd2, limits[0][:, None],
                                        limits[1][:, None])
     nxt = (quat2.T, pos2.T, q2.T, vb2.T, qd2.T)

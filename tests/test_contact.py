@@ -806,3 +806,62 @@ def test_joint_limits_and_effort_in_ground_stepper():
     qb = np.asarray(sb[2])
     assert np.isfinite(qb).all()
     assert (qb <= np.asarray(hi)[None] + 1e-12).all()
+
+
+def test_limit_impulse_mode_momentum_consistent():
+    """``limit_mode="impulse"`` treats the joint stop as a constraint row
+    in the PGS solve, so the stopping impulse is INTERNAL: in flight
+    (gravity off), centroidal momentum is conserved through the stop
+    event; the cheap projection mode is not momentum-consistent (its
+    violation here is ~200× larger). Batched impulse mode equals the
+    single-state path exactly."""
+    import functools
+
+    from gridcodegenerator_tpu.ops import centroidal as cd
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.0))
+    ffm = ff.free_flyer_model(desc)
+    n = desc.n
+    links, offs = (2, 5, 8, 11), np.array([[0.35, 0.0, 0.0]] * 4)
+    lo = jnp.asarray(desc.q_lower).at[2].set(-0.3)
+    hi = jnp.asarray(desc.q_upper).at[2].set(0.3)
+    state = (jnp.array([1.0, 0, 0, 0]), jnp.array([0.0, 0, 100.0]),
+             jnp.zeros(n), jnp.zeros(6), jnp.zeros(n).at[2].set(3.0))
+    drift = {}
+    for mode in ("impulse", "project"):
+        step = jax.jit(functools.partial(
+            ct.fb_step_ground, ffm, dt=0.002, links=links, offsets=offs,
+            limits=(lo, hi), gravity=0.0, limit_mode=mode))
+        s = state
+        h0 = np.asarray(cd.fb_centroidal_momentum(ffm, *s))
+        for _ in range(200):
+            s, _ = step(state=s, tau=jnp.zeros(n))
+        h1 = np.asarray(cd.fb_centroidal_momentum(ffm, *s))
+        drift[mode] = np.abs(h1 - h0).max()
+        assert float(s[2][2]) <= 0.3 + 1e-9   # stopped at the bound
+    assert drift["impulse"] < 5e-3
+    assert drift["impulse"] < drift["project"] / 50.0
+
+    # batched impulse mode == single-state, elementwise
+    rng = np.random.default_rng(3)
+    B = 3
+    quat = rng.standard_normal((B, 4))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=1, keepdims=True))
+    pos = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3))) + jnp.array([0, 0, 0.5])
+    q = jnp.asarray(rng.uniform(-0.9, 0.9, (B, n)))
+    vb = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-2, 2, (B, n)))
+    tau = jnp.asarray(rng.uniform(-40, 40, (B, n)))
+    lo2, hi2 = jnp.full(n, -0.85), jnp.full(n, 0.85)
+    sb, impb = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 0.002, links, offs, impl="vmap",
+        limits=(lo2, hi2), limit_mode="impulse")
+    for b in range(B):
+        ss, imp = ct.fb_step_ground(
+            ffm, tuple(x[b] for x in (quat, pos, q, vb, qd)), tau[b],
+            0.002, links, offs, limits=(lo2, hi2), limit_mode="impulse")
+        for a, got in zip(ss, [x[b] for x in sb]):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(a),
+                                       atol=1e-12)
+        np.testing.assert_allclose(np.asarray(impb[b]), np.asarray(imp),
+                                   atol=1e-12)
