@@ -54,6 +54,7 @@ from .ops.contact import (
     fb_step_ground,
     fb_step_ground_batched,
     joint_limit_torque,
+    pd_torque,
     project_joint_limits,
     project_velocity,
     simulate_constrained,
@@ -137,6 +138,7 @@ __all__ = [
     "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
     "fb_simulate_ground_batched",
     "clamp_effort", "joint_limit_torque", "project_joint_limits",
+    "pd_torque",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_batched",
     "fb_forward_dynamics_gradient", "fb_id_grad",

@@ -716,6 +716,15 @@ def joint_limit_torque(q, qd, lo, hi, kp=200.0, kd=5.0):
     return kp * (under - over) - kd * qd * outward.astype(q.dtype)
 
 
+def pd_torque(q, qd, q_target, kp, kd, qd_target=0.0):
+    """Joint-space PD servo torque kp·(q* − q) − kd·(q̇ − q̇*) — the
+    standard RL actuation map (actions = position targets). Elementwise
+    over any layout; compose with :func:`clamp_effort` and feed the
+    result to the steppers (works with every impl incl. the fused
+    kernels, since it only shapes τ)."""
+    return kp * (q_target - q) - kd * (qd - qd_target)
+
+
 def clamp_effort(tau, effort):
     """URDF actuator saturation: clamp τ to ±effort (``desc.effort``;
     ``inf`` entries are no-ops)."""
