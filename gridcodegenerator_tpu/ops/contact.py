@@ -575,9 +575,7 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
     quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
     vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
 
-    # the fused step kernel has no limit rows — impulse-mode limits run
-    # the identical XLA batch-last body below
-    if _impl_auto(impl, q) == "pallas" and not impulse_limits:
+    if _impl_auto(impl, q) == "pallas":
         # the fused kernel bakes the geometry as literals, so offsets /
         # anchors must be concrete (the raw arguments, before any traced
         # jnp conversion); the XLA path below keeps them traceable
