@@ -77,6 +77,15 @@ from .ops.aba import aba, aba_bl, fb_aba
 from .ops.fd import forward_dynamics_diff
 from .ops.regressor import inertial_params, joint_torque_regressor
 from .ops.kinematics import fk, point_position, world_jacobian
+from .ops.ik import ik_frame, ik_point, ik_point_batched, rotation_log
+from .ops.task import (
+    dynamically_consistent_pinv,
+    osc_torque,
+    osc_torque_batched,
+    task_jacobian,
+    task_pd_acceleration,
+    task_space_inertia,
+)
 from .ops.freeflyer import (
     FreeFlyerModel,
     fb_forward_dynamics,
@@ -130,6 +139,9 @@ __all__ = [
     "compile_multidof", "CompiledMultiDof",
     "simulate", "linearize_trajectory",
     "fk", "point_position", "world_jacobian",
+    "ik_point", "ik_point_batched", "ik_frame", "rotation_log",
+    "task_jacobian", "task_space_inertia", "dynamically_consistent_pinv",
+    "osc_torque", "osc_torque_batched", "task_pd_acceleration",
     "contact_jacobian", "constrained_forward_dynamics",
     "constrained_inverse_dynamics", "simulate_constrained",
     "project_velocity", "fb_contact_jacobian",
