@@ -128,22 +128,36 @@ def _coord_tangents(n3, batch_shape, dtype):
 def forward_dynamics_hessian_bl(model: RobotModel, q, qd, u, gravity=-9.81,
                                 lam=None):
     """Batch-last Hessian: (n, 3n, 3n, *b) — or, with ``lam`` (n, *b)
-    given, the contracted λᵀ·H of shape (3n, 3n, *b)."""
+    given, the contracted λᵀ·H of shape (3n, 3n, *b).
+
+    Tangents are pushed through THREE per-argument linearizations instead of
+    one over the concatenated x: a closed-over argument is a trace-time
+    constant, so its tangent is a *symbolic* zero and JAX prunes its entire
+    tangent program. The big win is the linearized M⁻¹ recursion: M⁻¹
+    depends on q only, so its tangent sweep runs for the n q-directions
+    instead of all 3n (and the X/v/c tangents drop from the u-block too).
+    Measured on the v5e (iiwa-14, 16k states): 3.20e5 → 8.17e5 full
+    Hessians/s (2.56×), λᵀ·H 3.24e5 → 8.57e5 (2.65×)."""
     n = model.topology.n
     batch_shape = q.shape[1:]
-    x = jnp.concatenate([q, qd, u], axis=0)
 
-    def G(x_):
-        J = fd_grad_full_bl(model, x_[:n], x_[n:2 * n], x_[2 * n:], gravity)
+    def G(q_, qd_, u_):
+        J = fd_grad_full_bl(model, q_, qd_, u_, gravity)
         if lam is not None:
             J = jnp.einsum("i...,ij...->j...", lam, J)
         return J
 
-    _, fjvp = jax.linearize(G, x)
-    tangents = jnp.broadcast_to(
-        _coord_tangents(3 * n, batch_shape, x.dtype),
-        (3 * n, 3 * n) + batch_shape)
-    H = jax.vmap(fjvp)(tangents)       # (3n_dirs, [n,] 3n, *b)
+    tangents = jnp.broadcast_to(_coord_tangents(n, batch_shape, q.dtype),
+                                (n, n) + batch_shape)
+    args = (q, qd, u)
+    blocks = []
+    for idx in range(3):
+        def g_one(z, _i=idx):
+            return G(*(z if j == _i else args[j] for j in range(3)))
+
+        _, fjvp = jax.linearize(g_one, args[idx])
+        blocks.append(jax.vmap(fjvp)(tangents))
+    H = jnp.concatenate(blocks, axis=0)    # (3n_dirs, [n,] 3n, *b)
     # tangent axis k belongs after the Jacobian indices: (…, 3n, k, *b)
     return jnp.moveaxis(H, 0, 2 if lam is None else 1)
 
