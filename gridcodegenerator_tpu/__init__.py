@@ -59,6 +59,15 @@ from .ops.contact import (
     project_velocity,
     simulate_constrained,
 )
+from .ops.terrain import (
+    Terrain,
+    bumpy_terrain,
+    flat_terrain,
+    make_terrain,
+    slope_terrain,
+    terrain_height_grad,
+    terrain_surface,
+)
 from .ops.centroidal import (
     centroidal_momentum,
     centroidal_momentum_batched,
@@ -151,6 +160,8 @@ __all__ = [
     "fb_simulate_ground_batched",
     "clamp_effort", "joint_limit_torque", "project_joint_limits",
     "pd_torque",
+    "Terrain", "make_terrain", "flat_terrain", "slope_terrain",
+    "bumpy_terrain", "terrain_height_grad", "terrain_surface",
     "FreeFlyerModel", "free_flyer_model", "fb_forward_dynamics",
     "fb_forward_dynamics_batched",
     "fb_forward_dynamics_gradient", "fb_id_grad",

@@ -862,10 +862,17 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    erp: float = 0.2, margin: float = 1e-3,
                    restitution: float = 0.0, limits=None, effort=None,
                    limit_mode: str = "project", diff_mode: str = "unroll",
-                   relax: float = 1.0):
+                   relax: float = 1.0, terrain=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
+
+    ``terrain``: an optional :class:`.terrain.Terrain` bilinear
+    heightfield replacing the flat plane — each contact then uses the
+    local surface frame [t1, t2, n] (n the surface normal at the foot's
+    (x, y)) and the gap measured along n; ``ground_z`` is ignored. The
+    heightfield is differentiable: gradients flow through the foot
+    query point AND the terrain node heights (terrain identification).
 
     Semi-implicit impulse formulation (Stewart-Trinkle style): the free
     velocity ``v_free = v + dt·M⁻¹([0;τ] − bias)`` is corrected by contact
@@ -925,14 +932,23 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     v = jnp.concatenate([vb, qd])
     v_free = v + dt * msolve(jnp.concatenate([-p_b, tau - c_j]))
 
-    # contact rows: world [t1, t2, n] per foot (n = +z of the plane)
+    # contact rows: local [t1, t2, n] per foot (n = +z for the flat plane,
+    # the surface normal at the foot's (x, y) for a heightfield)
     J6 = fb_contact_jacobian(ffm, quat, q, links, offsets)   # (3k, 6+n) xyz
-    gaps = jnp.stack([
-        (pos + R @ _fb_point_base(ffm, q, l, offsets[i])[0])[2] - ground_z
-        for i, l in enumerate(links)])
+    p_w = jnp.stack([pos + R @ _fb_point_base(ffm, q, l, offsets[i])[0]
+                     for i, l in enumerate(links)])          # (k, 3) world
+    if terrain is None:
+        gaps = p_w[:, 2] - ground_z
+        J = J6  # flat plane: frame rows are the world axes already
+    else:
+        from .terrain import contact_frame, terrain_surface
+        h, nrm = terrain_surface(terrain, p_w[:, 0], p_w[:, 1])  # nrm (3,k)
+        gaps = (p_w[:, 2] - h) * nrm[2]          # distance along the normal
+        C = contact_frame(nrm)                                # (3, 3, k)
+        J = jnp.concatenate([C[..., i] @ J6[3 * i:3 * i + 3]
+                             for i in range(k)], axis=0)
     active = (gaps < margin).astype(q.dtype)
 
-    J = J6  # world xyz rows; reorder per contact to [x(t1), y(t2), z(n)]
     lim_active = None
     if impulse_limits:
         # one normal-only row per joint, direction −s·e_{6+j} (the
@@ -1078,7 +1094,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            restitution: float = 0.0, impl="auto",
                            limits=None, effort=None,
                            limit_mode: str = "project",
-                           diff_mode: str = "unroll", relax: float = 1.0):
+                           diff_mode: str = "unroll", relax: float = 1.0,
+                           terrain=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1094,7 +1111,11 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     ``diff_mode="implicit"`` makes the step end-to-end reverse-mode
     differentiable with exact fixed-point (IFT) gradients through the
     cone solve (see :func:`fb_step_ground`); it forces the XLA batch-last
-    body (the fused kernel has no AD rule)."""
+    body (the fused kernel has no AD rule).
+
+    ``terrain``: optional :class:`.terrain.Terrain` heightfield replacing
+    the flat plane (see :func:`fb_step_ground`); also forces the XLA
+    batch-last body (the fused kernel bakes the flat-plane geometry)."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     if effort is not None:
@@ -1120,7 +1141,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     # the fused step kernel has no limit rows — impulse-mode limits run
     # the identical XLA batch-last body below
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
-            and diff_mode == "unroll" and relax == 1.0):
+            and diff_mode == "unroll" and relax == 1.0
+            and terrain is None):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
@@ -1148,10 +1170,26 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         Lm, jnp.concatenate([-p_b, tau_bl - c_j]))
 
     J, x_b = _fb_contact_rows_bl(ffm, quat_bl, q_bl, links, offsets)
-    # world foot heights and activation
-    gaps = jnp.stack([
-        pos_bl[2] + sum(R[2, j] * x_b[3 * i + j] for j in range(3)) - ground_z
-        for i in range(k)])
+    # world foot positions (batch-last per component) and activation
+    p_w = [jnp.stack([pos_bl[c] + sum(R[c, j] * x_b[3 * i + j]
+                                      for j in range(3))
+                      for c in range(3)])                     # (3, B)
+           for i in range(k)]
+    if terrain is None:
+        gaps = jnp.stack([p_w[i][2] - ground_z for i in range(k)])
+    else:
+        from .terrain import contact_frame, terrain_surface
+        gap_rows = []
+        J_rows = []
+        for i in range(k):
+            h, nrm = terrain_surface(terrain, p_w[i][0], p_w[i][1])
+            gap_rows.append((p_w[i][2] - h) * nrm[2])
+            C = contact_frame(nrm)                            # (3, 3, B)
+            for r in range(3):
+                J_rows.append(sum(C[r, c][None, :] * J[3 * i + c]
+                                  for c in range(3)))
+        gaps = jnp.stack(gap_rows)
+        J = jnp.stack(J_rows)
     active = (gaps < margin).astype(dtype)
 
     lim_active = None
@@ -1216,13 +1254,13 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
 def fb_simulate_ground(ffm, state0, taus, dt, links, offsets, mu=0.8,
                        ground_z=0.0, gravity=-9.81, iters: int = 30,
                        erp: float = 0.2, margin: float = 1e-3,
-                       restitution: float = 0.0):
+                       restitution: float = 0.0, terrain=None):
     """``lax.scan`` rollout of :func:`fb_step_ground` — a full frictional
     ground-contact simulation in one device dispatch."""
     def step(s, tau):
         nxt, imp = fb_step_ground(ffm, s, tau, dt, links, offsets, mu,
                                   ground_z, gravity, iters, erp, margin,
-                                  restitution)
+                                  restitution, terrain=terrain)
         return nxt, (nxt, imp)
 
     return jax.lax.scan(step, state0, taus)
@@ -1232,7 +1270,8 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
                                mu=0.8, ground_z=0.0, gravity=-9.81,
                                iters: int = 30, erp: float = 0.2,
                                margin: float = 1e-3,
-                               restitution: float = 0.0, impl="auto"):
+                               restitution: float = 0.0, impl="auto",
+                               terrain=None):
     """``lax.scan`` rollout of :func:`fb_step_ground_batched` — T steps of
     N frictional environments in ONE device dispatch (the RL-training
     inner loop; on TPU each step is one fused Pallas kernel per lane
@@ -1242,7 +1281,7 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
     def step(s, tau):
         nxt, imp = fb_step_ground_batched(
             ffm, s, tau, dt, links, offsets, mu, ground_z, gravity, iters,
-            erp, margin, restitution, impl=impl)
+            erp, margin, restitution, impl=impl, terrain=terrain)
         return nxt, imp
 
     return jax.lax.scan(step, state0, taus)
