@@ -160,6 +160,33 @@ def main(argv=None):
         print(f"# roll   hyq  B={B:7d} T={T}  {med*1e3:9.3f} ms  "
               f"{B*T/med:11.3e} env-steps/s", file=sys.stderr)
 
+    # ---- heightfield terrain stepper: bumpy ground, XLA batch-last body ---
+    # (the fused kernel bakes the flat plane; terrain= forces the XLA body,
+    # so this row is the uneven-ground RL-env cost, incl. the 4-node
+    # bilinear gathers per foot)
+    if "terrain" in args.cases:
+        from gridcodegenerator_tpu.ops import terrain as tr
+
+        terr = tr.bumpy_terrain(amp=0.04, wavelength=1.1, extent=6.0,
+                                cell=0.1, dtype=jnp.float32)
+
+        @jax.jit
+        def terr_step(state, tau):
+            return ct.fb_step_ground_batched(
+                ffm, state, tau, 1e-3, feet, foff, mu=0.8, impl="xla",
+                terrain=terr)[0]
+
+        for B in args.batches:
+            quat, pos, q, vb, qd, tau = states_for(B)
+            state = (quat, pos, q, vb, qd)
+            med, mn = time_fn(lambda s, t: terr_step(s, t)[2], (state, tau),
+                              reps=args.reps)
+            row = dict(case="terrain_step_hyq", n=nh, contacts=4, batch=B,
+                       median_ms=med * 1e3, env_steps_per_sec=B / med)
+            print(json.dumps(row))
+            print(f"# terr   hyq  B={B:7d}  {med*1e3:9.3f} ms  "
+                  f"{B/med:11.3e} env-steps/s", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

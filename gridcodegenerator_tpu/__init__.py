@@ -50,6 +50,8 @@ from .ops.contact import (
     fb_contact_jacobian,
     fb_simulate_constrained,
     fb_simulate_ground,
+    fb_stance_inverse_dynamics,
+    fb_stance_inverse_dynamics_batched,
     fb_simulate_ground_batched,
     fb_step_ground,
     fb_step_ground_batched,
@@ -156,6 +158,7 @@ __all__ = [
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",
+    "fb_stance_inverse_dynamics", "fb_stance_inverse_dynamics_batched",
     "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
     "fb_simulate_ground_batched",
     "clamp_effort", "joint_limit_torque", "project_joint_limits",

@@ -292,6 +292,64 @@ def fb_constrained_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, links,
     return y[:6], y[6:], lam
 
 
+def fb_stance_inverse_dynamics(ffm, quat, pos, q, vb, qd, vbdot_des,
+                               qdd_des, links, offsets, gravity=-9.81,
+                               reg=1e-9):
+    """Whole-body stance inverse dynamics: actuation torques and contact
+    forces realizing a desired acceleration on a floating base with feet
+    in contact — the torque-control primitive of walking-robot stacks
+    (the reference stops at unconstrained ID, `_inverse_dynamics.py`;
+    this is its stance-phase generalization).
+
+    Solves ``M·v̇_des + h = [0; τ] + Jᵀλ`` for (τ, λ): the 6 unactuated
+    base rows determine λ (underdetermined for 3k > 6 — internal foot
+    forces don't affect motion — resolved MINIMUM-NORM via the 6×6
+    normal equations), the n actuated rows then give τ exactly. Returns
+    ``(τ (n,), λ (3k,), base_residual (6,))`` — the residual is 0 when
+    the stance can realize the requested base wrench (generic k ≥ 2) and
+    reports the unrealizable component otherwise (e.g. a single point
+    foot cannot apply a moment about itself).
+
+    Exactness contract (tested): if (v̇b_des, q̈_des) is stance-consistent
+    (J·v̇ = −J̇·v), then :func:`fb_constrained_forward_dynamics` under the
+    returned τ reproduces (v̇b_des, q̈_des, λ) to round-off — given τ the
+    KKT pair (v̇, λ) is unique, so the round trip closes on this (τ, λ)
+    even though OTHER (τ', λ') pairs realize the same motion."""
+    from .freeflyer import fb_bias, fb_mass_matrix, quat_to_rot
+
+    _check_contacts(ffm.n, links, offsets)
+    offsets = jnp.asarray(offsets, q.dtype)
+    X = ffm.arm.joint_transforms(q)
+    R_wb = quat_to_rot(quat)
+    p_b, c_j = fb_bias(ffm, X, R_wb, vb, qd, gravity)
+    M = fb_mass_matrix(ffm, X)
+    F = M @ jnp.concatenate([vbdot_des, qdd_des]) + jnp.concatenate(
+        [p_b, c_j])                                  # required gen. force
+    J = fb_contact_jacobian(ffm, quat, q, links, offsets)        # (3k, 6+n)
+    A = J[:, :6].T                                               # (6, 3k)
+    AAt = A @ A.T
+    Lr = jnp.linalg.cholesky(AAt + reg * jnp.eye(6, dtype=q.dtype))
+    solve = lambda rhs: jax.scipy.linalg.cho_solve((Lr, True), rhs)
+    u = solve(F[:6])
+    u = u + solve(F[:6] - AAt @ u)       # refine away the Tikhonov bias
+    lam = A.T @ u                        # min-norm contact set
+    tau = F[6:] - J[:, 6:].T @ lam
+    return tau, lam, F[:6] - A @ lam
+
+
+def fb_stance_inverse_dynamics_batched(ffm, quat, pos, q, vb, qd,
+                                       vbdot_des, qdd_des, links, offsets,
+                                       gravity=-9.81, reg=1e-9):
+    """vmap of :func:`fb_stance_inverse_dynamics` over a leading batch
+    axis on every state/target array (imitation-learning torque
+    labeling; the per-call cost is one (6+n) mass assembly + a 6×6
+    solve, so plain vmap suffices — no batch-last body needed)."""
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g_: fb_stance_inverse_dynamics(
+            ffm, a, b, c, d, e, f, g_, links, offsets, gravity, reg)
+    )(quat, pos, q, vb, qd, vbdot_des, qdd_des)
+
+
 def fb_constrained_linearize(ffm, quat, pos, q, vb, qd, tau, links, offsets,
                              anchors=None, gravity=-9.81,
                              baumgarte=(0.0, 0.0), reg=0.0):
