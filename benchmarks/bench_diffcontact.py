@@ -44,7 +44,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--modes", nargs="*", default=["implicit", "unroll"])
-    p.add_argument("--fwd", action="store_true", default=True)
+    p.add_argument("--layout", default="bl", choices=["bl", "vmap"],
+                   help="bl: batch-last XLA body (fast steady-state, "
+                        "~30+ min first compile); vmap: vmapped "
+                        "single-state body (compiles in ~1 min)")
+    p.add_argument("--no-fwd", dest="fwd", action="store_false",
+                   help="skip the forward-only baseline row")
     p.add_argument("--budget", type=float,
                    default=float(os.environ.get("BENCH_BUDGET_S", "480")))
     args = p.parse_args(argv)
@@ -88,15 +93,25 @@ def main(argv=None):
         tau = jnp.asarray(rng.uniform(-10, 10, (B, n)), jnp.float32)
         return (quat, pos, q, vb, qd), tau
 
-    def make_grad(mode, B):
+    def step_batched(s, tau, mode):
         # implicit mode forces the XLA batch-last body (the fused kernel
-        # has no AD rule); unroll must run the SAME body for a fair A/B
+        # has no AD rule); unroll must run the SAME body for a fair A/B.
+        # --layout vmap trades steady-state rate for a ~30x faster
+        # compile (the single-state body is a few hundred HLOs that vmap
+        # re-shapes; the batch-last body unrolls ~20k lane ops).
+        if args.layout == "bl":
+            return ct.fb_step_ground_batched(
+                ffm, s, tau, 1e-3, feet, foff, mu=0.8, iters=args.iters,
+                impl="xla", diff_mode=mode)[0]
+        one = lambda s1, t1: ct.fb_step_ground(
+            ffm, s1, t1, 1e-3, feet, foff, mu=0.8, iters=args.iters,
+            diff_mode=mode)[0]
+        return jax.vmap(one)(s, tau)
+
+    def make_grad(mode, B):
         def rollout_loss(tau, state):
             def step(s, _):
-                nxt, _ = ct.fb_step_ground_batched(
-                    ffm, s, tau, 1e-3, feet, foff, mu=0.8,
-                    iters=args.iters, impl="xla", diff_mode=mode)
-                return nxt, None
+                return step_batched(s, tau, mode), None
             (quatT, posT, qT, vbT, qdT), _ = jax.lax.scan(
                 step, state, None, length=T)
             return jnp.sum(vbT ** 2) + jnp.sum((posT[:, 2] - 0.58) ** 2)
@@ -106,11 +121,9 @@ def main(argv=None):
     for B in args.batches:
         state, tau = states_for(B)
         if args.fwd:
-            fwd = jax.jit(lambda s, t: ct.fb_step_ground_batched(
-                ffm, s, t, 1e-3, feet, foff, mu=0.8, iters=args.iters,
-                impl="xla")[0][2])
+            fwd = jax.jit(lambda s, t: step_batched(s, t, "unroll")[2])
             med, mn = time_fn(fwd, (state, tau), reps=args.reps * 2)
-            row = dict(case="ground_step_fwd_xla", n=n, batch=B,
+            row = dict(case=f"ground_step_fwd_{args.layout}", n=n, batch=B,
                        iters=args.iters, median_ms=med * 1e3,
                        env_steps_per_sec=B / med)
             print(json.dumps(row))
@@ -120,9 +133,9 @@ def main(argv=None):
             gfn = make_grad(mode, B)
             med, mn = time_fn(gfn, (tau, state), reps=args.reps)
             rate = B * T / med
-            row = dict(case=f"bptt_grad_{mode}", n=n, batch=B, horizon=T,
-                       iters=args.iters, median_ms=med * 1e3,
-                       env_step_grads_per_sec=rate)
+            row = dict(case=f"bptt_grad_{mode}_{args.layout}", n=n,
+                       batch=B, horizon=T, iters=args.iters,
+                       median_ms=med * 1e3, env_step_grads_per_sec=rate)
             print(json.dumps(row))
             print(f"# grad {mode:8s} B={B:6d} T={T:2d}  {med*1e3:9.3f} ms  "
                   f"{rate:10.3e} env-step-grads/s", file=sys.stderr)
