@@ -1172,8 +1172,11 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     body (the fused kernel has no AD rule).
 
     ``terrain``: optional :class:`.terrain.Terrain` heightfield replacing
-    the flat plane (see :func:`fb_step_ground`); also forces the XLA
-    batch-last body (the fused kernel bakes the flat-plane geometry)."""
+    the flat plane (see :func:`fb_step_ground`). On TPU it runs the fused
+    heightfield kernel (:func:`.kernels.contact_fused.
+    step_ground_terrain_fused` — the bilinear lookup as an MXU one-hot
+    gather) when the grid fits the VMEM gate, the XLA batch-last body
+    otherwise."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     if effort is not None:
@@ -1199,18 +1202,25 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     # the fused step kernel has no limit rows — impulse-mode limits run
     # the identical XLA batch-last body below
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
-            and diff_mode == "unroll" and relax == 1.0
-            and terrain is None):
+            and diff_mode == "unroll" and relax == 1.0):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
         from .kernels import contact_fused as _cf
 
         mu_bl = _mu_to_bl(mu, k, B, dtype)
-        q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
-            ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl, dt,
-            links, np.asarray(offsets_raw, np.float64), ground_z, gravity,
-            iters, erp, margin, restitution)
+        if terrain is None:
+            q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
+                ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
+                dt, links, np.asarray(offsets_raw, np.float64), ground_z,
+                gravity, iters, erp, margin, restitution)
+        else:
+            # heightfield kernel: the MXU one-hot bilinear gather; grids
+            # past the VMEM gate run the same body as plain XLA inside
+            q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_terrain_fused(
+                ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
+                dt, links, np.asarray(offsets_raw, np.float64), terrain,
+                gravity, iters, erp, margin, restitution)
         if limits is not None:
             qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
                                             limits[1][:, None])

@@ -572,13 +572,23 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
     return dvb, qdd, lam_out
 
 
-def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
-                      offsets, dt, ground_z, gravity, iters, erp, margin,
-                      restitution):
+def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
+                      tables=None, *, links, offsets, dt, ground_z,
+                      gravity, iters, erp, margin, restitution,
+                      terrain_static=None):
     """One frictional ground step on a lane tile. Mirrors
     :func:`..contact.fb_step_ground_batched`: free velocity step, gap-gated
     PGS cone solve on the Delassus operator, semi-implicit manifold
-    integration. Returns (quat2, pos2, q2, vb2, qd2, imp (3k,B))."""
+    integration. Returns (quat2, pos2, q2, vb2, qd2, imp (3k,B)).
+
+    Heightfield mode (``terrain_static`` dict + ``tables`` (4, HWp)): the
+    per-foot bilinear lookup rides the MXU — ONE one-hot mask per foot
+    (iota == flat cell index, (HWp, B)) against four statically-ROLLED
+    copies of the flattened height grid (rows [h00, h10, h01, h11] =
+    flat[idx], flat[idx+W], flat[idx+1], flat[idx+W+1]) gives all four
+    bilinear corners in a single (4, HWp) @ (HWp, B) matmul. Contact rows
+    are then rotated into the local [t1, t2, n] frame and the gap
+    measured along n — numerics mirror ``ops/terrain.py`` term by term."""
     n = km.topology.n
     m = 6 + n
     k = len(links)
@@ -590,16 +600,57 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu, *, links,
     v = _vfull_list(km, vb, qd)
 
     J, xs = _ff_contact_rows_s(km, X, R, links, offsets)
-    JT = _jt_stacks(J, m, q[0:1])              # per-column (3k, B) stacks
-    # world foot heights → activation masks (k × (1,B))
+    # world foot heights → activation masks (k × (1,B)); heightfield mode
+    # also rotates each foot's 3 world rows into its local contact frame
     active = []
     gaps = []
     for ci in range(k):
-        gap = (pos[2:3]
-               + sum(R[2, j:j + 1, :] * xs[ci][j:j + 1] for j in range(3))
-               - ground_z)
+        p_w = [pos[d:d + 1]
+               + sum(R[d, j:j + 1, :] * xs[ci][j:j + 1] for j in range(3))
+               for d in range(3)]
+        if terrain_static is None:
+            gap = p_w[2] - ground_z
+        else:
+            ts = terrain_static
+            W, Hn, cell = ts["W"], ts["H"], ts["cell"]
+            HWp = tables.shape[1]
+            u = (p_w[0] - ts["x0"]) / cell
+            vq = (p_w[1] - ts["y0"]) / cell
+            iu = jnp.clip(jnp.floor(u), 0, Hn - 2)
+            iv = jnp.clip(jnp.floor(vq), 0, W - 2)
+            fu = u - iu
+            fv = vq - iv
+            idx = iu * W + iv                  # exact small ints in f32
+            iota = jax.lax.broadcasted_iota(q.dtype,
+                                            (HWp, idx.shape[-1]), 0)
+            onehot = (iota == idx).astype(q.dtype)          # (HWp, B)
+            corners = jnp.dot(tables, onehot,
+                              preferred_element_type=q.dtype)  # (4, B)
+            h00, h10, h01, h11 = (corners[d:d + 1] for d in range(4))
+            h = ((1 - fu) * (1 - fv) * h00 + fu * (1 - fv) * h10
+                 + (1 - fu) * fv * h01 + fu * fv * h11)
+            hx = ((1 - fv) * (h10 - h00) + fv * (h11 - h01)) / cell
+            hy = ((1 - fu) * (h01 - h00) + fu * (h11 - h10)) / cell
+            inv = 1.0 / jnp.sqrt(hx * hx + hy * hy + 1.0)
+            nx, ny, nz = -hx * inv, -hy * inv, inv
+            it = 1.0 / jnp.sqrt(nz * nz + nx * nx)
+            t1 = (nz * it, jnp.zeros_like(nz), -nx * it)
+            t2 = (ny * t1[2] - nz * t1[1],
+                  nz * t1[0] - nx * t1[2],
+                  nx * t1[1] - ny * t1[0])
+            C = (t1, t2, (nx, ny, nz))
+            old = [J[3 * ci + w] for w in range(3)]
+            for r in range(3):
+                row = []
+                for c in range(m):
+                    terms = [C[r][w] * old[w][c] for w in range(3)
+                             if old[w][c] is not None]
+                    row.append(_sum_terms(terms) if terms else None)
+                J[3 * ci + r] = row
+            gap = (p_w[2] - h) * nz
         gaps.append(gap)
         active.append((gap < margin).astype(q.dtype))
+    JT = _jt_stacks(J, m, q[0:1])              # per-column (3k, B) stacks
 
     # ONE merged multi-rhs solve: rows 0..3k-1 = M⁻¹Jᵀ, row 3k = M⁻¹ rhs
     zero3k = jnp.zeros((3 * k,) + q.shape[1:], q.dtype)
@@ -678,15 +729,17 @@ def _pgs_rows(G_rows, b, mu, active, k, iters, reg):
 # --------------------------------------------------------------------------
 # dispatcher: lane-tile pallas_call over (…, B) free-flyer states
 # --------------------------------------------------------------------------
-def ff_workset_ok(n: int, k: int) -> bool:
+def ff_workset_ok(n: int, k: int, extra_ws: float = 0.0) -> bool:
     """Whether the stance/step working set fits a 128-state lane tile.
     Model (floats/state): X+IC+FK+v/a/f ≈ 102n, mass+chol ≈ 1.5(6+n)²,
     contact rows (×2 for the jvp'd copy) ≈ 2·3k(6+n)+24n, Delassus/PGS ≈
     (3k)(6+n)+2(3k)²; calibrated by the same Mosaic stack factor as the
-    fixed-base kernels (:data:`..staged._CAL`)."""
+    fixed-base kernels (:data:`..staged._CAL`). ``extra_ws``: additional
+    per-state floats a body variant needs (e.g. the terrain kernel's
+    (HWp, B) one-hot gather mask — HWp floats per state)."""
     m = 6 + n
     ws = (102.0 * n + 1.5 * m * m + 2 * (3 * k * m) + 24.0 * n
-          + 3 * k * m + 2 * (3 * k) ** 2 + 200.0)
+          + 3 * k * m + 2 * (3 * k) ** 2 + 200.0 + extra_ws)
     return ws * _CAL <= _LANE_BUDGET
 
 
@@ -719,9 +772,12 @@ def _ff_ns(ffm, vals):
     return km, vals[len(_MODEL_FIELDS)]
 
 
-def _pallas_ff_call(ffm, body, states, out_dims, interpret=False):
-    """Run ``body(km, I_base, *state_tiles) -> tuple of (d, B)`` over
-    128-state lane tiles. states: (d_i, B) batch-last arrays."""
+def _pallas_ff_call(ffm, body, states, out_dims, interpret=False,
+                    consts=()):
+    """Run ``body(km, I_base, *state_tiles, *consts) -> tuple of (d, B)``
+    over 128-state lane tiles. states: (d_i, B) batch-last arrays;
+    consts: extra VMEM-resident arrays shared by every tile (e.g. the
+    terrain kernel's rolled height tables)."""
     dtype = states[0].dtype
     B = states[0].shape[-1]
     pad = (-B) % _LANES
@@ -732,13 +788,17 @@ def _pallas_ff_call(ffm, body, states, out_dims, interpret=False):
     grid = (Bp // _LANES,)
     model_args = _ff_model_args(ffm, dtype)
     n_model = len(model_args)
+    consts = list(consts)
 
     def kernel(*refs):
         mrefs = refs[:n_model]
         srefs = refs[n_model:n_model + len(states)]
-        orefs = refs[n_model + len(states):]
+        crefs = refs[n_model + len(states):
+                     n_model + len(states) + len(consts)]
+        orefs = refs[n_model + len(states) + len(consts):]
         km, I_base = _ff_ns(ffm, [r[:] for r in mrefs])
-        outs = body(km, I_base, *[r[:] for r in srefs])
+        outs = body(km, I_base, *[r[:] for r in srefs],
+                    *[r[:] for r in crefs])
         for o_ref, o in zip(orefs, outs):
             o_ref[:] = o
 
@@ -747,6 +807,7 @@ def _pallas_ff_call(ffm, body, states, out_dims, interpret=False):
         + [pl.BlockSpec(s.shape[:-1] + (_LANES,),
                         (lambda i, nd=s.ndim: (0,) * (nd - 1) + (i,)),
                         memory_space=pltpu.VMEM) for s in states]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(consts)
     )
     out_specs = [
         pl.BlockSpec((d, _LANES), (lambda i: (0, i)),
@@ -762,13 +823,13 @@ def _pallas_ff_call(ffm, body, states, out_dims, interpret=False):
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(*model_args, *states)
+    )(*model_args, *states, *consts)
     if pad:
         outs = [o[..., :B] for o in outs]
     return list(outs)
 
 
-def _xla_fallback(ffm, body, states):
+def _xla_fallback(ffm, body, states, consts=()):
     """Robots whose working set exceeds the lane tile run the identical
     (1,B)-entry body as plain XLA on the full batch."""
     dtype = states[0].dtype
@@ -783,13 +844,15 @@ def _xla_fallback(ffm, body, states):
     refs.append(jnp.broadcast_to(
         jnp.asarray(ffm.I_base, dtype)[..., None], (6, 6) + B_sh))
     km, I_base = _ff_ns(ffm, refs)
-    return list(body(km, I_base, *states))
+    return list(body(km, I_base, *states, *consts))
 
 
-def _run_ff(ffm, body, states, out_dims, interpret):
-    if ff_workset_ok(ffm.n, _body_k(body)):
-        return _pallas_ff_call(ffm, body, states, out_dims, interpret)
-    return _xla_fallback(ffm, body, states)
+def _run_ff(ffm, body, states, out_dims, interpret, consts=()):
+    extra_ws = float(getattr(body, "_extra_ws", 0.0))
+    if ff_workset_ok(ffm.n, _body_k(body), extra_ws):
+        return _pallas_ff_call(ffm, body, states, out_dims, interpret,
+                               consts)
+    return _xla_fallback(ffm, body, states, consts)
 
 
 def _body_k(body):
@@ -965,3 +1028,60 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
     body._k_contacts = k
     return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
                    [4, 3, n, 6, n, 3 * k], interpret)
+
+
+def terrain_fused_ok(ffm, terrain, k: int) -> bool:
+    """Whether the heightfield step fits the lane tile: the plane-step
+    working set plus one (HWp, B) one-hot mask per state."""
+    H, W = terrain.heights.shape
+    HWp = -(-(H * W) // _LANES) * _LANES
+    return ff_workset_ok(ffm.n, k, extra_ws=float(HWp))
+
+
+def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
+                              links, offsets, terrain, gravity=-9.81,
+                              iters: int = 30, erp: float = 0.2,
+                              margin: float = 1e-3,
+                              restitution: float = 0.0, interpret=False):
+    """Fused frictional ground step on a bilinear HEIGHTFIELD — one kernel
+    per lane tile, the uneven-terrain parallel-RL shape. Same contract as
+    :func:`step_ground_fused` plus ``terrain`` (:class:`...terrain.
+    Terrain`); the node-height table enters as a kernel input (4 rolled
+    copies of the flattened grid), so the heights may be traced values.
+    Grids too large for VMEM (see :func:`terrain_fused_ok`) run the
+    identical body as plain XLA."""
+    links = tuple(int(l) for l in links)
+    off = np.asarray(offsets, np.float64)
+    n = ffm.n
+    k = len(links)
+    dtype = q.dtype
+    H, W = terrain.heights.shape
+    HW = H * W
+    HWp = -(-HW // _LANES) * _LANES
+    flat = jnp.pad(jnp.asarray(terrain.heights, dtype).reshape(-1),
+                   (0, HWp - HW))
+    # rolled corner tables: rows [idx, idx+W, idx+1, idx+W+1]; clipped
+    # cell indices guarantee idx+W+1 <= HW-1, so the zero tail is never
+    # selected
+    tables = jnp.stack([
+        flat,
+        jnp.pad(flat[W:], (0, W)),
+        jnp.pad(flat[1:], (0, 1)),
+        jnp.pad(flat[W + 1:], (0, W + 1)),
+    ])
+    ts = dict(W=W, H=H, cell=float(terrain.cell),
+              x0=float(terrain.origin[0]), y0=float(terrain.origin[1]))
+
+    def body(km, I_base, quat, pos, q, vb, qd, tau, mu, tables):
+        return _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
+                                 tables, links=links, offsets=off,
+                                 dt=float(dt), ground_z=0.0,
+                                 gravity=float(gravity), iters=int(iters),
+                                 erp=float(erp), margin=float(margin),
+                                 restitution=float(restitution),
+                                 terrain_static=ts)
+
+    body._k_contacts = k
+    body._extra_ws = float(HWp)
+    return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
+                   [4, 3, n, 6, n, 3 * k], interpret, consts=[tables])

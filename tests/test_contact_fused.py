@@ -210,7 +210,7 @@ def test_stance_fused_xla_fallback_path(hyq_ff):
         ffm, quat, pos, q, vb, qd, tau, _FEET, _FOFF, impl="vmap")
     orig = cf.ff_workset_ok
     try:
-        cf.ff_workset_ok = lambda n_, k_: False
+        cf.ff_workset_ok = lambda n_, k_, extra_ws=0.0: False
         got = cf.stance_fd_fused(
             ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau), _FEET,
             _FOFF)
@@ -219,3 +219,64 @@ def test_stance_fused_xla_fallback_path(hyq_ff):
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
                                    atol=1e-10)
+
+
+def test_step_ground_terrain_fused_interpret_matches_xla(hyq_ff):
+    """step_ground_terrain_fused (interpret) == fb_step_ground_batched
+    (XLA terrain body): heightfield gaps, per-foot local contact frames,
+    and the MXU one-hot bilinear gather all agree with the jnp terrain
+    path to f64 round-off, with contacts active on uneven ground."""
+    from gridcodegenerator_tpu.ops import terrain as tr
+
+    ffm = hyq_ff
+    n = ffm.n
+    B = 4
+    terr = tr.bumpy_terrain(amp=0.05, wavelength=0.9, extent=2.0,
+                            cell=0.25, rough=0.02, dtype=jnp.float64)
+    assert cf.terrain_fused_ok(ffm, terr, 4)     # gate must take the kernel
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=11)
+    mus = jnp.asarray(np.random.default_rng(5).uniform(0.3, 1.0, (B, 4)))
+    bl = lambda a: a.T
+
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, _FEET, _FOFF, mu=mus,
+        impl="vmap", terrain=terr)
+    outs = cf.step_ground_terrain_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau), bl(mus),
+        1e-3, _FEET, _FOFF, terr, interpret=True)
+    for nm, a, b in zip(("quat2", "pos2", "q2", "vb2", "qd2"), outs[:5],
+                        nxt_r):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-11, err_msg=nm)
+    imp_f = jnp.moveaxis(outs[5], 0, -1).reshape(B, 4, 3)
+    np.testing.assert_allclose(np.asarray(imp_f), np.asarray(imp_r),
+                               atol=1e-11)
+    assert bool((np.asarray(imp_r)[..., 2] > 0).any()), \
+        "test states produced no active contacts — equivalence is vacuous"
+    # tangential impulses must exist too (the frame rotation is exercised)
+    assert bool((np.abs(np.asarray(imp_r)[..., :2]) > 1e-9).any())
+
+
+def test_step_ground_terrain_large_grid_falls_back(hyq_ff):
+    """A grid past the VMEM gate routes to the XLA fallback of the SAME
+    kernel body (consts threaded through) and still matches the batched
+    terrain path."""
+    from gridcodegenerator_tpu.ops import terrain as tr
+
+    ffm = hyq_ff
+    n = ffm.n
+    B = 3
+    terr = tr.bumpy_terrain(amp=0.04, wavelength=1.2, extent=6.0,
+                            cell=0.08, dtype=jnp.float64)     # 151² nodes
+    assert not cf.terrain_fused_ok(ffm, terr, 4)
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=13)
+    bl = lambda a: a.T
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, _FEET, _FOFF, mu=0.7,
+        impl="vmap", terrain=terr)
+    outs = cf.step_ground_terrain_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau),
+        jnp.full((4, B), 0.7, jnp.float64), 1e-3, _FEET, _FOFF, terr)
+    for a, b in zip(outs[:5], nxt_r):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-11)

@@ -220,6 +220,64 @@ def test_contact_fused_kernels_on_tpu(tpu_setup):
                 assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
 
 
+def test_terrain_fused_kernel_on_tpu(tpu_setup):
+    """The fused HEIGHTFIELD ground-step kernel (step_ground_terrain_fused:
+    MXU one-hot bilinear gather + per-foot contact frames) through real
+    Mosaic lowering vs the single-state CPU terrain path — the gather
+    mask, the (4, HWp) corner matmul, and the frame rotation are Mosaic
+    surfaces interpret mode cannot validate."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    from gridcodegenerator_tpu.ops import terrain as tr
+    from gridcodegenerator_tpu.ops.kernels import contact_fused as cf
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float32)
+    n = ffm.n
+    feet = (2, 5, 8, 11)
+    foff = np_.tile([0.35, 0.0, 0.0], (4, 1))
+    terr = tr.bumpy_terrain(amp=0.05, wavelength=0.9, extent=2.0,
+                            cell=0.25, rough=0.02, dtype=jnp.float32)
+    assert cf.terrain_fused_ok(ffm, terr, 4)
+    rng = np_.random.default_rng(47)
+    B = 256
+    quat = np_.tile([1.0, 0, 0, 0], (B, 1)) + 0.1 * rng.normal(size=(B, 4))
+    quat /= np_.linalg.norm(quat, axis=1, keepdims=True)
+    pos = rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.5]
+    q = np_.tile([-0.1, 0.7, -1.2], (B, 4)) + rng.uniform(-0.05, 0.05,
+                                                          (B, n))
+    vb = rng.uniform(-0.6, 0.6, (B, 6))
+    qd = rng.uniform(-0.5, 0.5, (B, n))
+    tau = rng.uniform(-10, 10, (B, n))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    nxt, imp = ct.fb_step_ground_batched(
+        ffm, tuple(f32(s) for s in (quat, pos, q, vb, qd)), f32(tau),
+        1e-3, feet, foff, mu=0.8, impl="pallas", terrain=terr)
+    got = dict(q2=np_.asarray(nxt[2]), vb2=np_.asarray(nxt[3]),
+               imp=np_.asarray(imp))
+    assert (got["imp"][..., 2] > 0).any(), "no active contacts"
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 127, 128, B - 1):
+            st = tuple(jnp.asarray(a[k], jnp.float32)
+                       for a in (quat, pos, q, vb, qd))
+            s_r, imp_r = ct.fb_step_ground(
+                ffm, st, jnp.asarray(tau[k], jnp.float32), 1e-3, feet,
+                jnp.asarray(foff, jnp.float32), mu=0.8, terrain=terr)
+            for name, ref in (("q2", s_r[2]), ("vb2", s_r[3]),
+                              ("imp", imp_r)):
+                ref = np_.asarray(ref)
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(got[name][k] - ref).max() / scale
+                assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
+
+
 def test_multidof_fused_kernels_on_tpu(tpu_setup):
     """The fused multi-dof kernels (generalized FD + tangent-space ∇FD,
     ops/kernels/multidof_fused.py) through real Mosaic lowering vs the
