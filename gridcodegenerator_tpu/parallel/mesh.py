@@ -203,13 +203,17 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
                         ground_z: float = 0.0, gravity: float = -9.81,
                         iters: int = 30, erp: float = 0.2,
                         margin: float = 1e-3, restitution: float = 0.0,
-                        impl: str = "auto"):
+                        impl: str = "auto", terrain=None):
     """dp-sharded batched frictional environment stepper — the multi-chip
     parallel-RL shape: N environments shard over the mesh, each shard
     advances its slice with :func:`..ops.contact.fb_step_ground_batched`
     (ONE fused Pallas kernel per lane tile on TPU). Environments are
     independent → pure data parallelism, no collectives; scaling is linear
     in chips by construction.
+
+    ``terrain``: optional heightfield (:class:`..ops.terrain.Terrain`) —
+    the node table is replicated to every shard (it is a model constant,
+    exactly like the robot inertias).
 
     Returns a jitted ``step(state, tau) -> (next_state, impulses)`` with
     ``state = (quat (B,4), pos (B,3), q (B,n), vb (B,6), qd (B,n))``,
@@ -230,7 +234,7 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
     def _step(state, tau):
         return _ct.fb_step_ground_batched(
             ffm, state, tau, dt, links, off, mu, ground_z, gravity, iters,
-            erp, margin, restitution, impl=impl)
+            erp, margin, restitution, impl=impl, terrain=terrain)
 
     return jax.jit(_step)
 

@@ -165,6 +165,21 @@ def test_sharded_ground_step(eight_devices):
             np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b),
                                        atol=1e-9)
 
+    # heightfield variant: the terrain table replicates to every shard
+    from gridcodegenerator_tpu.ops import terrain as tr
+    terr = tr.bumpy_terrain(amp=0.03, wavelength=0.7, extent=1.5,
+                            cell=0.25, dtype=jnp.float64)
+    step_t = pmesh.sharded_ground_step(ffm, m, links, offs, dt=1e-3,
+                                       mu=0.6, terrain=terr)
+    nxt_ts, imp_ts = step_t(state, tau)
+    nxt_tr, imp_tr = ct.fb_step_ground_batched(
+        ffm, state, tau, 1e-3, links, offs, mu=0.6, impl="vmap",
+        terrain=terr)
+    for a, b in zip(nxt_ts, nxt_tr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(imp_ts), np.asarray(imp_tr),
+                               atol=1e-11)
+
 
 def test_sharded_constrained_fd(eight_devices, iiwa):
     """dp-sharded stance/pinned FD == the unsharded batched api entry, and
