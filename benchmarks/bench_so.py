@@ -3,10 +3,12 @@
 real chip: batched ``forward_dynamics_hessian`` (full (n, 3n, 3n) tensors)
 and ``forward_dynamics_hessian_vp`` (the DDP contraction) on iiwa-14.
 
-With ``impl="auto"`` on TPU these route to the batch-last formulation
-(``ops/so.py::forward_dynamics_hessian_bl`` — one ``jax.linearize`` of the
-batch-last analytic gradient, batch on the vector lanes); pass the vmap
-nest explicitly with ``--impl vmap`` to A/B the layouts.
+With ``impl="auto"`` on TPU these route to the fused Hessian kernel
+(``ops/kernels/so_fused.py`` — primal gradient pipeline + all 3n tangent
+sweeps in one ``pallas_call`` per tile) when the robot fits a VMEM tile;
+``--impl bl`` forces the batch-last XLA formulation
+(``ops/so.py::forward_dynamics_hessian_bl``) and ``--impl vmap`` the vmap
+nest, to A/B the three tiers.
 
 Same wall-bounded, marginal-slope protocol as run_benchmarks.py. Prints
 JSON rows. Usage: python benchmarks/bench_so.py [--batches 16384 ...]
@@ -31,7 +33,8 @@ def main(argv=None):
     p.add_argument("--robots", nargs="*", default=["iiwa14"])
     p.add_argument("--batches", nargs="*", type=int, default=[16384, 65536])
     p.add_argument("--reps", type=int, default=16)
-    p.add_argument("--impl", default="auto", choices=["auto", "vmap"])
+    p.add_argument("--impl", default="auto",
+                   choices=["auto", "bl", "vmap"])
     p.add_argument("--budget", type=float,
                    default=float(os.environ.get("BENCH_BUDGET_S", "900")))
     args = p.parse_args(argv)

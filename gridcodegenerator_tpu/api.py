@@ -302,15 +302,44 @@ def _fd_hessian_bl_run(model, states, *, gravity, with_lam):
     return out.reshape(batch_shape + out.shape[1:])
 
 
+@functools.partial(jax.jit, static_argnames=("gravity", "with_lam"))
+def _fd_hessian_fused_run(model, states, *, gravity, with_lam):
+    """Fused-kernel second-order adapter (``ops/kernels/so_fused.py``): the
+    primal gradient pipeline plus all 3n tangent sweeps run in ONE
+    ``pallas_call`` per batch tile. No ``lax.map`` chunking here — unlike
+    the batch-last XLA path, the tangents' intermediates never reach HBM
+    (the kernel grid tiles the batch), so there is no per-chunk live-tensor
+    sum to bound."""
+    from .ops.kernels import so_fused
+
+    n = model.n
+    batch_shape = states[0].shape[:-1]
+    flat = tuple(s.reshape(-1, n).T for s in states)
+    if with_lam:
+        H = so_fused.fd_hessian_vp_fused(model, *flat, gravity=gravity)
+    else:
+        H = so_fused.fd_hessian_fused(model, *flat, gravity=gravity)
+    out = jnp.moveaxis(H, -1, 0)
+    return out.reshape(batch_shape + out.shape[1:])
+
+
 def forward_dynamics_hessian(model: RobotModel, q, qd, u, *,
                              gravity: float = -9.81, impl: str = "auto"):
     """∂²q̈/∂x∂x, x = (q, q̇, u): (..., n, 3n, 3n), symmetric in the trailing
     pair. Second order runs forward-mode over the analytic first-order
-    gradient (``ops/so.py``); on TPU batches route to the batch-last
-    formulation (``impl="auto"``/``"pallas"``), elsewhere to the vmap nest
-    (``impl="vmap"``)."""
+    gradient (``ops/so.py``); on TPU batches route to the fused Hessian
+    kernel when the robot fits a VMEM tile (``impl="auto"``/``"pallas"``,
+    falling back to the batch-last XLA formulation — forced with
+    ``impl="bl"``), elsewhere to the vmap nest (``impl="vmap"``)."""
+    from .ops.kernels import so_fused
+
     _check_states(model, (q, qd, u), ("q", "qd", "u"))
-    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+    resolved = _resolve_impl(impl, q)
+    if resolved == "pallas" and jnp.ndim(q) > 1 \
+            and so_fused.full_block(model.n):
+        return _fd_hessian_fused_run(model, (q, qd, u), gravity=gravity,
+                                     with_lam=False)
+    if resolved in ("pallas", "bl") and jnp.ndim(q) > 1:
         return _fd_hessian_bl_run(model, (q, qd, u), gravity=gravity,
                                   with_lam=False)
     return _fd_hessian_vmap(model, q, qd, u, gravity=gravity)
@@ -326,9 +355,17 @@ def forward_dynamics_hessian_vp(model: RobotModel, q, qd, u, lam, *,
                                 gravity: float = -9.81, impl: str = "auto"):
     """λᵀ·∂²q̈/∂x∂x as (..., 3n, 3n) — the DDP backward-pass curvature term
     (Σᵢ λᵢ·f_zz[i]) without materializing the rank-3 Hessian. ``lam`` is
-    (..., n), batched like the states."""
+    (..., n), batched like the states. Routing as in
+    :func:`forward_dynamics_hessian` (fused kernel → ``"bl"`` → vmap)."""
+    from .ops.kernels import so_fused
+
     _check_states(model, (q, qd, u, lam), ("q", "qd", "u", "lam"))
-    if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
+    resolved = _resolve_impl(impl, q)
+    if resolved == "pallas" and jnp.ndim(q) > 1 \
+            and so_fused.vp_block(model.n):
+        return _fd_hessian_fused_run(model, (q, qd, u, lam), gravity=gravity,
+                                     with_lam=True)
+    if resolved in ("pallas", "bl") and jnp.ndim(q) > 1:
         return _fd_hessian_bl_run(model, (q, qd, u, lam), gravity=gravity,
                                   with_lam=True)
     return _fd_hessian_vp_vmap(model, q, qd, u, lam, gravity=gravity)
