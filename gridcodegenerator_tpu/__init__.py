@@ -61,6 +61,19 @@ from .ops.contact import (
     project_velocity,
     simulate_constrained,
 )
+from .ops.collision import (
+    CollisionModel,
+    Geoms,
+    Obstacles,
+    auto_pairs,
+    collision_distances,
+    collision_rows,
+    fb_collision_distances,
+    fb_collision_rows,
+    make_collision_model,
+    make_geoms,
+    make_obstacles,
+)
 from .ops.terrain import (
     Terrain,
     bumpy_terrain,

@@ -920,7 +920,8 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    erp: float = 0.2, margin: float = 1e-3,
                    restitution: float = 0.0, limits=None, effort=None,
                    limit_mode: str = "project", diff_mode: str = "unroll",
-                   relax: float = 1.0, terrain=None):
+                   relax: float = 1.0, terrain=None, collision=None,
+                   mu_collision=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -950,6 +951,14 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     ``"impulse"`` appends one normal-only row per near-limit joint to
     the Delassus/PGS system — the momentum-consistent treatment (the
     stopping impulse reacts on the whole tree incl. the base).
+
+    ``collision``: an optional :class:`.collision.CollisionModel` — its
+    candidate self-collision and obstacle pairs are appended to the foot
+    rows as additional frictional cone triplets (coefficient
+    ``mu_collision``, defaulting to ``mu`` when that is a scalar), with the
+    same margin-activation, penetration-recovery, and restitution
+    semantics. The returned impulse array then covers
+    ``k_feet + collision.n_contacts`` triplets, feet first.
 
     ``diff_mode``: how reverse-mode AD treats the PGS cone solve —
     ``"unroll"`` (default) differentiates through the stored sweeps;
@@ -1005,6 +1014,13 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         C = contact_frame(nrm)                                # (3, 3, k)
         J = jnp.concatenate([C[..., i] @ J6[3 * i:3 * i + 3]
                              for i in range(k)], axis=0)
+    k_feet = k
+    if collision is not None:
+        from .collision import fb_collision_rows
+        c_gaps, c_J = fb_collision_rows(ffm, quat, pos, q, collision)
+        J = jnp.concatenate([J, c_J], axis=0)
+        gaps = jnp.concatenate([gaps, c_gaps])
+        k = k + collision.n_contacts
     active = (gaps < margin).astype(q.dtype)
 
     lim_active = None
@@ -1038,7 +1054,11 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
         b = b.at[3 * k:].add(-v_star_l)
 
-    mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k,))
+    mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k_feet,))
+    if k > k_feet:
+        mu_c = mu if mu_collision is None else mu_collision
+        mu_vec = jnp.concatenate([mu_vec, jnp.broadcast_to(
+            jnp.asarray(mu_c, q.dtype), (k - k_feet,))])
     p_imp = pgs_solve(G, b, mu_vec, active, iters, lim_active=lim_active,
                       implicit_diff=(diff_mode == "implicit"), relax=relax)
 
@@ -1153,7 +1173,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            limits=None, effort=None,
                            limit_mode: str = "project",
                            diff_mode: str = "unroll", relax: float = 1.0,
-                           terrain=None):
+                           terrain=None, collision=None, mu_collision=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1176,7 +1196,15 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     heightfield kernel (:func:`.kernels.contact_fused.
     step_ground_terrain_fused` — the bilinear lookup as an MXU one-hot
     gather) when the grid fits the VMEM gate, the XLA batch-last body
-    otherwise."""
+    otherwise.
+
+    ``collision``: optional :class:`.collision.CollisionModel` appended as
+    extra frictional cone triplets per environment (coefficient
+    ``mu_collision``, see :func:`fb_step_ground`) — self-collision and
+    obstacle contacts for every environment in one lane-parallel PGS.
+    Forces the XLA batch-last body (the fused step kernels carry only the
+    foot rows); impulses then cover ``k_feet + collision.n_contacts``
+    triplets."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     if effort is not None:
@@ -1202,7 +1230,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     # the fused step kernel has no limit rows — impulse-mode limits run
     # the identical XLA batch-last body below
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
-            and diff_mode == "unroll" and relax == 1.0):
+            and diff_mode == "unroll" and relax == 1.0
+            and collision is None):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
@@ -1258,6 +1287,14 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                                   for c in range(3)))
         gaps = jnp.stack(gap_rows)
         J = jnp.stack(J_rows)
+    k_feet = k
+    if collision is not None:
+        from .collision import fb_collision_rows_bl
+        c_gaps, c_J = fb_collision_rows_bl(ffm, quat_bl, pos_bl, q_bl,
+                                           collision)
+        J = jnp.concatenate([J, c_J], axis=0)
+        gaps = jnp.concatenate([gaps, c_gaps], axis=0)
+        k = k + collision.n_contacts
     active = (gaps < margin).astype(dtype)
 
     lim_active = None
@@ -1297,7 +1334,12 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         + ([b[3 * k:] + erp * jnp.minimum(lim_gap, 0.0) / dt]
            if impulse_limits else []))
 
-    p_imp = pgs_solve_bl(G, b, _mu_to_bl(mu, k, B, dtype), active, iters,
+    mu_bl = _mu_to_bl(mu, k_feet, B, dtype)
+    if k > k_feet:
+        mu_c = mu if mu_collision is None else mu_collision
+        mu_bl = jnp.concatenate(
+            [mu_bl, _mu_to_bl(mu_c, k - k_feet, B, dtype)], axis=0)
+    p_imp = pgs_solve_bl(G, b, mu_bl, active, iters,
                          lim_active=lim_active,
                          implicit_diff=(diff_mode == "implicit"),
                          relax=relax)

@@ -1,0 +1,254 @@
+"""Collision layer (``ops/collision.py``): closed-form distances vs hand
+values, Jacobian rows vs AD of the gap (the envelope-theorem identity), the
+free-flyer variants, and the stepper integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gridcodegenerator_tpu as g
+from gridcodegenerator_tpu.models import zoo
+from gridcodegenerator_tpu.ops import collision as col
+from gridcodegenerator_tpu.ops import contact as ct
+from gridcodegenerator_tpu.ops.freeflyer import free_flyer_model
+
+from conftest import get_setup
+
+pytestmark = pytest.mark.mid
+
+
+def test_seg_seg_closest_hand_values():
+    f = lambda *a: col._seg_seg_closest(*(jnp.asarray(x, jnp.float64)
+                                          for x in a))
+    # two parallel unit segments one apart: distance 1
+    w1, w2 = f([0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0])
+    assert abs(float(jnp.linalg.norm(w1 - w2)) - 1.0) < 1e-12
+    # crossing perpendicular segments: closest at the midpoints
+    w1, w2 = f([-1, 0, 0], [1, 0, 0], [0, -1, 1], [0, 1, 1])
+    np.testing.assert_allclose(np.asarray(w1), [0, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w2), [0, 0, 1], atol=1e-12)
+    # degenerate: two points (spheres)
+    w1, w2 = f([1, 2, 3], [1, 2, 3], [4, 2, 3], [4, 2, 3])
+    np.testing.assert_allclose(np.asarray(w2 - w1), [3, 0, 0], atol=1e-12)
+    # clamped: point beyond a segment end
+    w1, w2 = f([0, 0, 0], [1, 0, 0], [3, 1, 0], [3, 2, 0])
+    np.testing.assert_allclose(np.asarray(w1), [1, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w2), [3, 1, 0], atol=1e-12)
+
+
+def test_contact_frame_orthonormal():
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        n = rng.standard_normal(3)
+        n /= np.linalg.norm(n)
+        C = np.asarray(col._contact_frame_cols(jnp.asarray(n)))
+        np.testing.assert_allclose(C @ C.T, np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(C[2], n, atol=1e-6)
+
+
+def _arm_setup():
+    _, _, model = get_setup("iiwa14")
+    geoms = col.make_geoms([1, 3, 6],
+                           a=[[0, 0, 0.05], [0, 0, 0.0], [0, 0, 0.02]],
+                           b=[[0, 0, 0.15], [0, 0, 0.12], [0, 0, 0.02]],
+                           r=[0.08, 0.07, 0.06], dtype=jnp.float64)
+    obstacles = col.make_obstacles(a=[[0.4, 0.1, 0.6]], r=0.15,
+                                   dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=model.topology,
+                                  obstacles=obstacles)
+    return model, cm
+
+
+def test_auto_pairs_exclude_adjacent():
+    model, cm = _arm_setup()
+    # links 1 and 3 are 2 apart on the serial chain → candidate; geoms on
+    # the same link never pair
+    assert (0, 1) in cm.pairs
+    for gi, gj in cm.pairs:
+        assert cm.geoms.links[gi] != cm.geoms.links[gj]
+
+
+def test_gap_gradient_is_normal_row():
+    """Envelope identity: d(gap)/dq equals the normal row of the contact
+    Jacobian (witness-point motion along the surfaces contributes nothing
+    at the closest points) — validates signs, frames, and the Jacobian."""
+    model, cm = _arm_setup()
+    q = jnp.asarray(np.linspace(0.3, 1.2, model.n))
+    gaps, J = col.collision_rows(model, q, cm)
+    Gq = jax.jacfwd(lambda qq: col.collision_distances(model, qq, cm))(q)
+    np.testing.assert_allclose(np.asarray(Gq), np.asarray(J[2::3]),
+                               atol=1e-9)
+
+
+def test_fb_rows_self_pair_base_invariant():
+    """Self-collision gaps don't depend on base pose; obstacle gaps do."""
+    desc, _, _ = get_setup("hyq")
+    ffm = free_flyer_model(desc)
+    geoms = col.make_geoms([0, 4], a=[[0, 0, 0.1], [0, 0, 0.1]], r=0.05,
+                           dtype=jnp.float64)
+    obstacles = col.make_obstacles(a=[[1.0, 0.0, 0.4]], r=0.2,
+                                   dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=obstacles)
+    q = jnp.asarray(np.linspace(-0.4, 0.4, ffm.n))
+    quat1 = jnp.asarray([1.0, 0, 0, 0])
+    quat2 = jnp.asarray([0.9, 0.1, -0.2, 0.3])
+    quat2 = quat2 / jnp.linalg.norm(quat2)
+    g1, _ = col.fb_collision_rows(ffm, quat1, jnp.zeros(3), q, cm)
+    g2, _ = col.fb_collision_rows(ffm, quat2, jnp.ones(3), q, cm)
+    n_self = len(cm.pairs)
+    np.testing.assert_allclose(np.asarray(g1[:n_self]),
+                               np.asarray(g2[:n_self]), atol=1e-10)
+    assert np.max(np.abs(np.asarray(g1[n_self:] - g2[n_self:]))) > 1e-3
+
+
+def test_fb_gap_gradient_is_normal_row():
+    """Same envelope identity through the free-flyer tangent space: the
+    time-derivative of each gap along (vb, q̇) equals the normal row of J
+    times the tangent — checked with jvp through (quat, pos, q) motion."""
+    desc, _, _ = get_setup("hyq")
+    from gridcodegenerator_tpu.ops.freeflyer import (quat_exp_body,
+                                                     quat_mul, quat_to_rot)
+    ffm = free_flyer_model(desc)
+    geoms = col.make_geoms([2, 7], a=[[0, 0, 0.15], [0, 0, 0.15]],
+                           b=[[0, 0, 0.3], [0, 0, 0.3]], r=0.06,
+                           dtype=jnp.float64)
+    obstacles = col.make_obstacles(a=[[0.5, 0.2, 0.0]],
+                                   b=[[0.5, 0.2, 0.8]], r=0.1,
+                                   dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=obstacles)
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, ffm.n))
+    quat = jnp.asarray([0.8, 0.2, -0.1, 0.4])
+    quat = quat / jnp.linalg.norm(quat)
+    pos = jnp.asarray([0.1, -0.2, 0.55])
+    vb = jnp.asarray(rng.standard_normal(6))
+    qd = jnp.asarray(rng.standard_normal(ffm.n))
+
+    def gaps_at(t):
+        # integrate the twist for time t (exact to first order at t=0)
+        quat_t = quat_mul(quat, quat_exp_body(vb[:3] * t))
+        pos_t = pos + t * (quat_to_rot(quat) @ vb[3:])
+        return col.fb_collision_distances(ffm, quat_t, pos_t, q + t * qd,
+                                          cm)
+
+    _, dgap = jax.jvp(gaps_at, (0.0,), (1.0,))
+    _, J = col.fb_collision_rows(ffm, quat, pos, q, cm)
+    v = jnp.concatenate([vb, qd])
+    np.testing.assert_allclose(np.asarray(dgap), np.asarray(J[2::3] @ v),
+                               atol=1e-9)
+
+
+def test_step_ground_with_obstacle():
+    """Stepper integration: a quadruped walking into a sphere obstacle gets
+    a pushing impulse and separates; far from it, the step is bitwise the
+    collision-free step."""
+    desc, _, _ = get_setup("hyq")
+    ffm = free_flyer_model(desc)
+    links = tuple(range(min(4, ffm.n)))
+    offsets = np.zeros((len(links), 3))
+    geoms = col.make_geoms([ffm.n - 1], a=[[0, 0, 0.0]], r=0.1,
+                           dtype=jnp.float64)
+
+    state = (jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([0.0, 0.0, 0.8]),
+             jnp.zeros(ffm.n), jnp.zeros(6), jnp.zeros(ffm.n))
+    tau = jnp.zeros(ffm.n)
+
+    # obstacle far away: identical to the collision-free step
+    far = col.make_collision_model(
+        geoms, obstacles=col.make_obstacles(a=[[50.0, 0, 0.5]], r=0.2,
+                                            dtype=jnp.float64))
+    s0, p0 = ct.fb_step_ground(ffm, state, tau, 1e-2, links, offsets)
+    s1, p1 = ct.fb_step_ground(ffm, state, tau, 1e-2, links, offsets,
+                               collision=far)
+    for a, b in zip(s0, s1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+    assert p1.shape == (len(links) + 1, 3)
+    np.testing.assert_allclose(np.asarray(p1[-1]), 0.0, atol=1e-12)
+
+    # overlapping obstacle just under the geom: normal impulse pushes
+    from gridcodegenerator_tpu.ops.kinematics import fk
+    R, p = fk(ffm.arm, state[2])
+    geom_w = np.asarray(state[1] + p[ffm.n - 1])  # identity base rotation
+    near = col.make_collision_model(
+        geoms, obstacles=col.make_obstacles(
+            a=[[geom_w[0], geom_w[1], geom_w[2] - 0.12]], r=0.05,
+            dtype=jnp.float64))
+    s2, p2 = ct.fb_step_ground(ffm, state, tau, 1e-2, links, offsets,
+                               collision=near, mu_collision=0.6)
+    assert float(p2[-1, 2]) > 0.0  # pushing, never pulling
+    gaps_after = col.fb_collision_distances(ffm, s2[0], s2[1], s2[2], near)
+    gaps_before = col.fb_collision_distances(ffm, *state[:3], near)
+    assert float(gaps_after[0]) > float(gaps_before[0]) - 1e-6
+
+
+def test_fb_collision_rows_bl_matches_single():
+    """Batch-last collision rows == stacked single-state rows."""
+    desc, _, _ = get_setup("hyq")
+    ffm = free_flyer_model(desc)
+    geoms = col.make_geoms([1, 5], a=[[0, 0, 0.1], [0, 0, 0.05]],
+                           b=[[0, 0, 0.25], [0, 0, 0.2]], r=0.07,
+                           dtype=jnp.float64)
+    obstacles = col.make_obstacles(a=[[0.6, -0.1, 0.3]], r=0.25,
+                                   dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=obstacles)
+    rng = np.random.default_rng(11)
+    B = 3
+    quats = rng.standard_normal((B, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    poss = rng.standard_normal((B, 3))
+    qs = rng.uniform(-0.5, 0.5, (B, ffm.n))
+    g_bl, J_bl = col.fb_collision_rows_bl(
+        ffm, jnp.asarray(quats.T), jnp.asarray(poss.T), jnp.asarray(qs.T),
+        cm)
+    for e in range(B):
+        g1, J1 = col.fb_collision_rows(ffm, jnp.asarray(quats[e]),
+                                       jnp.asarray(poss[e]),
+                                       jnp.asarray(qs[e]), cm)
+        np.testing.assert_allclose(np.asarray(g_bl[:, e]), np.asarray(g1),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(J_bl[..., e]), np.asarray(J1),
+                                   atol=1e-11)
+
+
+def test_step_ground_batched_collision_matches_single():
+    """Batched stepper with collision == per-environment single steps."""
+    desc, _, _ = get_setup("hyq")
+    ffm = free_flyer_model(desc)
+    links = (0, 1, 2, 3)
+    offsets = np.zeros((4, 3))
+    geoms = col.make_geoms([ffm.n - 1, ffm.n - 3],
+                           a=[[0, 0, 0], [0, 0, 0]], r=0.12,
+                           dtype=jnp.float64)
+    obstacles = col.make_obstacles(a=[[0.2, 0.1, 0.45]], r=0.2,
+                                   dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=obstacles)
+    rng = np.random.default_rng(2)
+    B = 3
+    quats = np.tile([1.0, 0, 0, 0], (B, 1))
+    poss = np.column_stack([rng.uniform(-0.1, 0.1, B),
+                            rng.uniform(-0.1, 0.1, B),
+                            rng.uniform(0.45, 0.6, B)])
+    qs = rng.uniform(-0.2, 0.2, (B, ffm.n))
+    vbs = 0.3 * rng.standard_normal((B, 6))
+    qds = 0.3 * rng.standard_normal((B, ffm.n))
+    taus = rng.standard_normal((B, ffm.n))
+    state_b = tuple(jnp.asarray(a) for a in (quats, poss, qs, vbs, qds))
+    nxt, imp = ct.fb_step_ground_batched(ffm, state_b, jnp.asarray(taus),
+                                         5e-3, links, offsets, impl="vmap",
+                                         collision=cm, mu_collision=0.6)
+    assert imp.shape == (B, len(links) + cm.n_contacts, 3)
+    for e in range(B):
+        s1 = tuple(jnp.asarray(a[e]) for a in (quats, poss, qs, vbs, qds))
+        n1, i1 = ct.fb_step_ground(ffm, s1, jnp.asarray(taus[e]), 5e-3,
+                                   links, offsets, collision=cm,
+                                   mu_collision=0.6)
+        for a, b in zip(nxt, n1):
+            np.testing.assert_allclose(np.asarray(a[e]), np.asarray(b),
+                                       atol=1e-9)
+        np.testing.assert_allclose(np.asarray(imp[e]), np.asarray(i1),
+                                   atol=1e-9)
