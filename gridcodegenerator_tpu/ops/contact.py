@@ -1202,9 +1202,10 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     extra frictional cone triplets per environment (coefficient
     ``mu_collision``, see :func:`fb_step_ground`) — self-collision and
     obstacle contacts for every environment in one lane-parallel PGS.
-    Forces the XLA batch-last body (the fused step kernels carry only the
-    foot rows); impulses then cover ``k_feet + collision.n_contacts``
-    triplets."""
+    Rides the fused kernels when the friction coefficients are static
+    python scalars (the kernel bakes geometry + mu as literals); traced
+    or per-environment mu falls back to the XLA batch-last body. Impulses
+    then cover ``k_feet + collision.n_contacts`` triplets."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     if effort is not None:
@@ -1228,33 +1229,52 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     dtype = q_bl.dtype
 
     # the fused step kernel has no limit rows — impulse-mode limits run
-    # the identical XLA batch-last body below
+    # the identical XLA batch-last body below. Collision sets ride the
+    # kernel when the friction coefficient AND the geometry are concrete
+    # (the kernel bakes both as literals); traced/per-env mu or traced
+    # geometry (jax.grad w.r.t. geom placement) falls back to XLA.
+    mu_coll_static = (collision is None
+                      or (isinstance(mu_collision
+                                     if mu_collision is not None else mu,
+                                     (int, float))
+                          and not any(isinstance(leaf, jax.core.Tracer)
+                                      for leaf in jax.tree_util.tree_leaves(
+                                          (collision.geoms.a,
+                                           collision.geoms.b,
+                                           collision.geoms.r,
+                                           collision.obstacles)))))
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
             and diff_mode == "unroll" and relax == 1.0
-            and collision is None):
+            and mu_coll_static):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
         from .kernels import contact_fused as _cf
 
+        kt = k if collision is None else k + collision.n_contacts
         mu_bl = _mu_to_bl(mu, k, B, dtype)
+        mu_c = (None if collision is None
+                else float(mu_collision if mu_collision is not None
+                           else mu))
         if terrain is None:
             q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), ground_z,
-                gravity, iters, erp, margin, restitution)
+                gravity, iters, erp, margin, restitution,
+                collision=collision, mu_collision=mu_c)
         else:
             # heightfield kernel: the MXU one-hot bilinear gather; grids
             # past the VMEM gate run the same body as plain XLA inside
             q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_terrain_fused(
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), terrain,
-                gravity, iters, erp, margin, restitution)
+                gravity, iters, erp, margin, restitution,
+                collision=collision, mu_collision=mu_c)
         if limits is not None:
             qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
                                             limits[1][:, None])
         nxt = (q2.T, p2.T, qq2.T, vb2.T, qd2.T)
-        return nxt, jnp.moveaxis(imp, 0, -1).reshape(B, k, 3)
+        return nxt, jnp.moveaxis(imp, 0, -1).reshape(B, kt, 3)
 
     from .blops import joint_transforms_bl
     X = joint_transforms_bl(ffm.arm, q_bl)

@@ -468,6 +468,180 @@ def _ff_contact_rows_s(km, X, R, links, offsets):
 
 
 # --------------------------------------------------------------------------
+# collision rows, (1,B)-entry style
+# --------------------------------------------------------------------------
+def _mv3s_c(A, c):
+    """A (3,3,B) @ constant 3-vector (python floats) → (3,B); zero
+    components fold away at trace time."""
+    return jnp.concatenate([
+        sum(A[i, j:j + 1, :] * c[j] for j in range(3) if c[j] != 0.0)
+        if any(c[j] != 0.0 for j in range(3))
+        else A[i, 0:1, :] * 0.0
+        for i in range(3)])
+
+
+def _mtv3s_c(A, c):
+    """Aᵀ (3,3,B) @ constant 3-vector → (3,B)."""
+    return jnp.concatenate([
+        sum(A[j, i:i + 1, :] * c[j] for j in range(3) if c[j] != 0.0)
+        if any(c[j] != 0.0 for j in range(3))
+        else A[0, i:i + 1, :] * 0.0
+        for i in range(3)])
+
+
+_COL_EPS = 1e-12
+
+
+def _seg_seg_closest_s(p1, d1, p2, d2):
+    """Entry-style :func:`..collision._seg_seg_closest_bl`: segment
+    (start (3,B), vector (3,B)) pairs → witness points ((3,B), (3,B)).
+    Identical clamped Ericson algebra (degenerate segments via the
+    regularized denominators)."""
+    dot = lambda x, y: jnp.sum(x * y, axis=0, keepdims=True)   # (1,B)
+    rv = p1 - p2
+    a, e, b = dot(d1, d1), dot(d2, d2), dot(d1, d2)
+    c, f = dot(d1, rv), dot(d2, rv)
+    denom = a * e - b * b
+    s = jnp.clip(jnp.where(denom > _COL_EPS, (b * f - c * e)
+                           / jnp.maximum(denom, _COL_EPS), 0.0), 0.0, 1.0)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, _COL_EPS), 0.0, 1.0)
+    s = jnp.clip((b * t - c) / jnp.maximum(a, _COL_EPS), 0.0, 1.0)
+    return p1 + s * d1, p2 + t * d2
+
+
+def _pair_geometry_s(cA, dA, rA, cB, dB, rB):
+    """gap (1,B), unit normal B→A (3,B), shared contact point (3,B) for two
+    capsules in segment (start, vector) form; radii are float literals."""
+    wA, wB = _seg_seg_closest_s(cA, dA, cB, dB)
+    diff = wA - wB
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=0, keepdims=True) + _COL_EPS)
+    nrm = diff / dist
+    gap = dist - rA - rB
+    point = 0.5 * ((wA - rA * nrm) + (wB + rB * nrm))
+    return gap, nrm, point
+
+
+def _frame_rows_s(nr):
+    """[t1, t2, n] frame rows (3 × (3,B)) for unit normals (3,B) — the
+    branchless basis of :func:`..collision._contact_frame_cols_bl`."""
+    n0, n1, n2 = nr[0:1], nr[1:2], nr[2:3]
+    sign = jnp.where(n2 >= 0.0, 1.0, -1.0)
+    aa = -1.0 / (sign + n2 + jnp.where(n2 >= 0.0, _COL_EPS, -_COL_EPS))
+    bb = n0 * n1 * aa
+    t1 = jnp.concatenate([1.0 + sign * n0 * n0 * aa, sign * bb,
+                          -sign * n0])
+    t2 = jnp.concatenate([bb, sign + n1 * n1 * aa, -n1])
+    return t1, t2, nr
+
+
+def _point_cols_s(km, Rs, ps, link, x):
+    """Arm q̇-columns (base coords) of a traced point ``x`` (3,B) rigidly
+    attached to ``link``: dict {j: (3,B)} over ancestors(link)∪{link} —
+    the traced-point analog of the foot columns in
+    :func:`_ff_contact_rows_s`."""
+    support = set(km.topology.ancestors[link]) | {link}
+    cols = {}
+    for j in sorted(support):
+        a_ang = _mv3s(Rs[j], km.S[j][:3])
+        a_lin = _mv3s(Rs[j], km.S[j][3:])
+        cols[j] = _cross3s(a_ang, x - ps[j]) + a_lin
+    return cols
+
+
+def collision_static(cm):
+    """Bake a :class:`..collision.CollisionModel` into plain-float static
+    data for the fused kernels (like ``offsets``: geometry becomes trace
+    literals, so it must be concrete — the XLA body keeps it traceable)."""
+    g = cm.geoms
+    return dict(
+        links=tuple(int(l) for l in g.links),
+        a=np.asarray(g.a, np.float64),
+        d=np.asarray(g.b, np.float64) - np.asarray(g.a, np.float64),
+        r=np.asarray(g.r, np.float64),
+        pairs=tuple((int(i), int(j)) for i, j in cm.pairs),
+        obs_a=(None if cm.obstacles is None
+               else np.asarray(cm.obstacles.a, np.float64)),
+        obs_d=(None if cm.obstacles is None
+               else np.asarray(cm.obstacles.b, np.float64)
+               - np.asarray(cm.obstacles.a, np.float64)),
+        obs_r=(None if cm.obstacles is None
+               else np.asarray(cm.obstacles.r, np.float64)),
+        obs_pairs=tuple((int(i), int(w)) for i, w in cm.obs_pairs),
+    )
+
+
+def _collision_rows_s(km, X, R, pos, cs):
+    """Collision contact rows in (1,B)-entry style: returns (rows — list
+    over 3c of (6+n)-column entry lists — and gaps — list of c (1,B)).
+    Mirrors :func:`..collision.fb_collision_rows_bl`: self pairs carry only
+    the arm-column difference (base columns cancel at coincident points),
+    obstacle pairs carry the full base block like the foot rows."""
+    n = km.topology.n
+    m = 6 + n
+    Rs, ps = _fk_s(km, X)
+
+    starts, vecs = [], []
+    for i, l in enumerate(cs["links"]):
+        starts.append(ps[l] + _mv3s_c(Rs[l], [float(v)
+                                              for v in cs["a"][i]]))
+        vecs.append(_mv3s_c(Rs[l], [float(v) for v in cs["d"][i]]))
+
+    rows, gaps = [], []
+
+    def emit(gap, nrm_b, base_cols, arm_cols):
+        """base_cols: None (self pair) or 3 angular (3,B) world columns;
+        arm_cols: dict {j: (3,B) base-coords column}."""
+        frame = _frame_rows_s(_mv3s(R, nrm_b))
+        wcols = {j: _mv3s(R, col) for j, col in arm_cols.items()}
+        gaps.append(gap)
+        for r in range(3):
+            row = [None] * m
+            if base_cols is not None:
+                for j in range(3):
+                    row[j] = jnp.sum(frame[r] * base_cols[j], axis=0,
+                                     keepdims=True)
+                for j in range(3):              # v_b columns: C @ R[:, j]
+                    row[3 + j] = jnp.sum(
+                        frame[r] * jnp.concatenate(
+                            [R[i2, j:j + 1, :] for i2 in range(3)]),
+                        axis=0, keepdims=True)
+            for j, col in wcols.items():
+                row[6 + j] = jnp.sum(frame[r] * col, axis=0, keepdims=True)
+            rows.append(row)
+
+    for gi, gj in cs["pairs"]:
+        gap, nrm_b, pt_b = _pair_geometry_s(
+            starts[gi], vecs[gi], float(cs["r"][gi]),
+            starts[gj], vecs[gj], float(cs["r"][gj]))
+        ci = _point_cols_s(km, Rs, ps, cs["links"][gi], pt_b)
+        cj = _point_cols_s(km, Rs, ps, cs["links"][gj], pt_b)
+        arm = {j: (ci.get(j, 0.0) - cj[j]) if j in cj else ci[j]
+               for j in set(ci) | set(cj)}
+        emit(gap, nrm_b, None, arm)
+
+    for gi, w in cs["obs_pairs"]:
+        aw = [float(v) for v in cs["obs_a"][w]]
+        dw = [float(v) for v in cs["obs_d"][w]]
+        # obstacle world → base coords: Rᵀ(a_w − pos), Rᵀ d_w
+        a_rel = jnp.concatenate([aw[d2] - pos[d2:d2 + 1]
+                                 for d2 in range(3)])
+        a_b = _mv3s(R, a_rel, tA=True)
+        d_b = _mtv3s_c(R, dw)
+        gap, nrm_b, pt_b = _pair_geometry_s(
+            starts[gi], vecs[gi], float(cs["r"][gi]),
+            a_b, d_b, float(cs["obs_r"][w]))
+        # base angular columns: R (e_j × pt_b) — the foot-row pattern
+        zero1 = pt_b[0:1] * 0.0
+        ex = [jnp.concatenate([zero1, -pt_b[2:3], pt_b[1:2]]),
+              jnp.concatenate([pt_b[2:3], zero1, -pt_b[0:1]]),
+              jnp.concatenate([-pt_b[1:2], pt_b[0:1], zero1])]
+        emit(gap, nrm_b, [_mv3s(R, e) for e in ex],
+             _point_cols_s(km, Rs, ps, cs["links"][gi], pt_b))
+
+    return rows, gaps
+
+
+# --------------------------------------------------------------------------
 # kernel bodies
 # --------------------------------------------------------------------------
 def _stance_prelude(km, I_base, quat, q, vb, qd, tau, gravity):
@@ -575,7 +749,8 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
 def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
                       tables=None, *, links, offsets, dt, ground_z,
                       gravity, iters, erp, margin, restitution,
-                      terrain_static=None):
+                      terrain_static=None, collision_static=None,
+                      mu_coll=0.8):
     """One frictional ground step on a lane tile. Mirrors
     :func:`..contact.fb_step_ground_batched`: free velocity step, gap-gated
     PGS cone solve on the Delassus operator, semi-implicit manifold
@@ -650,6 +825,22 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
             gap = (p_w[2] - h) * nz
         gaps.append(gap)
         active.append((gap < margin).astype(q.dtype))
+    if collision_static is not None:
+        # collision cone triplets appended after the feet (same order as
+        # ..contact.fb_step_ground_batched): rebind k to the total contact
+        # count — everything below (Delassus, b, v_star, PGS, impulses)
+        # treats collision rows exactly like foot rows
+        c_rows, c_gaps = _collision_rows_s(km, X, R, pos, collision_static)
+        J = J + c_rows
+        for g_ in c_gaps:
+            gaps.append(g_)
+            active.append((g_ < margin).astype(q.dtype))
+        # mu for the collision rows: the static coefficient, derived from
+        # a real input slice (Mosaic miscompiles purely constant chains)
+        if len(c_gaps):
+            mu = jnp.concatenate(
+                [mu] + [mu[0:1] * 0.0 + mu_coll] * len(c_gaps))
+        k = k + len(c_gaps)
     JT = _jt_stacks(J, m, q[0:1])              # per-column (3k, B) stacks
 
     # ONE merged multi-rhs solve: rows 0..3k-1 = M⁻¹Jᵀ, row 3k = M⁻¹ rhs
@@ -1007,15 +1198,30 @@ def stance_fd_fused(ffm, quat, pos, q, vb, qd, tau, links, offsets,
 def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                       ground_z=0.0, gravity=-9.81, iters: int = 30,
                       erp: float = 0.2, margin: float = 1e-3,
-                      restitution: float = 0.0, interpret=False):
+                      restitution: float = 0.0, collision=None,
+                      mu_collision=None, interpret=False):
     """Fused frictional ground step — the parallel-RL flagship op as ONE
     kernel per lane tile: batch-last states + mu (k,B) → next state
     (quat2 (4,B), pos2 (3,B), q2 (n,B), vb2 (6,B), qd2 (n,B)) and impulses
-    (3k,B). Numerics mirror :func:`..contact.fb_step_ground_batched`."""
+    (3k,B). Numerics mirror :func:`..contact.fb_step_ground_batched`.
+
+    ``collision``: optional :class:`...collision.CollisionModel` — its
+    candidate pairs become extra cone triplets in the same VMEM-resident
+    PGS solve (obstacle-rich RL stays on the kernel path). The geometry
+    is baked as trace-time literals (like ``offsets``); ``mu_collision``
+    must be a static python scalar (defaults to 0.8)."""
     links = tuple(int(l) for l in links)
     off = np.asarray(offsets, np.float64)
     n = ffm.n
     k = len(links)
+    cs = None
+    kt = k
+    mu_c = 0.8 if mu_collision is None else float(mu_collision)
+    if collision is not None and collision.n_contacts:
+        from ..collision import _check_geoms
+        _check_geoms(n, collision)
+        cs = collision_static(collision)
+        kt = k + collision.n_contacts
 
     def body(km, I_base, quat, pos, q, vb, qd, tau, mu):
         return _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
@@ -1023,11 +1229,12 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                                  ground_z=float(ground_z),
                                  gravity=float(gravity), iters=int(iters),
                                  erp=float(erp), margin=float(margin),
-                                 restitution=float(restitution))
+                                 restitution=float(restitution),
+                                 collision_static=cs, mu_coll=mu_c)
 
-    body._k_contacts = k
+    body._k_contacts = kt
     return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
-                   [4, 3, n, 6, n, 3 * k], interpret)
+                   [4, 3, n, 6, n, 3 * kt], interpret)
 
 
 def terrain_fused_ok(ffm, terrain, k: int) -> bool:
@@ -1042,7 +1249,8 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                               links, offsets, terrain, gravity=-9.81,
                               iters: int = 30, erp: float = 0.2,
                               margin: float = 1e-3,
-                              restitution: float = 0.0, interpret=False):
+                              restitution: float = 0.0, collision=None,
+                              mu_collision=None, interpret=False):
     """Fused frictional ground step on a bilinear HEIGHTFIELD — one kernel
     per lane tile, the uneven-terrain parallel-RL shape. Same contract as
     :func:`step_ground_fused` plus ``terrain`` (:class:`...terrain.
@@ -1054,6 +1262,14 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
     off = np.asarray(offsets, np.float64)
     n = ffm.n
     k = len(links)
+    cs = None
+    kt = k
+    mu_c = 0.8 if mu_collision is None else float(mu_collision)
+    if collision is not None and collision.n_contacts:
+        from ..collision import _check_geoms
+        _check_geoms(n, collision)
+        cs = collision_static(collision)
+        kt = k + collision.n_contacts
     dtype = q.dtype
     H, W = terrain.heights.shape
     HW = H * W
@@ -1079,9 +1295,10 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                                  gravity=float(gravity), iters=int(iters),
                                  erp=float(erp), margin=float(margin),
                                  restitution=float(restitution),
-                                 terrain_static=ts)
+                                 terrain_static=ts, collision_static=cs,
+                                 mu_coll=mu_c)
 
-    body._k_contacts = k
+    body._k_contacts = kt
     body._extra_ws = float(HWp)
     return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
-                   [4, 3, n, 6, n, 3 * k], interpret, consts=[tables])
+                   [4, 3, n, 6, n, 3 * kt], interpret, consts=[tables])

@@ -280,3 +280,58 @@ def test_step_ground_terrain_large_grid_falls_back(hyq_ff):
     for a, b in zip(outs[:5], nxt_r):
         np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
                                    atol=1e-11)
+
+
+def test_step_ground_fused_collision_matches_xla(hyq_ff):
+    """step_ground_fused with a collision set (interpret) ==
+    fb_step_ground_batched's XLA body: self-collision + obstacle cone
+    triplets appended to the foot rows inside the kernel, geometry baked
+    as literals. Fat leg capsules + a sphere obstacle make both self and
+    obstacle pairs ACTIVE (non-vacuous equivalence).
+
+    Geometry note: the obstacle must NOT be a vertical capsule here —
+    its contact normals are then exactly horizontal (n_z == 0), the sign
+    boundary of the branchless tangent basis, where a 1-ulp rounding
+    difference between the two evaluation orders flips t1/t2 (physically
+    equivalent — the cone is isotropic — but component-wise different).
+    Likewise near-parallel capsule pairs slide the witness points at
+    fixed gap. Both are the measure-zero kinks documented in
+    ops/collision.py; a sphere keeps the normals generic."""
+    from gridcodegenerator_tpu.ops import collision as col
+
+    ffm = hyq_ff
+    n = ffm.n
+    B = 4
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=17)
+    legs = (2, 5, 8, 11)
+    geoms = col.make_geoms(legs, a=np.zeros((4, 3)),
+                           b=np.tile([0.3, 0, 0], (4, 1)), r=0.24,
+                           dtype=jnp.float64)
+    ball = col.make_obstacles(a=[[0.25, 0.05, 0.1]], r=0.35,
+                              dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=ball, min_separation=2)
+    assert cm.n_contacts == 10
+    kt = 4 + cm.n_contacts
+    bl = lambda a: a.T
+
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, _FEET, _FOFF, mu=0.8,
+        collision=cm, mu_collision=0.45, impl="vmap")
+    outs = cf.step_ground_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau),
+        jnp.full((4, B), 0.8, jnp.float64), 1e-3, _FEET, _FOFF,
+        collision=cm, mu_collision=0.45, interpret=True)
+    for nm, a, b in zip(("quat2", "pos2", "q2", "vb2", "qd2"), outs[:5],
+                        nxt_r):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-11, err_msg=nm)
+    imp_f = jnp.moveaxis(outs[5], 0, -1).reshape(B, kt, 3)
+    assert imp_f.shape == imp_r.shape
+    # impulses reach O(7e3) here; 1e-10 is ~1e-14 relative
+    np.testing.assert_allclose(np.asarray(imp_f), np.asarray(imp_r),
+                               atol=1e-10)
+    # non-vacuous: self AND obstacle triplets carry impulse
+    imp_c = np.asarray(imp_r)[:, 4:, 2]
+    assert bool((imp_c[:, :len(cm.pairs)] > 1e-9).any())
+    assert bool((imp_c[:, len(cm.pairs):] > 1e-9).any())
