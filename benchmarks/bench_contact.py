@@ -187,6 +187,37 @@ def main(argv=None):
             print(f"# terr   hyq  B={B:7d}  {med*1e3:9.3f} ms  "
                   f"{B/med:11.3e} env-steps/s", file=sys.stderr)
 
+    # ---- obstacle-rich stepper: ground + collision cone rows in-kernel ----
+    # (r3s8: 4 leg capsules, cross-leg self pairs + one sphere obstacle =
+    # 10 extra cone triplets per env, solved in the same VMEM-resident PGS
+    # as the feet; impl routing as in "step")
+    if "collision" in args.cases:
+        from gridcodegenerator_tpu.ops import collision as col
+
+        geoms = col.make_geoms(feet, a=np.zeros((4, 3)),
+                               b=np.tile([0.3, 0, 0], (4, 1)), r=0.12)
+        ball = col.make_obstacles(a=[[0.25, 0.05, 0.1]], r=0.3)
+        cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                      obstacles=ball, min_separation=2)
+
+        @jax.jit
+        def col_step(state, tau):
+            return ct.fb_step_ground_batched(
+                ffm, state, tau, 1e-3, feet, foff, mu=0.8,
+                collision=cm, mu_collision=0.5, impl=args.impl)[0]
+
+        for B in args.batches:
+            quat, pos, q, vb, qd, tau = states_for(B)
+            state = (quat, pos, q, vb, qd)
+            med, mn = time_fn(lambda s, t: col_step(s, t)[2], (state, tau),
+                              reps=args.reps)
+            row = dict(case="collision_step_hyq", n=nh,
+                       contacts=4 + cm.n_contacts, batch=B, impl=args.impl,
+                       median_ms=med * 1e3, env_steps_per_sec=B / med)
+            print(json.dumps(row))
+            print(f"# coll   hyq  B={B:7d}  {med*1e3:9.3f} ms  "
+                  f"{B/med:11.3e} env-steps/s", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -1401,17 +1401,20 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
                                iters: int = 30, erp: float = 0.2,
                                margin: float = 1e-3,
                                restitution: float = 0.0, impl="auto",
-                               terrain=None):
+                               terrain=None, collision=None,
+                               mu_collision=None):
     """``lax.scan`` rollout of :func:`fb_step_ground_batched` — T steps of
     N frictional environments in ONE device dispatch (the RL-training
     inner loop; on TPU each step is one fused Pallas kernel per lane
     tile). ``state0 = (quat (B,4), pos (B,3), q (B,n), vb (B,6),
     qd (B,n))``, ``taus (T, B, n)``. Returns (final state, per-step
-    impulse stacks (T, B, k, 3))."""
+    impulse stacks (T, B, k, 3)); ``terrain=``/``collision=`` pass
+    through to every step."""
     def step(s, tau):
         nxt, imp = fb_step_ground_batched(
             ffm, s, tau, dt, links, offsets, mu, ground_z, gravity, iters,
-            erp, margin, restitution, impl=impl, terrain=terrain)
+            erp, margin, restitution, impl=impl, terrain=terrain,
+            collision=collision, mu_collision=mu_collision)
         return nxt, imp
 
     return jax.lax.scan(step, state0, taus)

@@ -203,7 +203,8 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
                         ground_z: float = 0.0, gravity: float = -9.81,
                         iters: int = 30, erp: float = 0.2,
                         margin: float = 1e-3, restitution: float = 0.0,
-                        impl: str = "auto", terrain=None):
+                        impl: str = "auto", terrain=None,
+                        collision=None, mu_collision=None):
     """dp-sharded batched frictional environment stepper — the multi-chip
     parallel-RL shape: N environments shard over the mesh, each shard
     advances its slice with :func:`..ops.contact.fb_step_ground_batched`
@@ -213,7 +214,10 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
 
     ``terrain``: optional heightfield (:class:`..ops.terrain.Terrain`) —
     the node table is replicated to every shard (it is a model constant,
-    exactly like the robot inertias).
+    exactly like the robot inertias). ``collision``: optional
+    :class:`..ops.collision.CollisionModel`, likewise replicated — every
+    shard solves its environments' self-collision/obstacle cone rows
+    in-kernel.
 
     Returns a jitted ``step(state, tau) -> (next_state, impulses)`` with
     ``state = (quat (B,4), pos (B,3), q (B,n), vb (B,6), qd (B,n))``,
@@ -234,7 +238,8 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
     def _step(state, tau):
         return _ct.fb_step_ground_batched(
             ffm, state, tau, dt, links, off, mu, ground_z, gravity, iters,
-            erp, margin, restitution, impl=impl, terrain=terrain)
+            erp, margin, restitution, impl=impl, terrain=terrain,
+            collision=collision, mu_collision=mu_collision)
 
     return jax.jit(_step)
 

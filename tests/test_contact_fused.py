@@ -121,6 +121,29 @@ def test_fb_simulate_ground_batched_matches_loop():
     for a, b in zip(final, s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
 
+    # collision pass-through: the scan threads collision=/mu_collision=
+    # to every step (impulse stack widens to 1 + n_contacts triplets)
+    from gridcodegenerator_tpu.ops import collision as col
+    geoms = col.make_geoms((n - 1,), a=np.zeros((1, 3)), r=0.08,
+                           dtype=jnp.float64)
+    ball = col.make_obstacles(a=[[0.05, 0.0, 0.15]], r=0.15,
+                              dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=ball)
+    final_c, imps_c = jax.jit(lambda st, t: ct.fb_simulate_ground_batched(
+        ffm, st, t, 1e-3, links, offs, mu=0.7, impl="vmap",
+        collision=cm, mu_collision=0.5))(state, taus)
+    assert imps_c.shape == (T, B, 1 + cm.n_contacts, 3)
+    s = state
+    for t in range(T):
+        s, imp = ct.fb_step_ground_batched(
+            ffm, s, taus[t], 1e-3, links, offs, mu=0.7, impl="vmap",
+            collision=cm, mu_collision=0.5)
+        np.testing.assert_allclose(np.asarray(imps_c[t]), np.asarray(imp),
+                                   atol=1e-11)
+    for a, b in zip(final_c, s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
 
 def test_ff_workset_gate():
     """The lane-tile VMEM gate admits the quadruped/humanoid shapes the

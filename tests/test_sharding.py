@@ -180,6 +180,26 @@ def test_sharded_ground_step(eight_devices):
     np.testing.assert_allclose(np.asarray(imp_ts), np.asarray(imp_tr),
                                atol=1e-11)
 
+    # collision variant: the candidate-pair set replicates to every shard
+    from gridcodegenerator_tpu.ops import collision as col
+    geoms = col.make_geoms((1, n - 1), a=np.zeros((2, 3)), r=0.12,
+                           dtype=jnp.float64)
+    ball = col.make_obstacles(a=[[0.1, 0.0, 0.2]], r=0.2, dtype=jnp.float64)
+    cmod = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                    obstacles=ball)
+    step_c = pmesh.sharded_ground_step(ffm, m, links, offs, dt=1e-3,
+                                       mu=0.6, collision=cmod,
+                                       mu_collision=0.4)
+    nxt_cs, imp_cs = step_c(state, tau)
+    nxt_cr, imp_cr = ct.fb_step_ground_batched(
+        ffm, state, tau, 1e-3, links, offs, mu=0.6, impl="vmap",
+        collision=cmod, mu_collision=0.4)
+    assert imp_cs.shape == (B, 1 + cmod.n_contacts, 3)
+    for a, b in zip(nxt_cs, nxt_cr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(imp_cs), np.asarray(imp_cr),
+                               atol=1e-11)
+
 
 def test_sharded_constrained_fd(eight_devices, iiwa):
     """dp-sharded stance/pinned FD == the unsharded batched api entry, and

@@ -31,12 +31,14 @@ if os.environ.get("GRID_TPU_TESTS") != "1":
 
 @pytest.fixture(scope="module")
 def tpu_setup():
-    # 900 s default: the tier carries 9 tests (fixed-base x3, staged
-    # atlas, contact kernels, multi-dof fused + staged kernels,
-    # pallas-vs-vmap, trig A/B); measured 1077 s with fresh Mosaic
-    # compiles of the md wide-rewrite kernels (2026-08-17), so cold or
-    # degraded runs should raise GRID_TPU_TEST_BUDGET_S
-    budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "900"))
+    # 1800 s default: the tier carries 12 tests (fixed-base x3, staged
+    # atlas, contact kernels, terrain kernel, collision kernel, multi-dof
+    # fused + staged, SO Hessian kernel, pallas-vs-vmap, trig A/B);
+    # measured 1077 s with
+    # fresh md-kernel compiles (2026-08-17) BEFORE the SO kernel, whose
+    # cold compile alone is ~11 min (BENCHLOG r3s8) — raise
+    # GRID_TPU_TEST_BUDGET_S further for fully cold caches
+    budget = float(os.environ.get("GRID_TPU_TEST_BUDGET_S", "1800"))
     done = threading.Event()
 
     def watchdog():
@@ -385,6 +387,103 @@ def test_multidof_staged_kernels_on_tpu(tpu_setup):
                 scale = max(1.0, np_.abs(r).max())
                 err = np_.abs(got - r).max() / scale
                 assert err < 3e-5, f"staged fd_grad {nm}@{k}: {err:.3e}"
+
+
+def test_collision_fused_kernel_on_tpu(tpu_setup):
+    """The collision cone rows inside the fused ground-step kernel
+    (contact_fused._collision_rows_s: in-kernel segment-segment closest
+    points, branchless tangent frames, traced-point Jacobian columns)
+    through real Mosaic lowering vs the single-state CPU path. Sphere
+    obstacle — generic normals, away from the tangent-basis sign
+    boundary (see tests/test_contact_fused.py geometry note)."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import collision as col
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float32)
+    n = ffm.n
+    feet = (2, 5, 8, 11)
+    foff = np_.tile([0.35, 0.0, 0.0], (4, 1))
+    geoms = col.make_geoms(feet, a=np_.zeros((4, 3)),
+                           b=np_.tile([0.3, 0, 0], (4, 1)), r=0.24)
+    ball = col.make_obstacles(a=[[0.25, 0.05, 0.1]], r=0.35)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=ball, min_separation=2)
+    rng = np_.random.default_rng(53)
+    B = 256
+    quat = np_.tile([1.0, 0, 0, 0], (B, 1)) + 0.1 * rng.normal(size=(B, 4))
+    quat /= np_.linalg.norm(quat, axis=1, keepdims=True)
+    pos = rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.5]
+    q = np_.tile([-0.1, 0.7, -1.2], (B, 4)) + rng.uniform(-0.05, 0.05,
+                                                          (B, n))
+    vb = rng.uniform(-0.6, 0.6, (B, 6))
+    qd = rng.uniform(-0.5, 0.5, (B, n))
+    tau = rng.uniform(-10, 10, (B, n))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    nxt, imp = ct.fb_step_ground_batched(
+        ffm, tuple(f32(s) for s in (quat, pos, q, vb, qd)), f32(tau),
+        1e-3, feet, foff, mu=0.8, collision=cm, mu_collision=0.45,
+        impl="pallas")
+    got = dict(q2=np_.asarray(nxt[2]), vb2=np_.asarray(nxt[3]),
+               imp=np_.asarray(imp))
+    assert got["imp"].shape == (B, 4 + cm.n_contacts, 3)
+    assert (got["imp"][:, 4:, 2] > 0).any(), "no active collision contacts"
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 127, 128, B - 1):
+            st = tuple(jnp.asarray(a[k], jnp.float32)
+                       for a in (quat, pos, q, vb, qd))
+            s_r, imp_r = ct.fb_step_ground(
+                ffm, st, jnp.asarray(tau[k], jnp.float32), 1e-3, feet,
+                jnp.asarray(foff, jnp.float32), mu=0.8, collision=cm,
+                mu_collision=0.45)
+            for name, ref in (("q2", s_r[2]), ("vb2", s_r[3]),
+                              ("imp", imp_r)):
+                ref = np_.asarray(ref)
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(got[name][k] - ref).max() / scale
+                assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
+
+
+def test_so_fused_kernel_on_tpu(tpu_setup):
+    """The fused second-order kernel (ops/kernels/so_fused.py: primal
+    gradient pipeline + per-direction tangent sweep, direction on the
+    kernel grid) through real Mosaic lowering vs the CPU vmap Hessian on
+    sampled states. NOTE the compile bill: 3 per-argument pallas_calls ×
+    n directions each trace a gradient+JVP program (~11 min cold on the
+    tunnel for iiwa-14, BENCHLOG r3s8) — warm runs ride the persistent
+    cache. λᵀ·H only (the DDP production shape; the full-tensor kernel
+    shares the body modulo the contraction)."""
+    import jax
+    g, jnp, models = tpu_setup
+    desc, _, model = models["iiwa14"]
+    n = desc.n
+    B = 1024                                    # one 2-D batch tile
+    rng = np.random.default_rng(31)
+    qh, qdh, uh, lamh = (rng.uniform(-1, 1, (B, n)).astype(np.float32)
+                         for _ in range(4))
+    H = np.asarray(g.forward_dynamics_hessian_vp(
+        model, jnp.asarray(qh), jnp.asarray(qdh), jnp.asarray(uh),
+        jnp.asarray(lamh), impl="pallas"))
+    assert H.shape == (B, 3 * n, 3 * n)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 511, B - 1):
+            ref = np.asarray(g.forward_dynamics_hessian_vp(
+                model, jnp.asarray(qh[k]), jnp.asarray(qdh[k]),
+                jnp.asarray(uh[k]), jnp.asarray(lamh[k])))
+            scale = max(1.0, np.abs(ref).max())
+            err = np.abs(H[k] - ref).max() / scale
+            # forward-over-analytic depth ≈ 2× the ∇FD pipeline floor
+            assert err < 5e-5, f"state {k}: rel err {err:.3e}"
 
 
 def test_pallas_vs_vmap_on_tpu(tpu_setup):
