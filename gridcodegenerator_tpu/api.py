@@ -323,6 +323,35 @@ def _fd_hessian_fused_run(model, states, *, gravity, with_lam):
     return out.reshape(batch_shape + out.shape[1:])
 
 
+@functools.partial(jax.jit, static_argnames=("gravity",))
+def _fd_hessian_staged_run(model, states, *, gravity):
+    """Staged large-robot λᵀ·H adapter (``ops/kernels/so_staged.py``): the
+    direction-gridded multi-kernel pipeline for robots past the single-tile
+    Hessian kernel's VMEM gate (n ≳ 12). Per-direction tangent tensors
+    stage through HBM (~2n× the primal staging), so big batches chunk
+    through ``lax.map`` exactly like the batch-last path."""
+    from .ops.kernels import so_staged
+
+    n = model.n
+    batch_shape = states[0].shape[:-1]
+    flat = tuple(s.reshape(-1, n) for s in states)
+    B = flat[0].shape[0]
+
+    def run(st):
+        H = so_staged.fd_hessian_vp_staged(model, *(s.T for s in st),
+                                           gravity=gravity)
+        return jnp.moveaxis(H, -1, 0)
+
+    chunk = _ROUTE_CHUNK
+    if B > chunk and B % chunk == 0:
+        out = jax.lax.map(run, tuple(s.reshape(B // chunk, chunk, n)
+                                     for s in flat))
+        out = out.reshape((B,) + out.shape[2:])
+    else:
+        out = run(flat)
+    return out.reshape(batch_shape + out.shape[1:])
+
+
 def forward_dynamics_hessian(model: RobotModel, q, qd, u, *,
                              gravity: float = -9.81, impl: str = "auto"):
     """∂²q̈/∂x∂x, x = (q, q̇, u): (..., n, 3n, 3n), symmetric in the trailing
@@ -361,10 +390,14 @@ def forward_dynamics_hessian_vp(model: RobotModel, q, qd, u, lam, *,
 
     _check_states(model, (q, qd, u, lam), ("q", "qd", "u", "lam"))
     resolved = _resolve_impl(impl, q)
-    if resolved == "pallas" and jnp.ndim(q) > 1 \
-            and so_fused.vp_block(model.n):
-        return _fd_hessian_fused_run(model, (q, qd, u, lam), gravity=gravity,
-                                     with_lam=True)
+    if resolved == "pallas" and jnp.ndim(q) > 1:
+        if so_fused.vp_block(model.n):
+            return _fd_hessian_fused_run(model, (q, qd, u, lam),
+                                         gravity=gravity, with_lam=True)
+        # past the single-tile VMEM gate (humanoid scale): the staged
+        # direction-gridded pipeline (ops/kernels/so_staged.py)
+        return _fd_hessian_staged_run(model, (q, qd, u, lam),
+                                      gravity=gravity)
     if resolved in ("pallas", "bl") and jnp.ndim(q) > 1:
         return _fd_hessian_bl_run(model, (q, qd, u, lam), gravity=gravity,
                                   with_lam=True)

@@ -796,10 +796,22 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
             fu = u - iu
             fv = vq - iv
             idx = iu * W + iv                  # exact small ints in f32
-            iota = jax.lax.broadcasted_iota(q.dtype,
-                                            (HWp, idx.shape[-1]), 0)
+            # int iota converted to float for the == : Mosaic rejects a
+            # float-typed tpu.iota outright ('result #0 must be vector of
+            # integer or index values', v5e 2026-08-19 — interpret mode
+            # accepted it, hardware lowering does not)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (HWp, idx.shape[-1]), 0).astype(q.dtype)
             onehot = (iota == idx).astype(q.dtype)          # (HWp, B)
+            # HIGHEST precision: the MXU's default f32 matmul truncates
+            # inputs to bf16 (the onehot side is exact 0/1, but the
+            # height table loses ~2^-9 relative), and the gather error
+            # amplifies through the Baumgarte bias (erp·pen/dt, dt=1e-3
+            # → ×200). Measured v5e: 7.6e-5 step error at default vs
+            # the 3e-5 f32 pipeline floor; the (4,HWp)×(HWp,B) matmul
+            # is a trivial share of the kernel, so exactness is free.
             corners = jnp.dot(tables, onehot,
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=q.dtype)  # (4, B)
             h00, h10, h01, h11 = (corners[d:d + 1] for d in range(4))
             h = ((1 - fu) * (1 - fv) * h00 + fu * (1 - fv) * h10

@@ -486,6 +486,38 @@ def test_so_fused_kernel_on_tpu(tpu_setup):
             assert err < 5e-5, f"state {k}: rel err {err:.3e}"
 
 
+def test_so_staged_pipeline_on_tpu(tpu_setup):
+    """The staged large-robot Hessian pipeline (ops/kernels/so_staged.py:
+    direction-gridded T1/T2/T4/T5 tangent kernels + symmetry assembly) on
+    Atlas through real Mosaic lowering vs the CPU vmap Hessian on sampled
+    states — validates the lane-tier tangent bodies (jvp-of-CRBA, jvp of
+    the column-blocked ∂ID) that interpret mode cannot."""
+    import jax
+    g, jnp, models = tpu_setup
+    from gridcodegenerator_tpu.models import zoo
+    model = g.load_robot(zoo.atlas(damping=0.1), dtype=jnp.float32)
+    n = model.n
+    B = 256
+    rng = np.random.default_rng(37)
+    qh, qdh, uh, lamh = (rng.uniform(-1, 1, (B, n)).astype(np.float32)
+                         for _ in range(4))
+    H = np.asarray(g.forward_dynamics_hessian_vp(
+        model, jnp.asarray(qh), jnp.asarray(qdh), jnp.asarray(uh),
+        jnp.asarray(lamh), impl="pallas"))
+    assert H.shape == (B, 3 * n, 3 * n)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, B - 1):
+            ref = np.asarray(g.forward_dynamics_hessian_vp(
+                model, jnp.asarray(qh[k]), jnp.asarray(qdh[k]),
+                jnp.asarray(uh[k]), jnp.asarray(lamh[k])))
+            scale = max(1.0, np.abs(ref).max())
+            err = np.abs(H[k] - ref).max() / scale
+            # n=28 recursion depth ≈ 4× the iiwa pipeline floor
+            assert err < 2e-4, f"state {k}: rel err {err:.3e}"
+
+
 def test_pallas_vs_vmap_on_tpu(tpu_setup):
     """The two production paths must agree to the f32 accumulation floor
     (both f32, same device) — catches Mosaic miscompiles without any golden
