@@ -354,9 +354,14 @@ def fd_hessian_vp_staged(model: RobotModel, q, qd, u, lam, gravity=-9.81,
     Aq = t5_sweep("q", 0, dv_q, da_q, df_q)
     Aqd = t5_sweep("qd", 0, dv_q, da_q, df_q)
     # product rule: λᵀ·d(−M⁻¹∂c) also carries −dlamMᵀ·∂c (XLA einsum
-    # against the staged primal ∂c — n³·B FMAs/side, bandwidth-trivial)
-    tq = -jnp.einsum("dib,ijb->djb", dlamM, dcq_p)
-    tqd = -jnp.einsum("dib,ijb->djb", dlamM, dcqd_p)
+    # against the staged primal ∂c — n³·B FMAs/side, bandwidth-trivial).
+    # HIGHEST: the default MXU f32 matmul truncates inputs to bf16 —
+    # measured 1.2e-2 relative error on the Atlas hardware tier vs the
+    # ~1e-4 f32 pipeline floor (same failure mode as the terrain gather,
+    # contact_fused.py).
+    hi = jax.lax.Precision.HIGHEST
+    tq = -jnp.einsum("dib,ijb->djb", dlamM, dcq_p, precision=hi)
+    tqd = -jnp.einsum("dib,ijb->djb", dlamM, dcqd_p, precision=hi)
     # column d of H for d ∈ q-block, all 3n rows (j-major after swap)
     Cq = jnp.concatenate([Aq + tq, Aqd + tqd, dlamM], axis=1)
     Hq = jnp.swapaxes(Cq, 0, 1)                          # (3n, n, B)
@@ -367,7 +372,9 @@ def fd_hessian_vp_staged(model: RobotModel, q, qd, u, lam, gravity=-9.81,
         model, (lambda km, d, q, qd: t1_body(km, d, q, qd, which=1)),
         [q, qd], [], n, [(n,), (6, n)], _WS_T1(n), interpret)
     # dM/∂q̇ ≡ 0: dq̈ = −M⁻¹·dc, a batched XLA matvec per direction
-    dqdd_d = -jnp.einsum("ijb,djb->dib", Minv, dc_d)
+    # (HIGHEST — see the product-rule einsums above)
+    dqdd_d = -jnp.einsum("ijb,djb->dib", Minv, dc_d,
+                         precision=jax.lax.Precision.HIGHEST)
     da_d, df_d = _dir_stage_call(
         model,
         (lambda km, d, q, qd, v, qdd, dv, dqdd:
