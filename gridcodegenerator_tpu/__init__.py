@@ -134,6 +134,11 @@ from .ops.multidof import (
     md_inverse_dynamics_batched,
     multidof_model_from_description,
 )
+from .ops.so_md import (
+    md_forward_dynamics_hessian,
+    md_forward_dynamics_hessian_vp,
+    md_inverse_dynamics_hessian_vp,
+)
 from .models.robot import RobotModel, load_robot, robot_model_from_description
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
@@ -186,4 +191,6 @@ __all__ = [
     "md_forward_dynamics", "md_forward_dynamics_gradient", "md_id_grad",
     "md_crba", "md_forward_dynamics_batched", "md_inverse_dynamics_batched",
     "md_id_grad_batched", "md_forward_dynamics_gradient_batched",
+    "md_forward_dynamics_hessian", "md_forward_dynamics_hessian_vp",
+    "md_inverse_dynamics_hessian_vp",
 ]
