@@ -129,6 +129,24 @@ _ROUTE_MIN = 2 * _ROUTE_CHUNK
 _ROUTE_MAX = 1 << 18
 
 
+def _hessian_bl_chunk(n: int, B: int) -> int:
+    """n-aware ``lax.map`` chunk for the batch-last second-order adapter:
+    the 3n coordinate tangents hold ~3n · (3n²·chunk·4 B) of linearized
+    temporaries live at once (measured: 63 × 8.3 MB on iiwa-14 at 16 384
+    states — fine; 84 × 162 MB on Atlas at 16 384 — HBM OOM). Budget
+    ~600 MB of tangent temporaries, snap down to a power of two that
+    divides B (one compiled chunk shape), capped at the dispatch-amortized
+    route chunk."""
+    per_state = 3 * n * (n * 3 * max(n - 1, 1) * 4)
+    target = max(256, int(6e8) // per_state)
+    chunk = _ROUTE_CHUNK
+    while chunk > target:
+        chunk //= 2
+    while chunk > 1 and B % chunk:
+        chunk //= 2
+    return chunk
+
+
 @functools.partial(jax.jit, static_argnames=("kernel", "gravity"))
 def _pallas_run(model, states, *, kernel, gravity):
     """Boundary adapter: (..., n) batch-first user arrays → (n, B) batch-last
@@ -288,11 +306,13 @@ def _fd_hessian_bl_run(model, states, *, gravity, with_lam):
                                            gravity, lam=lam)
         return jnp.moveaxis(H, -1, 0)
 
-    # The 63 linearize tangents each carry (n, 3n, chunk)-scale live
-    # tensors; past ~2^16 states their sum exceeds HBM (measured OOM at
-    # 262k). Chunk big batches through lax.map — one compiled body, same
-    # amortization as api.map_batched.
-    chunk = _ROUTE_CHUNK
+    # The 3n linearize tangents each carry (n, 3, n-1, chunk)-scale live
+    # tensors; their sum scales ~n³·chunk and exceeds HBM well before the
+    # fixed 16 384-state route chunk on big robots (measured: iiwa OOM at
+    # 262k unchunked; Atlas OOM at 16 384 — 84 tangents × 162 MB each).
+    # Chunk big batches through lax.map with an n-aware chunk size — one
+    # compiled body, same amortization as api.map_batched.
+    chunk = _hessian_bl_chunk(n, B)
     if B > chunk and B % chunk == 0:
         out = jax.lax.map(run, tuple(s.reshape(B // chunk, chunk, n)
                                      for s in flat))
