@@ -139,7 +139,8 @@ from .ops.so_md import (
     md_forward_dynamics_hessian_vp,
     md_inverse_dynamics_hessian_vp,
 )
-from .models.robot import RobotModel, load_robot, robot_model_from_description
+from .models.robot import (RobotModel, load_robot,
+                           robot_model_from_description, with_armature)
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
 from .utils.golden import GoldenDynamics
@@ -150,6 +151,7 @@ __version__ = "0.1.0"
 __all__ = [
     "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
     "load_robot", "parse_urdf", "robot_model_from_description",
+    "with_armature",
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
     "inverse_dynamics_gradient", "forward_dynamics_gradient",
     "forward_dynamics_gradient_qdd_minv", "forward_dynamics_diff",

@@ -109,6 +109,12 @@ class RobotModel:
     S: jax.Array           # (n, 6) joint motion subspace
     inertia: jax.Array     # (n, 6, 6) link spatial inertias
     damping: jax.Array     # (n,) viscous joint damping
+    armature: jax.Array    # (n,) reflected rotor inertia: τᵢ += aᵢ·q̈ᵢ,
+    #                        i.e. M → M + diag(a) (beyond the reference,
+    #                        which has no rotor model; MuJoCo "armature"
+    #                        semantics). Enters every family through the
+    #                        articulated D = SᵀU + aᵢ term / the CRBA
+    #                        diagonal — see PARITY.md "Armature".
     prismatic: jax.Array   # (n,) bool mask
 
     # --- static metadata ---
@@ -138,6 +144,7 @@ class RobotModel:
             Xb=self.Xb.astype(dtype), Xs=self.Xs.astype(dtype),
             Xc=self.Xc.astype(dtype), S=self.S.astype(dtype),
             inertia=self.inertia.astype(dtype), damping=self.damping.astype(dtype),
+            armature=self.armature.astype(dtype),
         )
 
     # ------------------------------------------------------------------ ops
@@ -174,13 +181,27 @@ def robot_model_from_description(desc: RobotDescription, dtype=jnp.float32,
     Xb, Xs, Xc = joint_xform_coefficients(desc)
     S = joint_motion_subspaces(desc)
     prism = np.array([t == "prismatic" for t in desc.joint_types])
+    armature = (np.zeros(desc.n) if desc.armature is None
+                else np.asarray(desc.armature, np.float64))
     return RobotModel(
         Xb=jnp.asarray(Xb, dtype), Xs=jnp.asarray(Xs, dtype), Xc=jnp.asarray(Xc, dtype),
         S=jnp.asarray(S, dtype), inertia=jnp.asarray(desc.inertia, dtype),
-        damping=jnp.asarray(desc.damping, dtype), prismatic=jnp.asarray(prism),
+        damping=jnp.asarray(desc.damping, dtype),
+        armature=jnp.asarray(armature, dtype), prismatic=jnp.asarray(prism),
         topology=desc.topology, name=desc.name, joint_types=tuple(desc.joint_types),
         accurate_trig=accurate_trig,
     )
+
+
+def with_armature(model: RobotModel, armature) -> RobotModel:
+    """A copy of ``model`` with per-joint reflected rotor inertia (scalar or
+    (n,)): every downstream algorithm then solves with M + diag(armature) and
+    reports τᵢ += armatureᵢ·q̈ᵢ — MuJoCo's "armature" semantics, beyond the
+    reference's rigid-link-only model. For robots whose URDF carries the
+    nonstandard ``<dynamics armature="...">`` attribute this is already set
+    by :func:`load_robot`."""
+    a = jnp.broadcast_to(jnp.asarray(armature, model.dtype), (model.n,))
+    return dataclasses.replace(model, armature=a)
 
 
 def load_robot(urdf: str, dtype=jnp.float32) -> RobotModel:

@@ -104,6 +104,10 @@ class RobotDescription:
     q_upper: np.ndarray = None            # (n,)
     effort: np.ndarray = None             # (n,) max |τ|
     velocity: np.ndarray = None           # (n,) max |q̇|
+    # reflected rotor inertia (MuJoCo's "armature"; URDF has no standard tag —
+    # parsed from the nonstandard <dynamics armature="..."> attribute). Adds
+    # armatureᵢ·q̈ᵢ to joint i's torque, i.e. M → M + diag(armature).
+    armature: np.ndarray = None           # (n,)
 
     @property
     def n(self) -> int:
@@ -182,9 +186,12 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         if ax is not None and ax.get("xyz"):
             axis = np.array([float(s) for s in ax.get("xyz").split()])
         damping = 0.0
+        armature = 0.0
         dyn = j.find("dynamics")
         if dyn is not None and dyn.get("damping"):
             damping = float(dyn.get("damping"))
+        if dyn is not None and dyn.get("armature"):
+            armature = float(dyn.get("armature"))
         lim = j.find("limit")
         inf = float("inf")
         limits = dict(lower=-inf, upper=inf, effort=inf, velocity=inf)
@@ -200,7 +207,8 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
             )
         joints.append(dict(
             name=j.get("name"), type=jtype, parent=parent, child=child,
-            xyz=xyz, rpy=rpy, axis=axis, damping=damping, limits=limits,
+            xyz=xyz, rpy=rpy, axis=axis, damping=damping,
+            armature=armature, limits=limits,
         ))
 
     root_links = [ln for ln in links if ln not in child_links]
@@ -258,6 +266,7 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
     origin_R = np.stack([j["T_origin"][:3, :3] for j in ordered])
     axis = np.stack([j["axis"] / np.linalg.norm(j["axis"]) for j in ordered])
     damping = np.array([j["damping"] for j in ordered])
+    armature = np.array([j["armature"] for j in ordered])
     lims = {key: np.array([j["limits"][key] for j in ordered])
             for key in ("lower", "upper", "effort", "velocity")}
     types = tuple("revolute" if j["type"] == "continuous" else j["type"] for j in ordered)
@@ -275,6 +284,7 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         base_inertia=link_inertia6[root_link],
         q_lower=lims["lower"], q_upper=lims["upper"],
         effort=lims["effort"], velocity=lims["velocity"],
+        armature=armature,
     )
     return desc
 

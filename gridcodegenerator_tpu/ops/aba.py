@@ -61,7 +61,8 @@ def aba(model: RobotModel, q, qd, u, gravity=-9.81):
     for i in range(n - 1, -1, -1):
         S = model.S[i]
         Ui = IA[i] @ S
-        Di = 1.0 / jnp.dot(S, Ui)
+        # D = SᵀU + armature (reflected rotor inertia — joint-space only)
+        Di = 1.0 / (jnp.dot(S, Ui) + model.armature[i])
         ui = u[i] - model.damping[i] * qd[i] - jnp.dot(S, pA[i])
         U[i], Dinv[i], ubar[i] = Ui, Di, ui
         p = topo.parents[i]
@@ -120,7 +121,7 @@ def fb_aba(ffm, quat, q, vb, qd, tau, gravity=-9.81):
     for i in range(n - 1, -1, -1):
         S = arm.S[i]
         Ui = IA[i] @ S
-        Di = 1.0 / jnp.dot(S, Ui)
+        Di = 1.0 / (jnp.dot(S, Ui) + arm.armature[i])
         ui = tau[i] - arm.damping[i] * qd[i] - jnp.dot(S, pA[i])
         U[i], Dinv[i], ubar[i] = Ui, Di, ui
         Ia = IA[i] - Di * jnp.outer(Ui, Ui)
@@ -152,7 +153,7 @@ def aba_bl(model: RobotModel, q, qd, u, gravity=-9.81, X=None):
     kernel bodies)."""
     from .blops import (batchify1, batchify2, crf_apply_bl, crm_apply_bl,
                         joint_transforms_bl, matvec6, matvec6_T,
-                        _damping_col)
+                        _armature_col, _damping_col)
 
     topo = model.topology
     n = topo.n
@@ -163,6 +164,7 @@ def aba_bl(model: RobotModel, q, qd, u, gravity=-9.81, X=None):
     Sb = [batchify1(model.S[i], ones1B) for i in range(n)]
     bnd = q.ndim - 1
     damp = _damping_col(model, bnd)
+    armc = _armature_col(model, bnd)
 
     v = [None] * n
     zeta = [None] * n
@@ -181,7 +183,7 @@ def aba_bl(model: RobotModel, q, qd, u, gravity=-9.81, X=None):
         S = Sb[i]
         Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))      # (6,*b)
         d = sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))       # (1,*b)
-        Di = 1.0 / d
+        Di = 1.0 / (d + armc[i:i + 1])
         SpA = sum(S[c:c + 1] * pA[i][c:c + 1] for c in range(6))  # (1,*b)
         ui = u[i:i + 1] - damp[i:i + 1] * qd[i:i + 1] - SpA
         U[i], Dinv[i], ubar[i] = Ui, Di, ui

@@ -91,6 +91,12 @@ def _damping_col(model, bnd=1):
     return d if d.ndim == 1 + bnd else d.reshape(d.shape[:1] + (1,) * bnd)
 
 
+def _armature_col(model, bnd=1):
+    """Reflected rotor inertia, same shipping convention as damping."""
+    a = model.armature
+    return a if a.ndim == 1 + bnd else a.reshape(a.shape[:1] + (1,) * bnd)
+
+
 def batchify1(v, ones1B):
     """(k,) constant vector → (k, *batch): per-joint constants are expanded
     into lane-resident arrays once per invocation (Mosaic cannot broadcast
@@ -224,7 +230,7 @@ def rnea_fwd_bl(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None)
     return v, a, f
 
 
-def rnea_bwd_bl(model: RobotModel, X, f, qd=None):
+def rnea_bwd_bl(model: RobotModel, X, f, qd=None, qdd=None):
     topo = model.topology
     n = topo.n
     f = list(f)
@@ -245,6 +251,8 @@ def rnea_bwd_bl(model: RobotModel, X, f, qd=None):
         c = sum(S_r[:, r:r + 1] * F_all[:, r] for r in range(6))
     if qd is not None:
         c = c + _damping_col(model, bnd) * qd
+    if qdd is not None:
+        c = c + _armature_col(model, bnd) * qdd
     return c, f
 
 
@@ -252,7 +260,7 @@ def rnea_bl(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
     """Batch-last inverse dynamics: q/qd/qdd (n, B) → c (n, B)."""
     X = joint_transforms_bl(model, q)
     v, a, f = rnea_fwd_bl(model, X, qd, qdd, gravity)
-    c, f = rnea_bwd_bl(model, X, f, qd)
+    c, f = rnea_bwd_bl(model, X, f, qd, qdd)
     return c, v, a, f
 
 
@@ -282,7 +290,7 @@ def minv_bl(model: RobotModel, X, B=None, dtype=None):
         S = Sb[i]
         Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))     # (6,*b)
         d = sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))      # (1,*b)
-        Di = 1.0 / d
+        Di = 1.0 / (d + _armature_col(model, len(bshape))[i:i + 1])
         U[i], Dinv[i] = Ui, Di
         SF = sum(S[c:c + 1] * F[i][c] for c in range(6))         # (n,*b)
         # row = e_i·D⁻¹ − D⁻¹·SᵀF — mask-add form (Mosaic has no
@@ -518,7 +526,8 @@ def minv_UD_bl(model: RobotModel, X):
     for i in range(n - 1, -1, -1):
         S = Sb[i]
         Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))
-        Di = 1.0 / sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))
+        Di = 1.0 / (sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))
+                    + _armature_col(model, len(bshape))[i:i + 1])
         U[i], Dinv[i] = Ui, Di
         p = topo.parents[i]
         if p >= 0:
@@ -556,9 +565,13 @@ def crba_bl(model: RobotModel, X):
         if p >= 0:
             IC[p] = IC[p] + matmat6_T(X[i], matmat6(IC[i], X[i]))
     M = [[None] * n for _ in range(n)]
+    armc = _armature_col(model, len(bshape))
     for i in range(n):
         F = sum(IC[i][:, c] * Sb[i][c:c + 1] for c in range(6))   # (6,*b)
-        M[i][i] = sum(Sb[i][c:c + 1] * F[c:c + 1] for c in range(6))
+        # + reflected rotor inertia on the diagonal (M + diag(armature) is
+        # the matrix every solve/factor in the engine works with)
+        M[i][i] = (sum(Sb[i][c:c + 1] * F[c:c + 1] for c in range(6))
+                   + armc[i:i + 1])
         j = i
         while topo.parents[j] >= 0:
             F = matvec6_T(X[j], F)

@@ -559,7 +559,9 @@ def _fb_mass_matrix_bl(ffm, X):
     for i in range(n):
         F = jnp.stack([sum(IC[i][r, c] * float(S[i, c]) for c in range(6))
                        for r in range(6)])
-        E[6 + i][6 + i] = sum(float(S[i, c]) * F[c] for c in range(6))
+        # + reflected rotor inertia on the joint diagonal (base rows: none)
+        E[6 + i][6 + i] = (sum(float(S[i, c]) * F[c] for c in range(6))
+                           + jnp.reshape(arm.armature[i], ()))
         j = i
         while topo.parents[j] >= 0:
             F = matvec6_T(X[j], F)

@@ -180,7 +180,9 @@ def fb_mass_matrix(model: FreeFlyerModel, X):
     M = M.at[:6, :6].set(IC_b)
     for i in range(n):
         F = IC[i] @ arm.S[i]
-        M = M.at[6 + i, 6 + i].set(jnp.dot(arm.S[i], F))
+        # joint diagonal carries the reflected rotor inertia (base rows
+        # don't — the free joint has no motor)
+        M = M.at[6 + i, 6 + i].set(jnp.dot(arm.S[i], F) + arm.armature[i])
         j = i
         while topo.parents[j] >= 0:
             F = X[j].T @ F

@@ -217,8 +217,10 @@ def _fb_mass_s(km, I_base, X):
             E[r][c] = IC_b[r, c:c + 1, :]
     for i in range(n):
         F = blops.matvec6(IC[i], km.S[i])               # (6,B)
-        E[6 + i][6 + i] = sum(km.S[i][c:c + 1] * F[c:c + 1]
-                              for c in range(6))
+        # + armature on the joint diagonal (ships (n,1) like damping)
+        E[6 + i][6 + i] = (sum(km.S[i][c:c + 1] * F[c:c + 1]
+                               for c in range(6))
+                           + km.armature[i:i + 1, 0:1])
         j = i
         while topo.parents[j] >= 0:
             F = blops.matvec6_T(X[j], F)
@@ -953,7 +955,7 @@ def _ff_model_args(ffm, dtype):
     args = []
     for fname in _MODEL_FIELDS:
         arr = getattr(ffm.arm, fname)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             args.append(jnp.asarray(arr, dtype)[:, None])
         else:
             args.append(jnp.broadcast_to(
@@ -1040,7 +1042,7 @@ def _xla_fallback(ffm, body, states, consts=()):
     refs = []
     for fname in _MODEL_FIELDS:
         arr = jnp.asarray(getattr(ffm.arm, fname), dtype)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             refs.append(arr[:, None])
         else:
             refs.append(jnp.broadcast_to(arr[..., None], arr.shape + B_sh))
@@ -1126,7 +1128,10 @@ def _fb_aba_body(km, I_base, quat, q, vb, qd, tau, *, gravity):
     for i in range(n - 1, -1, -1):
         S = km.S[i]
         Ui = sum(IA[i][:, c] * S[c:c + 1] for c in range(6))
-        Di = 1.0 / sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))
+        # + armature: reflected rotor inertia in the joint-space D term
+        # (ships (n, 1) like damping; a (1,1) slice broadcasts against (1,B))
+        Di = 1.0 / (sum(S[c:c + 1] * Ui[c:c + 1] for c in range(6))
+                    + km.armature[i:i + 1, 0:1])
         SpA = sum(S[c:c + 1] * pA[i][c:c + 1] for c in range(6))
         ui = tau[i:i + 1] - km.damping[i:i + 1, 0:1] * qd[i:i + 1] - SpA
         U[i], Dinv[i], ubar[i] = Ui, Di, ui

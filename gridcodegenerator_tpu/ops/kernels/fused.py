@@ -39,7 +39,7 @@ from .. import blops
 
 _LANES = 128
 # model arrays passed into every kernel, in this order
-_MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping")
+_MODEL_FIELDS = ("Xb", "Xs", "Xc", "S", "inertia", "damping", "armature")
 
 
 def _block_for(per_state_floats: float, cap: int = 2048):
@@ -161,7 +161,7 @@ def _pallas_batch_call(model: RobotModel, body, states, out_shapes, block_b,
     model_args = []
     for fname in _MODEL_FIELDS:
         arr = getattr(model, fname)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             model_args.append(arr[:, None, None])
         else:
             model_args.append(jnp.broadcast_to(
@@ -220,7 +220,7 @@ def _pallas_lane_call(model: RobotModel, body, states, out_shapes,
     model_args = []
     for fname in _MODEL_FIELDS:
         arr = getattr(model, fname)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             model_args.append(arr[:, None])
         else:
             model_args.append(jnp.broadcast_to(

@@ -147,7 +147,7 @@ def _pallas_dir_call(model: RobotModel, body, states, n_dirs, row_shape,
     model_args = []
     for fname in _MODEL_FIELDS:
         arr = getattr(model, fname)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             model_args.append(arr[(...,) + (None,) * len(btile)])
         else:
             model_args.append(jnp.broadcast_to(

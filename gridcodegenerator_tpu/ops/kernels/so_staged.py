@@ -132,7 +132,7 @@ def _dir_stage_call(model: RobotModel, body, shared, per_dir, n_dirs,
     model_args = []
     for fname in _MODEL_FIELDS:
         arr = getattr(model, fname)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             model_args.append(arr[:, None])
         else:
             model_args.append(jnp.broadcast_to(

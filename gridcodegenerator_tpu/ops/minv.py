@@ -44,7 +44,10 @@ def minv_inner(model: RobotModel, X):
     for i in range(n - 1, -1, -1):
         S = model.S[i]
         Ui = IA[i] @ S
-        Di = 1.0 / jnp.dot(S, Ui)
+        # D = SᵀU + armature: the reflected rotor inertia enters the
+        # articulated recursion only through the joint-space D term
+        # (Featherstone §9.6 / MuJoCo "armature"), yielding (M + diag(a))⁻¹.
+        Di = 1.0 / (jnp.dot(S, Ui) + model.armature[i])
         U[i], Dinv[i] = Ui, Di
         # Minv[i,i] = D⁻¹; Minv[i, subtree] −= D⁻¹ · Sᵀ F_i  — computed densely:
         # F_i is zero outside subtree(i), so the extra columns add exact zeros.

@@ -111,6 +111,11 @@ def multidof_model_from_description(desc: RobotDescription,
             qs += 1; vs += 1
     damping = np.concatenate(
         [np.full(v_slices[i][1], desc.damping[i]) for i in range(n)])
+    if desc.armature is not None and np.any(np.asarray(desc.armature) != 0):
+        raise NotImplementedError(
+            "reflected rotor inertia (armature) is supported on the "
+            "single-dof stack only (models/robot.py::with_armature); the "
+            "multi-dof joint-space D blocks do not carry it yet")
     return MultiDofModel(
         XT=jnp.asarray(XT, dtype), S=jnp.asarray(S, dtype),
         inertia=jnp.asarray(desc.inertia, dtype),

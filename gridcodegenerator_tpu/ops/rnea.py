@@ -72,11 +72,13 @@ def rnea_fwd(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None):
     return v, a, f
 
 
-def rnea_bwd(model: RobotModel, X, f, qd=None):
+def rnea_bwd(model: RobotModel, X, f, qd=None, qdd=None):
     """Backward sweep: accumulate wrenches up the tree and extract torques.
 
     Returns (c, f_acc). ``c`` includes the damping term when ``qd`` is given
-    (golden-model semantics)."""
+    (golden-model semantics) and the rotor/armature torque ``aᵢ·q̈ᵢ`` when
+    ``qdd`` is given (the reflected inertia acts in joint space only — it is
+    not a spatial wrench, so ``f_acc`` is untouched)."""
     topo = model.topology
     f = [f[i] for i in range(topo.n)]
     for i in range(topo.n - 1, -1, -1):  # children before parents
@@ -86,6 +88,8 @@ def rnea_bwd(model: RobotModel, X, f, qd=None):
     c = jnp.stack([jnp.dot(model.S[i], f[i]) for i in range(topo.n)])
     if qd is not None:
         c = c + model.damping * qd
+    if qdd is not None:
+        c = c + model.armature * qdd
     return c, jnp.stack(f)
 
 
@@ -98,7 +102,7 @@ def rnea(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
     """
     X = model.joint_transforms(q)
     v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
-    c, f = rnea_bwd(model, X, f, qd)
+    c, f = rnea_bwd(model, X, f, qd, qdd)
     return c, v, a, f
 
 

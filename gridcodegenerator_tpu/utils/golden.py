@@ -62,6 +62,8 @@ class GoldenDynamics:
         self._prism = np.array([t == "prismatic" for t in desc.joint_types])
         self.inertias = np.asarray(desc.inertia, dtype=np.float64)
         self.damping = np.asarray(desc.damping, dtype=np.float64)
+        self.armature = (np.zeros(self.n) if desc.armature is None
+                         else np.asarray(desc.armature, dtype=np.float64))
         self.S = np.zeros((self.n, 6))
         for i in range(self.n):
             if self._prism[i]:
@@ -125,9 +127,11 @@ class GoldenDynamics:
             f[i] = self.inertias[i] @ a[i] + crf(v[i]) @ Iv
         return v, a, f
 
-    def rnea_bpass(self, q, qd, f):
+    def rnea_bpass(self, q, qd, f, qdd=None):
         """Backward pass → (c, f); adds the damping term
-        (reference ``_test.py:78-107``)."""
+        (reference ``_test.py:78-107``) and — beyond the reference — the
+        reflected rotor torque ``armatureᵢ·q̈ᵢ`` when ``qdd`` is given (the
+        rotor inertia is joint-space only; ``f`` is untouched)."""
         n = self.n
         f = f.copy()
         c = np.zeros(n)
@@ -138,11 +142,13 @@ class GoldenDynamics:
             if p >= 0:
                 f[p] += X[i].T @ f[i]
         c += self.damping * np.asarray(qd)
+        if qdd is not None:
+            c += self.armature * np.asarray(qdd)
         return c, f
 
     def rnea(self, q, qd, qdd=None, gravity=-9.81):
         v, a, f = self.rnea_fpass(q, qd, qdd, gravity)
-        c, f = self.rnea_bpass(q, qd, f)
+        c, f = self.rnea_bpass(q, qd, f, qdd)
         return c, v, a, f
 
     # ----------------------------------------------------- analytic M⁻¹
@@ -160,7 +166,8 @@ class GoldenDynamics:
         for i in range(n - 1, -1, -1):
             S = self.S[i]
             U[i] = IA[i] @ S
-            Dinv[i] = 1.0 / (S @ U[i])
+            # D = SᵀU + armature ⇒ the recursion inverts M + diag(armature)
+            Dinv[i] = 1.0 / (S @ U[i] + self.armature[i])
             Minv[i, i] = Dinv[i]
             sub = list(self.topo.subtrees[i])
             Minv[i, sub] -= Dinv[i] * (S @ F[i][:, sub])
@@ -300,7 +307,7 @@ class GoldenDynamics:
         M = np.zeros((n, n))
         for i in range(n):
             Fh = IC[i] @ self.S[i]
-            M[i, i] = self.S[i] @ Fh
+            M[i, i] = self.S[i] @ Fh + self.armature[i]
             j = i
             while self.topo.parents[j] >= 0:
                 Fh = X[j].T @ Fh
@@ -327,6 +334,8 @@ class GoldenDynamics:
         """Total mechanical energy (for conservation tests)."""
         v, _, _ = self.rnea_fpass(q, qd, None, 0.0)
         ke = 0.5 * sum(v[i] @ self.inertias[i] @ v[i] for i in range(self.n))
+        # rotor kinetic energy ½·aᵢ·q̇ᵢ² (the armature's conserved share)
+        ke += 0.5 * float(self.armature @ (np.asarray(qd) ** 2))
         Rs, ps = self.fk(q)
         pe = 0.0
         g = -gravity
