@@ -41,7 +41,7 @@ from .staged import _CAL, _LANE_BUDGET
 __all__ = ["md_id_fused", "md_fd_fused", "md_id_grad_fused",
            "md_fd_grad_fused", "md_workset_ok", "md_grad_workset_ok"]
 
-_MD_FIELDS = ("XT", "inertia", "damping")
+_MD_FIELDS = ("XT", "inertia", "damping", "armature")
 
 
 # --------------------------------------------------------------------------
@@ -204,6 +204,10 @@ def _md_rnea_s(km, X, qd, qdd, gravity):
                              for r in range(6) if col[r] != 0.0])
             ci = ci + km.damping[sv + c:sv + c + 1, 0:1] * \
                 qd[sv + c:sv + c + 1]
+            if qdd is not None:
+                # reflected rotor torque (armature ships (nv,1) like damping)
+                ci = ci + km.armature[sv + c:sv + c + 1, 0:1] * \
+                    qdd[sv + c:sv + c + 1]
             c_rows.append(ci)
     return jnp.concatenate(c_rows), v, a, f_acc
 
@@ -235,6 +239,9 @@ def _md_crba_s(km, X):
                 val = _sum_terms([
                     float(cols_i[cj][r]) * F[ci][r:r + 1] for r in range(6)
                     if cols_i[cj][r] != 0.0])
+                if ci == cj:
+                    # + reflected rotor inertia on the diagonal
+                    val = val + km.armature[si + ci:si + ci + 1, 0:1]
                 M[si + ci][si + cj] = val
                 M[si + cj][si + ci] = val
         j = i
@@ -311,6 +318,8 @@ def _md_aba_body(km, q, qd, u, *, gravity):
         D = [[_sum_terms([float(cols[cj][r]) * Ucols[ci][r:r + 1]
                           for r in range(6) if cols[cj][r] != 0.0])
               for cj in range(w)] for ci in range(w)]
+        for c in range(w):  # D = SᵀU + diag(armature slice)
+            D[c][c] = D[c][c] + km.armature[sv + c:sv + c + 1, 0:1]
         L = _chol_factor_ev(D, w)
         ubar = []
         for c in range(w):
@@ -805,7 +814,7 @@ def _md_model_args(model, dtype):
     args = []
     for fname in _MD_FIELDS:
         arr = jnp.asarray(getattr(model, fname), dtype)
-        if fname == "damping":
+        if fname in ("damping", "armature"):
             args.append(arr[:, None])
         else:
             args.append(jnp.broadcast_to(arr[..., None],
@@ -824,7 +833,7 @@ def _run_md(model, body, states, out_dims, interpret, force_xla=False,
         vals = []
         for fname in _MD_FIELDS:
             arr = jnp.asarray(getattr(model, fname), dtype)
-            vals.append(arr[:, None] if fname == "damping"
+            vals.append(arr[:, None] if fname in ("damping", "armature")
                         else jnp.broadcast_to(arr[..., None],
                                               arr.shape + B_sh))
         return list(body(_md_ns(model, vals), *states))

@@ -53,6 +53,10 @@ class MultiDofModel:
     S: jax.Array         # (n_joints, 6, 6) motion subspaces, zero-padded
     inertia: jax.Array   # (n_joints, 6, 6)
     damping: jax.Array   # (nv,) per velocity coordinate
+    armature: jax.Array  # (nv,) reflected rotor inertia per velocity
+    #                      coordinate (MuJoCo semantics: D blocks and the
+    #                      CRBA diagonal gain diag(aᵢ); free joints are
+    #                      normally 0 — a floating base has no motor)
     axis: jax.Array      # (n_joints, 3) single-dof axes (unused for spherical)
 
     topology: Topology = dataclasses.field(metadata=dict(static=True))
@@ -111,15 +115,15 @@ def multidof_model_from_description(desc: RobotDescription,
             qs += 1; vs += 1
     damping = np.concatenate(
         [np.full(v_slices[i][1], desc.damping[i]) for i in range(n)])
-    if desc.armature is not None and np.any(np.asarray(desc.armature) != 0):
-        raise NotImplementedError(
-            "reflected rotor inertia (armature) is supported on the "
-            "single-dof stack only (models/robot.py::with_armature); the "
-            "multi-dof joint-space D blocks do not carry it yet")
+    arm_j = (np.zeros(n) if desc.armature is None
+             else np.asarray(desc.armature, np.float64))
+    armature = np.concatenate(
+        [np.full(v_slices[i][1], arm_j[i]) for i in range(n)])
     return MultiDofModel(
         XT=jnp.asarray(XT, dtype), S=jnp.asarray(S, dtype),
         inertia=jnp.asarray(desc.inertia, dtype),
         damping=jnp.asarray(damping, dtype),
+        armature=jnp.asarray(armature, dtype),
         axis=jnp.asarray(desc.axis, dtype),
         topology=desc.topology, name=desc.name,
         joint_types=tuple(desc.joint_types),
@@ -210,6 +214,8 @@ def md_rnea(model: MultiDofModel, q, qd, qdd=None, gravity=-9.81):
     c = jnp.concatenate([
         model.S[i][:, :model.dof(i)].T @ f[i] for i in range(n)])
     c = c + model.damping * qd
+    if qdd is not None:
+        c = c + model.armature * qdd  # reflected rotor torque (joint space)
     return c, v, a, f
 
 
@@ -233,7 +239,9 @@ def md_crba(model: MultiDofModel, q):
         si, wi = model.v_slices[i]
         Si = model.S[i][:, :wi]
         F = IC[i] @ Si                                     # (6, wi)
-        M = jax.lax.dynamic_update_slice(M, Si.T @ F, (si, si))
+        blk_ii = Si.T @ F + jnp.diag(
+            jax.lax.dynamic_slice(model.armature, (si,), (wi,)))
+        M = jax.lax.dynamic_update_slice(M, blk_ii, (si, si))
         j = i
         while topo.parents[j] >= 0:
             F = X[j].T @ F
@@ -287,7 +295,8 @@ def md_aba(model: MultiDofModel, q, qd, u, gravity=-9.81):
         wi = model.dof(i)
         Si = model.S[i][:, :wi]
         Ui = IA[i] @ Si                                     # (6, wi)
-        D = Si.T @ Ui                                       # (wi, wi) SPD
+        # D = SᵀU + diag(armature slice) — the reflected rotor inertia
+        D = Si.T @ Ui + jnp.diag(_vslice(model, model.armature, i))
         L = jnp.linalg.cholesky(D)
         ui = (_vslice(model, u, i) - _vslice(model, model.damping, i)
               * _vslice(model, qd, i) - Si.T @ pA[i])       # (wi,)

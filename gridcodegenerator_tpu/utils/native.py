@@ -32,7 +32,7 @@ def _load():
             ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
             check=True)
     lib = ctypes.CDLL(str(_LIB))
-    hdr = [ctypes.c_int, _I, _I, _D, _D, _D, _D, _D, _D]
+    hdr = [ctypes.c_int, _I, _I, _D, _D, _D, _D, _D, _D, _D]
     lib.grid_rnea.argtypes = hdr + [_D, _D, ctypes.c_void_p, ctypes.c_double, _D]
     lib.grid_minv.argtypes = hdr + [_D, _D]
     lib.grid_fd.argtypes = hdr + [_D, _D, _D, ctypes.c_double, _D]
@@ -52,7 +52,7 @@ def _load():
         ctypes.c_double,                                    # reg
         _D, _D, _D]                           # dvb, qdd, lam
     mdh = [ctypes.c_int, ctypes.c_int, ctypes.c_int, _I, _I, _I, _I,
-           _D, _D, _D, _D]
+           _D, _D, _D, _D, _D]
     lib.grid_md_id.argtypes = mdh + [_D, _D, ctypes.c_void_p,
                                      ctypes.c_double, _D]
     lib.grid_md_fd.argtypes = mdh + [_D, _D, _D, ctypes.c_double, _D]
@@ -71,6 +71,9 @@ class NativeOracle:
         self._S = np.ascontiguousarray(joint_motion_subspaces(desc))
         self._I = np.ascontiguousarray(desc.inertia.reshape(self.n, 36))
         self._damping = np.ascontiguousarray(desc.damping, np.float64)
+        self._armature = np.ascontiguousarray(
+            np.zeros(self.n) if desc.armature is None else desc.armature,
+            np.float64)
         self._parents = np.asarray(desc.topology.parents, np.int32)
         self._jtype = np.asarray(
             [1 if t == "prismatic" else 0 for t in desc.joint_types], np.int32)
@@ -79,7 +82,7 @@ class NativeOracle:
 
     def _hdr(self):
         return (self.n, self._parents, self._jtype, self._Xb, self._Xs,
-                self._Xc, self._S, self._I, self._damping)
+                self._Xc, self._S, self._I, self._damping, self._armature)
 
     def rnea(self, q, qd, qdd=None, gravity=-9.81):
         out = np.zeros(self.n)
@@ -204,12 +207,14 @@ class NativeMdOracle:
             np.asarray(model.inertia, np.float64).reshape(self.n, 36))
         self._damping = np.ascontiguousarray(
             np.asarray(model.damping, np.float64))
+        self._armature = np.ascontiguousarray(
+            np.asarray(model.armature, np.float64))
         self._lib = _load()
 
     def _hdr(self):
         return (self.n, self.nv, self.nq, self._parents, self._jtype,
                 self._qs, self._vs, self._XT, self._axis, self._I,
-                self._damping)
+                self._damping, self._armature)
 
     def md_id(self, q, qd, qdd=None, gravity=-9.81):
         out = np.zeros(self.nv)

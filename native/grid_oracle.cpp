@@ -100,6 +100,7 @@ struct Robot {
   const double* S;       // n × 6
   const double* inertia; // n × 36
   const double* damping; // n
+  const double* armature; // n — reflected rotor inertia (joint space)
 };
 
 void joint_xforms(const Robot& rb, const double* q, std::vector<Mat6>& X) {
@@ -172,7 +173,8 @@ void rnea(const Robot& rb, const std::vector<Mat6>& X, const double* q,
     for (int i = 0; i < n; ++i) {
       double acc = 0;
       for (int r = 0; r < 6; ++r) acc += rb.S[6 * i + r] * f[6 * i + r];
-      c_out[i] = acc + rb.damping[i] * qd[i];
+      c_out[i] = acc + rb.damping[i] * qd[i]
+                 + (qdd ? rb.armature[i] * qdd[i] : 0.0);
     }
   }
   if (v_out) std::memcpy(v_out, v.data(), sizeof(double) * 6 * n);
@@ -200,7 +202,7 @@ void minv(const Robot& rb, const std::vector<Mat6>& X, double* M_out) {
     matvec(IA[i], Si, Ui);
     double d = 0;
     for (int r = 0; r < 6; ++r) d += Si[r] * Ui[r];
-    Dinv[i] = 1.0 / d;
+    Dinv[i] = 1.0 / (d + rb.armature[i]);  // D = S^T U + armature
     Minv[i * n + i] = Dinv[i];
     for (int col = 0; col < n; ++col) {
       double sf = 0;
@@ -370,11 +372,11 @@ void rnea_grad(const Robot& rb, const std::vector<Mat6>& X, const double* qd,
 Robot make_robot(int n, const int* parents, const int* jtype,
                  const double* Xb, const double* Xs, const double* Xc,
                  const double* S, const double* inertia,
-                 const double* damping) {
+                 const double* damping, const double* armature) {
   Robot rb;
   rb.n = n; rb.parents = parents; rb.jtype = jtype;
   rb.Xb = Xb; rb.Xs = Xs; rb.Xc = Xc;
-  rb.S = S; rb.inertia = inertia; rb.damping = damping;
+  rb.S = S; rb.inertia = inertia; rb.damping = damping; rb.armature = armature;
   return rb;
 }
 
@@ -578,7 +580,7 @@ void fb_bias_mass(const Robot& rb, const std::vector<Mat6>& X,
     matvec(IC[i], rb.S + 6 * i, F);
     double acc = 0;
     for (int r = 0; r < 6; ++r) acc += rb.S[6 * i + r] * F[r];
-    M[(6 + i) * m + (6 + i)] = acc;
+    M[(6 + i) * m + (6 + i)] = acc + rb.armature[i];
     int j = i;
     while (rb.parents[j] >= 0) {
       double t[6];
@@ -672,10 +674,10 @@ extern "C" {
 
 void grid_rnea(int n, const int* parents, const int* jtype, const double* Xb,
                const double* Xs, const double* Xc, const double* S,
-               const double* inertia, const double* damping, const double* q,
+               const double* inertia, const double* damping, const double* armature, const double* q,
                const double* qd, const double* qdd /* nullable */,
                double gravity, double* c_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   rnea(rb, X, q, qd, qdd, gravity, c_out, nullptr, nullptr, nullptr);
@@ -683,9 +685,9 @@ void grid_rnea(int n, const int* parents, const int* jtype, const double* Xb,
 
 void grid_minv(int n, const int* parents, const int* jtype, const double* Xb,
                const double* Xs, const double* Xc, const double* S,
-               const double* inertia, const double* damping, const double* q,
+               const double* inertia, const double* damping, const double* armature, const double* q,
                double* minv_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   minv(rb, X, minv_out);
@@ -693,10 +695,10 @@ void grid_minv(int n, const int* parents, const int* jtype, const double* Xb,
 
 void grid_fd(int n, const int* parents, const int* jtype, const double* Xb,
              const double* Xs, const double* Xc, const double* S,
-             const double* inertia, const double* damping, const double* q,
+             const double* inertia, const double* damping, const double* armature, const double* q,
              const double* qd, const double* u, double gravity,
              double* qdd_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   std::vector<double> c(n), M(n * n);
@@ -715,12 +717,12 @@ void grid_fd(int n, const int* parents, const int* jtype, const double* Xb,
 // with an in-place Cholesky.
 void grid_fb_fd(int n, const int* parents, const int* jtype, const double* Xb,
                 const double* Xs, const double* Xc, const double* S,
-                const double* inertia, const double* damping,
+                const double* inertia, const double* damping, const double* armature,
                 const double* I_base /*36*/, const double* quat,
                 const double* q, const double* vb, const double* qd,
                 const double* tau, double gravity, double* dvb_out,
                 double* qdd_out) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   const int m = 6 + n;
@@ -742,9 +744,9 @@ void grid_fb_fd(int n, const int* parents, const int* jtype, const double* Xb,
 void grid_fd_grad(int n, const int* parents, const int* jtype,
                   const double* Xb, const double* Xs, const double* Xc,
                   const double* S, const double* inertia,
-                  const double* damping, const double* q, const double* qd,
+                  const double* damping, const double* armature, const double* q, const double* qd,
                   const double* u, double gravity, double* dfdu_out /*n×2n*/) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   std::vector<double> c(n), M(n * n), qdd(n);
@@ -783,14 +785,14 @@ extern "C" {
 void grid_fb_step_ground(
     int n, const int* parents, const int* jtype, const double* Xb,
     const double* Xs, const double* Xc, const double* S,
-    const double* inertia, const double* damping, const double* I_base,
+    const double* inertia, const double* damping, const double* armature, const double* I_base,
     const double* quat, const double* pos, const double* q,
     const double* vb, const double* qd, const double* tau, double dt, int k,
     const int* links, const double* offsets /*k×3*/, const double* mu /*k*/,
     double ground_z, double gravity, int iters, double erp, double margin,
     double restitution, double* quat2, double* pos2, double* q2,
     double* vb2, double* qd2, double* imp /*k×3*/) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   const int m = 6 + n;
@@ -899,14 +901,14 @@ void grid_fb_step_ground(
 void grid_fb_stance(
     int n, const int* parents, const int* jtype, const double* Xb,
     const double* Xs, const double* Xc, const double* S,
-    const double* inertia, const double* damping, const double* I_base,
+    const double* inertia, const double* damping, const double* armature, const double* I_base,
     const double* quat, const double* pos, const double* q,
     const double* vb, const double* qd, const double* tau, int k,
     const int* links, const double* offsets /*k×3*/,
     const double* anchors /*k×3 or null*/, double gravity, double alpha,
     double beta, double reg, double* dvb_out, double* qdd_out,
     double* lam_out /*3k*/) {
-  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping);
+  Robot rb = make_robot(n, parents, jtype, Xb, Xs, Xc, S, inertia, damping, armature);
   std::vector<Mat6> X;
   joint_xforms(rb, q, X);
   const int m = 6 + n;
@@ -991,6 +993,7 @@ struct MdRobot {
   const double* axis;    // n x 3 single-dof axes
   const double* inertia; // n x 36
   const double* damping; // nv
+  const double* armature; // nv
 };
 
 inline int vwidth(int t) { return t == 2 ? 3 : (t == 3 ? 6 : 1); }
@@ -1132,7 +1135,8 @@ void rnea(const MdRobot& rb, const std::vector<Mat6>& X, const double* qd,
       double acc = 0;
       for (int r = 0; r < 6; ++r) acc += s6[r] * f[6 * i + r];
       const int j = rb.vs[i] + c;
-      tau_out[j] = acc + rb.damping[j] * qd[j];
+      tau_out[j] = acc + rb.damping[j] * qd[j]
+                   + (qdd ? rb.armature[j] * qdd[j] : 0.0);
     }
   }
 }
@@ -1166,6 +1170,7 @@ void crba(const MdRobot& rb, const std::vector<Mat6>& X, double* M) {
         S_col(rb, i, cj, s6);
         double acc = 0;
         for (int r = 0; r < 6; ++r) acc += s6[r] * F[6 * ci + r];
+        if (ci == cj) acc += rb.armature[rb.vs[i] + ci];  // rotor inertia
         M[(rb.vs[i] + ci) * nv + (rb.vs[i] + cj)] = acc;
       }
     int j = i;
@@ -1196,11 +1201,11 @@ extern "C" {
 void grid_md_id(int n, int nv, int nq, const int* parents, const int* jtype,
                 const int* q_start, const int* v_start, const double* XT,
                 const double* axis, const double* inertia,
-                const double* damping, const double* q, const double* qd,
+                const double* damping, const double* armature, const double* q, const double* qd,
                 const double* qdd /* nullable */, double gravity,
                 double* tau_out) {
   md::MdRobot rb{n, nv, nq, parents, jtype, q_start, v_start,
-                 XT, axis, inertia, damping};
+                 XT, axis, inertia, damping, armature};
   std::vector<Mat6> X;
   md::joint_xforms(rb, q, X);
   md::rnea(rb, X, qd, qdd, gravity, tau_out);
@@ -1209,10 +1214,10 @@ void grid_md_id(int n, int nv, int nq, const int* parents, const int* jtype,
 void grid_md_fd(int n, int nv, int nq, const int* parents, const int* jtype,
                 const int* q_start, const int* v_start, const double* XT,
                 const double* axis, const double* inertia,
-                const double* damping, const double* q, const double* qd,
+                const double* damping, const double* armature, const double* q, const double* qd,
                 const double* u, double gravity, double* qdd_out) {
   md::MdRobot rb{n, nv, nq, parents, jtype, q_start, v_start,
-                 XT, axis, inertia, damping};
+                 XT, axis, inertia, damping, armature};
   std::vector<Mat6> X;
   md::joint_xforms(rb, q, X);
   std::vector<double> c(nv), M(nv * nv);

@@ -208,6 +208,46 @@ def test_energy_conservation_with_rotor_ke():
     assert abs(e1 - e0) < 1e-8 * max(1.0, abs(e0))
 
 
+def test_native_oracle_with_armature():
+    """Fourth opinion: the independent C++ oracle (no shared code with the
+    JAX/golden stacks) carries armature through ID, M⁻¹, FD, ∇FD and the
+    generalized md ID/FD."""
+    from gridcodegenerator_tpu.ops import multidof as md
+    from gridcodegenerator_tpu.utils.native import NativeMdOracle, NativeOracle
+
+    desc_a, gold, _ = _armed("barm")
+    orc = NativeOracle(desc_a)
+    q, qd, u = random_state(desc_a.n, seed=61)
+    qdd = np.random.default_rng(8).uniform(-1, 1, desc_a.n)
+    np.testing.assert_allclose(orc.rnea(q, qd, qdd),
+                               gold.rnea(q, qd, qdd)[0], atol=1e-11)
+    np.testing.assert_allclose(orc.minv(q), gold.minv(q, True), atol=1e-11)
+    np.testing.assert_allclose(orc.fd(q, qd, u), gold.fd(q, qd, u),
+                               atol=1e-10)
+    np.testing.assert_allclose(orc.fd_grad(q, qd, u), gold.fd_grad(q, qd, u),
+                               atol=1e-9)
+
+    rng = np.random.default_rng(17)
+    desc = g.parse_urdf(zoo.ball_arm(damping=0.1))
+    a = rng.uniform(0.02, 0.3, desc.n)
+    mdm = md.multidof_model_from_description(
+        dataclasses.replace(desc, armature=a), dtype=jnp.float64)
+    morc = NativeMdOracle(mdm)
+    q0 = np.asarray(md.md_tangent_apply(
+        mdm, md.neutral_q(mdm), jnp.asarray(rng.uniform(-0.5, 0.5, mdm.nv))))
+    qdv, uv, qddv = (rng.uniform(-1, 1, mdm.nv) for _ in range(3))
+    np.testing.assert_allclose(
+        morc.md_id(q0, qdv, qddv),
+        np.asarray(md.md_inverse_dynamics(mdm, jnp.asarray(q0),
+                                          jnp.asarray(qdv),
+                                          jnp.asarray(qddv))), atol=1e-10)
+    np.testing.assert_allclose(
+        morc.md_fd(q0, qdv, uv),
+        np.asarray(md.md_forward_dynamics(mdm, jnp.asarray(q0),
+                                          jnp.asarray(qdv),
+                                          jnp.asarray(uv))), atol=1e-10)
+
+
 def test_zero_armature_is_legacy():
     """armature = 0 reproduces the pre-armature engine bitwise (the D term
     adds an exact floating-point zero)."""
@@ -218,12 +258,73 @@ def test_zero_armature_is_legacy():
     assert np.array_equal(np.asarray(qdd_legacy), np.asarray(qdd_zero))
 
 
-def test_multidof_armature_guarded():
-    """The multi-dof stack declares armature unsupported loudly instead of
-    silently dropping it."""
+def test_multidof_armature_two_formulations():
+    """Multi-dof stack with armature (free-floating iiwa): CRBA+Cholesky FD
+    vs the articulated md ABA (independent armature treatments: CRBA
+    diagonal vs per-joint k×k D blocks), plus the armature-aware tangent
+    ∇FD vs jacfwd on the linear coordinates."""
     from gridcodegenerator_tpu.ops import multidof as md
 
     desc = g.parse_urdf(zoo.with_free_joint(zoo.iiwa14(damping=0.1)))
-    desc_a = dataclasses.replace(desc, armature=np.full(desc.n, 0.1))
-    with pytest.raises(NotImplementedError):
-        md.multidof_model_from_description(desc_a)
+    rng = np.random.default_rng(9)
+    a = rng.uniform(0.02, 0.4, desc.n)
+    a[[i for i, t in enumerate(desc.joint_types) if t == "floating"]] = 0.0
+    mdm = md.multidof_model_from_description(
+        dataclasses.replace(desc, armature=a), dtype=jnp.float64)
+    q0 = md.md_tangent_apply(mdm, md.neutral_q(mdm),
+                             jnp.asarray(rng.uniform(-0.5, 0.5, mdm.nv)))
+    qd, u = (jnp.asarray(rng.uniform(-1, 1, mdm.nv)) for _ in range(2))
+
+    qdd_chol = md.md_forward_dynamics(mdm, q0, qd, u)
+    qdd_aba = md.md_aba(mdm, q0, qd, u)
+    np.testing.assert_allclose(np.asarray(qdd_aba), np.asarray(qdd_chol),
+                               atol=1e-10)
+    # armature actually matters
+    mdm0 = md.multidof_model_from_description(desc, dtype=jnp.float64)
+    assert abs(np.asarray(md.md_forward_dynamics(mdm0, q0, qd, u))
+               - np.asarray(qdd_chol)).max() > 1e-3
+    # ID(FD) round trip carries the armature torque a·q̈
+    u_rt = md.md_inverse_dynamics(mdm, q0, qd, qdd_chol)
+    np.testing.assert_allclose(np.asarray(u_rt), np.asarray(u), atol=1e-10)
+    # tangent-space ∇FD: the q̇/u blocks are plain linear coords → jacfwd
+    Jq, Jqd, Ju = md.md_forward_dynamics_gradient(mdm, q0, qd, u)
+    Jqd_ad = jax.jacfwd(lambda z: md.md_forward_dynamics(mdm, q0, z, u))(qd)
+    np.testing.assert_allclose(np.asarray(Jqd), np.asarray(Jqd_ad),
+                               atol=1e-10)
+
+
+@pytest.mark.mid
+def test_multidof_fused_armature():
+    """The fused md kernels (interpret mode) carry armature through the
+    in-kernel CRBA diagonal / D blocks / rotor torque: ID, FD (both
+    formulations) vs the vmap md path."""
+    from gridcodegenerator_tpu.ops import multidof as md
+    from gridcodegenerator_tpu.ops.kernels import multidof_fused as mf
+
+    desc = g.parse_urdf(zoo.ball_arm() if hasattr(zoo, "ball_arm")
+                        else zoo.with_free_joint(zoo.iiwa14(damping=0.1)))
+    rng = np.random.default_rng(13)
+    a = rng.uniform(0.02, 0.3, desc.n)
+    a[[i for i, t in enumerate(desc.joint_types)
+       if t in ("floating",)]] = 0.0
+    mdm = md.multidof_model_from_description(
+        dataclasses.replace(desc, armature=a), dtype=jnp.float32)
+    B = 4
+    q0 = jnp.stack([md.md_tangent_apply(
+        mdm, md.neutral_q(mdm),
+        jnp.asarray(rng.uniform(-0.5, 0.5, mdm.nv), jnp.float32))
+        for _ in range(B)], axis=1)                       # (nq, B)
+    qd, u, qdd = (jnp.asarray(rng.uniform(-1, 1, (mdm.nv, B)), jnp.float32)
+                  for _ in range(3))
+
+    c_k = np.asarray(mf.md_id_fused(mdm, q0, qd, qdd, interpret=True))
+    qdd_k = np.asarray(mf.md_aba_fused(mdm, q0, qd, u, interpret=True))
+    for b in range(B):
+        c_ref = md.md_inverse_dynamics(mdm, q0[:, b], qd[:, b], qdd[:, b])
+        np.testing.assert_allclose(
+            c_k[:, b], np.asarray(c_ref),
+            atol=5e-4 * max(1, abs(np.asarray(c_ref)).max()))
+        q_ref = md.md_forward_dynamics(mdm, q0[:, b], qd[:, b], u[:, b])
+        np.testing.assert_allclose(
+            qdd_k[:, b], np.asarray(q_ref),
+            atol=5e-4 * max(1, abs(np.asarray(q_ref)).max()))
