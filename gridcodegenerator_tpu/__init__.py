@@ -41,6 +41,16 @@ from .codegen import (
     export_robot,
     load_exported,
 )
+from .ops.loops import (
+    loop_bias,
+    loop_forward_dynamics,
+    loop_gap,
+    loop_inverse_dynamics,
+    loop_jacobian,
+    loop_project_velocity,
+    loop_step,
+    simulate_loops,
+)
 from .ops.contact import (
     clamp_effort,
     constrained_inverse_dynamics,
@@ -175,6 +185,9 @@ __all__ = [
     "osc_torque", "osc_torque_batched", "task_pd_acceleration",
     "contact_jacobian", "constrained_forward_dynamics",
     "constrained_inverse_dynamics", "simulate_constrained",
+    "loop_forward_dynamics", "loop_inverse_dynamics", "loop_jacobian",
+    "loop_bias", "loop_gap", "loop_project_velocity", "loop_step",
+    "simulate_loops",
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",

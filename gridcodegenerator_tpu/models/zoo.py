@@ -323,6 +323,38 @@ def double_pendulum(l1: float = 1.0, l2: float = 1.0,
     return b.build()
 
 
+def four_bar(damping: float = 0.0, ground: float = 0.8,
+             crank: float = 0.5, coupler: float = 0.8) -> str:
+    """Planar parallelogram four-bar linkage (rotation about y, motion in
+    the xz-plane) — the closed-kinematic-chain fixture for the loop-closure
+    layer (``ops/loops.py``). URDF can only express the spanning TREE
+    (base→crank→coupler plus base→rocker); the loop is restored by the
+    connect constraint
+
+        coupler point (coupler, 0, 0)  ==  rocker point (0, 0, −crank),
+
+    which is exactly satisfied in the assembled configuration q = 0
+    (crank tip at (0,0,−crank), coupler extends +x by ``coupler = ground``;
+    rocker hangs from (ground,0,0) to (ground,0,−crank)). One mechanism
+    DOF. Link indices by name via ``Topology.link_names``:
+    crank, coupler, rocker."""
+    b = UrdfBuilder("four_bar")
+    b.link("base", mass=2.0, ixx=0.02, iyy=0.02, izz=0.02)
+    b.link("crank", mass=1.0, com=(0, 0, -crank / 2),
+           ixx=0.02, iyy=0.02, izz=0.004)
+    b.link("coupler", mass=0.8, com=(coupler / 2, 0, 0),
+           ixx=0.003, iyy=0.018, izz=0.018)
+    b.link("rocker", mass=1.0, com=(0, 0, -crank / 2),
+           ixx=0.02, iyy=0.02, izz=0.004)
+    b.joint("j_crank", "base", "crank", axis=(0, 1, 0), damping=damping,
+            limit=10)
+    b.joint("j_coupler", "crank", "coupler", xyz=(0, 0, -crank),
+            axis=(0, 1, 0), damping=damping, limit=10)
+    b.joint("j_rocker", "base", "rocker", xyz=(ground, 0, 0),
+            axis=(0, 1, 0), damping=damping, limit=10)
+    return b.build()
+
+
 def with_floating_base(urdf: str, *, name_suffix: str = "_floating") -> str:
     """Give a fixed-base URDF a 6-DoF floating base.
 

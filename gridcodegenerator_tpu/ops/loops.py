@@ -1,0 +1,196 @@
+"""Loop-closure constraints — closed kinematic chains on a tree engine.
+
+Beyond the reference's scope *by construction*: GRiDCodeGenerator supports
+trees only (looped URDFs are explicitly unsupported so subtrees stay
+race-free — ``/root/reference/algorithms/_direct_minv.py:132``; the URDF
+format itself cannot express a loop). Real mechanisms close loops anyway:
+four-bar linkages, parallel robots (Delta/Stewart), gear trains modeled as
+linkages, a humanoid grasping its own wrist. The standard treatment — and
+the one every tree-based engine uses (MuJoCo's ``connect`` equality
+constraint) — is to cut each loop at a point and restore it as a bilateral
+**relative point constraint** between the two cut faces:
+
+    x_a(q) − x_b(q) = const        (3 rows per cut)
+
+solved with the same Delassus elimination as the contact layer
+(``ops/contact.py``):
+
+    M q̈ = u − c + J_relᵀ λ,   J_rel q̈ + J̇_rel q̇ = a*,
+    J_rel = J_a − J_b   (world point Jacobians of the two attachment points),
+
+where λ is the world-frame force link b exerts on link a at the cut. The
+engine's analytic M⁻¹ (``ops/minv.py``) makes the Delassus operator
+G = J_rel M⁻¹ J_relᵀ two dense matmuls — the same MXU-shaped composition as
+the contact layer, batch-ready under ``vmap``.
+
+A pair with ``link_b = -1`` degenerates to a world pin (``offsets_b`` is
+then the world anchor) and reproduces
+:func:`..contact.constrained_forward_dynamics` exactly — tested.
+
+Planar/redundant note: a planar linkage constrains nothing out of plane, so
+the corresponding G row is structurally zero — pass ``reg`` (ridge) as every
+redundant-constraint path here does; the null rows then carry exactly zero
+force (tested: λ_y = 0 on the planar four-bar).
+
+Single-state functions; batch with ``jax.vmap`` (static pair list, like the
+contact layer's static link list). ``zoo.four_bar()`` ships a parallelogram
+linkage fixture.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.robot import RobotModel
+from .fd import forward_dynamics
+from .kinematics import fk, world_jacobian
+from .minv import densify, minv_inner
+from .rnea import rnea_bwd, rnea_fwd
+
+
+def _check_pairs(n_links, pairs, offsets_a, offsets_b):
+    pairs = tuple(tuple(p) for p in pairs)
+    if not pairs:
+        raise ValueError("loop set is empty: pass at least one (a, b) pair")
+    for a, b in pairs:
+        if not (0 <= int(a) < n_links):
+            raise ValueError(
+                f"loop link a={a} out of range [0, {n_links})")
+        if not (-1 <= int(b) < n_links):
+            raise ValueError(
+                f"loop link b={b} out of range [-1, {n_links}) "
+                "(-1 = world anchor)")
+        if int(a) == int(b):
+            raise ValueError(f"loop pair ({a}, {b}) pins a link to itself")
+    k = len(pairs)
+    for name, off in (("offsets_a", offsets_a), ("offsets_b", offsets_b)):
+        shp = jnp.shape(off)
+        if shp != (k, 3):
+            raise ValueError(f"{name} must be ({k}, 3), got {shp}")
+    return pairs
+
+
+def loop_gap(model: RobotModel, q, pairs, offsets_a, offsets_b):
+    """Stacked constraint gap x_a − x_b (3k,) in world coordinates (for a
+    world pair, x_b is the anchor ``offsets_b`` itself). Zero on the
+    constraint manifold once the closed configuration is chosen."""
+    pairs = _check_pairs(model.n, pairs, offsets_a, offsets_b)
+    oa = jnp.asarray(offsets_a, q.dtype)
+    ob = jnp.asarray(offsets_b, q.dtype)
+    R, p = fk(model, q)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        xa = p[a] + R[a] @ oa[i]
+        xb = ob[i] if b < 0 else p[b] + R[b] @ ob[i]
+        rows.append(xa - xb)
+    return jnp.concatenate(rows)
+
+
+def loop_jacobian(model: RobotModel, q, pairs, offsets_a, offsets_b):
+    """Stacked relative point Jacobian J_rel = J_a − J_b (3k, n):
+    d/dt (x_a − x_b) = J_rel q̇. Columns under joints that drive both sides
+    equally (common ancestors along the cut) cancel analytically — the
+    dense subtraction realizes that at trace time."""
+    pairs = _check_pairs(model.n, pairs, offsets_a, offsets_b)
+    oa = jnp.asarray(offsets_a, q.dtype)
+    ob = jnp.asarray(offsets_b, q.dtype)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        J = world_jacobian(model, q, a, oa[i])[3:]
+        if b >= 0:
+            J = J - world_jacobian(model, q, b, ob[i])[3:]
+        rows.append(J)
+    return jnp.concatenate(rows, axis=0)
+
+
+def loop_bias(model: RobotModel, q, qd, pairs, offsets_a, offsets_b):
+    """Stacked J̇_rel q̇ (3k,): the relative classical bias acceleration at
+    q̈ = 0, as one exact jvp of J_rel(q)·q̇ along q̇ (the
+    ``point_bias_acceleration`` trick, fused by XLA)."""
+    def vel(q_):
+        return loop_jacobian(model, q_, pairs, offsets_a, offsets_b) @ qd
+
+    _, jdqd = jax.jvp(vel, (q,), (qd,))
+    return jdqd
+
+
+def loop_forward_dynamics(model: RobotModel, q, qd, u, pairs, offsets_a,
+                          offsets_b, gravity=-9.81, baumgarte=(0.0, 0.0),
+                          reg=0.0):
+    """Closed-chain FD: returns ``(q̈ (n,), λ (3k,))``.
+
+    λ is the world-frame cut force (link b on link a); the generalized
+    torque it contributes is ``J_relᵀ λ`` (ID round trip tested).
+    ``baumgarte = (α, β)``: a* = −2α(J_rel q̇) − β²·gap stabilizes drift
+    during integration (the gap is measured against zero — close the loop
+    in the model's assembled configuration). ``reg`` ridges G for planar /
+    redundant loops."""
+    pairs = _check_pairs(model.n, pairs, offsets_a, offsets_b)
+    k = len(pairs)
+    qdd_free = forward_dynamics(model, q, qd, u, gravity)
+    Minv = densify(minv_inner(model, model.joint_transforms(q)))
+    J = loop_jacobian(model, q, pairs, offsets_a, offsets_b)
+    jdqd = loop_bias(model, q, qd, pairs, offsets_a, offsets_b)
+
+    alpha, beta = baumgarte
+    a_star = jnp.zeros(3 * k, q.dtype)
+    if alpha != 0.0:
+        a_star = a_star - 2.0 * alpha * (J @ qd)
+    if beta != 0.0:
+        a_star = a_star - beta * beta * loop_gap(
+            model, q, pairs, offsets_a, offsets_b)
+
+    MiJt = Minv @ J.T
+    G = J @ MiJt + reg * jnp.eye(3 * k, dtype=q.dtype)
+    rhs = -(J @ qdd_free + jdqd - a_star)
+    L = jnp.linalg.cholesky(G)
+    lam = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return qdd_free + MiJt @ lam, lam
+
+
+def loop_inverse_dynamics(model: RobotModel, q, qd, qdd, lam, pairs,
+                          offsets_a, offsets_b, gravity=-9.81):
+    """Actuation torques realizing q̈ under the given cut forces:
+    ``u = ID(q, q̇, q̈) − J_relᵀ λ``."""
+    X = model.joint_transforms(q)
+    v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
+    c, _ = rnea_bwd(model, X, f, qd, qdd)
+    J = loop_jacobian(model, q, pairs, offsets_a, offsets_b)
+    return c - J.T @ lam
+
+
+def loop_project_velocity(model: RobotModel, q, qd, pairs, offsets_a,
+                          offsets_b, reg=0.0):
+    """Project q̇ onto the loop manifold (J_rel q̇ = 0), minimum kinetic
+    energy of the correction — use before a rollout so the initial state is
+    loop-consistent."""
+    Minv = densify(minv_inner(model, model.joint_transforms(q)))
+    J = loop_jacobian(model, q, pairs, offsets_a, offsets_b)
+    G = J @ Minv @ J.T + reg * jnp.eye(J.shape[0], dtype=q.dtype)
+    L = jnp.linalg.cholesky(G)
+    imp = jax.scipy.linalg.cho_solve((L, True), J @ qd)
+    return qd - Minv @ (J.T @ imp)
+
+
+def loop_step(model: RobotModel, q, qd, u, dt, pairs, offsets_a, offsets_b,
+              gravity=-9.81, baumgarte=(10.0, 10.0), reg=0.0):
+    """One semi-implicit Euler step of the closed chain."""
+    qdd, lam = loop_forward_dynamics(model, q, qd, u, pairs, offsets_a,
+                                     offsets_b, gravity, baumgarte, reg)
+    qd2 = qd + dt * qdd
+    return q + dt * qd2, qd2, lam
+
+
+def simulate_loops(model: RobotModel, q0, qd0, taus, dt, pairs, offsets_a,
+                   offsets_b, gravity=-9.81, baumgarte=(10.0, 10.0),
+                   reg=0.0):
+    """``lax.scan`` rollout of the closed chain (``taus``: (T, n)). Returns
+    ((q_T, q̇_T), per-step (q, q̇, λ) stacks) — one device dispatch."""
+    def step(carry, tau):
+        q, qd = carry
+        q2, qd2, lam = loop_step(model, q, qd, tau, dt, pairs, offsets_a,
+                                 offsets_b, gravity, baumgarte, reg)
+        return (q2, qd2), (q2, qd2, lam)
+
+    return jax.lax.scan(step, (q0, qd0), taus)
