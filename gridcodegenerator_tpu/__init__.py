@@ -42,6 +42,10 @@ from .codegen import (
     load_exported,
 )
 from .ops.loops import (
+    fb_loop_bias,
+    fb_loop_forward_dynamics,
+    fb_loop_gap,
+    fb_loop_jacobian,
     loop_bias,
     loop_forward_dynamics,
     loop_gap,
@@ -187,7 +191,8 @@ __all__ = [
     "constrained_inverse_dynamics", "simulate_constrained",
     "loop_forward_dynamics", "loop_inverse_dynamics", "loop_jacobian",
     "loop_bias", "loop_gap", "loop_project_velocity", "loop_step",
-    "simulate_loops",
+    "simulate_loops", "fb_loop_forward_dynamics", "fb_loop_jacobian",
+    "fb_loop_bias", "fb_loop_gap",
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",

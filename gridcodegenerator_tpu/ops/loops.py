@@ -173,6 +173,131 @@ def loop_project_velocity(model: RobotModel, q, qd, pairs, offsets_a,
     return qd - Minv @ (J.T @ imp)
 
 
+# --------------------------------------------------------------------------
+# Floating-base loop closure (parallel-leg robots: Minitaur-style linkage
+# legs, humanoid self-grasps)
+# --------------------------------------------------------------------------
+def _check_fb_pairs(n_links, pairs, offsets_a, offsets_b):
+    return _check_pairs(n_links, pairs, offsets_a, offsets_b)
+
+
+def fb_loop_gap(ffm, quat, pos, q, pairs, offsets_a, offsets_b):
+    """World-frame constraint gap (3k,) on a free-flyer. For link↔link
+    pairs the base pose cancels up to the rotation: gap = R_wb (x_a − x_b)
+    in base coordinates; world pairs (b = −1) measure against the world
+    anchor and need ``pos``."""
+    from .contact import _fb_point_base
+    from .freeflyer import quat_to_rot
+
+    pairs = _check_fb_pairs(ffm.n, pairs, offsets_a, offsets_b)
+    oa = jnp.asarray(offsets_a, q.dtype)
+    ob = jnp.asarray(offsets_b, q.dtype)
+    R = quat_to_rot(quat)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        xa = pos + R @ _fb_point_base(ffm, q, a, oa[i])[0]
+        xb = (ob[i] if b < 0
+              else pos + R @ _fb_point_base(ffm, q, b, ob[i])[0])
+        rows.append(xa - xb)
+    return jnp.concatenate(rows)
+
+
+def fb_loop_jacobian(ffm, quat, q, pairs, offsets_a, offsets_b):
+    """Relative point Jacobian (3k, 6+n) over [vb (body twist); q̇]. For a
+    link↔link pair the base linear-velocity block cancels analytically
+    (both points ride the same base); the angular block is
+    ``−R·skew(x_a − x_b)``. Built as the row difference of the contact
+    layer's free-flyer point Jacobians, which realizes those cancellations
+    at trace time."""
+    from .contact import fb_contact_jacobian
+
+    pairs = _check_fb_pairs(ffm.n, pairs, offsets_a, offsets_b)
+    oa = jnp.asarray(offsets_a, q.dtype)
+    ob = jnp.asarray(offsets_b, q.dtype)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        J = fb_contact_jacobian(ffm, quat, q, (a,), oa[i:i + 1])
+        if b >= 0:
+            J = J - fb_contact_jacobian(ffm, quat, q, (b,), ob[i:i + 1])
+        rows.append(J)
+    return jnp.concatenate(rows, axis=0)
+
+
+def fb_loop_bias(ffm, quat, q, vb, qd, pairs, offsets_a, offsets_b):
+    """Relative bias acceleration J̇_rel·[vb; q̇] (3k,) at zero (v̇b, q̈) —
+    the difference of the contact layer's point biases."""
+    from .contact import fb_contact_bias
+
+    pairs = _check_fb_pairs(ffm.n, pairs, offsets_a, offsets_b)
+    oa = jnp.asarray(offsets_a, q.dtype)
+    ob = jnp.asarray(offsets_b, q.dtype)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        bias = fb_contact_bias(ffm, quat, q, vb, qd, (a,), oa[i:i + 1])
+        if b >= 0:
+            bias = bias - fb_contact_bias(ffm, quat, q, vb, qd, (b,),
+                                          ob[i:i + 1])
+        rows.append(bias)
+    return jnp.concatenate(rows)
+
+
+def fb_loop_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, pairs,
+                             offsets_a, offsets_b, links=(), offsets=None,
+                             anchors=None, gravity=-9.81,
+                             baumgarte=(0.0, 0.0), reg=0.0):
+    """Free-flyer FD with loop-closure constraints, optionally combined
+    with stance world pins in ONE Delassus solve (``links``/``offsets``/
+    ``anchors`` — the contact layer's stance rows): a standing
+    parallel-leg robot is loops + stance simultaneously. Returns
+    ``(v̇b (6,), q̈ (n,), λ (3(k_loop+k_stance),))`` with the loop rows
+    first."""
+    from .contact import (_check_contacts, _fb_point_base,
+                          fb_contact_bias, fb_contact_jacobian)
+    from .freeflyer import fb_bias, fb_mass_matrix, quat_to_rot
+
+    pairs = _check_fb_pairs(ffm.n, pairs, offsets_a, offsets_b)
+    X = ffm.arm.joint_transforms(q)
+    R_wb = quat_to_rot(quat)
+    p_b, c_j = fb_bias(ffm, X, R_wb, vb, qd, gravity)
+    M = fb_mass_matrix(ffm, X)
+    Lm = jnp.linalg.cholesky(M)
+    msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
+    y_free = msolve(jnp.concatenate([-p_b, tau - c_j]))
+
+    J = fb_loop_jacobian(ffm, quat, q, pairs, offsets_a, offsets_b)
+    bias = fb_loop_bias(ffm, quat, q, vb, qd, pairs, offsets_a, offsets_b)
+    gap = fb_loop_gap(ffm, quat, pos, q, pairs, offsets_a, offsets_b)
+    if links:
+        _check_contacts(ffm.n, links, offsets)
+        offsets = jnp.asarray(offsets, q.dtype)
+        Js = fb_contact_jacobian(ffm, quat, q, links, offsets)
+        J = jnp.concatenate([J, Js], axis=0)
+        bias = jnp.concatenate([
+            bias, fb_contact_bias(ffm, quat, q, vb, qd, links, offsets)])
+        xs = jnp.concatenate([
+            pos + R_wb @ _fb_point_base(ffm, q, l, offsets[i])[0]
+            for i, l in enumerate(links)])
+        anch = (xs if anchors is None
+                else jnp.asarray(anchors, q.dtype).reshape(-1))
+        gap = jnp.concatenate([gap, xs - anch])
+
+    m = J.shape[0]
+    alpha, beta = baumgarte
+    a_star = jnp.zeros(m, q.dtype)
+    if alpha != 0.0:
+        a_star = a_star - 2.0 * alpha * (J @ jnp.concatenate([vb, qd]))
+    if beta != 0.0:
+        a_star = a_star - beta * beta * gap
+
+    MiJt = msolve(J.T)
+    G = J @ MiJt + reg * jnp.eye(m, dtype=q.dtype)
+    Lg = jnp.linalg.cholesky(G)
+    lam = jax.scipy.linalg.cho_solve(
+        (Lg, True), -(J @ y_free + bias - a_star))
+    y = y_free + MiJt @ lam
+    return y[:6], y[6:], lam
+
+
 def loop_step(model: RobotModel, q, qd, u, dt, pairs, offsets_a, offsets_b,
               gravity=-9.81, baumgarte=(10.0, 10.0), reg=0.0):
     """One semi-implicit Euler step of the closed chain."""

@@ -137,6 +137,184 @@ def test_fourbar_single_dof(fourbar):
     np.testing.assert_allclose(mode, [1.0, -1.0, 1.0], atol=1e-9)
 
 
+@pytest.fixture(scope="module")
+def fb_fourbar(fourbar):
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc, _, pairs, oa, ob = fourbar
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    return desc, ffm, pairs, oa, ob
+
+
+def _fb_state(n, seed=11):
+    rng = np.random.default_rng(seed)
+    quat = rng.normal(size=4)
+    quat = jnp.asarray(quat / np.linalg.norm(quat))
+    pos = jnp.asarray(rng.uniform(-1, 1, 3))
+    q = jnp.asarray(rng.uniform(-0.4, 0.4, n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, n))
+    return quat, pos, q, vb, qd
+
+
+def test_fb_loop_jacobian_bias_vs_ad(fb_fourbar):
+    """Free-flyer relative Jacobian and bias vs forward-mode AD of the gap
+    along the manifold flow (quaṫ = ½q⊗[0,ω_b], ṗ = R v_b, q̇)."""
+    from gridcodegenerator_tpu.ops.freeflyer import quat_mul, quat_to_rot
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    quat, pos, q, vb, qd = _fb_state(ffm.n)
+    dquat = 0.5 * quat_mul(quat, jnp.concatenate([jnp.zeros(1), vb[:3]]))
+    dpos = quat_to_rot(quat) @ vb[3:]
+
+    J = loops.fb_loop_jacobian(ffm, quat, q, pairs, oa, ob)
+    _, dgap = jax.jvp(
+        lambda qu, po, z: loops.fb_loop_gap(ffm, qu, po, z, pairs, oa, ob),
+        (quat, pos, q), (dquat, dpos, qd))
+    np.testing.assert_allclose(np.asarray(J @ jnp.concatenate([vb, qd])),
+                               np.asarray(dgap), atol=1e-12)
+    # the base linear-velocity block cancels for link↔link pairs
+    np.testing.assert_allclose(np.asarray(J[:, 3:6]), 0.0, atol=1e-12)
+
+    bias = loops.fb_loop_bias(ffm, quat, q, vb, qd, pairs, oa, ob)
+    _, b_ad = jax.jvp(
+        lambda qu, z: loops.fb_loop_jacobian(ffm, qu, z, pairs, oa, ob)
+        @ jnp.concatenate([vb, qd]),
+        (quat, q), (dquat, qd))
+    np.testing.assert_allclose(np.asarray(bias), np.asarray(b_ad),
+                               atol=1e-11)
+
+
+def test_fb_loop_kkt_and_momentum(fb_fourbar):
+    """Floating four-bar: KKT residuals of the loop-constrained FD, and the
+    centroidal momentum rate equals exactly the gravity wrench (the cut
+    force is internal: zero angular rate about the CoM, m·g linear)."""
+    from gridcodegenerator_tpu.ops import centroidal as cen
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    quat, pos, q, vb, qd = _fb_state(ffm.n, seed=21)
+    tau = jnp.asarray(np.random.default_rng(1).uniform(-2, 2, ffm.n))
+
+    dvb, qdd, lam = loops.fb_loop_forward_dynamics(
+        ffm, quat, pos, q, vb, qd, tau, pairs, oa, ob, reg=1e-10)
+
+    X = ffm.arm.joint_transforms(q)
+    R_wb = ff.quat_to_rot(quat)
+    p_b, c_j = ff.fb_bias(ffm, X, R_wb, vb, qd)
+    M = ff.fb_mass_matrix(ffm, X)
+    J = loops.fb_loop_jacobian(ffm, quat, q, pairs, oa, ob)
+    bias = loops.fb_loop_bias(ffm, quat, q, vb, qd, pairs, oa, ob)
+    y = jnp.concatenate([dvb, qdd])
+    r1 = M @ y - (jnp.concatenate([-p_b, tau - c_j]) + J.T @ np.asarray(lam))
+    assert abs(np.asarray(r1)).max() < 1e-9
+    r2 = J @ y + bias
+    assert abs(np.asarray(r2)).max() < 1e-7
+
+    # Centroidal momentum rate along the constrained flow. The cut force is
+    # an equal/opposite pair: zero net force always (ḣ_lin = m·g exactly),
+    # and its net torque is gap × λ — zero once the loop is closed, and the
+    # exact open-gap value at this (deliberately unassembled) random state.
+    def mom_rate(quat, pos, q, vb, qd, dvb, qdd):
+        dquat = 0.5 * ff.quat_mul(quat,
+                                  jnp.concatenate([jnp.zeros(1), vb[:3]]))
+        dpos = ff.quat_to_rot(quat) @ vb[3:]
+        _, dh = jax.jvp(
+            lambda qu, po, z, w, zd: cen.fb_centroidal_momentum(
+                ffm, qu, po, z, w, zd),
+            (quat, pos, q, vb, qd), (dquat, dpos, qd, dvb, qdd))
+        return dh
+
+    m_tot = float(sum(np.asarray(desc.inertia)[i][5, 5]
+                      for i in range(desc.n))
+                  + np.asarray(desc.base_inertia)[5, 5])
+    dh = mom_rate(quat, pos, q, vb, qd, dvb, qdd)
+    gap = loops.fb_loop_gap(ffm, quat, pos, q, pairs, oa, ob)
+    np.testing.assert_allclose(
+        np.asarray(dh[:3]), np.cross(np.asarray(gap), np.asarray(lam)),
+        atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dh[3:]),
+                               [0.0, 0.0, m_tot * -9.81], atol=1e-7)
+
+    # closed loop (q = 0): the cut force is fully internal — ḣ = [0; m·g]
+    q0 = jnp.zeros(ffm.n)
+    dvb0, qdd0, _ = loops.fb_loop_forward_dynamics(
+        ffm, quat, pos, q0, vb, qd, tau, pairs, oa, ob, reg=1e-10)
+    dh0 = mom_rate(quat, pos, q0, vb, qd, dvb0, qdd0)
+    # tolerance: f64 KKT roundoff amplified by cond(G) and |λ| (measured
+    # ~6e-7 abs) — decades below the O(1) net torque an internal-force bug
+    # (or an open gap) produces
+    np.testing.assert_allclose(np.asarray(dh0[:3]), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dh0[3:]),
+                               [0.0, 0.0, m_tot * -9.81], atol=1e-5)
+
+
+def test_fb_loop_plus_stance(fb_fourbar):
+    """Loops + stance world pins in ONE Delassus solve: the standing
+    parallel-linkage shape. Both row blocks are simultaneously satisfied."""
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    quat, pos, q, vb, qd = _fb_state(ffm.n, seed=31)
+    tau = jnp.zeros(ffm.n)
+    names = desc.topology.link_names
+    rocker = names.index("rocker")
+    links = (rocker,)
+    offsets = np.array([[0.0, 0.0, -0.5]])
+
+    dvb, qdd, lam = loops.fb_loop_forward_dynamics(
+        ffm, quat, pos, q, vb, qd, tau, pairs, oa, ob,
+        links=links, offsets=offsets, reg=1e-10)
+    assert lam.shape == (6,)
+
+    from gridcodegenerator_tpu.ops import contact
+    J = jnp.concatenate([
+        loops.fb_loop_jacobian(ffm, quat, q, pairs, oa, ob),
+        contact.fb_contact_jacobian(ffm, quat, q, links, offsets)], axis=0)
+    bias = jnp.concatenate([
+        loops.fb_loop_bias(ffm, quat, q, vb, qd, pairs, oa, ob),
+        contact.fb_contact_bias(ffm, quat, q, vb, qd, links, offsets)])
+    r = J @ jnp.concatenate([dvb, qdd]) + bias
+    assert abs(np.asarray(r)).max() < 1e-7
+
+
+@pytest.mark.mid
+def test_fb_fourbar_freefall_rollout(fb_fourbar):
+    """The floating four-bar tumbling in free fall: manifold semi-implicit
+    stepping with Baumgarte keeps the loop closed; energy stays bounded to
+    integrator order."""
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    pos = jnp.zeros(3)
+    q = jnp.zeros(3)
+    vb = jnp.asarray([0.4, -0.2, 0.3, 0.0, 0.0, 0.0])
+    qd = loops.loop_project_velocity(
+        g.robot_model_from_description(desc, dtype=jnp.float64),
+        q, jnp.asarray([1.0, 0.0, 0.0]), pairs, oa, ob, reg=1e-10)
+    tau = jnp.zeros(ffm.n)
+    dt = 1e-3
+
+    @jax.jit
+    def step(quat, pos, q, vb, qd):
+        dvb, qdd, _ = loops.fb_loop_forward_dynamics(
+            ffm, quat, pos, q, vb, qd, tau, pairs, oa, ob,
+            baumgarte=(20.0, 20.0), reg=1e-10)
+        vb2 = vb + dt * dvb
+        qd2 = qd + dt * qdd
+        quat2 = ff.quat_mul(quat, ff.quat_exp_body(vb2[:3] * dt))
+        quat2 = quat2 / jnp.linalg.norm(quat2)
+        pos2 = pos + dt * (ff.quat_to_rot(quat2) @ vb2[3:])
+        return quat2, pos2, q + dt * qd2, vb2, qd2
+
+    s = (quat, pos, q, vb, qd)
+    for _ in range(300):
+        s = step(*s)
+    quat, pos, q, vb, qd = s
+    gap = np.asarray(loops.fb_loop_gap(ffm, quat, pos, q, pairs, oa, ob))
+    assert abs(gap).max() < 1e-5
+    assert all(bool(jnp.isfinite(x).all()) for x in s)
+
+
 @pytest.mark.mid
 def test_fourbar_energy_conservation(fourbar):
     """RK4 rollout of the undamped four-bar under gravity: the cut force is
