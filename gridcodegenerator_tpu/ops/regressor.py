@@ -86,12 +86,15 @@ def inertial_params(model: RobotModel):
 
 
 def joint_torque_regressor(model: RobotModel, q, qd, qdd,
-                           gravity=-9.81, with_damping: bool = False):
-    """Y (n, 10n) — or (n, 10n + n) with ``with_damping`` (the appended
-    block is diag(q̇): viscous friction is linear in the damping
-    coefficients, golden-model semantics ``_test.py:103-105``). Depends on
-    the *kinematic* constants only — two models differing in inertias
-    share one Y."""
+                           gravity=-9.81, with_damping: bool = False,
+                           with_armature: bool = False):
+    """Y (n, 10n) — extendable with ``with_damping`` (appends diag(q̇):
+    viscous friction is linear in the damping coefficients, golden-model
+    semantics ``_test.py:103-105``) and ``with_armature`` (appends
+    diag(q̈): the reflected rotor torque aᵢ·q̈ᵢ is linear in the armature —
+    so gearbox inertia is identifiable from torque logs exactly like the
+    link parameters). Depends on the *kinematic* constants only — two
+    models differing in inertias/damping/armature share one Y."""
     topo = model.topology
     n = topo.n
     X = model.joint_transforms(q)
@@ -113,4 +116,6 @@ def joint_torque_regressor(model: RobotModel, q, qd, qdd,
     Y = jnp.stack([model.S[i] @ F[i] for i in range(n)])  # (n, 10n)
     if with_damping:
         Y = jnp.concatenate([Y, jnp.diag(qd)], axis=1)
+    if with_armature:
+        Y = jnp.concatenate([Y, jnp.diag(qdd)], axis=1)
     return Y
