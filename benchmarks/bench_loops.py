@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Throughput of the loop-closure layer (``ops/loops.py``) on the real chip:
+batched closed-chain FD (vmap over the KKT solve) on the four-bar linkage,
+and the floating four-bar (fb loops). Same wall-bounded marginal-slope
+protocol as run_benchmarks.py. Prints JSON rows."""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+from run_benchmarks import time_fn  # noqa: E402
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", nargs="*", type=int, default=[16384, 262144])
+    p.add_argument("--reps", type=int, default=12)
+    p.add_argument("--budget", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", "900")))
+    args = p.parse_args(argv)
+
+    def _watchdog():
+        time.sleep(args.budget)
+        print(f"# watchdog: {args.budget:.0f}s budget exhausted",
+              file=sys.stderr, flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    import jax
+    import jax.numpy as jnp
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import loops
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"# backend={jax.default_backend()}", file=sys.stderr, flush=True)
+
+    desc = g.parse_urdf(zoo.four_bar(damping=0.05))
+    model = g.robot_model_from_description(desc, dtype=jnp.float32)
+    names = desc.topology.link_names
+    pairs = ((names.index("coupler"), names.index("rocker")),)
+    oa = np.array([[0.8, 0.0, 0.0]], np.float32)
+    ob = np.array([[0.0, 0.0, -0.5]], np.float32)
+
+    @jax.jit
+    def loop_fd_batch(q, qd, u):
+        return jax.vmap(lambda a, b, c: loops.loop_forward_dynamics(
+            model, a, b, c, pairs, oa, ob, reg=1e-6)[0])(q, qd, u)
+
+    for B in args.batches:
+        rng = np.random.default_rng(0)
+        q, qd, u = (jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)), jnp.float32)
+                    for _ in range(3))
+        t0 = time.time()
+        out = jax.block_until_ready(loop_fd_batch(q, qd, u))
+        print(f"# loop_fd B={B} compile+run {time.time()-t0:.1f}s "
+              f"out {out.shape}", file=sys.stderr, flush=True)
+        med, mn = time_fn(loop_fd_batch, (q, qd, u), reps=args.reps)
+        print(json.dumps({"case": "loop_fd", "robot": "four_bar",
+                          "batch": B, "median_s": med,
+                          "evals_per_s": B / med}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

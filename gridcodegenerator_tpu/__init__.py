@@ -54,6 +54,7 @@ from .ops.loops import (
     loop_project_velocity,
     loop_step,
     simulate_loops,
+    transmission_rows,
 )
 from .ops.contact import (
     clamp_effort,
@@ -192,7 +193,7 @@ __all__ = [
     "loop_forward_dynamics", "loop_inverse_dynamics", "loop_jacobian",
     "loop_bias", "loop_gap", "loop_project_velocity", "loop_step",
     "simulate_loops", "fb_loop_forward_dynamics", "fb_loop_jacobian",
-    "fb_loop_bias", "fb_loop_gap",
+    "fb_loop_bias", "fb_loop_gap", "transmission_rows",
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",

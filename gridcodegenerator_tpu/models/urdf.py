@@ -108,6 +108,13 @@ class RobotDescription:
     # parsed from the nonstandard <dynamics armature="..."> attribute). Adds
     # armatureᵢ·q̈ᵢ to joint i's torque, i.e. M → M + diag(armature).
     armature: np.ndarray = None           # (n,)
+    # URDF <mimic> tags: linear transmission couplings q_j = m·q_k + o,
+    # each entry (joint_idx j, source_idx k, multiplier m, offset o) over
+    # moving-joint indices. The tree dynamics do NOT enforce these — build
+    # the constraint rows with ``ops/loops.py::transmission_rows`` and run
+    # ``loop_forward_dynamics(couplings=...)`` (gear trains, two-finger
+    # grippers, differentials).
+    mimic: tuple = ()
 
     @property
     def n(self) -> int:
@@ -205,10 +212,16 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
                 f"{_MOVING_TYPES + ('fixed',)}; 'spherical'/'floating' "
                 "require the multi-dof stack, ops/multidof.py)"
             )
+        mimic_el = j.find("mimic")
+        mimic = None
+        if mimic_el is not None:
+            mimic = (mimic_el.get("joint"),
+                     float(mimic_el.get("multiplier", 1.0)),
+                     float(mimic_el.get("offset", 0.0)))
         joints.append(dict(
             name=j.get("name"), type=jtype, parent=parent, child=child,
             xyz=xyz, rpy=rpy, axis=axis, damping=damping,
-            armature=armature, limits=limits,
+            armature=armature, limits=limits, mimic=mimic,
         ))
 
     root_links = [ln for ln in links if ln not in child_links]
@@ -271,6 +284,20 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
             for key in ("lower", "upper", "effort", "velocity")}
     types = tuple("revolute" if j["type"] == "continuous" else j["type"] for j in ordered)
 
+    # resolve <mimic> references to moving-joint indices (fail fast on
+    # references to fixed/merged or unknown joints)
+    name_to_idx = {j["name"]: i for i, j in enumerate(ordered)}
+    mimic = []
+    for i, j in enumerate(ordered):
+        if j.get("mimic") is None:
+            continue
+        src, mult, off = j["mimic"]
+        if src not in name_to_idx:
+            raise ValueError(
+                f"joint {j['name']!r} mimics {src!r}, which is not a moving "
+                "joint (fixed/merged or missing)")
+        mimic.append((i, name_to_idx[src], mult, off))
+
     topo = Topology(
         parents=tuple(parent_of),
         joint_names=tuple(j["name"] for j in ordered),
@@ -284,7 +311,7 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         base_inertia=link_inertia6[root_link],
         q_lower=lims["lower"], q_upper=lims["upper"],
         effort=lims["effort"], velocity=lims["velocity"],
-        armature=armature,
+        armature=armature, mimic=tuple(mimic),
     )
     return desc
 

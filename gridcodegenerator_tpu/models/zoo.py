@@ -52,18 +52,24 @@ class UrdfBuilder:
         return self
 
     def joint(self, name, parent, child, jtype="revolute", xyz=(0, 0, 0),
-              rpy=(0, 0, 0), axis=(0, 0, 1), damping=0.0, limit=2.96):
+              rpy=(0, 0, 0), axis=(0, 0, 1), damping=0.0, limit=2.96,
+              mimic=None):
         lim = ""
         if jtype == "revolute":
             lim = f'\n    <limit lower="{-limit}" upper="{limit}" effort="300" velocity="10"/>'
         elif jtype == "prismatic":
             lim = f'\n    <limit lower="-1" upper="1" effort="300" velocity="10"/>'
+        mim = ""
+        if mimic is not None:
+            src, mult, off = mimic
+            mim = (f'\n    <mimic joint="{src}" multiplier="{mult}" '
+                   f'offset="{off}"/>')
         self.joints.append(f"""  <joint name="{name}" type="{jtype}">
     <parent link="{parent}"/>
     <child link="{child}"/>
     <origin xyz="{xyz[0]} {xyz[1]} {xyz[2]}" rpy="{rpy[0]} {rpy[1]} {rpy[2]}"/>
     <axis xyz="{axis[0]} {axis[1]} {axis[2]}"/>
-    <dynamics damping="{damping}" friction="0"/>{lim}
+    <dynamics damping="{damping}" friction="0"/>{lim}{mim}
   </joint>""")
         return self
 
@@ -352,6 +358,28 @@ def four_bar(damping: float = 0.0, ground: float = 0.8,
             axis=(0, 1, 0), damping=damping, limit=10)
     b.joint("j_rocker", "base", "rocker", xyz=(ground, 0, 0),
             axis=(0, 1, 0), damping=damping, limit=10)
+    return b.build()
+
+
+def gripper(damping: float = 0.0) -> str:
+    """Wrist + two-finger parallel gripper where finger 2 MIMICS finger 1
+    with multiplier −1 (counter-moving jaws, one actuator) — the standard
+    URDF ``<mimic>`` idiom. The parser records the coupling in
+    ``RobotDescription.mimic``; enforce it with
+    ``ops/loops.py::transmission_rows`` + ``loop_forward_dynamics``."""
+    b = UrdfBuilder("gripper")
+    b.link("base", mass=1.0, ixx=0.01, iyy=0.01, izz=0.01)
+    b.link("palm", mass=0.5, com=(0, 0, 0.05), ixx=0.002, iyy=0.002,
+           izz=0.001)
+    b.link("finger1", mass=0.12, com=(0.01, 0, 0.03), ixx=2e-4, iyy=2e-4,
+           izz=1e-4)
+    b.link("finger2", mass=0.12, com=(-0.01, 0, 0.03), ixx=2e-4, iyy=2e-4,
+           izz=1e-4)
+    b.joint("wrist", "base", "palm", axis=(0, 0, 1), damping=damping)
+    b.joint("f1", "palm", "finger1", jtype="prismatic", xyz=(0.04, 0, 0.08),
+            axis=(1, 0, 0), damping=damping)
+    b.joint("f2", "palm", "finger2", jtype="prismatic", xyz=(-0.04, 0, 0.08),
+            axis=(1, 0, 0), damping=damping, mimic=("f1", -1.0, 0.0))
     return b.build()
 
 

@@ -115,58 +115,107 @@ def loop_bias(model: RobotModel, q, qd, pairs, offsets_a, offsets_b):
     return jdqd
 
 
-def loop_forward_dynamics(model: RobotModel, q, qd, u, pairs, offsets_a,
-                          offsets_b, gravity=-9.81, baumgarte=(0.0, 0.0),
-                          reg=0.0):
-    """Closed-chain FD: returns ``(q̈ (n,), λ (3k,))``.
+def transmission_rows(mimic, n, dtype=jnp.float64):
+    """Constraint rows of linear joint couplings (URDF ``<mimic>``: gear
+    trains, two-finger grippers, differentials): entries
+    ``(j, k, multiplier, offset)`` meaning ``q_j = multiplier·q_k + offset``
+    become ``(C (m, n), d (m,))`` with the constraint ``C q = d`` (row
+    ``e_j − multiplier·e_k``, constant — so its bias J̇q̇ is identically
+    zero). Feed as ``couplings=(C, d)`` to :func:`loop_forward_dynamics`;
+    ``parse_urdf`` stores the tag in ``RobotDescription.mimic``."""
+    mimic = tuple(mimic)
+    if not mimic:
+        raise ValueError("mimic/transmission set is empty")
+    C = jnp.zeros((len(mimic), n), dtype)
+    d = jnp.zeros(len(mimic), dtype)
+    for r, (j, k, mult, off) in enumerate(mimic):
+        if not (0 <= int(j) < n and 0 <= int(k) < n) or int(j) == int(k):
+            raise ValueError(f"bad transmission entry ({j}, {k})")
+        C = C.at[r, int(j)].set(1.0).at[r, int(k)].add(-float(mult))
+        d = d.at[r].set(float(off))
+    return C, d
 
-    λ is the world-frame cut force (link b on link a); the generalized
-    torque it contributes is ``J_relᵀ λ`` (ID round trip tested).
-    ``baumgarte = (α, β)``: a* = −2α(J_rel q̇) − β²·gap stabilizes drift
-    during integration (the gap is measured against zero — close the loop
-    in the model's assembled configuration). ``reg`` ridges G for planar /
-    redundant loops."""
-    pairs = _check_pairs(model.n, pairs, offsets_a, offsets_b)
-    k = len(pairs)
+
+def loop_forward_dynamics(model: RobotModel, q, qd, u, pairs=(),
+                          offsets_a=None, offsets_b=None, gravity=-9.81,
+                          baumgarte=(0.0, 0.0), reg=0.0, couplings=None):
+    """Closed-chain FD: returns ``(q̈ (n,), λ (3k + m,))``.
+
+    λ is the world-frame cut force (link b on link a) for the point rows;
+    the generalized torque it contributes is ``J_relᵀ λ`` (ID round trip
+    tested). ``couplings = (C, d)`` appends linear joint-space constraint
+    rows ``C q̈ = a*`` (:func:`transmission_rows` — mimic joints, gears);
+    their λ rows are the transmission generalized forces. ``baumgarte =
+    (α, β)``: a* = −2α·(constraint velocity) − β²·(constraint error)
+    stabilizes drift during integration. ``reg`` ridges G for planar /
+    redundant constraint sets."""
+    if pairs:
+        pairs = _check_pairs(model.n, pairs, offsets_a, offsets_b)
+    elif couplings is None:
+        raise ValueError("pass loop pairs, couplings, or both")
     qdd_free = forward_dynamics(model, q, qd, u, gravity)
     Minv = densify(minv_inner(model, model.joint_transforms(q)))
-    J = loop_jacobian(model, q, pairs, offsets_a, offsets_b)
-    jdqd = loop_bias(model, q, qd, pairs, offsets_a, offsets_b)
+    rows_J, rows_bias, rows_err = [], [], []
+    if pairs:
+        rows_J.append(loop_jacobian(model, q, pairs, offsets_a, offsets_b))
+        rows_bias.append(loop_bias(model, q, qd, pairs, offsets_a,
+                                   offsets_b))
+        rows_err.append(loop_gap(model, q, pairs, offsets_a, offsets_b))
+    if couplings is not None:
+        C, d = couplings
+        C = jnp.asarray(C, q.dtype)
+        rows_J.append(C)
+        rows_bias.append(jnp.zeros(C.shape[0], q.dtype))  # C constant
+        rows_err.append(C @ q - jnp.asarray(d, q.dtype))
+    J = jnp.concatenate(rows_J, axis=0)
+    jdqd = jnp.concatenate(rows_bias)
+    m = J.shape[0]
 
     alpha, beta = baumgarte
-    a_star = jnp.zeros(3 * k, q.dtype)
+    a_star = jnp.zeros(m, q.dtype)
     if alpha != 0.0:
         a_star = a_star - 2.0 * alpha * (J @ qd)
     if beta != 0.0:
-        a_star = a_star - beta * beta * loop_gap(
-            model, q, pairs, offsets_a, offsets_b)
+        a_star = a_star - beta * beta * jnp.concatenate(rows_err)
 
     MiJt = Minv @ J.T
-    G = J @ MiJt + reg * jnp.eye(3 * k, dtype=q.dtype)
+    G = J @ MiJt + reg * jnp.eye(m, dtype=q.dtype)
     rhs = -(J @ qdd_free + jdqd - a_star)
     L = jnp.linalg.cholesky(G)
     lam = jax.scipy.linalg.cho_solve((L, True), rhs)
     return qdd_free + MiJt @ lam, lam
 
 
-def loop_inverse_dynamics(model: RobotModel, q, qd, qdd, lam, pairs,
-                          offsets_a, offsets_b, gravity=-9.81):
-    """Actuation torques realizing q̈ under the given cut forces:
-    ``u = ID(q, q̇, q̈) − J_relᵀ λ``."""
+def loop_inverse_dynamics(model: RobotModel, q, qd, qdd, lam, pairs=(),
+                          offsets_a=None, offsets_b=None, gravity=-9.81,
+                          couplings=None):
+    """Actuation torques realizing q̈ under the given cut/transmission
+    forces: ``u = ID(q, q̇, q̈) − Jᵀ λ`` (row layout as in
+    :func:`loop_forward_dynamics`)."""
     X = model.joint_transforms(q)
     v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
     c, _ = rnea_bwd(model, X, f, qd, qdd)
-    J = loop_jacobian(model, q, pairs, offsets_a, offsets_b)
+    rows = []
+    if pairs:
+        rows.append(loop_jacobian(model, q, pairs, offsets_a, offsets_b))
+    if couplings is not None:
+        rows.append(jnp.asarray(couplings[0], q.dtype))
+    J = jnp.concatenate(rows, axis=0)
     return c - J.T @ lam
 
 
-def loop_project_velocity(model: RobotModel, q, qd, pairs, offsets_a,
-                          offsets_b, reg=0.0):
-    """Project q̇ onto the loop manifold (J_rel q̇ = 0), minimum kinetic
-    energy of the correction — use before a rollout so the initial state is
-    loop-consistent."""
+def loop_project_velocity(model: RobotModel, q, qd, pairs=(), offsets_a=None,
+                          offsets_b=None, reg=0.0, couplings=None):
+    """Project q̇ onto the constraint manifold (J q̇ = 0 over loop AND
+    coupling rows), minimum kinetic energy of the correction — use before a
+    rollout so the initial state is constraint-consistent."""
     Minv = densify(minv_inner(model, model.joint_transforms(q)))
-    J = loop_jacobian(model, q, pairs, offsets_a, offsets_b)
+    rows = []
+    if pairs:
+        rows.append(loop_jacobian(model, q, pairs, offsets_a, offsets_b))
+    if couplings is not None:
+        rows.append(jnp.asarray(couplings[0], q.dtype))
+    J = jnp.concatenate(rows, axis=0)
     G = J @ Minv @ J.T + reg * jnp.eye(J.shape[0], dtype=q.dtype)
     L = jnp.linalg.cholesky(G)
     imp = jax.scipy.linalg.cho_solve((L, True), J @ qd)
@@ -298,24 +347,28 @@ def fb_loop_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, pairs,
     return y[:6], y[6:], lam
 
 
-def loop_step(model: RobotModel, q, qd, u, dt, pairs, offsets_a, offsets_b,
-              gravity=-9.81, baumgarte=(10.0, 10.0), reg=0.0):
-    """One semi-implicit Euler step of the closed chain."""
+def loop_step(model: RobotModel, q, qd, u, dt, pairs=(), offsets_a=None,
+              offsets_b=None, gravity=-9.81, baumgarte=(10.0, 10.0),
+              reg=0.0, couplings=None):
+    """One semi-implicit Euler step of the constrained chain."""
     qdd, lam = loop_forward_dynamics(model, q, qd, u, pairs, offsets_a,
-                                     offsets_b, gravity, baumgarte, reg)
+                                     offsets_b, gravity, baumgarte, reg,
+                                     couplings=couplings)
     qd2 = qd + dt * qdd
     return q + dt * qd2, qd2, lam
 
 
-def simulate_loops(model: RobotModel, q0, qd0, taus, dt, pairs, offsets_a,
-                   offsets_b, gravity=-9.81, baumgarte=(10.0, 10.0),
-                   reg=0.0):
-    """``lax.scan`` rollout of the closed chain (``taus``: (T, n)). Returns
-    ((q_T, q̇_T), per-step (q, q̇, λ) stacks) — one device dispatch."""
+def simulate_loops(model: RobotModel, q0, qd0, taus, dt, pairs=(),
+                   offsets_a=None, offsets_b=None, gravity=-9.81,
+                   baumgarte=(10.0, 10.0), reg=0.0, couplings=None):
+    """``lax.scan`` rollout of the constrained chain (``taus``: (T, n)).
+    Returns ((q_T, q̇_T), per-step (q, q̇, λ) stacks) — one device
+    dispatch."""
     def step(carry, tau):
         q, qd = carry
         q2, qd2, lam = loop_step(model, q, qd, tau, dt, pairs, offsets_a,
-                                 offsets_b, gravity, baumgarte, reg)
+                                 offsets_b, gravity, baumgarte, reg,
+                                 couplings=couplings)
         return (q2, qd2), (q2, qd2, lam)
 
     return jax.lax.scan(step, (q0, qd0), taus)

@@ -379,3 +379,108 @@ def test_scan_rollout_drift_and_grad(fourbar):
     bump = taus.at[50, 0].add(eps)
     fd = (loss(bump) - loss(taus)) / eps
     np.testing.assert_allclose(float(grad[50, 0]), float(fd), rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Linear transmissions (URDF <mimic>: gears, grippers)
+# --------------------------------------------------------------------------
+def test_urdf_mimic_gripper():
+    """<mimic> parses into RobotDescription.mimic; enforcing it through the
+    coupling rows gives counter-moving fingers from one actuator."""
+    desc = g.parse_urdf(zoo.gripper(damping=0.0))
+    assert desc.mimic == ((2, 1, -1.0, 0.0),)
+    model = g.robot_model_from_description(desc, dtype=jnp.float64)
+    C, d = loops.transmission_rows(desc.mimic, desc.n)
+
+    q = jnp.asarray([0.3, 0.02, -0.02])      # consistent: q2 = -q1
+    qd = loops.loop_project_velocity(model, q, jnp.asarray([1.0, 0.5, 0.0]),
+                                     couplings=(C, d))
+    np.testing.assert_allclose(np.asarray(C @ qd), 0.0, atol=1e-12)
+    u = jnp.asarray([0.0, 1.5, 0.0])          # actuate finger 1 only
+    qdd, lam = loops.loop_forward_dynamics(model, q, qd, u,
+                                           couplings=(C, d))
+    # constraint at acceleration level, and jaws counter-accelerate
+    np.testing.assert_allclose(np.asarray(C @ qdd), 0.0, atol=1e-10)
+    np.testing.assert_allclose(float(qdd[2]), -float(qdd[1]), atol=1e-10)
+    # transmission actually transmits: the unactuated jaw moves
+    assert abs(float(qdd[1])) > 1e-2
+    # ID round trip through the transmission force
+    u_rt = loops.loop_inverse_dynamics(model, q, qd, qdd, lam,
+                                       couplings=(C, d))
+    np.testing.assert_allclose(np.asarray(u_rt), np.asarray(u), atol=1e-10)
+
+
+def test_transmission_reduced_model():
+    """Gear-coupled double pendulum q₂ = m·q₁ + o: the constrained FD
+    equals the closed-form reduced 1-DOF dynamics
+    s̈ = vᵀ(u − c)/(vᵀMv), q̈ = v·s̈ with v = [1, m] — an independent
+    derivation via the reduced Lagrangian."""
+    desc, gold, model = get_setup("dpend")
+    m_ratio, off = 0.5, 0.2
+    C, d = loops.transmission_rows([(1, 0, m_ratio, off)], 2)
+    v = np.array([1.0, m_ratio])
+    rng = np.random.default_rng(5)
+    s, sd = rng.uniform(-1, 1, 2)
+    q = jnp.asarray(v * s + np.array([0.0, off]))
+    qd = jnp.asarray(v * sd)
+    u = jnp.asarray(rng.uniform(-3, 3, 2))
+
+    qdd, lam = loops.loop_forward_dynamics(model, q, qd, u,
+                                           couplings=(C, d))
+    M = gold.crba(np.asarray(q))
+    c, *_ = gold.rnea(np.asarray(q), np.asarray(qd), None)
+    sdd = float(v @ (np.asarray(u) - c)) / float(v @ M @ v)
+    np.testing.assert_allclose(np.asarray(qdd), v * sdd, atol=1e-10)
+
+
+@pytest.mark.mid
+def test_transmission_energy_conservation():
+    """Undamped geared double pendulum: the transmission force is workless
+    (λᵀ·C·q̇ = 0 on the manifold) — RK4 rollout conserves energy."""
+    desc, gold, model = get_setup("dpend")
+    C, d = loops.transmission_rows([(1, 0, -0.7, 0.1)], 2)
+    v = np.array([1.0, -0.7])
+    q = jnp.asarray(v * 0.8 + np.array([0.0, 0.1]))
+    qd = jnp.asarray(v * 0.9)
+    u = jnp.zeros(2)
+    dt = 1e-3
+
+    @jax.jit
+    def step(q, qd):
+        def deriv(state):
+            qdd, _ = loops.loop_forward_dynamics(model, state[0], state[1],
+                                                 u, couplings=(C, d))
+            return state[1], qdd
+        k1 = deriv((q, qd))
+        k2 = deriv((q + 0.5 * dt * k1[0], qd + 0.5 * dt * k1[1]))
+        k3 = deriv((q + 0.5 * dt * k2[0], qd + 0.5 * dt * k2[1]))
+        k4 = deriv((q + dt * k3[0], qd + dt * k3[1]))
+        return (q + dt / 6 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0]),
+                qd + dt / 6 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1]))
+
+    e0 = gold.energy(np.asarray(q), np.asarray(qd))
+    for _ in range(400):
+        q, qd = step(q, qd)
+    e1 = gold.energy(np.asarray(q), np.asarray(qd))
+    assert abs(e1 - e0) < 1e-8 * max(1.0, abs(e0))
+    np.testing.assert_allclose(np.asarray(C @ q - d), 0.0, atol=1e-7)
+
+
+def test_loops_and_couplings_compose(fourbar):
+    """Loop pairs + coupling rows in one solve. The parallelogram mode
+    already enforces q̇_rocker = q̇_crank, so adding that coupling is
+    CONSISTENT but redundant — the ridge handles the singular G and the
+    motion is unchanged vs loop-only."""
+    desc, model, pairs, oa, ob = fourbar
+    C, d = loops.transmission_rows([(2, 0, 1.0, 0.0)], 3)
+    q = jnp.zeros(3)
+    qd = loops.loop_project_velocity(model, q, jnp.asarray([1.0, 0, 0]),
+                                     pairs, oa, ob, reg=1e-10)
+    u = jnp.asarray([0.7, -0.2, 0.1])
+    qdd_ref, _ = loops.loop_forward_dynamics(model, q, qd, u, pairs, oa, ob,
+                                             reg=1e-9)
+    qdd_both, lam = loops.loop_forward_dynamics(
+        model, q, qd, u, pairs, oa, ob, reg=1e-9, couplings=(C, d))
+    np.testing.assert_allclose(np.asarray(qdd_both), np.asarray(qdd_ref),
+                               atol=1e-6)
+    assert lam.shape == (4,)
