@@ -53,22 +53,30 @@ def main(argv=None):
     ob = np.array([[0.0, 0.0, -0.5]], np.float32)
 
     @jax.jit
-    def loop_fd_batch(q, qd, u):
+    def loop_fd_vmap(q, qd, u):
         return jax.vmap(lambda a, b, c: loops.loop_forward_dynamics(
             model, a, b, c, pairs, oa, ob, reg=1e-6)[0])(q, qd, u)
 
-    for B in args.batches:
-        rng = np.random.default_rng(0)
-        q, qd, u = (jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)), jnp.float32)
-                    for _ in range(3))
-        t0 = time.time()
-        out = jax.block_until_ready(loop_fd_batch(q, qd, u))
-        print(f"# loop_fd B={B} compile+run {time.time()-t0:.1f}s "
-              f"out {out.shape}", file=sys.stderr, flush=True)
-        med, mn = time_fn(loop_fd_batch, (q, qd, u), reps=args.reps)
-        print(json.dumps({"case": "loop_fd", "robot": "four_bar",
-                          "batch": B, "median_s": med,
-                          "evals_per_s": B / med}), flush=True)
+    @jax.jit
+    def loop_fd_bl(q, qd, u):
+        return loops.loop_fd_batched(model, q, qd, u, pairs, oa, ob,
+                                     reg=1e-6)[0]
+
+    cases = [("loop_fd_bl", loop_fd_bl, args.batches),
+             ("loop_fd_vmap", loop_fd_vmap, args.batches[:1])]
+    for case, fn, batches in cases:
+        for B in batches:
+            rng = np.random.default_rng(0)
+            q, qd, u = (jnp.asarray(rng.uniform(-0.3, 0.3, (B, 3)),
+                                    jnp.float32) for _ in range(3))
+            t0 = time.time()
+            out = jax.block_until_ready(fn(q, qd, u))
+            print(f"# {case} B={B} compile+run {time.time()-t0:.1f}s "
+                  f"out {out.shape}", file=sys.stderr, flush=True)
+            med, mn = time_fn(fn, (q, qd, u), reps=args.reps)
+            print(json.dumps({"case": case, "robot": "four_bar",
+                              "batch": B, "median_s": med,
+                              "evals_per_s": B / med}), flush=True)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,8 @@ from .ops.loops import (
     loop_jacobian,
     loop_project_velocity,
     loop_step,
+    loop_fd_batched,
+    loop_step_batched,
     simulate_loops,
     transmission_rows,
 )
@@ -194,6 +196,7 @@ __all__ = [
     "loop_bias", "loop_gap", "loop_project_velocity", "loop_step",
     "simulate_loops", "fb_loop_forward_dynamics", "fb_loop_jacobian",
     "fb_loop_bias", "fb_loop_gap", "transmission_rows",
+    "loop_fd_batched", "loop_step_batched",
     "project_velocity", "fb_contact_jacobian",
     "fb_constrained_forward_dynamics", "fb_constrained_fd_batched",
     "fb_simulate_constrained",

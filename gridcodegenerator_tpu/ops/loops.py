@@ -223,6 +223,162 @@ def loop_project_velocity(model: RobotModel, q, qd, pairs=(), offsets_a=None,
 
 
 # --------------------------------------------------------------------------
+# Batch-last closed-chain FD — the TPU production path for parallel
+# mechanisms (the same batch-on-the-vector-lanes rewrite that bought the
+# contact layer its 36×/18×; see ops/kinematics.py batch-last notes)
+# --------------------------------------------------------------------------
+def _loop_rows_bl(model: RobotModel, q_bl, pairs, oa, ob):
+    """Batch-last loop constraint rows: q (n, B) → (J_rel (3k, n, B),
+    gap (3k, B)). One shared FK; per-pair columns are the point-Jacobian
+    difference, with columns outside ancestors(a) ∪ ancestors(b)
+    structurally zero and common-ancestor columns cancelling numerically
+    (the dense subtraction realizes it lane-wide)."""
+    from .kinematics import _cross_bl, _mv3, fk_bl
+
+    topo = model.topology
+    n = topo.n
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+    Rs, ps = fk_bl(model, q_bl)
+
+    def point_and_cols(link, off):
+        offb = jnp.broadcast_to(off[:, None], (3, B))
+        x = ps[link] + _mv3(Rs[link], offb)
+        support = set(topo.ancestors[link]) | {link}
+        cols = [None] * n
+        for j in support:
+            Sang = jnp.broadcast_to(
+                model.S[j, :3].astype(dtype)[:, None], (3, B))
+            Slin = jnp.broadcast_to(
+                model.S[j, 3:].astype(dtype)[:, None], (3, B))
+            cols[j] = (_cross_bl(_mv3(Rs[j], Sang), x - ps[j])
+                       + _mv3(Rs[j], Slin))
+        return x, cols
+
+    zeros = jnp.zeros((3, B), dtype)
+    rows, gaps = [], []
+    for i, (a, b) in enumerate(pairs):
+        xa, ca = point_and_cols(a, oa[i])
+        if b >= 0:
+            xb, cb = point_and_cols(b, ob[i])
+        else:
+            xb = jnp.broadcast_to(ob[i][:, None], (3, B))
+            cb = [None] * n
+        cols = []
+        for j in range(n):
+            if ca[j] is None and cb[j] is None:
+                cols.append(zeros)
+            elif cb[j] is None:
+                cols.append(ca[j])
+            elif ca[j] is None:
+                cols.append(-cb[j])
+            else:
+                cols.append(ca[j] - cb[j])
+        rows.append(jnp.stack(cols, axis=1))           # (3, n, B)
+        gaps.append(xa - xb)
+    return jnp.concatenate(rows, axis=0), jnp.concatenate(gaps, axis=0)
+
+
+def loop_fd_batched(model: RobotModel, q, qd, u, pairs=(), offsets_a=None,
+                    offsets_b=None, gravity=-9.81, baumgarte=(0.0, 0.0),
+                    reg=0.0, couplings=None):
+    """Batched closed-chain FD over leading batch axes — the TPU production
+    path. Inputs are batch-first user arrays ``(..., n)``; returns
+    ``(q̈ (..., n), λ (..., 3k + m_c))``, matching
+    :func:`loop_forward_dynamics` state-for-state (tested to f64
+    round-off). Everything runs batch-last: lane-wide FK/Jacobian rows
+    (:func:`_loop_rows_bl`), the analytic batch-last M⁻¹, and the
+    lane-parallel Delassus Cholesky (``contact.chol_solve_bl``) — no
+    per-state small matmuls anywhere."""
+    from .blops import densify_rows, joint_transforms_bl, matvecN
+    from .blops import minv_bl, rnea_bwd_bl, rnea_fwd_bl
+    from .contact import chol_solve_bl
+
+    n = model.n
+    if pairs:
+        pairs = _check_pairs(n, pairs, offsets_a, offsets_b)
+    elif couplings is None:
+        raise ValueError("pass loop pairs, couplings, or both")
+    k = len(pairs)
+
+    shape_b = q.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T      # (..., d) → (d, B)
+    q_bl, qd_bl, u_bl = flat(q), flat(qd), flat(u)
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+
+    X = joint_transforms_bl(model, q_bl)
+    _, _, f = rnea_fwd_bl(model, X, qd_bl, None, gravity)
+    c, _ = rnea_bwd_bl(model, X, f, qd_bl)
+    Minv = densify_rows(minv_bl(model, X)[0])
+    qdd_free = matvecN(Minv, u_bl - c)
+
+    rows_J, rows_bias, rows_err = [], [], []
+    if pairs:
+        oa = jnp.asarray(offsets_a, dtype)
+        ob = jnp.asarray(offsets_b, dtype)
+
+        def vel(q_):
+            J_, _ = _loop_rows_bl(model, q_, pairs, oa, ob)
+            return jnp.stack([
+                sum(J_[r, j] * qd_bl[j] for j in range(n))
+                for r in range(3 * k)])
+
+        (J_loop, gap) = _loop_rows_bl(model, q_bl, pairs, oa, ob)
+        _, bias = jax.jvp(vel, (q_bl,), (qd_bl,))
+        rows_J.append(J_loop)
+        rows_bias.append(bias)
+        rows_err.append(gap)
+    if couplings is not None:
+        C, d = couplings
+        C = jnp.asarray(C, dtype)
+        mc = C.shape[0]
+        rows_J.append(jnp.broadcast_to(C[..., None], (mc, n, B)))
+        rows_bias.append(jnp.zeros((mc, B), dtype))      # C constant
+        rows_err.append(jnp.stack([
+            sum(C[r, j] * q_bl[j] for j in range(n)) for r in range(mc)])
+            - jnp.asarray(d, dtype)[:, None])
+    J = jnp.concatenate(rows_J, axis=0)                  # (m, n, B)
+    jdqd = jnp.concatenate(rows_bias)                    # (m, B)
+    m = J.shape[0]
+
+    alpha, beta = baumgarte
+    a_star = jnp.zeros((m, B), dtype)
+    if alpha != 0.0:
+        Jqd = jnp.stack([sum(J[r, j] * qd_bl[j] for j in range(n))
+                         for r in range(m)])
+        a_star = a_star - 2.0 * alpha * Jqd
+    if beta != 0.0:
+        a_star = a_star - beta * beta * jnp.concatenate(rows_err)
+
+    MiJt_cols = [matvecN(Minv, J[r]) for r in range(m)]  # each (n, B)
+    G = jnp.stack([
+        jnp.stack([sum(J[r, j] * MiJt_cols[s][j] for j in range(n))
+                   for s in range(m)])
+        for r in range(m)])                              # (m, m, B)
+    rhs = -(jnp.stack([sum(J[r, j] * qdd_free[j] for j in range(n))
+                       for r in range(m)]) + jdqd - a_star)
+    lam = chol_solve_bl(G, rhs, reg=reg)
+    qdd = qdd_free + sum(MiJt_cols[s] * lam[s:s + 1] for s in range(m))
+
+    unflat = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
+        shape_b + (arr.shape[0],))
+    return unflat(qdd), unflat(lam)
+
+
+def loop_step_batched(model: RobotModel, q, qd, u, dt, pairs=(),
+                      offsets_a=None, offsets_b=None, gravity=-9.81,
+                      baumgarte=(10.0, 10.0), reg=0.0, couplings=None):
+    """One batched semi-implicit Euler step of the constrained chain
+    (batch-first ``(..., n)`` arrays, like :func:`loop_fd_batched`)."""
+    qdd, lam = loop_fd_batched(model, q, qd, u, pairs, offsets_a,
+                               offsets_b, gravity, baumgarte, reg,
+                               couplings=couplings)
+    qd2 = qd + dt * qdd
+    return q + dt * qd2, qd2, lam
+
+
+# --------------------------------------------------------------------------
 # Floating-base loop closure (parallel-leg robots: Minitaur-style linkage
 # legs, humanoid self-grasps)
 # --------------------------------------------------------------------------

@@ -484,3 +484,86 @@ def test_loops_and_couplings_compose(fourbar):
     np.testing.assert_allclose(np.asarray(qdd_both), np.asarray(qdd_ref),
                                atol=1e-6)
     assert lam.shape == (4,)
+
+
+# --------------------------------------------------------------------------
+# Batch-last closed-chain FD (the TPU production path)
+# --------------------------------------------------------------------------
+def test_loop_fd_batched_matches_vmap(fourbar):
+    """loop_fd_batched == vmap(loop_forward_dynamics) state-for-state
+    (independent formulations: batch-last lane-wide FK/rows/Cholesky vs
+    the single-state path), with baumgarte + ridge on."""
+    desc, model, pairs, oa, ob = fourbar
+    rng = np.random.default_rng(11)
+    B = 7
+    q = jnp.asarray(rng.uniform(-0.4, 0.4, (B, 3)))
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, 3)))
+    u = jnp.asarray(rng.uniform(-3, 3, (B, 3)))
+    kw = dict(baumgarte=(5.0, 7.0), reg=1e-9)
+
+    qdd_bl, lam_bl = loops.loop_fd_batched(model, q, qd, u, pairs, oa, ob,
+                                           **kw)
+    qdd_v, lam_v = jax.vmap(lambda a, b, c: loops.loop_forward_dynamics(
+        model, a, b, c, pairs, oa, ob, **kw))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(qdd_bl), np.asarray(qdd_v),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lam_bl), np.asarray(lam_v),
+                               atol=1e-10)
+
+
+def test_loop_fd_batched_couplings_and_pairs(fourbar):
+    """Batched path with BOTH loop pairs and coupling rows, and a
+    couplings-only gripper — each against the vmapped single-state path."""
+    desc, model, pairs, oa, ob = fourbar
+    C, d = loops.transmission_rows([(2, 0, 1.0, 0.0)], 3)
+    rng = np.random.default_rng(3)
+    B = 5
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 3)))
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, 3)))
+    u = jnp.asarray(rng.uniform(-2, 2, (B, 3)))
+    kw = dict(reg=1e-8, couplings=(C, d), baumgarte=(2.0, 3.0))
+    qdd_bl, lam_bl = loops.loop_fd_batched(model, q, qd, u, pairs, oa, ob,
+                                           **kw)
+    qdd_v, lam_v = jax.vmap(lambda a, b, c: loops.loop_forward_dynamics(
+        model, a, b, c, pairs, oa, ob, **kw))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(qdd_bl), np.asarray(qdd_v),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lam_bl), np.asarray(lam_v),
+                               atol=1e-9)
+
+    gdesc = g.parse_urdf(zoo.gripper())
+    gmodel = g.robot_model_from_description(gdesc, dtype=jnp.float64)
+    Cg, dg = loops.transmission_rows(gdesc.mimic, gdesc.n)
+    qg = jnp.asarray(rng.uniform(-0.05, 0.05, (B, 3)))
+    qdg = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 3)))
+    ug = jnp.asarray(rng.uniform(-1, 1, (B, 3)))
+    qdd_bl, _ = loops.loop_fd_batched(gmodel, qg, qdg, ug,
+                                      couplings=(Cg, dg))
+    qdd_v, _ = jax.vmap(lambda a, b, c: loops.loop_forward_dynamics(
+        gmodel, a, b, c, couplings=(Cg, dg)))(qg, qdg, ug)
+    np.testing.assert_allclose(np.asarray(qdd_bl), np.asarray(qdd_v),
+                               atol=1e-10)
+
+
+def test_loop_step_batched_world_pin(fourbar):
+    """Batched stepper with a world pin (b = −1) over a leading batch
+    shape (2, 3) — exercises the structural-zero b-side and the unflatten."""
+    desc, model, _, oa, _ = fourbar
+    pairs = ((2, -1),)
+    anchors = np.array([[0.8, 0.0, -0.5]])
+    rng = np.random.default_rng(7)
+    shp = (2, 3)
+    q = jnp.asarray(rng.uniform(-0.1, 0.1, shp + (3,)))
+    qd = jnp.asarray(rng.uniform(-0.5, 0.5, shp + (3,)))
+    u = jnp.asarray(rng.uniform(-1, 1, shp + (3,)))
+    q2, qd2, lam = loops.loop_step_batched(model, q, qd, u, 1e-3, pairs,
+                                           oa, anchors, reg=1e-9)
+    assert q2.shape == shp + (3,) and lam.shape == shp + (3,)
+    q2v, qd2v, lamv = jax.vmap(jax.vmap(
+        lambda a, b, c: loops.loop_step(model, a, b, c, 1e-3, pairs, oa,
+                                        anchors, reg=1e-9)))(q, qd, u)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q2v), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd2v),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lamv),
+                               atol=1e-9)
