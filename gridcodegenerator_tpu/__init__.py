@@ -55,7 +55,9 @@ from .ops.loops import (
     loop_step,
     loop_fd_batched,
     loop_step_batched,
+    fb_loop_fd_batched,
     simulate_loops,
+    simulate_loops_batched,
     transmission_rows,
 )
 from .ops.contact import (

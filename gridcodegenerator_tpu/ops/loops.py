@@ -503,6 +503,185 @@ def fb_loop_forward_dynamics(ffm, quat, pos, q, vb, qd, tau, pairs,
     return y[:6], y[6:], lam
 
 
+# --------------------------------------------------------------------------
+# Batch-last floating-base loop closure — parallel-leg robots at RL batch
+# sizes (Minitaur-style linkage legs, standing parallel mechanisms)
+# --------------------------------------------------------------------------
+def _fb_loop_rows_bl(ffm, quat_bl, q_bl, pairs, oa, ob):
+    """Batch-last free-flyer relative rows: (J (3k, 6+n, B), xa list,
+    xb list of base-frame points — ``xb[i] is None`` for world pairs).
+    Base linear-velocity columns cancel structurally for link↔link pairs
+    (emitted as exact zeros, not a numerical difference); angular columns
+    are R·(e_j × (xa − xb))."""
+    import numpy as np
+
+    from .contact import _quat_to_rot_bl
+    from .kinematics import _cross_bl, _mv3, fk_bl
+
+    arm = ffm.arm
+    n = arm.n
+    topo = arm.topology
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+    R = _quat_to_rot_bl(quat_bl)
+    Rs, ps = fk_bl(arm, q_bl)
+    zeros = jnp.zeros((3, B), dtype)
+
+    def side(link, off):
+        offb = jnp.broadcast_to(off[:, None], (3, B))
+        x_b = ps[link] + _mv3(Rs[link], offb)
+        support = set(topo.ancestors[link]) | {link}
+        qcols = [None] * n
+        for j in support:
+            Sang = jnp.broadcast_to(
+                arm.S[j, :3].astype(dtype)[:, None], (3, B))
+            Slin = jnp.broadcast_to(
+                arm.S[j, 3:].astype(dtype)[:, None], (3, B))
+            qcols[j] = (_cross_bl(_mv3(Rs[j], Sang), x_b - ps[j])
+                        + _mv3(Rs[j], Slin))
+        return x_b, qcols
+
+    rows, xas, xbs = [], [], []
+    for i, (a, b) in enumerate(pairs):
+        xa, ca = side(a, oa[i])
+        if b >= 0:
+            xb, cb = side(b, ob[i])
+            rel = xa - xb
+        else:
+            xb, cb = None, [None] * n
+            rel = xa
+        cols = []
+        for j in range(3):                                  # ω_b columns
+            e = np.zeros(3)
+            e[j] = 1.0
+            e_bl = jnp.broadcast_to(jnp.asarray(e, dtype)[:, None], (3, B))
+            cols.append(_mv3(R, _cross_bl(e_bl, rel)))
+        for j in range(3):                                  # v_b columns
+            cols.append(zeros if b >= 0 else R[:, j])
+        for j in range(n):                                  # q̇ columns
+            va, vb_ = ca[j], cb[j]
+            if va is None and vb_ is None:
+                cols.append(zeros)
+            else:
+                d = (va if vb_ is None else
+                     (-vb_ if va is None else va - vb_))
+                cols.append(_mv3(R, d))
+        rows.append(jnp.stack(cols, axis=1))                # (3, 6+n, B)
+        xas.append(xa)
+        xbs.append(xb)
+    return jnp.concatenate(rows, axis=0), xas, xbs
+
+
+def fb_loop_fd_batched(ffm, quat, pos, q, vb, qd, tau, pairs, offsets_a,
+                       offsets_b, links=(), offsets=None, anchors=None,
+                       gravity=-9.81, baumgarte=(0.0, 0.0), reg=0.0):
+    """Batched free-flyer loop-closure FD over leading batch axes,
+    optionally combined with stance world pins in ONE Delassus solve —
+    the TPU production path for parallel-leg robots (mirrors
+    :func:`fb_loop_forward_dynamics` state-for-state, tested to f64
+    round-off; batch-last throughout, like
+    :func:`..contact.fb_constrained_fd_batched`). Inputs batch-first
+    ``(..., d)``; returns ``(v̇b (...,6), q̈ (...,n),
+    λ (...,3(k_loop+k_stance)))``, loop rows first."""
+    from .contact import (_check_contacts, _fb_bias_bl, _fb_contact_rows_bl,
+                          _fb_mass_matrix_bl, _quat_to_rot_bl,
+                          chol_apply_bl, chol_factor_bl, chol_solve_bl)
+
+    n = ffm.n
+    pairs = _check_fb_pairs(n, pairs, offsets_a, offsets_b)
+    k = len(pairs)
+    ks = len(links)
+    if links:
+        _check_contacts(n, links, offsets)
+
+    shape_b = q.shape[:-1]
+    flat = lambda x: x.reshape((-1, x.shape[-1])).T      # (..., d) → (d, B)
+    quat_bl, pos_bl, q_bl = flat(quat), flat(pos), flat(q)
+    vb_bl, qd_bl, tau_bl = flat(vb), flat(qd), flat(tau)
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+    oa = jnp.asarray(offsets_a, dtype)
+    ob = jnp.asarray(offsets_b, dtype)
+
+    from .blops import joint_transforms_bl
+    X = joint_transforms_bl(ffm.arm, q_bl)
+    R = _quat_to_rot_bl(quat_bl)
+    p_b, c_j = _fb_bias_bl(ffm, X, R, vb_bl, qd_bl, gravity)
+    M = _fb_mass_matrix_bl(ffm, X)
+    Lm = chol_factor_bl(M)
+    y_free = chol_apply_bl(Lm, jnp.concatenate([-p_b, tau_bl - c_j]))
+
+    if links:
+        offsets = jnp.asarray(offsets, dtype)
+
+    def rows_of(quat_, q_):
+        Jl, xas, xbs = _fb_loop_rows_bl(ffm, quat_, q_, pairs, oa, ob)
+        if links:
+            Js, xs = _fb_contact_rows_bl(ffm, quat_, q_, links, offsets)
+            Jl = jnp.concatenate([Jl, Js], axis=0)
+        else:
+            xs = None
+        return Jl, xas, xbs, xs
+
+    J, xas, xbs, xs = rows_of(quat_bl, q_bl)
+    m = 3 * (k + ks)
+    vfull = jnp.concatenate([vb_bl, qd_bl])
+
+    # bias: exact jvp of J(quat, q)·[vb; q̇] along the state flow
+    def vel(quat_, q_):
+        J_, _, _, _ = rows_of(quat_, q_)
+        return jnp.stack([
+            sum(J_[r, c] * vfull[c] for c in range(6 + n))
+            for r in range(m)])
+
+    w, xq, yq, zq = quat_bl
+    ox, oy, oz = vb_bl[0], vb_bl[1], vb_bl[2]
+    dquat = 0.5 * jnp.stack([
+        -xq * ox - yq * oy - zq * oz,
+        w * ox + yq * oz - zq * oy,
+        w * oy + zq * ox - xq * oz,
+        w * oz + xq * oy - yq * ox,
+    ])
+    _, bias = jax.jvp(vel, (quat_bl, q_bl), (dquat, qd_bl))
+
+    alpha, beta = baumgarte
+    a_star = jnp.zeros((m, B), dtype)
+    if alpha != 0.0:
+        Jv = jnp.stack([sum(J[r, c] * vfull[c] for c in range(6 + n))
+                        for r in range(m)])
+        a_star = a_star - 2.0 * alpha * Jv
+    if beta != 0.0:
+        from .kinematics import _mv3
+        gaps = []
+        for i, (a, b) in enumerate(pairs):
+            if xbs[i] is not None:                 # link↔link: pos cancels
+                gaps.append(_mv3(R, xas[i] - xbs[i]))
+            else:                                  # world pair: vs anchor
+                gaps.append(pos_bl + _mv3(R, xas[i]) - ob[i][:, None])
+        if links:
+            x_w = jnp.concatenate([
+                pos_bl + _mv3(R, xs[3 * i:3 * i + 3])
+                for i in range(ks)])
+            anch = (x_w if anchors is None
+                    else jnp.asarray(anchors, dtype).reshape(-1)[:, None])
+            gaps.append(x_w - anch)
+        a_star = a_star - beta * beta * jnp.concatenate(gaps)
+
+    MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(m)]   # (6+n, B)
+    G = jnp.stack([
+        jnp.stack([sum(J[r, c] * MiJt_cols[s][c] for c in range(6 + n))
+                   for s in range(m)])
+        for r in range(m)])
+    rhs = -(jnp.stack([sum(J[r, c] * y_free[c] for c in range(6 + n))
+                       for r in range(m)]) + bias - a_star)
+    lam = chol_solve_bl(G, rhs, reg=reg)
+    y = y_free + sum(MiJt_cols[s] * lam[s:s + 1] for s in range(m))
+
+    unflat = lambda arr: jnp.moveaxis(arr, 0, -1).reshape(
+        shape_b + (arr.shape[0],))
+    return unflat(y[:6]), unflat(y[6:]), unflat(lam)
+
+
 def loop_step(model: RobotModel, q, qd, u, dt, pairs=(), offsets_a=None,
               offsets_b=None, gravity=-9.81, baumgarte=(10.0, 10.0),
               reg=0.0, couplings=None):
@@ -525,6 +704,24 @@ def simulate_loops(model: RobotModel, q0, qd0, taus, dt, pairs=(),
         q2, qd2, lam = loop_step(model, q, qd, tau, dt, pairs, offsets_a,
                                  offsets_b, gravity, baumgarte, reg,
                                  couplings=couplings)
+        return (q2, qd2), (q2, qd2, lam)
+
+    return jax.lax.scan(step, (q0, qd0), taus)
+
+
+def simulate_loops_batched(model: RobotModel, q0, qd0, taus, dt, pairs=(),
+                           offsets_a=None, offsets_b=None, gravity=-9.81,
+                           baumgarte=(10.0, 10.0), reg=0.0, couplings=None):
+    """``lax.scan`` rollout of a BATCH of constrained chains — parallel
+    linkage environments (``taus``: (T, ..., n) batch-first per step,
+    stepped through :func:`loop_step_batched`). Returns
+    ((q_T, q̇_T), per-step (q, q̇, λ) stacks) — one device dispatch."""
+    def step(carry, tau):
+        q, qd = carry
+        q2, qd2, lam = loop_step_batched(model, q, qd, tau, dt, pairs,
+                                         offsets_a, offsets_b, gravity,
+                                         baumgarte, reg,
+                                         couplings=couplings)
         return (q2, qd2), (q2, qd2, lam)
 
     return jax.lax.scan(step, (q0, qd0), taus)

@@ -567,3 +567,75 @@ def test_loop_step_batched_world_pin(fourbar):
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(lam), np.asarray(lamv),
                                atol=1e-9)
+
+
+def test_fb_loop_fd_batched_matches_vmap(fb_fourbar):
+    """fb_loop_fd_batched == vmap(fb_loop_forward_dynamics) for (i) a
+    link↔link pair with baumgarte on, (ii) loops + stance pins with
+    anchors, and (iii) a world pair (b = −1) — independent batch-last
+    formulation (structural base-column zeros, one joint jvp for the
+    bias) vs the single-state path."""
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    rng = np.random.default_rng(23)
+    B = 4
+    quat = rng.normal(size=(B, 4))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=1, keepdims=True))
+    pos = jnp.asarray(rng.uniform(-1, 1, (B, 3)))
+    q = jnp.asarray(rng.uniform(-0.3, 0.3, (B, ffm.n)))
+    vb = jnp.asarray(rng.uniform(-1, 1, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, ffm.n)))
+    tau = jnp.asarray(rng.uniform(-2, 2, (B, ffm.n)))
+    names = desc.topology.link_names
+    rocker = names.index("rocker")
+    stance = dict(links=(rocker,), offsets=np.array([[0.0, 0.0, -0.25]]),
+                  anchors=np.array([[0.1, 0.0, 0.0]]))
+
+    for kw in (dict(baumgarte=(4.0, 6.0), reg=1e-9),
+               dict(baumgarte=(3.0, 5.0), reg=1e-9, **stance)):
+        out_bl = loops.fb_loop_fd_batched(ffm, quat, pos, q, vb, qd, tau,
+                                          pairs, oa, ob, **kw)
+        out_v = jax.vmap(lambda a, b, c, d, e, f:
+                         loops.fb_loop_forward_dynamics(
+                             ffm, a, b, c, d, e, f, pairs, oa, ob, **kw))(
+            quat, pos, q, vb, qd, tau)
+        for x_bl, x_v in zip(out_bl, out_v):
+            np.testing.assert_allclose(np.asarray(x_bl), np.asarray(x_v),
+                                       atol=2e-8)
+
+    # world pair: pin the rocker tip to a world anchor through the loop API
+    wpairs = ((rocker, -1),)
+    woa = np.array([[0.0, 0.0, -0.5]])
+    wob = np.array([[0.3, 0.0, -0.2]])
+    out_bl = loops.fb_loop_fd_batched(ffm, quat, pos, q, vb, qd, tau,
+                                      wpairs, woa, wob,
+                                      baumgarte=(2.0, 3.0), reg=1e-9)
+    out_v = jax.vmap(lambda a, b, c, d, e, f:
+                     loops.fb_loop_forward_dynamics(
+                         ffm, a, b, c, d, e, f, wpairs, woa, wob,
+                         baumgarte=(2.0, 3.0), reg=1e-9))(
+        quat, pos, q, vb, qd, tau)
+    for x_bl, x_v in zip(out_bl, out_v):
+        np.testing.assert_allclose(np.asarray(x_bl), np.asarray(x_v),
+                                   atol=2e-8)
+
+
+def test_simulate_loops_batched(fourbar):
+    """Batched scan rollout == per-environment single-state rollout."""
+    desc, model, pairs, oa, ob = fourbar
+    rng = np.random.default_rng(2)
+    B, T = 3, 40
+    q0 = jnp.zeros((B, 3))
+    qd0 = jnp.asarray(np.stack([np.asarray(loops.loop_project_velocity(
+        model, jnp.zeros(3), jnp.asarray(rng.uniform(-1, 1, 3)), pairs,
+        oa, ob, reg=1e-10)) for _ in range(B)]))
+    taus = jnp.asarray(rng.uniform(-0.5, 0.5, (T, B, 3)))
+    (qT, qdT), _ = loops.simulate_loops_batched(
+        model, q0, qd0, taus, 1e-3, pairs, oa, ob, reg=1e-9)
+    for b in range(B):
+        (qTb, qdTb), _ = loops.simulate_loops(
+            model, q0[b], qd0[b], taus[:, b], 1e-3, pairs, oa, ob,
+            reg=1e-9)
+        np.testing.assert_allclose(np.asarray(qT[b]), np.asarray(qTb),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(qdT[b]), np.asarray(qdTb),
+                                   atol=1e-8)
