@@ -721,7 +721,7 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
 # Unilateral ground contact with Coulomb friction (velocity-stepping PGS)
 # --------------------------------------------------------------------------
 def _pgs_sweep(p, G, b, mu, active, lim_active, diag, k: int, m: int,
-               relax: float = 1.0):
+               relax: float = 1.0, eq: int = 0):
     """One full (projected-SOR) Gauss-Seidel sweep of the cone solve
     (single state): the map T(p, θ) whose fixed point is the contact
     solution. Shared verbatim by the forward ``fori_loop`` and the
@@ -755,11 +755,21 @@ def _pgs_sweep(p, G, b, mu, active, lim_active, diag, k: int, m: int,
         if relax != 1.0:
             pj = p[row] + relax * (pj - p[row])
         p = p.at[row].set(pj)
+    for j in range(eq):
+        # bilateral (equality) rows — loop-closure cuts: plain unprojected
+        # Gauss-Seidel (sign-free impulse), convergent on the SPD Delassus
+        row = 3 * k + m + j
+        r = G[row] @ p + b[row]
+        pj = p[row] - r / diag[row]
+        if relax != 1.0:
+            pj = p[row] + relax * (pj - p[row])
+        p = p.at[row].set(pj)
     return p
 
 
 def pgs_solve(G, b, mu, active, iters: int = 30, lim_active=None,
-              implicit_diff: bool = False, relax: float = 1.0):
+              implicit_diff: bool = False, relax: float = 1.0,
+              eq_rows: int = 0):
     """Projected Gauss-Seidel for the contact LCP/cone problem: find
     impulses p minimizing ½pᵀGp + pᵀb subject to, per contact i (rows
     ordered [t1, t2, n]): p_n ≥ 0 (only pushing), ‖p_t‖ ≤ μ p_n (Coulomb
@@ -782,38 +792,43 @@ def pgs_solve(G, b, mu, active, iters: int = 30, lim_active=None,
     memory. ``relax`` < 1 under-relaxes the sweeps (projected SOR, same
     fixed points) — required for convergence on strongly coupled high-μ
     systems, and therefore for valid implicit gradients there (see
-    :func:`_pgs_sweep`)."""
+    :func:`_pgs_sweep`).
+
+    ``eq_rows`` appends that many trailing BILATERAL rows (λ sign-free,
+    no projection — loop-closure cuts, :mod:`.loops`) after the limit
+    rows; on those rows PGS degenerates to plain Gauss-Seidel."""
     m = 0 if lim_active is None else lim_active.shape[0]
-    k = (b.shape[0] - m) // 3
+    k = (b.shape[0] - m - eq_rows) // 3
     lim = (jnp.zeros((0,) + b.shape[1:], b.dtype) if lim_active is None
            else lim_active)
     if implicit_diff:
-        return _pgs_implicit("single", k, m, int(iters), float(relax),
-                             G, b, mu, active, lim)
+        return _pgs_implicit("single", k, m, int(eq_rows), int(iters),
+                             float(relax), G, b, mu, active, lim)
     diag = jnp.clip(jnp.diagonal(G), 1e-9, None)
     return jax.lax.fori_loop(
         0, iters,
         lambda _, p: _pgs_sweep(p, G, b, mu, active, lim, diag, k, m,
-                                relax),
+                                relax, eq_rows),
         jnp.zeros_like(b))
 
 
 def _pgs_step_of_theta(layout: str, p, G, b, mu, active, lim_active,
-                       k: int, m: int, relax: float = 1.0):
+                       k: int, m: int, relax: float = 1.0, eq: int = 0):
     """T(p, θ) with the diagonal preconditioner folded in as the function
     of G it is (the IFT needs T's full θ-dependence, including diag)."""
     if layout == "single":
         diag = jnp.clip(jnp.diagonal(G), 1e-9, None)
         return _pgs_sweep(p, G, b, mu, active, lim_active, diag, k, m,
-                          relax)
-    diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k + m)]),
+                          relax, eq)
+    diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k + m + eq)]),
                     1e-9, None)
     return _pgs_sweep_bl(p, G, b, mu, active, lim_active, diag, k, m,
-                         relax)
+                         relax, eq)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _pgs_implicit(layout, k, m, iters, relax, G, b, mu, active, lim_active):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _pgs_implicit(layout, k, m, eq, iters, relax, G, b, mu, active,
+                  lim_active):
     """PGS with implicit fixed-point gradients. Forward: the plain solver.
     Backward: at the converged p* = T(p*, θ), the IFT gives
     ∂p*/∂θ = (I − ∂T/∂p)⁻¹ ∂T/∂θ, so the VJP is θ̄ = (∂T/∂θ)ᵀ u with
@@ -831,22 +846,22 @@ def _pgs_implicit(layout, k, m, iters, relax, G, b, mu, active, lim_active):
     return jax.lax.fori_loop(
         0, iters,
         lambda _, p: _pgs_step_of_theta(layout, p, G, b, mu, active,
-                                        lim_active, k, m, relax),
+                                        lim_active, k, m, relax, eq),
         p0)
 
 
-def _pgs_implicit_fwd(layout, k, m, iters, relax, G, b, mu, active,
+def _pgs_implicit_fwd(layout, k, m, eq, iters, relax, G, b, mu, active,
                       lim_active):
-    p = _pgs_implicit(layout, k, m, iters, relax, G, b, mu, active,
+    p = _pgs_implicit(layout, k, m, eq, iters, relax, G, b, mu, active,
                       lim_active)
     return p, (p, G, b, mu, active, lim_active)
 
 
-def _pgs_implicit_bwd(layout, k, m, iters, relax, res, pbar):
+def _pgs_implicit_bwd(layout, k, m, eq, iters, relax, res, pbar):
     p, G, b, mu, active, lim_active = res
-    rows = 3 * k + m
+    rows = 3 * k + m + eq
     T = lambda p_: _pgs_step_of_theta(layout, p_, G, b, mu, active,
-                                      lim_active, k, m, relax)
+                                      lim_active, k, m, relax, eq)
     eye = jnp.eye(rows, dtype=p.dtype)
     if layout == "single":
         A = jax.jacfwd(T)(p)                       # (rows, rows)
@@ -863,7 +878,7 @@ def _pgs_implicit_bwd(layout, k, m, iters, relax, res, pbar):
         u = jnp.linalg.solve(lhs, pbar.T[..., None])[..., 0].T  # (rows, B)
     _, vjp_th = jax.vjp(
         lambda G_, b_, mu_, act_, lim_: _pgs_step_of_theta(
-            layout, p, G_, b_, mu_, act_, lim_, k, m, relax),
+            layout, p, G_, b_, mu_, act_, lim_, k, m, relax, eq),
         G, b, mu, active, lim_active)
     return vjp_th(u)
 
@@ -923,7 +938,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    restitution: float = 0.0, limits=None, effort=None,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, collision=None,
-                   mu_collision=None):
+                   mu_collision=None, loops=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -971,7 +986,14 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     BPTT-through-contact training path. Implicit gradients assume the
     solve CONVERGED; on strongly coupled high-μ systems pass
     ``relax≈0.7`` (projected SOR, same solutions — see
-    :func:`_pgs_sweep`) so it does."""
+    :func:`_pgs_sweep`) so it does.
+
+    ``loops = (pairs, offsets_a, offsets_b)``: loop-closure cuts
+    (:mod:`.loops` — closed-chain linkage legs, self-grasps) enforced as
+    BILATERAL rows inside the same PGS solve (sign-free impulses, plain
+    Gauss-Seidel rows after the cone/limit rows) with the same ``erp``
+    gap recovery — a parallel-linkage robot stepping on frictional
+    ground is one solve."""
     from .freeflyer import (fb_bias, fb_mass_matrix, quat_exp_body,
                             quat_mul, quat_to_rot)
 
@@ -1044,6 +1066,15 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         J_l = jnp.concatenate(
             [jnp.zeros((n, 6), q.dtype), jnp.diag(-sign)], axis=1)
         J = jnp.concatenate([J, J_l], axis=0)
+    n_lim = J.shape[0] - 3 * k
+    eq = 0
+    if loops is not None:
+        from .loops import fb_loop_gap, fb_loop_jacobian
+        lpairs, loa, lob = loops
+        J_loop = fb_loop_jacobian(ffm, quat, q, lpairs, loa, lob)
+        gap_loop = fb_loop_gap(ffm, quat, pos, q, lpairs, loa, lob)
+        J = jnp.concatenate([J, J_loop], axis=0)
+        eq = J_loop.shape[0]
     MiJt = msolve(J.T)
     G = J @ MiJt + 1e-9 * jnp.eye(J.shape[0], dtype=q.dtype)
     vn_now = (J[:3 * k] @ v).reshape(k, 3)[:, 2]
@@ -1054,7 +1085,10 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     b = b.at[2:3 * k:3].add(-v_star)
     if impulse_limits:
         v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
-        b = b.at[3 * k:].add(-v_star_l)
+        b = b.at[3 * k:3 * k + n_lim].add(-v_star_l)
+    if eq:
+        # bilateral rows: J v⁺ = −erp·gap/dt (two-sided gap recovery)
+        b = b.at[3 * k + n_lim:].add(erp * gap_loop / dt)
 
     mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k_feet,))
     if k > k_feet:
@@ -1062,7 +1096,8 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         mu_vec = jnp.concatenate([mu_vec, jnp.broadcast_to(
             jnp.asarray(mu_c, q.dtype), (k - k_feet,))])
     p_imp = pgs_solve(G, b, mu_vec, active, iters, lim_active=lim_active,
-                      implicit_diff=(diff_mode == "implicit"), relax=relax)
+                      implicit_diff=(diff_mode == "implicit"), relax=relax,
+                      eq_rows=eq)
 
     v_new = v_free + MiJt @ p_imp
     p_imp = p_imp[:3 * k]
@@ -1118,9 +1153,9 @@ def _mu_to_bl(mu, k, B, dtype):
 
 
 def _pgs_sweep_bl(p, G, b, mu, active, lim_active, diag, k: int, m: int,
-                  relax: float = 1.0):
+                  relax: float = 1.0, eq: int = 0):
     """Batch-last :func:`_pgs_sweep` — the lane-parallel T(p, θ)."""
-    rows = 3 * k + m
+    rows = 3 * k + m + eq
     for i in range(k):
         s = 3 * i
         r = matvec_bl(G[s:s + 3], p) + b[s:s + 3]
@@ -1140,31 +1175,41 @@ def _pgs_sweep_bl(p, G, b, mu, active, lim_active, diag, k: int, m: int,
         if relax != 1.0:
             pj = p[row] + relax * (pj - p[row])
         p = jnp.concatenate([p[:row], pj[None], p[row + 1:]])
+    for j in range(eq):
+        # bilateral loop-cut rows: unprojected lane-parallel Gauss-Seidel
+        row = 3 * k + m + j
+        r = sum(G[row, c] * p[c] for c in range(rows)) + b[row]
+        pj = p[row] - r / diag[row]
+        if relax != 1.0:
+            pj = p[row] + relax * (pj - p[row])
+        p = jnp.concatenate([p[:row], pj[None], p[row + 1:]])
     return p
 
 
 def pgs_solve_bl(G, b, mu, active, iters: int = 30, lim_active=None,
-                 implicit_diff: bool = False, relax: float = 1.0):
+                 implicit_diff: bool = False, relax: float = 1.0,
+                 eq_rows: int = 0):
     """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,) or
     (k,B) — static, traced, or per-environment — active (k,B) →
     impulses (3k,B); every sweep step a lane-parallel op. ``lim_active``
     (m,B) appends m normal-only joint-limit rows (G/b sized 3k+m).
     ``implicit_diff``/``relax`` as in :func:`pgs_solve` (exact fixed-point
-    gradients; the IFT system is factored per environment)."""
+    gradients; the IFT system is factored per environment).
+    ``eq_rows`` trailing bilateral rows as in :func:`pgs_solve`."""
     m = 0 if lim_active is None else lim_active.shape[0]
-    k = (b.shape[0] - m) // 3
+    k = (b.shape[0] - m - eq_rows) // 3
     mu = jnp.asarray(mu, b.dtype)
-    rows = 3 * k + m
+    rows = 3 * k + m + eq_rows
     lim = (jnp.zeros((0,) + b.shape[1:], b.dtype) if lim_active is None
            else lim_active)
     if implicit_diff:
-        return _pgs_implicit("bl", k, m, int(iters), float(relax),
-                             G, b, mu, active, lim)
+        return _pgs_implicit("bl", k, m, int(eq_rows), int(iters),
+                             float(relax), G, b, mu, active, lim)
     diag = jnp.clip(jnp.stack([G[d, d] for d in range(rows)]), 1e-9, None)
     return jax.lax.fori_loop(
         0, iters,
         lambda _, p: _pgs_sweep_bl(p, G, b, mu, active, lim, diag, k, m,
-                                   relax),
+                                   relax, eq_rows),
         jnp.zeros_like(b))
 
 
@@ -1175,7 +1220,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            limits=None, effort=None,
                            limit_mode: str = "project",
                            diff_mode: str = "unroll", relax: float = 1.0,
-                           terrain=None, collision=None, mu_collision=None):
+                           terrain=None, collision=None, mu_collision=None,
+                           loops=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1207,7 +1253,12 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     Rides the fused kernels when the friction coefficients are static
     python scalars (the kernel bakes geometry + mu as literals); traced
     or per-environment mu falls back to the XLA batch-last body. Impulses
-    then cover ``k_feet + collision.n_contacts`` triplets."""
+    then cover ``k_feet + collision.n_contacts`` triplets.
+
+    ``loops = (pairs, offsets_a, offsets_b)``: loop-closure cuts as
+    bilateral rows in the shared lane-parallel PGS (see
+    :func:`fb_step_ground`) — parallel-linkage environments stepping on
+    ground; runs the XLA batch-last body."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     if effort is not None:
@@ -1247,7 +1298,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                                            collision.obstacles)))))
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
             and diff_mode == "unroll" and relax == 1.0
-            and mu_coll_static):
+            and mu_coll_static and loops is None):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
@@ -1335,6 +1386,27 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         zero_row = jnp.zeros((6 + n, B), dtype)
         J_l = [zero_row.at[6 + j].set(-sign[j]) for j in range(n)]
         J = jnp.concatenate([J, jnp.stack(J_l)], axis=0)
+    n_lim = J.shape[0] - 3 * k
+    eq = 0
+    if loops is not None:
+        from .kinematics import _mv3
+        from .loops import _check_fb_pairs, _fb_loop_rows_bl
+        lpairs, loa, lob = loops
+        lpairs = _check_fb_pairs(n, lpairs, loa, lob)
+        loa_j = jnp.asarray(loa, dtype)
+        lob_j = jnp.asarray(lob, dtype)
+        J_loop, xas, xbs = _fb_loop_rows_bl(ffm, quat_bl, q_bl, lpairs,
+                                            loa_j, lob_j)
+        gap_rows = []
+        for i in range(len(lpairs)):
+            if xbs[i] is not None:             # link↔link: pos cancels
+                gap_rows.append(_mv3(R, xas[i] - xbs[i]))
+            else:                              # world pair: vs anchor
+                gap_rows.append(pos_bl + _mv3(R, xas[i])
+                                - lob_j[i][:, None])
+        gap_loop = jnp.concatenate(gap_rows)   # (3·k_loop, B)
+        J = jnp.concatenate([J, J_loop], axis=0)
+        eq = J_loop.shape[0]
     rows = J.shape[0]
     MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(rows)]
     G = jnp.stack([
@@ -1353,8 +1425,10 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         [jnp.concatenate([b[3 * i:3 * i + 2],
                           (b[3 * i + 2] - v_star[i])[None]])
          for i in range(k)]
-        + ([b[3 * k:] + erp * jnp.minimum(lim_gap, 0.0) / dt]
-           if impulse_limits else []))
+        + ([b[3 * k:3 * k + n_lim]
+            + erp * jnp.minimum(lim_gap, 0.0) / dt]
+           if impulse_limits else [])
+        + ([b[3 * k + n_lim:] + erp * gap_loop / dt] if eq else []))
 
     mu_bl = _mu_to_bl(mu, k_feet, B, dtype)
     if k > k_feet:
@@ -1364,7 +1438,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     p_imp = pgs_solve_bl(G, b, mu_bl, active, iters,
                          lim_active=lim_active,
                          implicit_diff=(diff_mode == "implicit"),
-                         relax=relax)
+                         relax=relax, eq_rows=eq)
 
     v_new = v_free + sum(MiJt_cols[s] * p_imp[s][None, :]
                          for s in range(rows))
@@ -1386,13 +1460,13 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
 def fb_simulate_ground(ffm, state0, taus, dt, links, offsets, mu=0.8,
                        ground_z=0.0, gravity=-9.81, iters: int = 30,
                        erp: float = 0.2, margin: float = 1e-3,
-                       restitution: float = 0.0, terrain=None):
+                       restitution: float = 0.0, terrain=None, loops=None):
     """``lax.scan`` rollout of :func:`fb_step_ground` — a full frictional
     ground-contact simulation in one device dispatch."""
     def step(s, tau):
         nxt, imp = fb_step_ground(ffm, s, tau, dt, links, offsets, mu,
                                   ground_z, gravity, iters, erp, margin,
-                                  restitution, terrain=terrain)
+                                  restitution, terrain=terrain, loops=loops)
         return nxt, (nxt, imp)
 
     return jax.lax.scan(step, state0, taus)
@@ -1404,7 +1478,7 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
                                margin: float = 1e-3,
                                restitution: float = 0.0, impl="auto",
                                terrain=None, collision=None,
-                               mu_collision=None):
+                               mu_collision=None, loops=None):
     """``lax.scan`` rollout of :func:`fb_step_ground_batched` — T steps of
     N frictional environments in ONE device dispatch (the RL-training
     inner loop; on TPU each step is one fused Pallas kernel per lane
@@ -1416,7 +1490,7 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
         nxt, imp = fb_step_ground_batched(
             ffm, s, tau, dt, links, offsets, mu, ground_z, gravity, iters,
             erp, margin, restitution, impl=impl, terrain=terrain,
-            collision=collision, mu_collision=mu_collision)
+            collision=collision, mu_collision=mu_collision, loops=loops)
         return nxt, imp
 
     return jax.lax.scan(step, state0, taus)

@@ -204,7 +204,7 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
                         iters: int = 30, erp: float = 0.2,
                         margin: float = 1e-3, restitution: float = 0.0,
                         impl: str = "auto", terrain=None,
-                        collision=None, mu_collision=None):
+                        collision=None, mu_collision=None, loops=None):
     """dp-sharded batched frictional environment stepper — the multi-chip
     parallel-RL shape: N environments shard over the mesh, each shard
     advances its slice with :func:`..ops.contact.fb_step_ground_batched`
@@ -217,7 +217,9 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
     exactly like the robot inertias). ``collision``: optional
     :class:`..ops.collision.CollisionModel`, likewise replicated — every
     shard solves its environments' self-collision/obstacle cone rows
-    in-kernel.
+    in-kernel. ``loops``: optional loop-closure cuts
+    ``(pairs, offsets_a, offsets_b)`` as bilateral rows in each shard's
+    PGS (closed-chain linkage legs; static geometry, replicated).
 
     Returns a jitted ``step(state, tau) -> (next_state, impulses)`` with
     ``state = (quat (B,4), pos (B,3), q (B,n), vb (B,6), qd (B,n))``,
@@ -239,7 +241,7 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
         return _ct.fb_step_ground_batched(
             ffm, state, tau, dt, links, off, mu, ground_z, gravity, iters,
             erp, margin, restitution, impl=impl, terrain=terrain,
-            collision=collision, mu_collision=mu_collision)
+            collision=collision, mu_collision=mu_collision, loops=loops)
 
     return jax.jit(_step)
 

@@ -639,3 +639,177 @@ def test_simulate_loops_batched(fourbar):
                                    atol=1e-9)
         np.testing.assert_allclose(np.asarray(qdT[b]), np.asarray(qdTb),
                                    atol=1e-8)
+
+
+# --------------------------------------------------------------------------
+# Loop cuts inside the frictional ground stepper (bilateral PGS rows)
+# --------------------------------------------------------------------------
+def test_pgs_equality_rows_solve_linear_system():
+    """With only bilateral rows, PGS degenerates to Gauss-Seidel and must
+    converge to the exact linear solution −G⁻¹b (both layouts)."""
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(4, 4))
+    G = jnp.asarray(A @ A.T + 4 * np.eye(4))
+    b = jnp.asarray(rng.normal(size=4))
+    mu = jnp.zeros(0)
+    active = jnp.zeros(0)
+    p = ct.pgs_solve(G, b, mu, active, iters=200, eq_rows=4)
+    np.testing.assert_allclose(np.asarray(p),
+                               -np.linalg.solve(np.asarray(G),
+                                                np.asarray(b)), atol=1e-10)
+    # batch-last layout
+    B = 3
+    G_bl = jnp.broadcast_to(G[..., None], (4, 4, B))
+    b_bl = jnp.asarray(rng.normal(size=(4, B)))
+    p_bl = ct.pgs_solve_bl(G_bl, b_bl, jnp.zeros((0, B)),
+                           jnp.zeros((0, B)), iters=200, eq_rows=4)
+    np.testing.assert_allclose(
+        np.asarray(p_bl), -np.linalg.solve(np.asarray(G),
+                                           np.asarray(b_bl)), atol=1e-10)
+
+
+def test_step_ground_loops_matches_direct_kkt(fb_fourbar):
+    """Floating four-bar in the air (ground inactive): the stepper's
+    bilateral rows must reproduce the exact impulse-level KKT solve
+    v⁺ = v_free + M⁻¹Jᵀp, J v⁺ = −erp·gap/dt — an independent dense
+    formulation of the same correction."""
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops.freeflyer import (fb_bias,
+                                                     fb_mass_matrix,
+                                                     quat_to_rot)
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    rng = np.random.default_rng(5)
+    quat = rng.normal(size=4)
+    quat = jnp.asarray(quat / np.linalg.norm(quat))
+    pos = jnp.asarray([0.2, -0.1, 2.0])         # well above the ground
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, ffm.n))
+    vb = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd = jnp.asarray(rng.uniform(-1, 1, ffm.n))
+    tau = jnp.asarray(rng.uniform(-1, 1, ffm.n))
+    names = desc.topology.link_names
+    links = (names.index("rocker"),)
+    offs = np.array([[0.0, 0.0, -0.25]])
+    dt, erp, iters = 1e-3, 0.2, 200
+
+    (q2, p2, qq2, vb2, qd2), imp = ct.fb_step_ground(
+        ffm, (quat, pos, q, vb, qd), tau, dt, links, offs,
+        iters=iters, erp=erp, loops=(pairs, oa, ob))
+    np.testing.assert_allclose(np.asarray(imp), 0.0, atol=1e-12)  # in air
+
+    # independent dense KKT
+    X = ffm.arm.joint_transforms(q)
+    R = quat_to_rot(quat)
+    p_b, c_j = fb_bias(ffm, X, R, vb, qd, -9.81)
+    M = fb_mass_matrix(ffm, X)
+    v = jnp.concatenate([vb, qd])
+    v_free = v + dt * jnp.linalg.solve(
+        M, jnp.concatenate([-p_b, tau - c_j]))
+    J = loops.fb_loop_jacobian(ffm, quat, q, pairs, oa, ob)
+    gap = loops.fb_loop_gap(ffm, quat, pos, q, pairs, oa, ob)
+    MiJt = jnp.linalg.solve(M, J.T)
+    G = J @ MiJt + 1e-9 * jnp.eye(3, dtype=q.dtype)
+    p_e = jnp.linalg.solve(G, -(J @ v_free + erp * gap / dt))
+    v_new = v_free + MiJt @ p_e
+    np.testing.assert_allclose(np.asarray(vb2), np.asarray(v_new[:6]),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(qd2), np.asarray(v_new[6:]),
+                               atol=1e-8)
+    # the constraint velocity is the erp target
+    np.testing.assert_allclose(np.asarray(J @ v_new),
+                               np.asarray(-erp * gap / dt), atol=1e-7)
+
+
+def test_step_ground_loops_batched_matches_single(fb_fourbar):
+    """Batched stepper with loop rows + ACTIVE ground contact == per-state
+    single stepper (independent batch-last body)."""
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    rng = np.random.default_rng(9)
+    B = 4
+    quat = rng.normal(size=(B, 4))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=1, keepdims=True))
+    pos = jnp.asarray(np.concatenate(
+        [rng.uniform(-0.2, 0.2, (B, 2)), rng.uniform(0.2, 0.35, (B, 1))],
+        axis=1))                                 # near the ground
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, (B, ffm.n)))
+    vb = jnp.asarray(rng.uniform(-1, 1, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, ffm.n)))
+    tau = jnp.asarray(rng.uniform(-1, 1, (B, ffm.n)))
+    names = desc.topology.link_names
+    links = (names.index("rocker"), names.index("crank"))
+    offs = np.array([[0.0, 0.0, -0.25], [0.0, 0.0, -0.25]])
+
+    nxt_b, imp_b = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, links, offs,
+        iters=60, loops=(pairs, oa, ob))
+    for i in range(B):
+        nxt_s, imp_s = ct.fb_step_ground(
+            ffm, (quat[i], pos[i], q[i], vb[i], qd[i]), tau[i], 1e-3,
+            links, offs, iters=60, loops=(pairs, oa, ob))
+        for xb, xs in zip(nxt_b, nxt_s):
+            np.testing.assert_allclose(np.asarray(xb[i]), np.asarray(xs),
+                                       atol=5e-9)
+        np.testing.assert_allclose(np.asarray(imp_b[i]), np.asarray(imp_s),
+                                   atol=5e-9)
+    # at least one environment actually touches the ground
+    assert float(jnp.abs(imp_b).max()) > 1e-6
+
+
+@pytest.mark.mid
+def test_step_ground_loops_drop_rollout(fb_fourbar):
+    """Drop the closed four-bar onto the ground: the loop gap stays closed
+    (≤ 2 mm) through impact and settling, and the mechanism comes to
+    rest under friction."""
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    names = desc.topology.link_names
+    links = (names.index("rocker"), names.index("crank"))
+    offs = np.array([[0.0, 0.0, -0.25], [0.0, 0.0, -0.25]])
+    quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    pos = jnp.asarray([0.0, 0.0, 0.6])
+    q = jnp.zeros(ffm.n)
+    vb = jnp.zeros(6)
+    qd = jnp.zeros(ffm.n)
+    taus = jnp.zeros((600, ffm.n))
+    (state, (_, imps)) = ct.fb_simulate_ground(
+        ffm, (quat, pos, q, vb, qd), taus, 1e-3, links, offs, mu=0.9,
+        iters=40, loops=(pairs, oa, ob))
+    quatT, posT, qT, vbT, qdT = state
+    gap = loops.fb_loop_gap(ffm, quatT, posT, qT, pairs, oa, ob)
+    assert float(jnp.abs(gap).max()) < 2e-3
+    assert float(jnp.abs(vbT).max()) < 0.05      # settled
+    assert float(jnp.abs(imps).max()) > 1e-4     # contact actually fired
+
+
+def test_step_ground_loops_implicit_grad(fb_fourbar):
+    """diff_mode='implicit' through a step WITH bilateral rows: the IFT
+    gradient (direct solve over cone+eq rows) matches the unrolled
+    gradient."""
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    desc, ffm, pairs, oa, ob = fb_fourbar
+    names = desc.topology.link_names
+    links = (names.index("rocker"),)
+    offs = np.array([[0.0, 0.0, -0.25]])
+    quat = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+    pos = jnp.asarray([0.0, 0.0, 0.26])          # in contact
+    q = jnp.zeros(ffm.n)
+    vb = jnp.asarray([0.0, 0.0, 0.0, 0.1, 0.0, -0.2])
+    qd = jnp.zeros(ffm.n)
+
+    def loss(tau, mode):
+        (q2, p2, qq2, vb2, qd2), _ = ct.fb_step_ground(
+            ffm, (quat, pos, q, vb, qd), tau, 1e-3, links, offs,
+            iters=120, diff_mode=mode, relax=0.9, loops=(pairs, oa, ob))
+        return jnp.sum(vb2 ** 2) + jnp.sum(qd2 ** 2)
+
+    tau = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, ffm.n))
+    g_imp = jax.grad(lambda t: loss(t, "implicit"))(tau)
+    g_unr = jax.grad(lambda t: loss(t, "unroll"))(tau)
+    np.testing.assert_allclose(np.asarray(g_imp), np.asarray(g_unr),
+                               rtol=1e-5, atol=1e-10)

@@ -200,6 +200,21 @@ def test_sharded_ground_step(eight_devices):
     np.testing.assert_allclose(np.asarray(imp_cs), np.asarray(imp_cr),
                                atol=1e-11)
 
+    # loop-closure variant: bilateral cut rows replicate to every shard
+    lpairs = ((n - 1, -1),)
+    loa = np.asarray([[0.1, 0.0, 0.0]])
+    lob = np.asarray([[0.2, 0.0, 0.1]])
+    step_l = pmesh.sharded_ground_step(ffm, m, links, offs, dt=1e-3,
+                                       mu=0.6, loops=(lpairs, loa, lob))
+    nxt_ls, imp_ls = step_l(state, tau)
+    nxt_lr, imp_lr = ct.fb_step_ground_batched(
+        ffm, state, tau, 1e-3, links, offs, mu=0.6, impl="vmap",
+        loops=(lpairs, loa, lob))
+    for a, b in zip(nxt_ls, nxt_lr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(imp_ls), np.asarray(imp_lr),
+                               atol=1e-11)
+
 
 def test_sharded_constrained_fd(eight_devices, iiwa):
     """dp-sharded stance/pinned FD == the unsharded batched api entry, and
