@@ -78,6 +78,47 @@ def main(argv=None):
                               "batch": B, "median_s": med,
                               "evals_per_s": B / med}), flush=True)
 
+    # closed chain ON frictional ground — bilateral rows inside the fused
+    # step kernel's PGS solve vs the XLA batch-last body
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ffmod
+
+    ffm = ffmod.free_flyer_model(desc, dtype=jnp.float32)
+    glinks = (names.index("rocker"), names.index("crank"))
+    goffs = np.array([[0.0, 0.0, -0.25], [0.0, 0.0, -0.25]])
+
+    def step(impl):
+        @jax.jit
+        def f(state, tau):
+            nxt, _ = ct.fb_step_ground_batched(
+                ffm, state, tau, 1e-3, glinks, goffs, mu=0.8, iters=30,
+                loops=(pairs, oa, ob), impl=impl)
+            return nxt[3]                      # vb2: one small output
+        return f
+
+    for case, impl in (("loop_ground_step_fused", "pallas"),
+                       ("loop_ground_step_xla", "vmap")):
+        for B in args.batches:
+            rng = np.random.default_rng(1)
+            quat = rng.normal(size=(B, 4))
+            quat /= np.linalg.norm(quat, axis=1, keepdims=True)
+            state = tuple(jnp.asarray(x, jnp.float32) for x in (
+                quat,
+                rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.25],
+                rng.uniform(-0.2, 0.2, (B, 3)),
+                rng.uniform(-1, 1, (B, 6)),
+                rng.uniform(-1, 1, (B, 3))))
+            tau = jnp.asarray(rng.uniform(-1, 1, (B, 3)), jnp.float32)
+            fn = step(impl)
+            t0 = time.time()
+            out = jax.block_until_ready(fn(state, tau))
+            print(f"# {case} B={B} compile+run {time.time()-t0:.1f}s "
+                  f"out {out.shape}", file=sys.stderr, flush=True)
+            med, mn = time_fn(fn, (state, tau), reps=args.reps)
+            print(json.dumps({"case": case, "robot": "four_bar",
+                              "batch": B, "median_s": med,
+                              "env_steps_per_s": B / med}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,467 @@
+"""MJCF (MuJoCo XML) → :class:`.urdf.RobotDescription`.
+
+A second model front-end beyond the reference's URDF-only intake
+(``/root/reference/README.md:8`` — the reference consumes the external
+``URDFParser``; this framework replaces it with :mod:`.urdf` and extends the
+intake to MuJoCo's format, where most modern RL robot assets ship). The
+output is the same :class:`~.urdf.RobotDescription`, so every downstream
+constructor works unchanged: ``robot_model_from_description`` (single-dof
+trees), ``free_flyer_model`` (floating base), and
+``multidof_model_from_description`` (ball / in-tree free joints).
+
+Supported MJCF subset (stdlib ``xml.etree``, no MuJoCo dependency):
+
+* ``<compiler>``: ``angle`` (degree — the MJCF default — or radian),
+  ``eulerseq`` (any permutation of x/y/z; lowercase = intrinsic / moving
+  axes, uppercase = extrinsic / fixed axes, per the MJCF reference),
+  ``inertiafromgeom`` (auto | true | false).
+* ``<default>`` classes with nesting/inheritance for ``joint`` and ``geom``
+  attributes (``class=`` on elements, ``childclass=`` on bodies).
+* ``<worldbody>`` body tree: ``pos`` + one of ``quat`` (wxyz) / ``euler`` /
+  ``axisangle`` / ``zaxis`` / ``xyaxes``.
+* joints: ``hinge`` (default) | ``slide`` | ``ball`` | ``free`` and the
+  ``<freejoint>`` shorthand; joint ``pos`` (anchor) and ``axis`` live in the
+  BODY frame. The emitted moving-link frame is the body frame translated to
+  the joint anchor, so the description's joint origin is
+  ``T_parent_body · Trans(anchor)`` and the axis carries over unchanged —
+  the exact MJCF kinematics (anchor-preserving local rotation,
+  ``mj_kinematics``). Multiple joints in one body compose in document order
+  (first joint outermost, each post-multiplying in the local frame, as in
+  MuJoCo) and are emitted as a chain through massless intermediate links.
+* ``<inertial>``: ``pos``/``quat``/``mass`` + ``diaginertia`` or
+  ``fullinertia``. Bodies without an inertial element derive mass
+  properties from their geoms like MuJoCo's compiler does
+  (``inertiafromgeom="auto"``): sphere, capsule, cylinder, box, ellipsoid,
+  with ``mass`` or ``density`` (default 1000) and ``fromto`` support.
+* joint ``damping``, ``armature``, ``range`` (+ ``limited``),
+  ``actuatorfrcrange`` → the description's damping / armature / q-limits /
+  effort fields.
+* jointless bodies are welded into their governing moving link (inertia
+  lumped through the accumulated fixed transform), exactly like the URDF
+  parser's fixed-joint merging.
+
+Not supported (raises or ignored, see code): ``<include>``, tendons,
+equality constraints, actuators beyond force ranges, sites, sensors,
+``coordinate="global"`` (removed from modern MuJoCo). Collision geometry is
+parsed structurally but only consumed for inertia synthesis here — build
+:class:`~..ops.collision.CollisionModel` sets separately.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from .topology import Topology
+from .urdf import (RobotDescription, homogeneous, skew, spatial_inertia,
+                   transform_spatial_inertia, _matrix_to_rpy)
+
+_INF = float("inf")
+
+
+# --------------------------------------------------------------------------
+# numeric attribute helpers
+# --------------------------------------------------------------------------
+def _floats(s):
+    return np.array([float(v) for v in s.split()])
+
+
+def _attr(el, defaults, name, fallback=None):
+    """Element attribute with <default> class fallback."""
+    v = el.get(name)
+    if v is not None:
+        return v
+    return defaults.get(name, fallback)
+
+
+def _axis_rot(axis: int, a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    R = np.eye(3)
+    i, j = [(1, 2), (2, 0), (0, 1)][axis]
+    R[i, i] = c
+    R[j, j] = c
+    R[i, j] = -s
+    R[j, i] = s
+    return R
+
+
+def _quat_to_mat(q) -> np.ndarray:
+    w, x, y, z = q / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _orientation(el, defaults, compiler) -> np.ndarray:
+    """Rotation matrix from whichever MJCF orientation attribute is present
+    (quat default = identity)."""
+    deg = compiler["angle"] == "degree"
+    to_rad = np.pi / 180.0 if deg else 1.0
+    quat = _attr(el, defaults, "quat")
+    if quat is not None:
+        return _quat_to_mat(_floats(quat))
+    euler = _attr(el, defaults, "euler")
+    if euler is not None:
+        ang = _floats(euler) * to_rad
+        R = np.eye(3)
+        for ch, a in zip(compiler["eulerseq"], ang):
+            Ri = _axis_rot("xyz".index(ch.lower()), a)
+            # lowercase: intrinsic (post-multiply); uppercase: extrinsic
+            R = R @ Ri if ch.islower() else Ri @ R
+        return R
+    axisangle = _attr(el, defaults, "axisangle")
+    if axisangle is not None:
+        v = _floats(axisangle)
+        ax = v[:3] / np.linalg.norm(v[:3])
+        a = v[3] * to_rad
+        K = skew(ax)
+        return np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+    zaxis = _attr(el, defaults, "zaxis")
+    if zaxis is not None:
+        z = _floats(zaxis)
+        z = z / np.linalg.norm(z)
+        ref = np.array([1.0, 0.0, 0.0])
+        if abs(z[0]) > 0.9:
+            ref = np.array([0.0, 1.0, 0.0])
+        x = np.cross(ref, z)
+        x /= np.linalg.norm(x)
+        return np.column_stack([x, np.cross(z, x), z])
+    xyaxes = _attr(el, defaults, "xyaxes")
+    if xyaxes is not None:
+        v = _floats(xyaxes)
+        x = v[:3] / np.linalg.norm(v[:3])
+        y = v[3:] - np.dot(v[3:], x) * x
+        y /= np.linalg.norm(y)
+        return np.column_stack([x, y, np.cross(x, y)])
+    return np.eye(3)
+
+
+def _pose(el, defaults, compiler) -> np.ndarray:
+    pos = _attr(el, defaults, "pos")
+    p = _floats(pos) if pos is not None else np.zeros(3)
+    return homogeneous(_orientation(el, defaults, compiler), p)
+
+
+# --------------------------------------------------------------------------
+# <default> class resolution
+# --------------------------------------------------------------------------
+def _collect_defaults(root) -> dict:
+    """class name → {tag → {attr → value}} with nested-class inheritance."""
+    table = {}
+
+    def walk(el, inherited, cls):
+        merged = {tag: dict(attrs) for tag, attrs in inherited.items()}
+        for child in el:
+            if child.tag == "default":
+                continue
+            merged.setdefault(child.tag, {}).update(child.attrib)
+        table[cls] = merged
+        for child in el.findall("default"):
+            walk(child, merged, child.get("class", cls))
+
+    top = root.find("default")
+    if top is not None:
+        walk(top, {}, top.get("class", "main"))
+    table.setdefault("main", {})
+    return table
+
+
+def _defaults_for(table, tag, cls):
+    return table.get(cls, table["main"]).get(tag, {})
+
+
+# --------------------------------------------------------------------------
+# geom-derived inertia (MuJoCo inertiafromgeom semantics)
+# --------------------------------------------------------------------------
+def _geom_mass_inertia(geom, defaults, compiler):
+    """(mass, com_in_body, I_com_in_body) for one geom, or None if the geom
+    carries no mass (plane / mesh without explicit mass)."""
+    gtype = _attr(geom, defaults, "type", "sphere")
+    size_s = _attr(geom, defaults, "size")
+    size = _floats(size_s) if size_s is not None else np.zeros(0)
+    fromto = _attr(geom, defaults, "fromto")
+    if fromto is not None:
+        ft = _floats(fromto)
+        a, b = ft[:3], ft[3:]
+        center = 0.5 * (a + b)
+        d = b - a
+        h = 0.5 * np.linalg.norm(d)
+        z = d / (2 * h) if h > 0 else np.array([0.0, 0.0, 1.0])
+        ref = np.array([1.0, 0.0, 0.0])
+        if abs(z[0]) > 0.9:
+            ref = np.array([0.0, 1.0, 0.0])
+        x = np.cross(ref, z)
+        x /= np.linalg.norm(x)
+        R = np.column_stack([x, np.cross(z, x), z])
+        T = homogeneous(R, center)
+    else:
+        h = size[1] if size.shape[0] > 1 else 0.0
+        T = _pose(geom, defaults, compiler)
+    R, p = T[:3, :3], T[:3, 3]
+
+    r = size[0] if size.shape[0] else 0.0
+    if gtype == "sphere":
+        vol = 4.0 / 3.0 * np.pi * r ** 3
+        diag = np.full(3, 2.0 / 5.0 * r ** 2)
+    elif gtype == "capsule":
+        v_cyl = np.pi * r * r * (2 * h)
+        v_sph = 4.0 / 3.0 * np.pi * r ** 3
+        vol = v_cyl + v_sph
+        fc = v_cyl / vol
+        fs = v_sph / vol
+        iz = fc * (r * r / 2) + fs * (2 * r * r / 5)
+        ix = (fc * (3 * r * r + 4 * h * h) / 12
+              + fs * (2 * r * r / 5 - 9 * r * r / 64
+                      + (h + 3 * r / 8) ** 2))
+        diag = np.array([ix, ix, iz])
+    elif gtype == "cylinder":
+        vol = np.pi * r * r * (2 * h)
+        diag = np.array([(3 * r * r + 4 * h * h) / 12,
+                         (3 * r * r + 4 * h * h) / 12, r * r / 2])
+    elif gtype == "box":
+        a_, b_, c_ = size[:3]
+        vol = 8 * a_ * b_ * c_
+        diag = np.array([(b_ ** 2 + c_ ** 2), (a_ ** 2 + c_ ** 2),
+                         (a_ ** 2 + b_ ** 2)]) / 3.0
+    elif gtype == "ellipsoid":
+        a_, b_, c_ = size[:3]
+        vol = 4.0 / 3.0 * np.pi * a_ * b_ * c_
+        diag = np.array([(b_ ** 2 + c_ ** 2), (a_ ** 2 + c_ ** 2),
+                         (a_ ** 2 + b_ ** 2)]) / 5.0
+    else:
+        return None                         # plane / mesh / hfield: massless
+
+    mass_s = _attr(geom, defaults, "mass")
+    if mass_s is not None:
+        mass = float(mass_s)
+    else:
+        density = float(_attr(geom, defaults, "density", "1000"))
+        mass = density * vol
+    I_local = mass * np.diag(diag)
+    return mass, p, R @ I_local @ R.T
+
+
+def _body_inertia_from_geoms(body, defaults_table, compiler, cls):
+    """Sum geom inertias → (mass, com, I_com) in body coordinates."""
+    parts = []
+    for geom in body.findall("geom"):
+        gcls = geom.get("class", cls)
+        d = _defaults_for(defaults_table, "geom", gcls)
+        mi = _geom_mass_inertia(geom, d, compiler)
+        if mi is not None and mi[0] > 0:
+            parts.append(mi)
+    if not parts:
+        return 0.0, np.zeros(3), np.zeros((3, 3))
+    m = sum(p[0] for p in parts)
+    com = sum(p[0] * p[1] for p in parts) / m
+    I = np.zeros((3, 3))
+    for mi, ci, Ii in parts:
+        d = ci - com
+        I += Ii + mi * (np.dot(d, d) * np.eye(3) - np.outer(d, d))
+    return m, com, I
+
+
+def _body_inertial(body, defaults_table, compiler, cls):
+    """6×6 spatial inertia of one body, in body coordinates."""
+    inertial = body.find("inertial")
+    ifg = compiler["inertiafromgeom"]
+    if inertial is None or ifg == "true":
+        if inertial is None and ifg == "false":
+            return np.zeros((6, 6))
+        m, com, I_com = _body_inertia_from_geoms(body, defaults_table,
+                                                 compiler, cls)
+        return spatial_inertia(m, com, I_com)
+    mass = float(inertial.get("mass"))
+    pos = inertial.get("pos")
+    com = _floats(pos) if pos is not None else np.zeros(3)
+    R = _orientation(inertial, {}, compiler)
+    di = inertial.get("diaginertia")
+    if di is not None:
+        I_p = np.diag(_floats(di))
+    else:
+        fi = _floats(inertial.get("fullinertia"))
+        I_p = np.array([[fi[0], fi[3], fi[4]],
+                        [fi[3], fi[1], fi[5]],
+                        [fi[4], fi[5], fi[2]]])
+    return spatial_inertia(mass, com, R @ I_p @ R.T)
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+_JOINT_TYPES = {"hinge": "revolute", "slide": "prismatic",
+                "ball": "spherical", "free": "floating"}
+
+
+def parse_mjcf(source: str) -> RobotDescription:
+    """Parse an MJCF document (XML string or file path) into a
+    :class:`~.urdf.RobotDescription`."""
+    text = source
+    if "<" not in source:
+        with open(source) as f:
+            text = f.read()
+    root = ET.fromstring(text)
+    if root.tag != "mujoco":
+        raise ValueError("not an MJCF document (missing <mujoco> root)")
+    name = root.get("model", "robot")
+    comp_el = root.find("compiler")
+    compiler = dict(angle="degree", eulerseq="xyz", inertiafromgeom="auto")
+    if comp_el is not None:
+        for key in compiler:
+            if comp_el.get(key) is not None:
+                compiler[key] = comp_el.get(key)
+        if comp_el.get("coordinate", "local") != "local":
+            raise NotImplementedError(
+                'coordinate="global" MJCF is not supported (removed from '
+                "modern MuJoCo; convert with the MuJoCo compiler first)")
+    if root.find("include") is not None:
+        raise NotImplementedError(
+            "<include> is not supported — inline the included files")
+    worldbody = root.find("worldbody")
+    if worldbody is None:
+        raise ValueError("MJCF document has no <worldbody>")
+    defaults_table = _collect_defaults(root)
+    to_rad = np.pi / 180.0 if compiler["angle"] == "degree" else 1.0
+
+    ordered: list[dict] = []      # emitted moving joints
+    parent_of: list[int] = []
+    moving_link: list[str] = []
+    inertias: list[np.ndarray] = []
+    base_inertia = np.zeros((6, 6))
+
+    def joint_spec(jel, cls, body_name, freejoint=False):
+        if freejoint:
+            d = {}
+            jtype = "free"
+        else:
+            d = _defaults_for(defaults_table, "joint",
+                              jel.get("class", cls))
+            jtype = _attr(jel, d, "type", "hinge")
+        if jtype not in _JOINT_TYPES:
+            raise NotImplementedError(f"joint type {jtype!r} not supported")
+        pos = _attr(jel, d, "pos")
+        axis = _attr(jel, d, "axis")
+        lo, hi, eff = -_INF, _INF, _INF
+        rng = _attr(jel, d, "range")
+        limited = _attr(jel, d, "limited", "auto")
+        if rng is not None and limited in ("auto", "true") \
+                and jtype in ("hinge", "slide"):
+            vals = _floats(rng)
+            scale = to_rad if jtype == "hinge" else 1.0
+            if not (vals[0] == 0.0 and vals[1] == 0.0):
+                lo, hi = vals[0] * scale, vals[1] * scale
+        frc = _attr(jel, d, "actuatorfrcrange")
+        if frc is not None:
+            vals = _floats(frc)
+            eff = max(abs(vals[0]), abs(vals[1]))
+        return dict(
+            name=jel.get("name", f"{body_name}_joint"),
+            type=_JOINT_TYPES[jtype],
+            anchor=_floats(pos) if pos is not None else np.zeros(3),
+            axis=(_floats(axis) if axis is not None
+                  else np.array([0.0, 0.0, 1.0])),
+            damping=float(_attr(jel, d, "damping", "0")),
+            armature=float(_attr(jel, d, "armature", "0")),
+            lower=lo, upper=hi, effort=eff,
+        )
+
+    def visit(body, parent_idx, T_acc, cls):
+        """``T_acc``: pose of ``body``'s PARENT frame in the frame of its
+        governing moving link (identity unless jointless bodies
+        intervened). Emits this body's joints, attaches its inertia, and
+        recurses."""
+        nonlocal base_inertia
+        body_name = body.get("name", f"body{len(moving_link)}")
+        cls = body.get("childclass", cls)
+        T_pb = T_acc @ _pose(body, {}, compiler)
+        I6 = _body_inertial(body, defaults_table, compiler, cls)
+
+        specs = []
+        for child in body:
+            if child.tag == "joint":
+                specs.append(joint_spec(child, cls, body_name))
+            elif child.tag == "freejoint":
+                specs.append(joint_spec(child, cls, body_name,
+                                        freejoint=True))
+        if any(s["type"] == "floating" for s in specs) and len(specs) > 1:
+            raise ValueError(
+                f"body {body_name!r}: a free joint cannot be combined "
+                "with other joints")
+
+        if not specs:
+            # jointless body: weld into the governing link (or the world)
+            I_target = transform_spatial_inertia(I6, T_pb[:3, :3],
+                                                 T_pb[:3, 3])
+            if parent_idx < 0:
+                base_inertia += I_target
+            else:
+                inertias[parent_idx] = inertias[parent_idx] + I_target
+            for sub in body.findall("body"):
+                visit(sub, parent_idx, T_pb, cls)
+            return
+
+        # chain of joints, document order = outermost first (MuJoCo's
+        # anchor-preserving local post-multiplication); intermediate
+        # links are massless, the body inertia lands on the last one
+        prev_anchor = None
+        idx = parent_idx
+        for si, s in enumerate(specs):
+            if prev_anchor is None:
+                T_origin = T_pb @ homogeneous(np.eye(3), s["anchor"])
+            else:
+                T_origin = homogeneous(np.eye(3), s["anchor"] - prev_anchor)
+            ordered.append(dict(s, T_origin=T_origin))
+            parent_of.append(idx)
+            idx = len(ordered) - 1
+            last = si == len(specs) - 1
+            moving_link.append(body_name if last
+                               else f"{body_name}__chain{si}")
+            if last:
+                # body inertia in the link frame (body axes, origin at
+                # the last joint's anchor)
+                inertias.append(transform_spatial_inertia(
+                    I6, np.eye(3), -s["anchor"]))
+            else:
+                inertias.append(np.zeros((6, 6)))
+            prev_anchor = s["anchor"]
+        # children see the body frame: undo the final anchor shift
+        T_body_in_link = homogeneous(np.eye(3), -prev_anchor)
+        for sub in body.findall("body"):
+            visit(sub, idx, T_body_in_link, cls)
+
+    for body in worldbody.findall("body"):
+        visit(body, -1, np.eye(4), "main")
+    # static worldbody geoms contribute nothing to the dynamics (they are
+    # collision terrain, not inertia) — skip them, like URDF's world link.
+
+    n = len(ordered)
+    if n == 0:
+        raise ValueError("MJCF model has no joints")
+
+    topo = Topology(
+        parents=tuple(parent_of),
+        joint_names=tuple(j["name"] for j in ordered),
+        link_names=tuple(moving_link),
+    )
+    origin_R = np.stack([j["T_origin"][:3, :3] for j in ordered])
+    axis = np.stack([j["axis"] / np.linalg.norm(j["axis"])
+                     for j in ordered])
+    return RobotDescription(
+        name=name, topology=topo,
+        joint_types=tuple(j["type"] for j in ordered),
+        origin_xyz=np.stack([j["T_origin"][:3, 3] for j in ordered]),
+        origin_rpy=np.stack([_matrix_to_rpy(R) for R in origin_R]),
+        axis=axis,
+        damping=np.array([j["damping"] for j in ordered]),
+        inertia=np.stack(inertias),
+        base_inertia=base_inertia,
+        q_lower=np.array([j["lower"] for j in ordered]),
+        q_upper=np.array([j["upper"] for j in ordered]),
+        effort=np.array([j["effort"] for j in ordered]),
+        velocity=np.full(n, _INF),
+        armature=np.array([j["armature"] for j in ordered]),
+        mimic=(),
+    )

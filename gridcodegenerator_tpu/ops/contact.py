@@ -1296,9 +1296,16 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                                            collision.geoms.b,
                                            collision.geoms.r,
                                            collision.obstacles)))))
+    # loop-closure cuts ride the kernel when the cut geometry is concrete
+    # (baked as literals like offsets); traced offsets (grad w.r.t. the
+    # attachment points) fall back to XLA
+    loops_concrete = (loops is None
+                      or not any(isinstance(leaf, jax.core.Tracer)
+                                 for leaf in jax.tree_util.tree_leaves(
+                                     (loops[1], loops[2]))))
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
             and diff_mode == "unroll" and relax == 1.0
-            and mu_coll_static and loops is None):
+            and mu_coll_static and loops_concrete):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
@@ -1314,7 +1321,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), ground_z,
                 gravity, iters, erp, margin, restitution,
-                collision=collision, mu_collision=mu_c)
+                collision=collision, mu_collision=mu_c, loops=loops)
         else:
             # heightfield kernel: the MXU one-hot bilinear gather; grids
             # past the VMEM gate run the same body as plain XLA inside
@@ -1322,7 +1329,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), terrain,
                 gravity, iters, erp, margin, restitution,
-                collision=collision, mu_collision=mu_c)
+                collision=collision, mu_collision=mu_c, loops=loops)
         if limits is not None:
             qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
                                             limits[1][:, None])

@@ -644,6 +644,84 @@ def _collision_rows_s(km, X, R, pos, cs):
 
 
 # --------------------------------------------------------------------------
+# loop-closure rows, (1,B)-entry style
+# --------------------------------------------------------------------------
+def loops_static(n, loops):
+    """Bake a ``loops=(pairs, offsets_a, offsets_b)`` spec into plain-float
+    static data for the fused kernels (geometry becomes trace literals,
+    like ``offsets``/:func:`collision_static`; the XLA body keeps it
+    traceable)."""
+    from ..loops import _check_fb_pairs
+
+    lpairs, loa, lob = loops
+    lpairs = _check_fb_pairs(n, lpairs, loa, lob)
+    return dict(pairs=tuple((int(a), int(b)) for a, b in lpairs),
+                oa=np.asarray(loa, np.float64),
+                ob=np.asarray(lob, np.float64))
+
+
+def _loop_rows_s(km, X, R, pos, ls):
+    """Loop-closure (bilateral) rows in (1,B)-entry style: returns
+    (rows — list over 3·k_loop of (6+n)-column entry lists — and gaps —
+    list of 3·k_loop (1,B) world-frame gap components). Mirrors
+    :func:`..loops._fb_loop_rows_bl` + the gap assembly of
+    :func:`..contact.fb_step_ground_batched`: link↔link pairs carry NO
+    base linear-velocity columns (both points ride the same base — the
+    cancellation is structural, ``None``, not a numerical difference);
+    the angular columns are R·(e_j × (x_a − x_b)); world pairs (b = −1)
+    measure against the literal anchor and carry the full base block."""
+    m = 6 + km.topology.n
+    Rs, ps = _fk_s(km, X)
+
+    def side(link, off):
+        off_f = [float(off[d]) for d in range(3)]
+        x_b = ps[link] + _mv3s_c(Rs[link], off_f)
+        support = set(km.topology.ancestors[link]) | {link}
+        cols = {}
+        for j in sorted(support):
+            a_ang = _mv3s(Rs[j], km.S[j][:3])
+            a_lin = _mv3s(Rs[j], km.S[j][3:])
+            cols[j] = _cross3s(a_ang, x_b - ps[j]) + a_lin
+        return x_b, cols
+
+    rows, gaps = [], []
+    for i, (a, b) in enumerate(ls["pairs"]):
+        xa, ca = side(a, ls["oa"][i])
+        if b >= 0:
+            xb, cb = side(b, ls["ob"][i])
+            rel = xa - xb
+            arm = {j: (ca[j] - cb[j] if (j in ca and j in cb)
+                       else (ca[j] if j in ca else -cb[j]))
+                   for j in set(ca) | set(cb)}
+            gap = _mv3s(R, rel)
+        else:
+            rel = xa
+            arm = ca
+            anchor = [float(ls["ob"][i][d]) for d in range(3)]
+            gw = _mv3s(R, xa)
+            gap = jnp.concatenate([pos[d:d + 1] + gw[d:d + 1] - anchor[d]
+                                   for d in range(3)])
+        zero1 = rel[0:1] * 0.0
+        ex = [jnp.concatenate([zero1, -rel[2:3], rel[1:2]]),
+              jnp.concatenate([rel[2:3], zero1, -rel[0:1]]),
+              jnp.concatenate([-rel[1:2], rel[0:1], zero1])]
+        wcols = [_mv3s(R, e) for e in ex]
+        armw = {j: _mv3s(R, c) for j, c in arm.items()}
+        for r in range(3):
+            row = [None] * m
+            for j in range(3):
+                row[j] = wcols[j][r:r + 1]
+            if b < 0:                           # world pair: v_b = R[:, j]
+                for j in range(3):
+                    row[3 + j] = R[r, j:j + 1, :]
+            for j, col in armw.items():
+                row[6 + j] = col[r:r + 1]
+            rows.append(row)
+            gaps.append(gap[r:r + 1])
+    return rows, gaps
+
+
+# --------------------------------------------------------------------------
 # kernel bodies
 # --------------------------------------------------------------------------
 def _stance_prelude(km, I_base, quat, q, vb, qd, tau, gravity):
@@ -752,7 +830,7 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
                       tables=None, *, links, offsets, dt, ground_z,
                       gravity, iters, erp, margin, restitution,
                       terrain_static=None, collision_static=None,
-                      mu_coll=0.8):
+                      mu_coll=0.8, loop_static=None):
     """One frictional ground step on a lane tile. Mirrors
     :func:`..contact.fb_step_ground_batched`: free velocity step, gap-gated
     PGS cone solve on the Delassus operator, semi-implicit manifold
@@ -855,34 +933,47 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
             mu = jnp.concatenate(
                 [mu] + [mu[0:1] * 0.0 + mu_coll] * len(c_gaps))
         k = k + len(c_gaps)
-    JT = _jt_stacks(J, m, q[0:1])              # per-column (3k, B) stacks
+    n_eq = 0
+    if loop_static is not None:
+        # loop-closure cuts: bilateral rows after the cone triplets (the
+        # fused path has no limit rows, so they follow the feet/collision
+        # blocks directly — same order as ..contact.fb_step_ground_batched
+        # without impulse limits)
+        l_rows, l_gaps = _loop_rows_s(km, X, R, pos, loop_static)
+        J = J + l_rows
+        n_eq = len(l_rows)
+    rows_t = 3 * k + n_eq
+    JT = _jt_stacks(J, m, q[0:1])          # per-column (rows_t, B) stacks
 
-    # ONE merged multi-rhs solve: rows 0..3k-1 = M⁻¹Jᵀ, row 3k = M⁻¹ rhs
-    zero3k = jnp.zeros((3 * k,) + q.shape[1:], q.dtype)
+    # ONE merged multi-rhs solve: rows 0..rows_t-1 = M⁻¹Jᵀ, last = M⁻¹ rhs
+    zero_rows = jnp.zeros((rows_t,) + q.shape[1:], q.dtype)
     sol = _chol_apply_e(Lm, [
-        jnp.concatenate([JT[c] if JT[c] is not None else zero3k,
+        jnp.concatenate([JT[c] if JT[c] is not None else zero_rows,
                          rhs_free[c]])
         for c in range(m)])
-    MiJt = [sol[c][:3 * k] for c in range(m)]
-    v_free = [v[c] + dt * sol[c][3 * k:3 * k + 1] for c in range(m)]
+    MiJt = [sol[c][:rows_t] for c in range(m)]
+    v_free = [v[c] + dt * sol[c][rows_t:rows_t + 1] for c in range(m)]
 
     G_rows = [
         _sum_terms([J[r][c] * MiJt[c] for c in range(m)
                     if J[r][c] is not None])
-        for r in range(3 * k)]
+        for r in range(rows_t)]
     eye_reg = 1e-9
     Jv = _sum_terms([JT[c] * v[c] for c in range(m) if JT[c] is not None])
     b = _sum_terms([JT[c] * v_free[c] for c in range(m)
                     if JT[c] is not None])
-    brows = [b[r:r + 1] for r in range(3 * k)]
+    brows = [b[r:r + 1] for r in range(rows_t)]
     for ci in range(k):
         vn_now = Jv[3 * ci + 2:3 * ci + 3]
         v_star = (-erp * jnp.minimum(gaps[ci], 0.0) / dt
                   - restitution * jnp.minimum(vn_now, 0.0))
         brows[3 * ci + 2] = brows[3 * ci + 2] - v_star
+    for j in range(n_eq):                      # erp gap recovery (loops)
+        brows[3 * k + j] = brows[3 * k + j] + erp * l_gaps[j] / dt
     b = jnp.concatenate(brows)
 
-    p_imp_arr = _pgs_rows(G_rows, b, mu, active, k, iters, eye_reg)
+    p_imp_arr = _pgs_rows(G_rows, b, mu, active, k, iters, eye_reg,
+                          eq=n_eq)
 
     v_new = [
         v_free[c] + jnp.sum(MiJt[c] * p_imp_arr, axis=0, keepdims=True)
@@ -899,15 +990,19 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
     return quat2, pos2, q2, vb2, qd2, imp
 
 
-def _pgs_rows(G_rows, b, mu, active, k, iters, reg):
-    """Projected Gauss-Seidel on row stacks: G_rows list of 3k (3k,B)
-    arrays (WITHOUT the ridge — ``reg`` is applied algebraically:
-    (G+reg·I)p = Gp + reg·p), b (3k,B), mu (k,B), active list of k (1,B)
-    → impulses (3k,B). Carry = ONE (3k,B) array; each residual is a
-    full-register multiply + sublane reduction instead of 3k scalar-lane
-    FMAs. Numerics mirror :func:`..contact.pgs_solve_bl` exactly."""
+def _pgs_rows(G_rows, b, mu, active, k, iters, reg, eq: int = 0):
+    """Projected Gauss-Seidel on row stacks: G_rows list of 3k+eq
+    (3k+eq,B) arrays (WITHOUT the ridge — ``reg`` is applied
+    algebraically: (G+reg·I)p = Gp + reg·p), b (3k+eq,B), mu (k,B),
+    active list of k (1,B) → impulses (3k+eq,B). Carry = ONE array; each
+    residual is a full-register multiply + sublane reduction instead of
+    3k scalar-lane FMAs. ``eq`` trailing BILATERAL rows (loop-closure
+    cuts: sign-free impulses, plain unprojected Gauss-Seidel) follow the
+    cone blocks. Numerics mirror :func:`..contact.pgs_solve_bl`
+    (``eq_rows=``) exactly."""
+    rows_t = 3 * k + eq
     diag = [jnp.clip(G_rows[d][d:d + 1] + reg, 1e-9, None)
-            for d in range(3 * k)]
+            for d in range(rows_t)]
 
     def sweep(_, p):
         for i in range(k):
@@ -923,8 +1018,16 @@ def _pgs_rows(G_rows, b, mu, active, k, iters, reg):
             # skip empty edge slices: Mosaic rejects zero-size vectors
             parts = ([p[:s]] if s > 0 else [])
             parts += [cand[0] * scale, cand[1] * scale, pn]
-            if s + 3 < 3 * k:
+            if s + 3 < rows_t:
                 parts.append(p[s + 3:])
+            p = jnp.concatenate(parts)
+        for j in range(eq):
+            s = 3 * k + j
+            r = (jnp.sum(G_rows[s] * p, axis=0, keepdims=True)
+                 + reg * p[s:s + 1] + b[s:s + 1])
+            parts = [p[:s], p[s:s + 1] - r / diag[s]]
+            if s + 1 < rows_t:
+                parts.append(p[s + 1:])
             p = jnp.concatenate(parts)
         return p
 
@@ -1216,7 +1319,7 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                       ground_z=0.0, gravity=-9.81, iters: int = 30,
                       erp: float = 0.2, margin: float = 1e-3,
                       restitution: float = 0.0, collision=None,
-                      mu_collision=None, interpret=False):
+                      mu_collision=None, loops=None, interpret=False):
     """Fused frictional ground step — the parallel-RL flagship op as ONE
     kernel per lane tile: batch-last states + mu (k,B) → next state
     (quat2 (4,B), pos2 (3,B), q2 (n,B), vb2 (6,B), qd2 (n,B)) and impulses
@@ -1226,7 +1329,12 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
     candidate pairs become extra cone triplets in the same VMEM-resident
     PGS solve (obstacle-rich RL stays on the kernel path). The geometry
     is baked as trace-time literals (like ``offsets``); ``mu_collision``
-    must be a static python scalar (defaults to 0.8)."""
+    must be a static python scalar (defaults to 0.8).
+
+    ``loops``: optional ``(pairs, offsets_a, offsets_b)`` loop-closure
+    cuts (closed-chain linkage legs) — bilateral rows in the same
+    VMEM-resident PGS solve (:func:`_loop_rows_s`); the cut geometry is
+    baked as trace-time literals."""
     links = tuple(int(l) for l in links)
     off = np.asarray(offsets, np.float64)
     n = ffm.n
@@ -1239,6 +1347,7 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
         _check_geoms(n, collision)
         cs = collision_static(collision)
         kt = k + collision.n_contacts
+    ls = None if loops is None else loops_static(n, loops)
 
     def body(km, I_base, quat, pos, q, vb, qd, tau, mu):
         return _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
@@ -1247,9 +1356,10 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                                  gravity=float(gravity), iters=int(iters),
                                  erp=float(erp), margin=float(margin),
                                  restitution=float(restitution),
-                                 collision_static=cs, mu_coll=mu_c)
+                                 collision_static=cs, mu_coll=mu_c,
+                                 loop_static=ls)
 
-    body._k_contacts = kt
+    body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
     return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
                    [4, 3, n, 6, n, 3 * kt], interpret)
 
@@ -1267,7 +1377,8 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                               iters: int = 30, erp: float = 0.2,
                               margin: float = 1e-3,
                               restitution: float = 0.0, collision=None,
-                              mu_collision=None, interpret=False):
+                              mu_collision=None, loops=None,
+                              interpret=False):
     """Fused frictional ground step on a bilinear HEIGHTFIELD — one kernel
     per lane tile, the uneven-terrain parallel-RL shape. Same contract as
     :func:`step_ground_fused` plus ``terrain`` (:class:`...terrain.
@@ -1287,6 +1398,7 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
         _check_geoms(n, collision)
         cs = collision_static(collision)
         kt = k + collision.n_contacts
+    ls = None if loops is None else loops_static(n, loops)
     dtype = q.dtype
     H, W = terrain.heights.shape
     HW = H * W
@@ -1313,9 +1425,9 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                                  erp=float(erp), margin=float(margin),
                                  restitution=float(restitution),
                                  terrain_static=ts, collision_static=cs,
-                                 mu_coll=mu_c)
+                                 mu_coll=mu_c, loop_static=ls)
 
-    body._k_contacts = kt
+    body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
     body._extra_ws = float(HWp)
     return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
                    [4, 3, n, 6, n, 3 * kt], interpret, consts=[tables])

@@ -358,3 +358,99 @@ def test_step_ground_fused_collision_matches_xla(hyq_ff):
     imp_c = np.asarray(imp_r)[:, 4:, 2]
     assert bool((imp_c[:, :len(cm.pairs)] > 1e-9).any())
     assert bool((imp_c[:, len(cm.pairs):] > 1e-9).any())
+
+
+def test_step_ground_fused_loops_matches_xla():
+    """step_ground_fused with loop-closure cuts (interpret) ==
+    fb_step_ground_batched's XLA body: bilateral rows — one link↔link cut
+    (the four-bar closure) AND one world pin — inside the kernel's PGS
+    solve, with ACTIVE ground contact (non-vacuous: cone rows and eq rows
+    exchange impulse through the same Delassus operator)."""
+    desc = g.parse_urdf(zoo.four_bar())
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    n = ffm.n
+    names = desc.topology.link_names
+    coupler, rocker = names.index("coupler"), names.index("rocker")
+    crank = names.index("crank")
+    # link↔link closure + a world pin on the crank tip
+    pairs = ((coupler, rocker), (crank, -1))
+    oa = np.array([[0.8, 0.0, 0.0], [0.0, 0.0, -0.25]])
+    ob = np.array([[0.0, 0.0, -0.5], [0.1, 0.0, 0.15]])
+    links = (rocker, crank)
+    offs = np.array([[0.0, 0.0, -0.25], [0.0, 0.0, -0.25]])
+
+    rng = np.random.default_rng(23)
+    B = 4
+    quat = rng.normal(size=(B, 4))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=1, keepdims=True))
+    pos = jnp.asarray(np.concatenate(
+        [rng.uniform(-0.2, 0.2, (B, 2)), rng.uniform(0.2, 0.3, (B, 1))],
+        axis=1))                                 # near the ground
+    q = jnp.asarray(rng.uniform(-0.2, 0.2, (B, n)))
+    vb = jnp.asarray(rng.uniform(-1, 1, (B, 6)))
+    qd = jnp.asarray(rng.uniform(-1, 1, (B, n)))
+    tau = jnp.asarray(rng.uniform(-1, 1, (B, n)))
+    bl = lambda a: a.T
+
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, links, offs, mu=0.7,
+        iters=60, loops=(pairs, oa, ob), impl="vmap")
+    outs = cf.step_ground_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau),
+        jnp.full((2, B), 0.7, jnp.float64), 1e-3, links, offs,
+        iters=60, loops=(pairs, oa, ob), interpret=True)
+    for nm, a, b in zip(("quat2", "pos2", "q2", "vb2", "qd2"), outs[:5],
+                        nxt_r):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-10, err_msg=nm)
+    imp_f = jnp.moveaxis(outs[5], 0, -1).reshape(B, 2, 3)
+    np.testing.assert_allclose(np.asarray(imp_f), np.asarray(imp_r),
+                               atol=1e-10)
+    assert bool((np.asarray(imp_r)[..., 2] > 1e-9).any()), \
+        "no active ground contact — cone/eq coupling untested"
+
+
+def test_step_ground_batched_auto_routes_loops(monkeypatch):
+    """fb_step_ground_batched(impl='auto'-as-pallas) with concrete loop
+    geometry calls the fused kernel (interpret-mode spy), and the result
+    matches the XLA body."""
+    desc = g.parse_urdf(zoo.four_bar())
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    names = desc.topology.link_names
+    pairs = ((names.index("coupler"), names.index("rocker")),)
+    oa = np.array([[0.8, 0.0, 0.0]])
+    ob = np.array([[0.0, 0.0, -0.5]])
+    links = (names.index("rocker"),)
+    offs = np.array([[0.0, 0.0, -0.25]])
+    rng = np.random.default_rng(3)
+    B = 3
+    quat = rng.normal(size=(B, 4))
+    quat = jnp.asarray(quat / np.linalg.norm(quat, axis=1, keepdims=True))
+    state = (quat,
+             jnp.asarray(rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.25]),
+             jnp.asarray(rng.uniform(-0.2, 0.2, (B, ffm.n))),
+             jnp.asarray(rng.uniform(-1, 1, (B, 6))),
+             jnp.asarray(rng.uniform(-1, 1, (B, ffm.n))))
+    tau = jnp.asarray(rng.uniform(-1, 1, (B, ffm.n)))
+
+    called = {}
+    orig = cf.step_ground_fused
+
+    def spy(*a, **kw):
+        called["loops"] = kw.get("loops")
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(cf, "step_ground_fused", spy)
+    monkeypatch.setattr(ct, "_impl_auto", lambda impl, x=None: "pallas")
+    nxt_p, imp_p = ct.fb_step_ground_batched(
+        ffm, state, tau, 1e-3, links, offs, loops=(pairs, oa, ob))
+    assert called.get("loops") is not None, "fused path not taken"
+    monkeypatch.setattr(ct, "_impl_auto", lambda impl, x=None: "vmap")
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, state, tau, 1e-3, links, offs, loops=(pairs, oa, ob))
+    for a, b in zip(nxt_p, nxt_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-10)
+    np.testing.assert_allclose(np.asarray(imp_p), np.asarray(imp_r),
+                               atol=1e-10)

@@ -452,6 +452,66 @@ def test_collision_fused_kernel_on_tpu(tpu_setup):
                 assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
 
 
+def test_loop_fused_kernel_on_tpu(tpu_setup):
+    """Loop-closure bilateral rows inside the fused ground-step kernel
+    (contact_fused._loop_rows_s + the eq rows of _pgs_rows) through real
+    Mosaic lowering vs the single-state CPU path: the floating four-bar
+    standing on frictional ground — cone and eq rows exchanging impulse
+    in one VMEM-resident PGS solve."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc = g.parse_urdf(zoo.four_bar())
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float32)
+    n = ffm.n
+    names = desc.topology.link_names
+    pairs = ((names.index("coupler"), names.index("rocker")),)
+    oa = np_.array([[0.8, 0.0, 0.0]])
+    ob = np_.array([[0.0, 0.0, -0.5]])
+    links = (names.index("rocker"), names.index("crank"))
+    offs = np_.array([[0.0, 0.0, -0.25], [0.0, 0.0, -0.25]])
+
+    rng = np_.random.default_rng(59)
+    B = 256
+    quat = np_.tile([1.0, 0, 0, 0], (B, 1)) + 0.1 * rng.normal(size=(B, 4))
+    quat /= np_.linalg.norm(quat, axis=1, keepdims=True)
+    pos = np_.concatenate([rng.uniform(-0.2, 0.2, (B, 2)),
+                           rng.uniform(0.2, 0.3, (B, 1))], axis=1)
+    q = rng.uniform(-0.2, 0.2, (B, n))
+    vb = rng.uniform(-1, 1, (B, 6))
+    qd = rng.uniform(-1, 1, (B, n))
+    tau = rng.uniform(-1, 1, (B, n))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    nxt, imp = ct.fb_step_ground_batched(
+        ffm, tuple(f32(s) for s in (quat, pos, q, vb, qd)), f32(tau),
+        1e-3, links, offs, mu=0.8, iters=60, loops=(pairs, oa, ob),
+        impl="pallas")
+    got = dict(q2=np_.asarray(nxt[2]), vb2=np_.asarray(nxt[3]),
+               imp=np_.asarray(imp))
+    assert (got["imp"][..., 2] > 0).any(), "no active ground contacts"
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 127, 128, B - 1):
+            st = tuple(jnp.asarray(a[k], jnp.float32)
+                       for a in (quat, pos, q, vb, qd))
+            s_r, imp_r = ct.fb_step_ground(
+                ffm, st, jnp.asarray(tau[k], jnp.float32), 1e-3, links,
+                jnp.asarray(offs, jnp.float32), mu=0.8, iters=60,
+                loops=(pairs, oa, ob))
+            for name, ref in (("q2", s_r[2]), ("vb2", s_r[3]),
+                              ("imp", imp_r)):
+                ref = np_.asarray(ref)
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(got[name][k] - ref).max() / scale
+                assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
+
+
 def test_so_fused_kernel_on_tpu(tpu_setup):
     """The fused second-order kernel (ops/kernels/so_fused.py: primal
     gradient pipeline + per-direction tangent sweep, direction on the
