@@ -1,0 +1,381 @@
+"""MJCF front-end (models/mjcf.py): the parsed description must be
+DYNAMICALLY equivalent to the same robot expressed as URDF — the strongest
+cross-format check (frame conventions, anchors, inertia lumping all feed the
+same numbers), plus unit checks for the MJCF-specific machinery (defaults,
+degrees, geom-derived inertia, multi-joint bodies, free/ball joints)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gridcodegenerator_tpu as g
+from gridcodegenerator_tpu.models.urdf import rpy_to_matrix
+
+jax.config.update("jax_enable_x64", True)
+
+
+def _mat_to_rpy_str(R):
+    from gridcodegenerator_tpu.models.urdf import _matrix_to_rpy
+    return " ".join(f"{float(v):.17g}" for v in _matrix_to_rpy(R))
+
+
+def _vec(v):
+    return " ".join(f"{float(x):.17g}" for x in v)
+
+
+# --------------------------------------------------------------------------
+# cross-format equivalence: a 3-dof arm with rotated frames, joint anchors,
+# off-axis inertias, damping/armature — MJCF vs hand-converted URDF
+# --------------------------------------------------------------------------
+def _arm_mjcf():
+    return """
+<mujoco model="xarm">
+  <compiler angle="radian"/>
+  <worldbody>
+    <body name="l1" pos="0.1 0 0.2" euler="0.3 -0.2 0.5">
+      <joint name="j1" type="hinge" pos="0.05 -0.02 0.01" axis="0 0 1"
+             damping="0.3" armature="0.02"/>
+      <inertial pos="0.2 0.05 0" mass="2.5" diaginertia="0.05 0.04 0.02"/>
+      <body name="l2" pos="0.4 0 0" euler="0 0.7 0">
+        <joint name="j2" type="slide" axis="1 0 0" damping="0.1"/>
+        <inertial pos="0.15 0 0.02" quat="0.9238795 0 0.3826834 0"
+                  mass="1.2" diaginertia="0.03 0.02 0.01"/>
+        <body name="l3" pos="0.3 0.05 0">
+          <joint name="j3" type="hinge" pos="0 0 0.04" axis="0 1 0"
+                 damping="0.2" range="-1.0 1.5"/>
+          <inertial pos="0.1 0 0" mass="0.8" diaginertia="0.01 0.008 0.006"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _arm_urdf():
+    """The same arm hand-converted to URDF: joint origin = body pose
+    composed with Trans(anchor); child inertial shifted by -anchor (the
+    MJCF link frame keeps the body axes with the origin at the anchor);
+    each child body's pos is expressed from its parent's body frame, i.e.
+    from the parent link frame shifted by +parent_anchor."""
+    e1 = np.array([0.3, -0.2, 0.5])
+    R1 = rpy_to_matrix(e1)          # URDF rpy == MJCF euler only when the
+    # composition orders agree; build rotations explicitly below instead.
+
+    def rx(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    # MJCF euler (default seq xyz, intrinsic) = Rx @ Ry @ Rz
+    R1 = rx(0.3) @ ry(-0.2) @ rz(0.5)
+    a1 = np.array([0.05, -0.02, 0.01])
+    o1 = np.array([0.1, 0, 0.2]) + R1 @ a1
+    R2 = ry(0.7)
+    a2 = np.zeros(3)
+    # body2 pos is in body1 coordinates; link1 origin sits at anchor1
+    o2 = (np.array([0.4, 0, 0]) - a1)
+    R3 = np.eye(3)
+    a3 = np.array([0, 0, 0.04])
+    o3 = np.array([0.3, 0.05, 0]) + R3 @ a3 - a2
+
+    q8 = 2 * np.arctan2(0.3826834, 0.9238795)  # l2 inertial quat (about y)
+    return f"""
+<robot name="xarm">
+  <link name="base"/>
+  <link name="l1">
+    <inertial><origin xyz="{_vec(np.array([0.2, 0.05, 0]) - a1)}"/>
+      <mass value="2.5"/>
+      <inertia ixx="0.05" iyy="0.04" izz="0.02" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="l2">
+    <inertial>
+      <origin xyz="{_vec(np.array([0.15, 0, 0.02]) - a2)}"
+              rpy="{_mat_to_rpy_str(ry(q8))}"/>
+      <mass value="1.2"/>
+      <inertia ixx="0.03" iyy="0.02" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <link name="l3">
+    <inertial><origin xyz="{_vec(np.array([0.1, 0, 0]) - a3)}"/>
+      <mass value="0.8"/>
+      <inertia ixx="0.01" iyy="0.008" izz="0.006" ixy="0" ixz="0" iyz="0"/>
+    </inertial>
+  </link>
+  <joint name="j1" type="revolute">
+    <parent link="base"/><child link="l1"/>
+    <origin xyz="{_vec(o1)}" rpy="{_mat_to_rpy_str(R1)}"/>
+    <axis xyz="0 0 1"/><dynamics damping="0.3" armature="0.02"/>
+  </joint>
+  <joint name="j2" type="prismatic">
+    <parent link="l1"/><child link="l2"/>
+    <origin xyz="{_vec(o2)}" rpy="{_mat_to_rpy_str(R2)}"/>
+    <axis xyz="1 0 0"/><dynamics damping="0.1"/>
+  </joint>
+  <joint name="j3" type="revolute">
+    <parent link="l2"/><child link="l3"/>
+    <origin xyz="{_vec(o3)}" rpy="{_mat_to_rpy_str(R3)}"/>
+    <axis xyz="0 1 0"/><dynamics damping="0.2"/>
+    <limit lower="-1.0" upper="1.5"/>
+  </joint>
+</robot>
+"""
+
+
+@pytest.fixture(scope="module")
+def arm_pair():
+    dm = g.parse_mjcf(_arm_mjcf())
+    du = g.parse_urdf(_arm_urdf())
+    return dm, du
+
+
+@pytest.mark.smoke
+def test_arm_description_matches_urdf(arm_pair):
+    dm, du = arm_pair
+    assert dm.joint_types == du.joint_types
+    assert dm.topology.parents == du.topology.parents
+    np.testing.assert_allclose(dm.axis, du.axis, atol=1e-12)
+    np.testing.assert_allclose(dm.damping, du.damping, atol=1e-12)
+    np.testing.assert_allclose(dm.armature, du.armature, atol=1e-12)
+    np.testing.assert_allclose(dm.q_lower, du.q_lower)
+    np.testing.assert_allclose(dm.q_upper, du.q_upper)
+    np.testing.assert_allclose(dm.origin_xyz, du.origin_xyz, atol=1e-12)
+    for Rm, Ru in zip(dm.origin_rpy, du.origin_rpy):
+        np.testing.assert_allclose(rpy_to_matrix(Rm), rpy_to_matrix(Ru),
+                                   atol=1e-12)
+    np.testing.assert_allclose(dm.inertia, du.inertia, atol=1e-12)
+
+
+def test_arm_dynamics_match_urdf(arm_pair):
+    """Full dynamical equivalence: RNEA and FD agree state-for-state."""
+    dm, du = arm_pair
+    mm = g.robot_model_from_description(dm, dtype=jnp.float64)
+    mu_ = g.robot_model_from_description(du, dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (16, 3))) for _ in range(3))
+    np.testing.assert_allclose(
+        np.asarray(g.inverse_dynamics(mm, q, qd, u)),
+        np.asarray(g.inverse_dynamics(mu_, q, qd, u)), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(g.forward_dynamics(mm, q, qd, u)),
+        np.asarray(g.forward_dynamics(mu_, q, qd, u)), atol=1e-10)
+
+
+# --------------------------------------------------------------------------
+# MJCF-specific machinery
+# --------------------------------------------------------------------------
+def test_degrees_default_and_range():
+    d = g.parse_mjcf("""
+<mujoco><worldbody>
+  <body name="b"><joint name="j" range="-90 90"/>
+    <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/></body>
+</worldbody></mujoco>""")
+    np.testing.assert_allclose(d.q_lower, [-np.pi / 2])
+    np.testing.assert_allclose(d.q_upper, [np.pi / 2])
+
+
+def test_euler_degree_orientation_matches_quat():
+    """90° about z as euler-in-degrees == the same rotation as quat."""
+    mj_e = g.parse_mjcf("""
+<mujoco><worldbody>
+  <body name="b" pos="1 0 0" euler="0 0 90"><joint name="j"/>
+    <inertial pos="0.3 0 0" mass="1" diaginertia="1 1 1"/></body>
+</worldbody></mujoco>""")
+    s2 = np.sqrt(0.5)
+    mj_q = g.parse_mjcf(f"""
+<mujoco><worldbody>
+  <body name="b" pos="1 0 0" quat="{s2} 0 0 {s2}"><joint name="j"/>
+    <inertial pos="0.3 0 0" mass="1" diaginertia="1 1 1"/></body>
+</worldbody></mujoco>""")
+    np.testing.assert_allclose(rpy_to_matrix(mj_e.origin_rpy[0]),
+                               rpy_to_matrix(mj_q.origin_rpy[0]),
+                               atol=1e-9)
+
+
+def test_defaults_inheritance():
+    d = g.parse_mjcf("""
+<mujoco>
+  <compiler angle="radian"/>
+  <default>
+    <joint damping="0.5" armature="0.01"/>
+    <default class="wrist"><joint damping="0.1" axis="0 1 0"/></default>
+  </default>
+  <worldbody>
+    <body name="a"><joint name="j1"/>
+      <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/>
+      <body name="b" pos="0.2 0 0"><joint name="j2" class="wrist"/>
+        <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>""")
+    np.testing.assert_allclose(d.damping, [0.5, 0.1])
+    np.testing.assert_allclose(d.armature, [0.01, 0.01])
+    np.testing.assert_allclose(d.axis[1], [0, 1, 0])
+
+
+def test_geom_inertia_sphere_box_exact():
+    """Geom-derived inertia (no <inertial>): sphere + box vs closed form."""
+    d = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="b"><joint name="j"/>
+    <geom type="sphere" size="0.1" pos="0.2 0 0" density="2000"/>
+    <geom type="box" size="0.1 0.2 0.3" pos="0 0 0.5" mass="3"/>
+  </body>
+</worldbody></mujoco>""")
+    m_s = 2000 * 4 / 3 * np.pi * 0.1 ** 3
+    m_b = 3.0
+    m = m_s + m_b
+    I6 = d.inertia[0]
+    np.testing.assert_allclose(I6[5, 5], m, rtol=1e-12)
+    com = np.array([0.2 * m_s, 0, 0.5 * m_b]) / m
+    np.testing.assert_allclose(I6[:3, 3:][(2, 0, 1), (1, 2, 0)],
+                               m * com, rtol=1e-12)
+    # rotational inertia about the COM, recomposed exactly
+    Is = 2 / 5 * m_s * 0.01 * np.eye(3)
+    Ib = m_b / 3 * np.diag([0.04 + 0.09, 0.01 + 0.09, 0.01 + 0.04])
+    from gridcodegenerator_tpu.models.urdf import spatial_inertia
+    parts = np.zeros((3, 3))
+    for mi, ci, Ii in ((m_s, np.array([0.2, 0, 0]), Is),
+                       (m_b, np.array([0, 0, 0.5]), Ib)):
+        dd = ci - com
+        parts += Ii + mi * (dd @ dd * np.eye(3) - np.outer(dd, dd))
+    np.testing.assert_allclose(I6, spatial_inertia(m, com, parts),
+                               atol=1e-12)
+
+
+def test_capsule_fromto_inertia_matches_posquat():
+    """A capsule given as fromto == the same capsule as pos+zaxis."""
+    d1 = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="b"><joint name="j"/>
+    <geom type="capsule" size="0.05" fromto="0.1 0 0 0.5 0 0"/>
+  </body>
+</worldbody></mujoco>""")
+    d2 = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="b"><joint name="j"/>
+    <geom type="capsule" size="0.05 0.2" pos="0.3 0 0" zaxis="1 0 0"/>
+  </body>
+</worldbody></mujoco>""")
+    np.testing.assert_allclose(d1.inertia, d2.inertia, atol=1e-12)
+    assert d1.inertia[0, 5, 5] > 0
+
+
+def test_multi_joint_body_matches_nested():
+    """Two hinges in one body (MuJoCo composition order: document order
+    outermost-first) == the same mechanism as nested bodies."""
+    two_in_one = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="b" pos="0.3 0 0">
+    <joint name="jx" axis="1 0 0" pos="0.05 0 0"/>
+    <joint name="jy" axis="0 1 0" pos="0.05 0 0"/>
+    <inertial pos="0.2 0 0" mass="1.5" diaginertia="0.02 0.02 0.01"/>
+  </body>
+</worldbody></mujoco>""")
+    nested = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="b1" pos="0.3 0 0">
+    <joint name="jx" axis="1 0 0" pos="0.05 0 0"/>
+    <body name="b" pos="0 0 0">
+      <joint name="jy" axis="0 1 0" pos="0.05 0 0"/>
+      <inertial pos="0.2 0 0" mass="1.5" diaginertia="0.02 0.02 0.01"/>
+    </body>
+  </body>
+</worldbody></mujoco>""")
+    m1 = g.robot_model_from_description(two_in_one, dtype=jnp.float64)
+    m2 = g.robot_model_from_description(nested, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    q, qd, u = (jnp.asarray(rng.uniform(-1, 1, (8, 2))) for _ in range(3))
+    np.testing.assert_allclose(
+        np.asarray(g.forward_dynamics(m1, q, qd, u)),
+        np.asarray(g.forward_dynamics(m2, q, qd, u)), atol=1e-11)
+
+
+def test_jointless_body_welds_inertia():
+    """A body without joints lumps its inertia into the governing link,
+    through the accumulated transform — same semantics as URDF fixed
+    joints."""
+    welded = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="b"><joint name="j"/>
+    <inertial pos="0 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+    <body name="tool" pos="0.4 0 0" euler="0 1.2 0">
+      <inertial pos="0.05 0 0" mass="0.7" diaginertia="0.004 0.003 0.002"/>
+    </body>
+  </body>
+</worldbody></mujoco>""")
+    assert welded.n == 1
+    assert welded.inertia[0, 5, 5] == pytest.approx(1.7)
+    # against the URDF fixed-joint path on the identical numbers
+    u = g.parse_urdf("""
+<robot name="r"><link name="base"/>
+  <link name="b"><inertial><mass value="1"/>
+    <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+  </inertial></link>
+  <link name="tool"><inertial><origin xyz="0.05 0 0"/><mass value="0.7"/>
+    <inertia ixx="0.004" iyy="0.003" izz="0.002" ixy="0" ixz="0" iyz="0"/>
+  </inertial></link>
+  <joint name="j" type="revolute">
+    <parent link="base"/><child link="b"/>
+    <axis xyz="0 0 1"/></joint>
+  <joint name="w" type="fixed">
+    <parent link="b"/><child link="tool"/>
+    <origin xyz="0.4 0 0" rpy="0 1.2 0"/></joint>
+</robot>""")
+    np.testing.assert_allclose(welded.inertia, u.inertia, atol=1e-12)
+
+
+def test_freejoint_and_ball_to_multidof():
+    """freejoint root + ball elbow parses to the multi-dof stack and runs:
+    generalized FD is finite and matches energy bookkeeping shape-wise."""
+    from gridcodegenerator_tpu.ops import multidof as md
+
+    d = g.parse_mjcf("""
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="trunk" pos="0 0 1"><freejoint/>
+    <inertial pos="0 0 0" mass="5" diaginertia="0.2 0.2 0.1"/>
+    <body name="arm" pos="0.3 0 0">
+      <joint name="shoulder" type="ball" damping="0.1"/>
+      <inertial pos="0.2 0 0" mass="1" diaginertia="0.02 0.02 0.01"/>
+    </body>
+  </body>
+</worldbody></mujoco>""")
+    assert d.joint_types == ("floating", "spherical")
+    m = md.multidof_model_from_description(d, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    q = md.md_tangent_apply(m, md.neutral_q(m),
+                         jnp.asarray(rng.uniform(-0.3, 0.3, m.nv)))
+    qd = jnp.asarray(rng.uniform(-1, 1, m.nv))
+    tau = jnp.asarray(rng.uniform(-1, 1, m.nv))
+    qdd = md.md_forward_dynamics(m, q, qd, tau)
+    assert qdd.shape == (m.nv,)
+    assert bool(jnp.isfinite(qdd).all())
+    tau2 = md.md_inverse_dynamics(m, q, qd, qdd)
+    np.testing.assert_allclose(np.asarray(tau2), np.asarray(tau),
+                               atol=1e-9)
+
+
+def test_mjcf_errors():
+    with pytest.raises(ValueError, match="mujoco"):
+        g.parse_mjcf("<robot name='x'/>")
+    with pytest.raises(NotImplementedError, match="include"):
+        g.parse_mjcf("<mujoco><include file='x.xml'/>"
+                     "<worldbody/></mujoco>")
+    with pytest.raises(ValueError, match="free joint"):
+        g.parse_mjcf("""
+<mujoco><worldbody><body name="b"><freejoint/><joint name="j"/>
+  <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/>
+</body></worldbody></mujoco>""")
+    with pytest.raises(ValueError, match="no joints"):
+        g.parse_mjcf("<mujoco><worldbody><body name='b'/>"
+                     "</worldbody></mujoco>")
