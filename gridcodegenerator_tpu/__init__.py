@@ -162,7 +162,7 @@ from .models.robot import (RobotModel, load_robot,
                            robot_model_from_description, with_armature)
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
-from .models.mjcf import parse_mjcf
+from .models.mjcf import mjcf_collision_model, parse_mjcf
 from .utils.golden import GoldenDynamics
 from .utils.rollout import linearize_trajectory, simulate
 
@@ -170,7 +170,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
-    "load_robot", "parse_urdf", "parse_mjcf",
+    "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
     "robot_model_from_description",
     "with_armature",
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",

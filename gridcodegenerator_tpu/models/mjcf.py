@@ -299,6 +299,87 @@ _JOINT_TYPES = {"hinge": "revolute", "slide": "prismatic",
 def parse_mjcf(source: str) -> RobotDescription:
     """Parse an MJCF document (XML string or file path) into a
     :class:`~.urdf.RobotDescription`."""
+    return _parse_mjcf_impl(source)[0]
+
+
+def _geom_endpoints(geom, defaults, compiler):
+    """Collision endpoints of a sphere/capsule geom in its owner frame:
+    (a (3,), b (3,), r) or None for non-capsule types / contactless
+    geoms (contype == conaffinity == 0, MuJoCo's visual-only idiom)."""
+    gtype = _attr(geom, defaults, "type", "sphere")
+    if gtype not in ("sphere", "capsule"):
+        return None
+    if (int(float(_attr(geom, defaults, "contype", "1"))) == 0
+            and int(float(_attr(geom, defaults, "conaffinity", "1"))) == 0):
+        return None
+    size_s = _attr(geom, defaults, "size")
+    size = _floats(size_s) if size_s is not None else np.zeros(1)
+    r = float(size[0])
+    fromto = _attr(geom, defaults, "fromto")
+    if fromto is not None:
+        ft = _floats(fromto)
+        return ft[:3], ft[3:], r
+    T = _pose(geom, defaults, compiler)
+    p, z = T[:3, 3], T[:3, 2]
+    if gtype == "sphere":
+        return p, p.copy(), r
+    h = float(size[1]) if size.shape[0] > 1 else 0.0
+    return p - h * z, p + h * z, r
+
+
+def mjcf_collision_model(source: str, dtype=None, min_separation: int = 2,
+                         obs_pairs=None):
+    """Extract the MJCF document's sphere/capsule collision geometry into a
+    :class:`~..ops.collision.CollisionModel` expressed in the parsed
+    description's moving-link frames: body geoms ride their governing
+    moving link (welded bodies' geoms are re-expressed through the fixed
+    transform), worldbody geoms become static obstacles. Candidate pairs
+    default to :func:`~..ops.collision.auto_pairs` over the kinematic tree
+    plus the full geom×obstacle product. Box / cylinder / ellipsoid /
+    plane / mesh geoms and visual-only geoms (``contype="0"
+    conaffinity="0"``) are skipped — the contact layer's primitives are
+    capsules and spheres (flat ground goes through ``ground_z`` /
+    ``terrain=`` on the steppers instead of a plane geom).
+
+    Returns ``(desc, collision_model)``; ``collision_model`` is ``None``
+    when the document has no collidable capsule/sphere geoms."""
+    import jax.numpy as jnp
+
+    from ..ops.collision import (Obstacles, make_collision_model,
+                                 make_geoms)
+
+    desc, records = _parse_mjcf_impl(source)
+    dtype = jnp.float32 if dtype is None else dtype
+    links, ga, gb, gr = [], [], [], []
+    oa, ob, orr = [], [], []
+    for link_idx, T, ends in records:
+        R, p = T[:3, :3], T[:3, 3]
+        a, b, r = R @ ends[0] + p, R @ ends[1] + p, ends[2]
+        if link_idx < 0:
+            oa.append(a)
+            ob.append(b)
+            orr.append(r)
+        else:
+            links.append(link_idx)
+            ga.append(a)
+            gb.append(b)
+            gr.append(r)
+    if not links:
+        return desc, None
+    geoms = make_geoms(links, np.stack(ga), np.stack(gb),
+                       np.asarray(gr), dtype=dtype)
+    obstacles = None
+    if oa:
+        obstacles = Obstacles(jnp.asarray(np.stack(oa), dtype),
+                              jnp.asarray(np.stack(ob), dtype),
+                              jnp.asarray(np.asarray(orr), dtype))
+    cm = make_collision_model(geoms, topology=desc.topology,
+                              obstacles=obstacles, obs_pairs=obs_pairs,
+                              min_separation=min_separation)
+    return desc, cm
+
+
+def _parse_mjcf_impl(source: str):
     text = source
     if "<" not in source:
         with open(source) as f:
@@ -331,6 +412,15 @@ def parse_mjcf(source: str) -> RobotDescription:
     moving_link: list[str] = []
     inertias: list[np.ndarray] = []
     base_inertia = np.zeros((6, 6))
+    geom_records: list[tuple] = []   # (link_idx | -1, T_owner→frame, ends)
+
+    def record_geoms(body, link_idx, T, cls):
+        for geom in body.findall("geom"):
+            d = _defaults_for(defaults_table, "geom",
+                              geom.get("class", cls))
+            ends = _geom_endpoints(geom, d, compiler)
+            if ends is not None:
+                geom_records.append((link_idx, T, ends))
 
     def joint_spec(jel, cls, body_name, freejoint=False):
         if freejoint:
@@ -399,6 +489,7 @@ def parse_mjcf(source: str) -> RobotDescription:
                 base_inertia += I_target
             else:
                 inertias[parent_idx] = inertias[parent_idx] + I_target
+            record_geoms(body, parent_idx, T_pb, cls)
             for sub in body.findall("body"):
                 visit(sub, parent_idx, T_pb, cls)
             return
@@ -429,13 +520,15 @@ def parse_mjcf(source: str) -> RobotDescription:
             prev_anchor = s["anchor"]
         # children see the body frame: undo the final anchor shift
         T_body_in_link = homogeneous(np.eye(3), -prev_anchor)
+        record_geoms(body, idx, T_body_in_link, cls)
         for sub in body.findall("body"):
             visit(sub, idx, T_body_in_link, cls)
 
     for body in worldbody.findall("body"):
         visit(body, -1, np.eye(4), "main")
-    # static worldbody geoms contribute nothing to the dynamics (they are
-    # collision terrain, not inertia) — skip them, like URDF's world link.
+    # static worldbody geoms contribute nothing to the dynamics — they are
+    # collision obstacles (recorded below), like URDF's world link.
+    record_geoms(worldbody, -1, np.eye(4), "main")
 
     n = len(ordered)
     if n == 0:
@@ -449,7 +542,7 @@ def parse_mjcf(source: str) -> RobotDescription:
     origin_R = np.stack([j["T_origin"][:3, :3] for j in ordered])
     axis = np.stack([j["axis"] / np.linalg.norm(j["axis"])
                      for j in ordered])
-    return RobotDescription(
+    desc = RobotDescription(
         name=name, topology=topo,
         joint_types=tuple(j["type"] for j in ordered),
         origin_xyz=np.stack([j["T_origin"][:3, 3] for j in ordered]),
@@ -465,3 +558,4 @@ def parse_mjcf(source: str) -> RobotDescription:
         armature=np.array([j["armature"] for j in ordered]),
         mimic=(),
     )
+    return desc, geom_records

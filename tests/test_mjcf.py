@@ -379,3 +379,60 @@ def test_mjcf_errors():
     with pytest.raises(ValueError, match="no joints"):
         g.parse_mjcf("<mujoco><worldbody><body name='b'/>"
                      "</worldbody></mujoco>")
+
+
+def test_collision_extraction():
+    """mjcf_collision_model: body capsules land on their moving links in
+    LINK coordinates (anchor shift + weld transform applied), worldbody
+    geoms become obstacles, visual-only geoms are skipped, and the set
+    composes with the ground stepper."""
+    src = """
+<mujoco><compiler angle="radian"/><worldbody>
+  <geom type="capsule" size="0.2" fromto="1 0 0 1 1 0"/>
+  <geom type="plane" size="5 5 0.1"/>
+  <body name="a" pos="0 0 0.5">
+    <joint name="j1" pos="0.1 0 0"/>
+    <geom type="capsule" size="0.05" fromto="0.2 0 0 0.6 0 0"/>
+    <geom type="sphere" size="0.03" pos="0.3 0 0.1"
+          contype="0" conaffinity="0"/>
+    <body name="tool" pos="0.6 0 0" euler="0 1.5707963267948966 0">
+      <geom type="sphere" size="0.04" pos="0.1 0 0"/>
+    </body>
+    <body name="b" pos="0.6 0 0">
+      <joint name="j2" axis="0 1 0"/>
+      <geom type="sphere" size="0.06" pos="0.25 0 0" mass="0.5"/>
+      <inertial pos="0.2 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+    </body>
+  </body>
+</worldbody></mujoco>"""
+    desc, cm = g.mjcf_collision_model(src, min_separation=1)
+    assert cm is not None
+    # link capsule (anchor 0.1 shifted), welded tool sphere (rotated into
+    # link a), and b's sphere
+    assert cm.geoms.links == (0, 0, 1)
+    np.testing.assert_allclose(np.asarray(cm.geoms.a[0]),
+                               [0.1, 0, 0], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cm.geoms.b[0]),
+                               [0.5, 0, 0], atol=1e-7)
+    # tool frame: +0.5 from anchor, euler(0, pi/2, 0) sends +x to -z
+    np.testing.assert_allclose(np.asarray(cm.geoms.a[1]),
+                               [0.5, 0, -0.1], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(cm.geoms.r),
+                               [0.05, 0.04, 0.06], atol=1e-9)
+    # world capsule is an obstacle; the plane is skipped
+    assert cm.obstacles is not None and cm.obstacles.a.shape[0] == 1
+    np.testing.assert_allclose(np.asarray(cm.obstacles.a[0]), [1, 0, 0])
+    assert len(cm.obs_pairs) == 3
+    # candidate pairs at tree distance >= 1: the (a, b) cross pairs
+    assert all(cm.geoms.links[i] != cm.geoms.links[j] for i, j in cm.pairs)
+    # composes with the stepper end-to-end
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    st = (jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([0.0, 0, 0.4]),
+          jnp.zeros(2), jnp.zeros(6), jnp.zeros(2))
+    nxt, imp = ct.fb_step_ground(ffm, st, jnp.zeros(2), 1e-3, (1,),
+                                 np.array([[0.3, 0.0, 0.0]]),
+                                 collision=cm)
+    assert imp.shape == (1 + cm.n_contacts, 3)
+    assert all(bool(jnp.isfinite(x).all()) for x in nxt)
