@@ -164,6 +164,8 @@ from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
 from .models.mjcf import mjcf_collision_model, parse_mjcf
 from .utils.golden import GoldenDynamics
+from .utils.randomize import (model_axes, randomize_model,
+                              scale_links, vmap_model)
 from .utils.rollout import linearize_trajectory, simulate
 
 __version__ = "0.1.0"
@@ -171,6 +173,7 @@ __version__ = "0.1.0"
 __all__ = [
     "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
     "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
+    "randomize_model", "scale_links", "vmap_model", "model_axes",
     "robot_model_from_description",
     "with_armature",
     "inverse_dynamics", "bias_force", "direct_minv", "forward_dynamics",
