@@ -328,7 +328,7 @@ def _geom_endpoints(geom, defaults, compiler):
 
 
 def mjcf_collision_model(source: str, dtype=None, min_separation: int = 2,
-                         obs_pairs=None):
+                         obs_pairs=None, base_geoms: str = "link"):
     """Extract the MJCF document's sphere/capsule collision geometry into a
     :class:`~..ops.collision.CollisionModel` expressed in the parsed
     description's moving-link frames: body geoms ride their governing
@@ -341,6 +341,13 @@ def mjcf_collision_model(source: str, dtype=None, min_separation: int = 2,
     capsules and spheres (flat ground goes through ``ground_z`` /
     ``terrain=`` on the steppers instead of a plane geom).
 
+    ``base_geoms``: where geoms on jointless bodies welded to the ROOT go
+    (the MuJoCo quadruped-torso idiom — a free body expressed without a
+    ``<freejoint>``, floated later by ``free_flyer_model``):
+    ``"link"`` (default) emits them as base-attached geoms (link -1,
+    free-flyer entry points only), ``"obstacle"`` pins them static at
+    their parsed world pose (the fixed-base reading).
+
     Returns ``(desc, collision_model)``; ``collision_model`` is ``None``
     when the document has no collidable capsule/sphere geoms."""
     import jax.numpy as jnp
@@ -348,6 +355,9 @@ def mjcf_collision_model(source: str, dtype=None, min_separation: int = 2,
     from ..ops.collision import (Obstacles, make_collision_model,
                                  make_geoms)
 
+    if base_geoms not in ("link", "obstacle"):
+        raise ValueError('base_geoms must be "link" or "obstacle", got '
+                         f"{base_geoms!r}")
     desc, records = _parse_mjcf_impl(source)
     dtype = jnp.float32 if dtype is None else dtype
     links, ga, gb, gr = [], [], [], []
@@ -355,7 +365,7 @@ def mjcf_collision_model(source: str, dtype=None, min_separation: int = 2,
     for link_idx, T, ends in records:
         R, p = T[:3, :3], T[:3, 3]
         a, b, r = R @ ends[0] + p, R @ ends[1] + p, ends[2]
-        if link_idx < 0:
+        if link_idx == -2 or (link_idx == -1 and base_geoms == "obstacle"):
             oa.append(a)
             ob.append(b)
             orr.append(r)
@@ -527,8 +537,10 @@ def _parse_mjcf_impl(source: str):
     for body in worldbody.findall("body"):
         visit(body, -1, np.eye(4), "main")
     # static worldbody geoms contribute nothing to the dynamics — they are
-    # collision obstacles (recorded below), like URDF's world link.
-    record_geoms(worldbody, -1, np.eye(4), "main")
+    # collision obstacles (recorded below, sentinel -2), like URDF's world
+    # link. (Geoms on jointless bodies welded to the root keep -1: they
+    # ride the base when the description is promoted to a free flyer.)
+    record_geoms(worldbody, -2, np.eye(4), "main")
 
     n = len(ordered)
     if n == 0:

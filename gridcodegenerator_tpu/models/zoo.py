@@ -541,3 +541,41 @@ def expand_spherical(urdf: str) -> str:
     for ln in new_links:
         ET.SubElement(root, "link", dict(name=ln))
     return ET.tostring(root, encoding="unicode")
+
+
+def ant_mjcf(damping: float = 0.5) -> str:
+    """MuJoCo-style quadruped 'ant' as an MJCF document (the MJCF front-end
+    fixture): torso sphere welded to the root (its inertia lands in
+    ``base_inertia`` — the free-flyer base), four 2-joint legs mounted at
+    90° yaw increments via DEGREE-mode eulers, capsule geoms supplying the
+    inertia (no explicit <inertial> — exercises geom-derived mass), a
+    <default> class tree for the joints, and joint ranges. Feet are the
+    shin capsule tips: offsets (0.4, 0, 0) on the shin links."""
+    legs = []
+    for k in range(4):
+        ang = 45 + 90 * k
+        legs.append(f"""
+    <body name="hip{k}" pos="0.2 0 0" euler="0 0 {ang}">
+      <joint name="hip{k}_j" axis="0 0 1" range="-35 35"/>
+      <geom type="capsule" size="0.046" fromto="0 0 0 0.28 0 0"/>
+      <body name="shin{k}" pos="0.28 0 0">
+        <joint name="knee{k}_j" axis="0 1 0" range="25 100" class="knee"/>
+        <geom type="capsule" size="0.046" fromto="0 0 0 0.4 0 0"/>
+      </body>
+    </body>""")
+    return f"""
+<mujoco model="ant">
+  <compiler angle="degree"/>
+  <default>
+    <joint damping="{damping}" armature="0.01"/>
+    <default class="knee"><joint damping="{2 * damping}"/></default>
+    <geom density="900"/>
+  </default>
+  <worldbody>
+    <body name="torso">
+      <geom type="sphere" size="0.25" density="400"/>
+      {''.join(legs)}
+    </body>
+  </worldbody>
+</mujoco>
+"""

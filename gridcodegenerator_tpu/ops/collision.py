@@ -38,8 +38,15 @@ _EPS = 1e-12
 
 
 class Geoms(NamedTuple):
-    """Capsule geoms attached to robot links (spheres: ``a == b``)."""
-    links: Tuple[int, ...]     # static: owning link per geom
+    """Capsule geoms attached to robot links (spheres: ``a == b``).
+
+    ``links[i] == -1`` attaches geom i to the FLOATING BASE (the MuJoCo
+    quadruped-torso pattern): its endpoints are base-frame constants, its
+    arm Jacobian columns are zero, and in self pairs the base columns
+    cancel like any other pair. Base geoms are free-flyer-only — the
+    fixed-base queries reject them (a geom welded to a fixed base is
+    static world geometry: express it as an :class:`Obstacles` entry)."""
+    links: Tuple[int, ...]     # static: owning link per geom (-1 = base)
     a: jnp.ndarray             # (g, 3) segment start, link frame
     b: jnp.ndarray             # (g, 3) segment end, link frame
     r: jnp.ndarray             # (g,)  radii
@@ -88,11 +95,15 @@ def auto_pairs(topology, geoms: Geoms, min_separation: int = 2):
     """Self-collision candidates: geom pairs whose links are at least
     ``min_separation`` apart along the kinematic tree (adjacent links
     mechanically overlap at the joint — excluding them is the standard
-    MuJoCo-style default)."""
+    MuJoCo-style default). The base (link -1) sits one joint above every
+    root link: dist(base, j) = depth(j) + 1."""
     n = topology.n
     anc = [set(topology.ancestors[i]) | {i} for i in range(n)]
 
     def tree_dist(i, j):
+        if i == -1 or j == -1:
+            k = j if i == -1 else i
+            return len(anc[k])          # = depth(k) + 1
         common = anc[i] & anc[j]
         depth = lambda s: max(len(anc[k]) for k in s) if s else 0
         return (len(anc[i]) - depth(common)) + (len(anc[j]) - depth(common))
@@ -123,14 +134,21 @@ def make_collision_model(geoms: Geoms, topology=None, pairs=None,
     return CollisionModel(geoms, tuple(pairs), obstacles, tuple(obs_pairs))
 
 
-def _check_geoms(n_links: int, cm: CollisionModel):
+def _check_geoms(n_links: int, cm: CollisionModel, allow_base: bool = True):
     """Fail fast on malformed collision sets (the ``_check_contacts``
-    analog): geom links in range, pair indices valid."""
+    analog): geom links in range, pair indices valid. ``allow_base``:
+    accept link -1 (floating-base geoms) — the free-flyer entry points do,
+    the fixed-base ones don't (a base geom is static there: use an
+    obstacle)."""
     g = len(cm.geoms.links)
-    bad = [l for l in cm.geoms.links if not 0 <= l < n_links]
+    lo = -1 if allow_base else 0
+    bad = [l for l in cm.geoms.links if not lo <= l < n_links]
     if bad:
+        hint = ("" if allow_base else
+                " (link -1 = base geoms are free-flyer-only; for a fixed "
+                "base express them as obstacles)")
         raise ValueError(f"collision geom links {bad} out of range "
-                         f"[0, {n_links})")
+                         f"[{lo}, {n_links}){hint}")
     for gi, gj in cm.pairs:
         if not (0 <= gi < g and 0 <= gj < g):
             raise ValueError(f"self-collision pair ({gi}, {gj}) out of "
@@ -201,9 +219,12 @@ def _arm_point_jac(model, Rw, pw, link, x):
     """(3, n) linear Jacobian of a (traced) point ``x`` rigidly attached to
     ``link``, all in the frame of ``Rw/pw`` (world for fixed base, base
     coords for the free-flyer arm). Same trace-time column sparsity as
-    :func:`..kinematics.world_jacobian`."""
+    :func:`..kinematics.world_jacobian`. ``link == -1`` (base-attached
+    point): every arm column is zero."""
     topo = model.topology
     n = topo.n
+    if link < 0:
+        return jnp.zeros((3, n), x.dtype)
     support = set(topo.ancestors[link]) | {link}
     cols = []
     for j in range(n):
@@ -217,10 +238,15 @@ def _arm_point_jac(model, Rw, pw, link, x):
 
 
 def _geom_segments(cm: CollisionModel, R, p):
-    """World/base segment (start, vector) of every geom under FK (R, p)."""
+    """World/base segment (start, vector) of every geom under FK (R, p).
+    Base geoms (link -1) are identity-placed: their endpoints already live
+    in the FK frame (base coords for the free-flyer arm)."""
     g = cm.geoms
-    starts = [p[l] + R[l] @ g.a[i] for i, l in enumerate(g.links)]
-    vecs = [R[l] @ (g.b[i] - g.a[i]) for i, l in enumerate(g.links)]
+    dtype = p[0].dtype
+    starts = [g.a[i].astype(dtype) if l < 0 else p[l] + R[l] @ g.a[i]
+              for i, l in enumerate(g.links)]
+    vecs = [(g.b[i] - g.a[i]).astype(dtype) if l < 0
+            else R[l] @ (g.b[i] - g.a[i]) for i, l in enumerate(g.links)]
     return starts, vecs
 
 
@@ -230,7 +256,7 @@ def collision_rows(model, q, cm: CollisionModel):
     (self pairs first, then obstacle pairs)."""
     from .kinematics import fk
 
-    _check_geoms(model.topology.n, cm)
+    _check_geoms(model.topology.n, cm, allow_base=False)
     R, p = fk(model, q)
     starts, vecs = _geom_segments(cm, R, p)
     g = cm.geoms
@@ -372,6 +398,8 @@ def _arm_point_jac_bl(model, Rs, ps, link, x):
     n = topo.n
     B = x.shape[-1]
     dtype = x.dtype
+    if link < 0:                        # base-attached point: zero arm cols
+        return jnp.zeros((3, n, B), dtype)
     support = set(topo.ancestors[link]) | {link}
     cols = []
     for j in range(n):
@@ -397,8 +425,12 @@ def _geom_segments_bl(cm, Rs, ps, B, dtype):
         a = jnp.broadcast_to(g.a[i].astype(dtype)[:, None], (3, B))
         d = jnp.broadcast_to((g.b[i] - g.a[i]).astype(dtype)[:, None],
                              (3, B))
-        starts.append(ps[l] + _mv3(Rs[l], a))
-        vecs.append(_mv3(Rs[l], d))
+        if l < 0:                       # base geom: identity placement
+            starts.append(a)
+            vecs.append(d)
+        else:
+            starts.append(ps[l] + _mv3(Rs[l], a))
+            vecs.append(_mv3(Rs[l], d))
     return starts, vecs
 
 

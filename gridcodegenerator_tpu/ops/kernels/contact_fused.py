@@ -540,7 +540,9 @@ def _point_cols_s(km, Rs, ps, link, x):
     """Arm q̇-columns (base coords) of a traced point ``x`` (3,B) rigidly
     attached to ``link``: dict {j: (3,B)} over ancestors(link)∪{link} —
     the traced-point analog of the foot columns in
-    :func:`_ff_contact_rows_s`."""
+    :func:`_ff_contact_rows_s`. ``link == -1`` (base geom): empty dict."""
+    if link < 0:
+        return {}
     support = set(km.topology.ancestors[link]) | {link}
     cols = {}
     for j in sorted(support):
@@ -583,7 +585,13 @@ def _collision_rows_s(km, X, R, pos, cs):
     Rs, ps = _fk_s(km, X)
 
     starts, vecs = [], []
+    one = ps[0][0:1] * 0.0 + 1.0                # (1,B) lane template
+    const3 = lambda v: jnp.concatenate([one * float(c) for c in v])
     for i, l in enumerate(cs["links"]):
+        if l < 0:                               # base geom: base-frame consts
+            starts.append(const3(cs["a"][i]))
+            vecs.append(const3(cs["d"][i]))
+            continue
         starts.append(ps[l] + _mv3s_c(Rs[l], [float(v)
                                               for v in cs["a"][i]]))
         vecs.append(_mv3s_c(Rs[l], [float(v) for v in cs["d"][i]]))

@@ -252,3 +252,113 @@ def test_step_ground_batched_collision_matches_single():
                                        atol=1e-9)
         np.testing.assert_allclose(np.asarray(imp[e]), np.asarray(i1),
                                    atol=1e-9)
+
+
+def _base_geom_setup():
+    """HyQ free-flyer with a torso capsule on the BASE (link -1), a leg
+    geom, and a world obstacle — base-geom self pair + base-geom obstacle
+    pair both in the candidate list."""
+    desc, _, _ = get_setup("hyq")
+    ffm = free_flyer_model(desc)
+    geoms = col.make_geoms([-1, 5],
+                           a=[[-0.3, 0, 0.05], [0, 0, 0.1]],
+                           b=[[0.3, 0, 0.05], [0, 0, 0.3]],
+                           r=[0.12, 0.06], dtype=jnp.float64)
+    obstacles = col.make_obstacles(a=[[0.4, 0.1, 0.2]], r=0.15,
+                                   dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=obstacles)
+    return ffm, cm
+
+
+def test_base_geom_auto_pairs_and_fixed_base_reject():
+    ffm, cm = _base_geom_setup()
+    # base-vs-link-5 pair is a candidate (tree distance = depth+1 >= 2)
+    assert (0, 1) in cm.pairs
+    # base geoms are adjacent to root links: never paired with them
+    root = [i for i, p in enumerate(ffm.arm.topology.parents) if p < 0]
+    g2 = col.make_geoms([-1, root[0]], a=[[0, 0, 0], [0, 0, 0]], r=0.05,
+                        dtype=jnp.float64)
+    assert col.auto_pairs(ffm.arm.topology, g2) == ()
+    # fixed-base queries reject base geoms with a clear message
+    with pytest.raises(ValueError, match="free-flyer-only"):
+        col.collision_rows(ffm.arm, jnp.zeros(ffm.n), cm)
+
+
+def test_base_geom_gap_gradient_is_normal_row():
+    """The envelope identity through (quat, pos, q) motion with a BASE
+    capsule: validates the zero arm columns + base-column cancellation of
+    the self pair and the full base block of the obstacle pair."""
+    from gridcodegenerator_tpu.ops.freeflyer import (quat_exp_body,
+                                                     quat_mul, quat_to_rot)
+    ffm, cm = _base_geom_setup()
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, ffm.n))
+    quat = jnp.asarray([0.7, -0.3, 0.2, 0.5])
+    quat = quat / jnp.linalg.norm(quat)
+    pos = jnp.asarray([0.05, -0.1, 0.5])
+    vb = jnp.asarray(rng.standard_normal(6))
+    qd = jnp.asarray(rng.standard_normal(ffm.n))
+
+    def gaps_at(t):
+        quat_t = quat_mul(quat, quat_exp_body(vb[:3] * t))
+        pos_t = pos + t * (quat_to_rot(quat) @ vb[3:])
+        return col.fb_collision_distances(ffm, quat_t, pos_t, q + t * qd,
+                                          cm)
+
+    _, dgap = jax.jvp(gaps_at, (0.0,), (1.0,))
+    gaps, J = col.fb_collision_rows(ffm, quat, pos, q, cm)
+    v = jnp.concatenate([vb, qd])
+    np.testing.assert_allclose(np.asarray(dgap), np.asarray(J[2::3] @ v),
+                               atol=1e-9)
+    # the self pair's gap is base-pose invariant; the obstacle pair's isn't
+    g2, _ = col.fb_collision_rows(ffm, jnp.asarray([1.0, 0, 0, 0]),
+                                  jnp.zeros(3), q, cm)
+    np.testing.assert_allclose(float(gaps[0]), float(g2[0]), atol=1e-10)
+    assert abs(float(gaps[1]) - float(g2[1])) > 1e-3
+
+
+def test_base_geom_bl_and_stepper_match_single():
+    """Batch-last rows and the batched stepper agree with the single-state
+    path when the collision set contains a base geom."""
+    ffm, cm = _base_geom_setup()
+    rng = np.random.default_rng(3)
+    B = 3
+    quats = rng.standard_normal((B, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    poss = np.column_stack([rng.uniform(-0.1, 0.1, (B, 2)),
+                            rng.uniform(0.5, 0.7, B)[:, None]]
+                           ).reshape(B, 3)
+    qs = rng.uniform(-0.3, 0.3, (B, ffm.n))
+    g_bl, J_bl = col.fb_collision_rows_bl(
+        ffm, jnp.asarray(quats.T), jnp.asarray(poss.T), jnp.asarray(qs.T),
+        cm)
+    for e in range(B):
+        g1, J1 = col.fb_collision_rows(ffm, jnp.asarray(quats[e]),
+                                       jnp.asarray(poss[e]),
+                                       jnp.asarray(qs[e]), cm)
+        np.testing.assert_allclose(np.asarray(g_bl[:, e]), np.asarray(g1),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(J_bl[..., e]),
+                                   np.asarray(J1), atol=1e-11)
+    # stepper end-to-end (XLA bl path) == per-env single steps
+    links = (0, 1, 2, 3)
+    offsets = np.zeros((4, 3))
+    quats0 = np.tile([1.0, 0, 0, 0], (B, 1))
+    vbs = 0.2 * rng.standard_normal((B, 6))
+    qds = 0.2 * rng.standard_normal((B, ffm.n))
+    taus = rng.standard_normal((B, ffm.n))
+    state_b = tuple(jnp.asarray(a) for a in (quats0, poss, qs, vbs, qds))
+    nxt, imp = ct.fb_step_ground_batched(ffm, state_b, jnp.asarray(taus),
+                                         5e-3, links, offsets, impl="bl",
+                                         collision=cm, mu_collision=0.5)
+    for e in range(B):
+        s1 = tuple(jnp.asarray(a[e]) for a in (quats0, poss, qs, vbs, qds))
+        n1, i1 = ct.fb_step_ground(ffm, s1, jnp.asarray(taus[e]), 5e-3,
+                                   links, offsets, collision=cm,
+                                   mu_collision=0.5)
+        for a, b in zip(nxt, n1):
+            np.testing.assert_allclose(np.asarray(a[e]), np.asarray(b),
+                                       atol=1e-9)
+        np.testing.assert_allclose(np.asarray(imp[e]), np.asarray(i1),
+                                   atol=1e-9)

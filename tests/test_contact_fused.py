@@ -454,3 +454,53 @@ def test_step_ground_batched_auto_routes_loops(monkeypatch):
                                    atol=1e-10)
     np.testing.assert_allclose(np.asarray(imp_p), np.asarray(imp_r),
                                atol=1e-10)
+
+
+def test_step_ground_fused_base_geom_matches_xla(hyq_ff):
+    """Fused step with a BASE geom (link -1, the MuJoCo-torso idiom) in the
+    collision set: base-self pairs (zero arm columns, cancelled base
+    columns) and base-obstacle pairs (full base block, no arm columns)
+    bake correctly into the kernel; interpret == the XLA batch-last body.
+    A fat torso capsule over fat upper-leg capsules plus a sphere obstacle
+    under the torso keep both pair kinds ACTIVE."""
+    from gridcodegenerator_tpu.ops import collision as col
+
+    ffm = hyq_ff
+    n = ffm.n
+    B = 4
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=23)
+    geoms = col.make_geoms((-1, 2, 8),
+                           a=[[-0.4, 0.0, -0.02], [0, 0, 0], [0, 0, 0]],
+                           b=[[0.4, 0.0, -0.02], [0.3, 0, 0], [0.3, 0, 0]],
+                           r=[0.30, 0.22, 0.22], dtype=jnp.float64)
+    ball = col.make_obstacles(a=[[0.0, 0.1, 0.25]], r=0.30,
+                              dtype=jnp.float64)
+    cm = col.make_collision_model(geoms, topology=ffm.arm.topology,
+                                  obstacles=ball, min_separation=2)
+    assert any(-1 in (cm.geoms.links[i], cm.geoms.links[j])
+               for i, j in cm.pairs)
+    kt = 4 + cm.n_contacts
+    bl = lambda a: a.T
+
+    nxt_r, imp_r = ct.fb_step_ground_batched(
+        ffm, (quat, pos, q, vb, qd), tau, 1e-3, _FEET, _FOFF, mu=0.8,
+        collision=cm, mu_collision=0.5, impl="vmap")
+    outs = cf.step_ground_fused(
+        ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau),
+        jnp.full((4, B), 0.8, jnp.float64), 1e-3, _FEET, _FOFF,
+        collision=cm, mu_collision=0.5, interpret=True)
+    for nm, a, b in zip(("quat2", "pos2", "q2", "vb2", "qd2"), outs[:5],
+                        nxt_r):
+        np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                   atol=1e-11, err_msg=nm)
+    imp_f = jnp.moveaxis(outs[5], 0, -1).reshape(B, kt, 3)
+    np.testing.assert_allclose(np.asarray(imp_f), np.asarray(imp_r),
+                               atol=1e-10)
+    # non-vacuous: some base-geom pair carries normal impulse somewhere
+    base_pairs = [ci for ci, (i, j) in enumerate(cm.pairs)
+                  if -1 in (cm.geoms.links[i], cm.geoms.links[j])]
+    base_obs = [len(cm.pairs) + oi for oi, (i, w) in enumerate(cm.obs_pairs)
+                if cm.geoms.links[i] == -1]
+    imp_c = np.asarray(imp_r)[:, 4:, 2]
+    assert bool((imp_c[:, base_pairs] > 1e-9).any())
+    assert bool((imp_c[:, base_obs] > 1e-9).any())

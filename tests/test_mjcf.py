@@ -436,3 +436,67 @@ def test_collision_extraction():
                                  collision=cm)
     assert imp.shape == (1 + cm.n_contacts, 3)
     assert all(bool(jnp.isfinite(x).all()) for x in nxt)
+
+
+def test_ant_fixture():
+    """zoo.ant_mjcf — the quadruped MJCF fixture parses to the expected
+    structure: degree-mode eulers/ranges, <default> class tree (knee class
+    doubles the damping), geom-derived inertia (torso sphere welds into the
+    free-flyer base), and a 9-geom self-collision set."""
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc, cm = g.mjcf_collision_model(zoo.ant_mjcf(damping=0.5))
+    assert desc.n == 8 and set(desc.joint_types) == {"revolute"}
+    # default-class damping: 4 hips at 0.5, 4 knees at the knee-class 1.0;
+    # armature from the root default everywhere
+    np.testing.assert_allclose(np.sort(desc.damping), [0.5] * 4 + [1.0] * 4)
+    np.testing.assert_allclose(desc.armature, 0.01)
+    # hips range +-35 deg, knees 25..100 deg — converted from degree mode
+    d = np.pi / 180
+    hips = desc.damping < 0.75
+    np.testing.assert_allclose(desc.q_lower[hips], -35 * d, atol=1e-12)
+    np.testing.assert_allclose(desc.q_upper[hips], 35 * d, atol=1e-12)
+    np.testing.assert_allclose(desc.q_lower[~hips], 25 * d, atol=1e-12)
+    np.testing.assert_allclose(desc.q_upper[~hips], 100 * d, atol=1e-12)
+    # torso sphere (no <inertial>): mass rho*4/3*pi*r^3 lumped into the base
+    m_torso = 400.0 * 4.0 / 3.0 * np.pi * 0.25**3
+    assert np.isclose(float(desc.base_inertia[5, 5]), m_torso, rtol=1e-12)
+    # collision set: the torso sphere rides the BASE (link -1 — the
+    # jointless-root-body idiom) + 8 leg capsules; no phantom obstacles
+    assert cm.geoms.r.shape[0] == 9
+    np.testing.assert_allclose(np.sort(np.asarray(cm.geoms.r)),
+                               [0.046] * 8 + [0.25])
+    assert cm.obstacles is None and len(cm.pairs) > 0
+    torso_g = [i for i, l in enumerate(cm.geoms.links) if l < 0]
+    assert len(torso_g) == 1
+    # auto pairs: torso-shin (tree distance 2) in, torso-hip (adjacent) out
+    hips = [i for i in range(8) if i not in
+            [desc.topology.link_names.index(f"shin{k}") for k in range(4)]]
+    tp = [(a, b) for a, b in cm.pairs if torso_g[0] in (a, b)]
+    assert len(tp) == 4
+    for a, b in tp:
+        other = b if a == torso_g[0] else a
+        assert cm.geoms.links[other] not in hips
+    # the fixed-base reading pins the torso static instead
+    _, cm_fix = g.mjcf_collision_model(zoo.ant_mjcf(),
+                                       base_geoms="obstacle")
+    assert cm_fix.geoms.r.shape[0] == 8
+    assert cm_fix.obstacles is not None and cm_fix.obstacles.a.shape[0] == 1
+    # feet anchor points: shin capsules end at (0.4, 0, 0) in the shin frame
+    shins = [desc.topology.link_names.index(f"shin{k}") for k in range(4)]
+    caps = {int(l): np.asarray(b)
+            for l, b in zip(cm.geoms.links, np.asarray(cm.geoms.b))}
+    for s in shins:
+        np.testing.assert_allclose(caps[s], [0.4, 0.0, 0.0], atol=1e-12)
+    # and the whole thing drives the floating-base dynamics
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    vb_dot, qdd = ff.fb_forward_dynamics(
+        ffm, jnp.asarray([1.0, 0, 0, 0]), jnp.zeros(8), jnp.zeros(6),
+        jnp.zeros(8), jnp.zeros(8))
+    assert np.isfinite(np.asarray(vb_dot)).all()
+    assert np.isfinite(np.asarray(qdd)).all()
+    # free fall: base linear acceleration is -g z, no spin
+    np.testing.assert_allclose(np.asarray(vb_dot[:3]), 0.0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vb_dot[3:]), [0, 0, -9.81],
+                               atol=1e-9)
