@@ -218,6 +218,37 @@ def main(argv=None):
             print(f"# coll   hyq  B={B:7d}  {med*1e3:9.3f} ms  "
                   f"{B/med:11.3e} env-steps/s", file=sys.stderr)
 
+    # ---- geom-vs-ground stepper: capsule feet + torso, in-kernel ----------
+    # (r3s13: 4 shin capsules and the base torso capsule contact the plane
+    # at their endpoint spheres — 10 extra cone triplets per env, the
+    # MuJoCo-faithful quadruped contact shape; impl routing as in "step")
+    if "groundgeoms" in args.cases:
+        from gridcodegenerator_tpu.ops import collision as col
+
+        gg = col.make_geoms((-1,) + feet,
+                            a=[[-0.35, 0, -0.02]] + [[0, 0, 0]] * 4,
+                            b=[[0.35, 0, -0.02]] + [[0.3, 0, 0]] * 4,
+                            r=[0.18, 0.03, 0.03, 0.03, 0.03])
+        kg = col.n_ground_contacts(gg)
+
+        @jax.jit
+        def gg_step(state, tau):
+            return ct.fb_step_ground_batched(
+                ffm, state, tau, 1e-3, feet, foff, mu=0.8,
+                ground_geoms=gg, mu_ground=0.6, impl=args.impl)[0]
+
+        for B in args.batches:
+            quat, pos, q, vb, qd, tau = states_for(B)
+            state = (quat, pos, q, vb, qd)
+            med, mn = time_fn(lambda s, t: gg_step(s, t)[2], (state, tau),
+                              reps=args.reps)
+            row = dict(case="ground_geom_step_hyq", n=nh, contacts=4 + kg,
+                       batch=B, impl=args.impl, median_ms=med * 1e3,
+                       env_steps_per_sec=B / med)
+            print(json.dumps(row))
+            print(f"# ggeom  hyq  B={B:7d}  {med*1e3:9.3f} ms  "
+                  f"{B/med:11.3e} env-steps/s", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

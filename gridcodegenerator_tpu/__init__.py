@@ -89,9 +89,11 @@ from .ops.collision import (
     collision_rows,
     fb_collision_distances,
     fb_collision_rows,
+    fb_ground_geom_rows,
     make_collision_model,
     make_geoms,
     make_obstacles,
+    n_ground_contacts,
 )
 from .ops.terrain import (
     Terrain,

@@ -347,6 +347,97 @@ def fb_collision_distances(ffm, quat, pos, q, cm: CollisionModel):
     return fb_collision_rows(ffm, quat, pos, q, cm)[0]
 
 
+# --------------------------------------------------- geom-vs-ground queries
+# Capsule/sphere geoms against the stepper's ground plane or heightfield —
+# the MuJoCo capsule-feet / fallen-torso pattern. Per geom the contacts are
+# its ENDPOINT spheres: one for a sphere (a == b), two for a capsule (a
+# lying capsule rests flat on both ends; the unsupported middle of a capsule
+# bridging a terrain bump is the documented approximation). The decision is
+# trace-time static; traced endpoints (grad w.r.t. geometry) conservatively
+# get two contacts — for a sphere the duplicate row is redundant but
+# harmless (PGS splits the impulse).
+def _ground_contact_list(geoms: Geoms):
+    """Static (geom_idx, endpoint_idx ∈ {0, 1}) list, one per ground
+    contact."""
+    import numpy as np
+
+    import jax
+
+    out = []
+    traced = any(isinstance(x, jax.core.Tracer) for x in (geoms.a, geoms.b))
+    if not traced:
+        # whole-array conversion: indexing a constant INSIDE a jit trace
+        # would produce a tracer and break the static decision
+        an, bn = np.asarray(geoms.a), np.asarray(geoms.b)
+    for i in range(len(geoms.links)):
+        out.append((i, 0))
+        if traced or not np.allclose(an[i], bn[i]):
+            out.append((i, 1))
+    return tuple(out)
+
+
+def n_ground_contacts(geoms: Geoms) -> int:
+    """Ground-contact count of a geom set: 2 per capsule, 1 per sphere."""
+    return len(_ground_contact_list(geoms))
+
+
+def fb_ground_geom_rows(ffm, quat, pos, q, geoms: Geoms, ground_z=0.0,
+                        terrain=None):
+    """Geom-vs-ground contact rows for the free-flyer: ``(gaps (c,),
+    J (3c, 6+n))`` in local [t1, t2, n] triplets over [vb; q̇], directly
+    appendable to the foot rows of ``contact.fb_step_ground`` — capsule
+    feet, shin-scraping, and fallen-torso contacts the point-foot rows
+    can't express. Geoms may ride links or the base (link -1).
+
+    Per endpoint sphere (center e, radius r): against the plane the gap is
+    ``e_z − r − ground_z`` and the frame is the world axes; against a
+    :class:`~.terrain.Terrain` the gap is ``(e_z − h)·n_z − r`` along the
+    local surface normal with the heightfield's [t1, t2, n] frame (the
+    same measure as the foot rows). The Jacobian is the point Jacobian of
+    the MATERIAL point at the contact, x_c = e − r·n (full base block —
+    the ground is an 'obstacle', not a self pair); for the plane the
+    envelope identity d(gap)/dt = n-row · [vb; q̇] is exact (the r·n
+    offset is normal to n, so it drops from the normal velocity)."""
+    from .freeflyer import quat_to_rot
+    from .kinematics import fk
+    from .spatial import skew
+
+    arm = ffm.arm
+    n = arm.topology.n
+    bad = [l for l in geoms.links if not -1 <= l < n]
+    if bad:
+        raise ValueError(f"ground-geom links {bad} out of range [-1, {n})")
+    R = quat_to_rot(quat)
+    Rbl, pbl = fk(arm, q)
+    eye3 = jnp.eye(3, dtype=q.dtype)
+    ez = jnp.asarray([0.0, 0.0, 1.0], q.dtype)
+    gaps, rows = [], []
+    for i, e_idx in _ground_contact_list(geoms):
+        l = geoms.links[i]
+        r = geoms.r[i].astype(q.dtype)
+        e0 = (geoms.a[i] if e_idx == 0 else geoms.b[i]).astype(q.dtype)
+        e_b = e0 if l < 0 else pbl[l] + Rbl[l] @ e0      # base coords
+        e_w = pos + R @ e_b
+        if terrain is None:
+            nrm_w = ez
+            gap = e_w[2] - r - ground_z
+            C = eye3
+        else:
+            from .terrain import contact_frame, terrain_surface
+            h, nrm_w = terrain_surface(terrain, e_w[0], e_w[1])
+            gap = (e_w[2] - h) * nrm_w[2] - r
+            C = contact_frame(nrm_w)
+        x_c_b = e_b - r * (R.T @ nrm_w)                  # material point
+        vb_block = jnp.concatenate([-skew(x_c_b), eye3], axis=1)
+        J = R @ jnp.concatenate(
+            [vb_block, _arm_point_jac(arm, Rbl, pbl, l, x_c_b)], axis=1)
+        gaps.append(gap)
+        rows.append(C @ J)
+    if not gaps:
+        return jnp.zeros((0,), q.dtype), jnp.zeros((0, 6 + n), q.dtype)
+    return jnp.stack(gaps), jnp.concatenate(rows, axis=0)
+
+
 # ------------------------------------------------ batch-last (TPU layout)
 # Same redesign as ops/kinematics.py's batch-last forms: geometry per
 # vector component with the environment batch on the lanes, so the
@@ -499,6 +590,71 @@ def fb_collision_rows_bl(ffm, quat_bl, pos_bl, q_bl, cm: CollisionModel):
             rows.append(jnp.stack([sum(C[r, c][None] * J[c]
                                        for c in range(3))
                                    for r in range(3)]))
+    if not gaps:
+        return (jnp.zeros((0, B), dtype), jnp.zeros((0, 6 + n, B), dtype))
+    return jnp.stack(gaps), jnp.concatenate(rows, axis=0)
+
+
+def fb_ground_geom_rows_bl(ffm, quat_bl, pos_bl, q_bl, geoms: Geoms,
+                           ground_z=0.0, terrain=None):
+    """Batch-last :func:`fb_ground_geom_rows`: quat (4,B), pos (3,B),
+    q (n,B) → (gaps (c,B), J (3c, 6+n, B)) — appendable to the batched
+    stepper's foot rows."""
+    from .contact import _quat_to_rot_bl
+    from .kinematics import _mv3, fk_bl
+
+    arm = ffm.arm
+    n = arm.topology.n
+    bad = [l for l in geoms.links if not -1 <= l < n]
+    if bad:
+        raise ValueError(f"ground-geom links {bad} out of range [-1, {n})")
+    B = q_bl.shape[-1]
+    dtype = q_bl.dtype
+    R = _quat_to_rot_bl(quat_bl)                 # (3, 3, B)
+    Rs, ps = fk_bl(arm, q_bl)
+    eye_bl = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[..., None], (3, 3, B))
+    ez = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype)[:, None], (3, B))
+
+    def rot_cols(Jcols):
+        return jnp.stack([_mv3(R, Jcols[:, j]) for j in
+                          range(Jcols.shape[1])], axis=1)
+
+    def skew_bl(x):
+        z = jnp.zeros_like(x[0])
+        return jnp.stack([
+            jnp.stack([z, -x[2], x[1]]),
+            jnp.stack([x[2], z, -x[0]]),
+            jnp.stack([-x[1], x[0], z])])
+
+    gaps, rows = [], []
+    for i, e_idx in _ground_contact_list(geoms):
+        l = geoms.links[i]
+        r = geoms.r[i].astype(dtype)
+        e0 = (geoms.a[i] if e_idx == 0 else geoms.b[i]).astype(dtype)
+        e0 = jnp.broadcast_to(e0[:, None], (3, B))
+        e_b = e0 if l < 0 else ps[l] + _mv3(Rs[l], e0)
+        e_w = pos_bl + _mv3(R, e_b)
+        if terrain is None:
+            nrm_w = ez
+            gap = e_w[2] - r - ground_z
+            C = None                             # world axes
+        else:
+            from .terrain import contact_frame, terrain_surface
+            h, nrm_w = terrain_surface(terrain, e_w[0], e_w[1])
+            gap = (e_w[2] - h) * nrm_w[2] - r
+            C = contact_frame(nrm_w)             # (3, 3, B)
+        x_c_b = e_b - r * _mv3(R, nrm_w, tA=True)
+        vb_block = jnp.concatenate([-skew_bl(x_c_b), eye_bl], axis=1)
+        J = rot_cols(jnp.concatenate(
+            [vb_block, _arm_point_jac_bl(arm, Rs, ps, l, x_c_b)], axis=1))
+        gaps.append(gap)
+        if C is None:
+            rows.append(J)
+        else:
+            rows.append(jnp.stack([sum(C[r_, c][None] * J[c]
+                                       for c in range(3))
+                                   for r_ in range(3)]))
     if not gaps:
         return (jnp.zeros((0, B), dtype), jnp.zeros((0, 6 + n, B), dtype))
     return jnp.stack(gaps), jnp.concatenate(rows, axis=0)

@@ -938,7 +938,8 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    restitution: float = 0.0, limits=None, effort=None,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, collision=None,
-                   mu_collision=None, loops=None):
+                   mu_collision=None, ground_geoms=None, mu_ground=None,
+                   loops=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -976,6 +977,14 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     same margin-activation, penetration-recovery, and restitution
     semantics. The returned impulse array then covers
     ``k_feet + collision.n_contacts`` triplets, feet first.
+
+    ``ground_geoms``: an optional :class:`.collision.Geoms` — each
+    capsule/sphere geom (on a link or the base, link -1) contacts the
+    SAME ground surface as the feet (plane or ``terrain``) at its
+    endpoint spheres (:func:`.collision.fb_ground_geom_rows` — capsule
+    feet, shin scraping, fallen-torso contact), appended as cone
+    triplets with coefficient ``mu_ground`` (defaulting like
+    ``mu_collision``). Impulse order: feet, collision, ground-geoms.
 
     ``diff_mode``: how reverse-mode AD treats the PGS cone solve —
     ``"unroll"`` (default) differentiates through the stored sweeps;
@@ -1039,12 +1048,22 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         J = jnp.concatenate([C[..., i] @ J6[3 * i:3 * i + 3]
                              for i in range(k)], axis=0)
     k_feet = k
+    n_coll = 0
     if collision is not None:
         from .collision import fb_collision_rows
         c_gaps, c_J = fb_collision_rows(ffm, quat, pos, q, collision)
         J = jnp.concatenate([J, c_J], axis=0)
         gaps = jnp.concatenate([gaps, c_gaps])
-        k = k + collision.n_contacts
+        n_coll = collision.n_contacts
+        k = k + n_coll
+    if ground_geoms is not None:
+        from .collision import fb_ground_geom_rows
+        g_gaps, g_J = fb_ground_geom_rows(ffm, quat, pos, q, ground_geoms,
+                                          ground_z=ground_z,
+                                          terrain=terrain)
+        J = jnp.concatenate([J, g_J], axis=0)
+        gaps = jnp.concatenate([gaps, g_gaps])
+        k = k + g_gaps.shape[0]
     active = (gaps < margin).astype(q.dtype)
 
     lim_active = None
@@ -1091,10 +1110,14 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         b = b.at[3 * k + n_lim:].add(erp * gap_loop / dt)
 
     mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k_feet,))
-    if k > k_feet:
+    if n_coll:
         mu_c = mu if mu_collision is None else mu_collision
         mu_vec = jnp.concatenate([mu_vec, jnp.broadcast_to(
-            jnp.asarray(mu_c, q.dtype), (k - k_feet,))])
+            jnp.asarray(mu_c, q.dtype), (n_coll,))])
+    if k > k_feet + n_coll:                    # ground-geom rows
+        mu_g = mu if mu_ground is None else mu_ground
+        mu_vec = jnp.concatenate([mu_vec, jnp.broadcast_to(
+            jnp.asarray(mu_g, q.dtype), (k - k_feet - n_coll,))])
     p_imp = pgs_solve(G, b, mu_vec, active, iters, lim_active=lim_active,
                       implicit_diff=(diff_mode == "implicit"), relax=relax,
                       eq_rows=eq)
@@ -1221,7 +1244,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            limit_mode: str = "project",
                            diff_mode: str = "unroll", relax: float = 1.0,
                            terrain=None, collision=None, mu_collision=None,
-                           loops=None):
+                           ground_geoms=None, mu_ground=None, loops=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1254,6 +1277,11 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     python scalars (the kernel bakes geometry + mu as literals); traced
     or per-environment mu falls back to the XLA batch-last body. Impulses
     then cover ``k_feet + collision.n_contacts`` triplets.
+
+    ``ground_geoms``/``mu_ground``: geom-vs-ground cone triplets (capsule
+    feet, fallen-torso contact — see :func:`fb_step_ground`); rides the
+    fused kernels under the same static-geometry/static-mu condition as
+    ``collision``.
 
     ``loops = (pairs, offsets_a, offsets_b)``: loop-closure cuts as
     bilateral rows in the shared lane-parallel PGS (see
@@ -1296,6 +1324,17 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                                            collision.geoms.b,
                                            collision.geoms.r,
                                            collision.obstacles)))))
+    # ground-geom rows ride the kernel under the same condition as
+    # collision sets: static mu_ground + concrete endpoint geometry
+    mu_ground_static = (ground_geoms is None
+                        or (isinstance(mu_ground
+                                       if mu_ground is not None else mu,
+                                       (int, float))
+                            and not any(isinstance(leaf, jax.core.Tracer)
+                                        for leaf in
+                                        jax.tree_util.tree_leaves(
+                                            (ground_geoms.a, ground_geoms.b,
+                                             ground_geoms.r)))))
     # loop-closure cuts ride the kernel when the cut geometry is concrete
     # (baked as literals like offsets); traced offsets (grad w.r.t. the
     # attachment points) fall back to XLA
@@ -1305,23 +1344,29 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                                      (loops[1], loops[2]))))
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
             and diff_mode == "unroll" and relax == 1.0
-            and mu_coll_static and loops_concrete):
+            and mu_coll_static and mu_ground_static and loops_concrete):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
         from .kernels import contact_fused as _cf
 
         kt = k if collision is None else k + collision.n_contacts
+        if ground_geoms is not None:
+            from .collision import n_ground_contacts
+            kt = kt + n_ground_contacts(ground_geoms)
         mu_bl = _mu_to_bl(mu, k, B, dtype)
         mu_c = (None if collision is None
                 else float(mu_collision if mu_collision is not None
                            else mu))
+        mu_g = (None if ground_geoms is None
+                else float(mu_ground if mu_ground is not None else mu))
         if terrain is None:
             q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), ground_z,
                 gravity, iters, erp, margin, restitution,
-                collision=collision, mu_collision=mu_c, loops=loops)
+                collision=collision, mu_collision=mu_c,
+                ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops)
         else:
             # heightfield kernel: the MXU one-hot bilinear gather; grids
             # past the VMEM gate run the same body as plain XLA inside
@@ -1329,7 +1374,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), terrain,
                 gravity, iters, erp, margin, restitution,
-                collision=collision, mu_collision=mu_c, loops=loops)
+                collision=collision, mu_collision=mu_c,
+                ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops)
         if limits is not None:
             qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
                                             limits[1][:, None])
@@ -1368,13 +1414,24 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         gaps = jnp.stack(gap_rows)
         J = jnp.stack(J_rows)
     k_feet = k
+    n_coll = 0
     if collision is not None:
         from .collision import fb_collision_rows_bl
         c_gaps, c_J = fb_collision_rows_bl(ffm, quat_bl, pos_bl, q_bl,
                                            collision)
         J = jnp.concatenate([J, c_J], axis=0)
         gaps = jnp.concatenate([gaps, c_gaps], axis=0)
-        k = k + collision.n_contacts
+        n_coll = collision.n_contacts
+        k = k + n_coll
+    if ground_geoms is not None:
+        from .collision import fb_ground_geom_rows_bl
+        g_gaps, g_J = fb_ground_geom_rows_bl(ffm, quat_bl, pos_bl, q_bl,
+                                             ground_geoms,
+                                             ground_z=ground_z,
+                                             terrain=terrain)
+        J = jnp.concatenate([J, g_J], axis=0)
+        gaps = jnp.concatenate([gaps, g_gaps], axis=0)
+        k = k + g_gaps.shape[0]
     active = (gaps < margin).astype(dtype)
 
     lim_active = None
@@ -1438,10 +1495,15 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         + ([b[3 * k + n_lim:] + erp * gap_loop / dt] if eq else []))
 
     mu_bl = _mu_to_bl(mu, k_feet, B, dtype)
-    if k > k_feet:
+    if n_coll:
         mu_c = mu if mu_collision is None else mu_collision
         mu_bl = jnp.concatenate(
-            [mu_bl, _mu_to_bl(mu_c, k - k_feet, B, dtype)], axis=0)
+            [mu_bl, _mu_to_bl(mu_c, n_coll, B, dtype)], axis=0)
+    if k > k_feet + n_coll:                    # ground-geom rows
+        mu_g = mu if mu_ground is None else mu_ground
+        mu_bl = jnp.concatenate(
+            [mu_bl, _mu_to_bl(mu_g, k - k_feet - n_coll, B, dtype)],
+            axis=0)
     p_imp = pgs_solve_bl(G, b, mu_bl, active, iters,
                          lim_active=lim_active,
                          implicit_diff=(diff_mode == "implicit"),
@@ -1485,19 +1547,21 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
                                margin: float = 1e-3,
                                restitution: float = 0.0, impl="auto",
                                terrain=None, collision=None,
-                               mu_collision=None, loops=None):
+                               mu_collision=None, ground_geoms=None,
+                               mu_ground=None, loops=None):
     """``lax.scan`` rollout of :func:`fb_step_ground_batched` — T steps of
     N frictional environments in ONE device dispatch (the RL-training
     inner loop; on TPU each step is one fused Pallas kernel per lane
     tile). ``state0 = (quat (B,4), pos (B,3), q (B,n), vb (B,6),
     qd (B,n))``, ``taus (T, B, n)``. Returns (final state, per-step
-    impulse stacks (T, B, k, 3)); ``terrain=``/``collision=`` pass
-    through to every step."""
+    impulse stacks (T, B, k, 3)); ``terrain=``/``collision=``/
+    ``ground_geoms=`` pass through to every step."""
     def step(s, tau):
         nxt, imp = fb_step_ground_batched(
             ffm, s, tau, dt, links, offsets, mu, ground_z, gravity, iters,
             erp, margin, restitution, impl=impl, terrain=terrain,
-            collision=collision, mu_collision=mu_collision, loops=loops)
+            collision=collision, mu_collision=mu_collision,
+            ground_geoms=ground_geoms, mu_ground=mu_ground, loops=loops)
         return nxt, imp
 
     return jax.lax.scan(step, state0, taus)

@@ -730,6 +730,146 @@ def _loop_rows_s(km, X, R, pos, ls):
 
 
 # --------------------------------------------------------------------------
+# geom-vs-ground rows, (1,B)-entry style
+# --------------------------------------------------------------------------
+def _terrain_surface_s(ts, tables, px, py, dtype):
+    """(h, (nx, ny, nz), C) of the baked heightfield at world (px, py)
+    ((1,B) slices) — the in-kernel ``terrain.terrain_surface`` +
+    ``contact_frame``. The per-point bilinear lookup rides the MXU: ONE
+    one-hot mask (iota == flat cell index, (HWp, B)) against four
+    statically-ROLLED copies of the flattened height grid gives all four
+    corners in a single (4, HWp) @ (HWp, B) matmul."""
+    W, Hn, cell = ts["W"], ts["H"], ts["cell"]
+    HWp = tables.shape[1]
+    u = (px - ts["x0"]) / cell
+    vq = (py - ts["y0"]) / cell
+    iu = jnp.clip(jnp.floor(u), 0, Hn - 2)
+    iv = jnp.clip(jnp.floor(vq), 0, W - 2)
+    fu = u - iu
+    fv = vq - iv
+    idx = iu * W + iv                  # exact small ints in f32
+    # int iota converted to float for the == : Mosaic rejects a
+    # float-typed tpu.iota outright ('result #0 must be vector of
+    # integer or index values', v5e 2026-08-19 — interpret mode
+    # accepted it, hardware lowering does not)
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (HWp, idx.shape[-1]), 0).astype(dtype)
+    onehot = (iota == idx).astype(dtype)          # (HWp, B)
+    # HIGHEST precision: the MXU's default f32 matmul truncates
+    # inputs to bf16 (the onehot side is exact 0/1, but the
+    # height table loses ~2^-9 relative), and the gather error
+    # amplifies through the Baumgarte bias (erp·pen/dt, dt=1e-3
+    # → ×200). Measured v5e: 7.6e-5 step error at default vs
+    # the 3e-5 f32 pipeline floor; the (4,HWp)×(HWp,B) matmul
+    # is a trivial share of the kernel, so exactness is free.
+    corners = jnp.dot(tables, onehot,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=dtype)  # (4, B)
+    h00, h10, h01, h11 = (corners[d:d + 1] for d in range(4))
+    h = ((1 - fu) * (1 - fv) * h00 + fu * (1 - fv) * h10
+         + (1 - fu) * fv * h01 + fu * fv * h11)
+    hx = ((1 - fv) * (h10 - h00) + fv * (h11 - h01)) / cell
+    hy = ((1 - fu) * (h01 - h00) + fu * (h11 - h10)) / cell
+    inv = 1.0 / jnp.sqrt(hx * hx + hy * hy + 1.0)
+    nx, ny, nz = -hx * inv, -hy * inv, inv
+    it = 1.0 / jnp.sqrt(nz * nz + nx * nx)
+    t1 = (nz * it, jnp.zeros_like(nz), -nx * it)
+    t2 = (ny * t1[2] - nz * t1[1],
+          nz * t1[0] - nx * t1[2],
+          nx * t1[1] - ny * t1[0])
+    return h, (nx, ny, nz), (t1, t2, (nx, ny, nz))
+
+
+def ground_geoms_static(geoms):
+    """Bake a :class:`..collision.Geoms` set into the static ground-contact
+    list ((link, endpoint float3, radius) per contact — one per sphere,
+    two per capsule; :func:`..collision._ground_contact_list`) for the
+    fused kernels. Geometry must be concrete (trace literals, like
+    ``offsets``)."""
+    from ..collision import _ground_contact_list
+
+    a = np.asarray(geoms.a, np.float64)
+    b = np.asarray(geoms.b, np.float64)
+    r = np.asarray(geoms.r, np.float64)
+    return tuple(
+        (int(geoms.links[i]),
+         tuple(float(v) for v in (a[i] if e == 0 else b[i])), float(r[i]))
+        for i, e in _ground_contact_list(geoms))
+
+
+def _ground_geom_rows_s(km, X, R, pos, contacts, *, ground_z,
+                        terrain_static, tables, dtype):
+    """Geom-vs-ground contact rows in (1,B)-entry style: returns (rows —
+    list over 3c of (6+n)-column entry lists — and gaps — list of c
+    (1,B)). Mirrors :func:`..collision.fb_ground_geom_rows`: per endpoint
+    sphere (center e, radius r) the gap is measured along the local
+    normal minus r, and the Jacobian is the point Jacobian of the
+    material point x_c = e − r·n (full base block; zero arm columns for
+    base geoms, link -1)."""
+    topo = km.topology
+    n = topo.n
+    m = 6 + n
+    Rs, ps = _fk_s(km, X)
+    one = ps[0][0:1] * 0.0 + 1.0                # (1,B) lane template
+    const3 = lambda v: jnp.concatenate([one * float(c) for c in v])
+    rows, gaps = [], []
+    for l, e0, r in contacts:
+        x_b = (const3(e0) if l < 0
+               else ps[l] + _mv3s_c(Rs[l], [float(v) for v in e0]))
+        p_w = [pos[d:d + 1]
+               + sum(R[d, j:j + 1, :] * x_b[j:j + 1] for j in range(3))
+               for d in range(3)]
+        if terrain_static is None:
+            gap = p_w[2] - r - ground_z
+            # world normal e_z in base coords: Rᵀ e_z = R's third row
+            n_b = jnp.concatenate([R[2, j:j + 1, :] for j in range(3)])
+            C = None
+        else:
+            h, nw, C = _terrain_surface_s(terrain_static, tables,
+                                          p_w[0], p_w[1], dtype)
+            gap = (p_w[2] - h) * nw[2] - r
+            # world normal → base coords: (Rᵀ n)_j = Σ_d R[d, j]·n_d
+            n_b = jnp.concatenate(
+                [sum(R[d, j:j + 1, :] * nw[d] for d in range(3))
+                 for j in range(3)])
+        x_c = x_b - r * n_b                     # material point, base coords
+        zero1 = x_c[0:1] * 0.0
+        ex = [jnp.concatenate([zero1, -x_c[2:3], x_c[1:2]]),
+              jnp.concatenate([x_c[2:3], zero1, -x_c[0:1]]),
+              jnp.concatenate([-x_c[1:2], x_c[0:1], zero1])]
+        wcols = [_mv3s(R, e) for e in ex]
+        acols = {}
+        if l >= 0:
+            for j in sorted(set(topo.ancestors[l]) | {l}):
+                a_ang = _mv3s(Rs[j], km.S[j][:3])
+                a_lin = _mv3s(Rs[j], km.S[j][3:])
+                acols[j] = _mv3s(R, _cross3s(a_ang, x_c - ps[j]) + a_lin)
+        wrows = []
+        for rr in range(3):
+            row = [None] * m
+            for j in range(3):
+                row[j] = wcols[j][rr:rr + 1]
+            for j in range(3):                  # v_b columns: R[:, j]
+                row[3 + j] = R[rr, j:j + 1, :]
+            for j, col in acols.items():
+                row[6 + j] = col[rr:rr + 1]
+            wrows.append(row)
+        if C is not None:                       # rotate into [t1, t2, n]
+            rot = []
+            for rr in range(3):
+                row = []
+                for c in range(m):
+                    terms = [C[rr][w] * wrows[w][c] for w in range(3)
+                             if wrows[w][c] is not None]
+                    row.append(_sum_terms(terms) if terms else None)
+                rot.append(row)
+            wrows = rot
+        rows.extend(wrows)
+        gaps.append(gap)
+    return rows, gaps
+
+
+# --------------------------------------------------------------------------
 # kernel bodies
 # --------------------------------------------------------------------------
 def _stance_prelude(km, I_base, quat, q, vb, qd, tau, gravity):
@@ -838,7 +978,8 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
                       tables=None, *, links, offsets, dt, ground_z,
                       gravity, iters, erp, margin, restitution,
                       terrain_static=None, collision_static=None,
-                      mu_coll=0.8, loop_static=None):
+                      mu_coll=0.8, ground_static=None, mu_grd=0.8,
+                      loop_static=None):
     """One frictional ground step on a lane tile. Mirrors
     :func:`..contact.fb_step_ground_batched`: free velocity step, gap-gated
     PGS cone solve on the Delassus operator, semi-implicit manifold
@@ -874,46 +1015,8 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
         if terrain_static is None:
             gap = p_w[2] - ground_z
         else:
-            ts = terrain_static
-            W, Hn, cell = ts["W"], ts["H"], ts["cell"]
-            HWp = tables.shape[1]
-            u = (p_w[0] - ts["x0"]) / cell
-            vq = (p_w[1] - ts["y0"]) / cell
-            iu = jnp.clip(jnp.floor(u), 0, Hn - 2)
-            iv = jnp.clip(jnp.floor(vq), 0, W - 2)
-            fu = u - iu
-            fv = vq - iv
-            idx = iu * W + iv                  # exact small ints in f32
-            # int iota converted to float for the == : Mosaic rejects a
-            # float-typed tpu.iota outright ('result #0 must be vector of
-            # integer or index values', v5e 2026-08-19 — interpret mode
-            # accepted it, hardware lowering does not)
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (HWp, idx.shape[-1]), 0).astype(q.dtype)
-            onehot = (iota == idx).astype(q.dtype)          # (HWp, B)
-            # HIGHEST precision: the MXU's default f32 matmul truncates
-            # inputs to bf16 (the onehot side is exact 0/1, but the
-            # height table loses ~2^-9 relative), and the gather error
-            # amplifies through the Baumgarte bias (erp·pen/dt, dt=1e-3
-            # → ×200). Measured v5e: 7.6e-5 step error at default vs
-            # the 3e-5 f32 pipeline floor; the (4,HWp)×(HWp,B) matmul
-            # is a trivial share of the kernel, so exactness is free.
-            corners = jnp.dot(tables, onehot,
-                              precision=jax.lax.Precision.HIGHEST,
-                              preferred_element_type=q.dtype)  # (4, B)
-            h00, h10, h01, h11 = (corners[d:d + 1] for d in range(4))
-            h = ((1 - fu) * (1 - fv) * h00 + fu * (1 - fv) * h10
-                 + (1 - fu) * fv * h01 + fu * fv * h11)
-            hx = ((1 - fv) * (h10 - h00) + fv * (h11 - h01)) / cell
-            hy = ((1 - fu) * (h01 - h00) + fu * (h11 - h10)) / cell
-            inv = 1.0 / jnp.sqrt(hx * hx + hy * hy + 1.0)
-            nx, ny, nz = -hx * inv, -hy * inv, inv
-            it = 1.0 / jnp.sqrt(nz * nz + nx * nx)
-            t1 = (nz * it, jnp.zeros_like(nz), -nx * it)
-            t2 = (ny * t1[2] - nz * t1[1],
-                  nz * t1[0] - nx * t1[2],
-                  nx * t1[1] - ny * t1[0])
-            C = (t1, t2, (nx, ny, nz))
+            h, (nx, ny, nz), C = _terrain_surface_s(
+                terrain_static, tables, p_w[0], p_w[1], q.dtype)
             old = [J[3 * ci + w] for w in range(3)]
             for r in range(3):
                 row = []
@@ -941,6 +1044,20 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
             mu = jnp.concatenate(
                 [mu] + [mu[0:1] * 0.0 + mu_coll] * len(c_gaps))
         k = k + len(c_gaps)
+    if ground_static is not None:
+        # geom-vs-ground cone triplets after the collision block (same
+        # order as ..contact.fb_step_ground_batched)
+        g_rows, g_gaps = _ground_geom_rows_s(
+            km, X, R, pos, ground_static, ground_z=ground_z,
+            terrain_static=terrain_static, tables=tables, dtype=q.dtype)
+        J = J + g_rows
+        for g_ in g_gaps:
+            gaps.append(g_)
+            active.append((g_ < margin).astype(q.dtype))
+        if len(g_gaps):
+            mu = jnp.concatenate(
+                [mu] + [mu[0:1] * 0.0 + mu_grd] * len(g_gaps))
+        k = k + len(g_gaps)
     n_eq = 0
     if loop_static is not None:
         # loop-closure cuts: bilateral rows after the cone triplets (the
@@ -1327,7 +1444,8 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                       ground_z=0.0, gravity=-9.81, iters: int = 30,
                       erp: float = 0.2, margin: float = 1e-3,
                       restitution: float = 0.0, collision=None,
-                      mu_collision=None, loops=None, interpret=False):
+                      mu_collision=None, ground_geoms=None, mu_ground=None,
+                      loops=None, interpret=False):
     """Fused frictional ground step — the parallel-RL flagship op as ONE
     kernel per lane tile: batch-last states + mu (k,B) → next state
     (quat2 (4,B), pos2 (3,B), q2 (n,B), vb2 (6,B), qd2 (n,B)) and impulses
@@ -1342,7 +1460,12 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
     ``loops``: optional ``(pairs, offsets_a, offsets_b)`` loop-closure
     cuts (closed-chain linkage legs) — bilateral rows in the same
     VMEM-resident PGS solve (:func:`_loop_rows_s`); the cut geometry is
-    baked as trace-time literals."""
+    baked as trace-time literals.
+
+    ``ground_geoms``/``mu_ground``: optional :class:`...collision.Geoms`
+    — geom-vs-ground cone triplets (capsule feet, fallen-torso contact;
+    :func:`_ground_geom_rows_s`) after the collision block, endpoint
+    geometry baked as literals."""
     links = tuple(int(l) for l in links)
     off = np.asarray(offsets, np.float64)
     n = ffm.n
@@ -1355,6 +1478,11 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
         _check_geoms(n, collision)
         cs = collision_static(collision)
         kt = k + collision.n_contacts
+    gs = None
+    mu_g = 0.8 if mu_ground is None else float(mu_ground)
+    if ground_geoms is not None:
+        gs = ground_geoms_static(ground_geoms)
+        kt = kt + len(gs)
     ls = None if loops is None else loops_static(n, loops)
 
     def body(km, I_base, quat, pos, q, vb, qd, tau, mu):
@@ -1365,6 +1493,7 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                                  erp=float(erp), margin=float(margin),
                                  restitution=float(restitution),
                                  collision_static=cs, mu_coll=mu_c,
+                                 ground_static=gs, mu_grd=mu_g,
                                  loop_static=ls)
 
     body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
@@ -1385,7 +1514,8 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                               iters: int = 30, erp: float = 0.2,
                               margin: float = 1e-3,
                               restitution: float = 0.0, collision=None,
-                              mu_collision=None, loops=None,
+                              mu_collision=None, ground_geoms=None,
+                              mu_ground=None, loops=None,
                               interpret=False):
     """Fused frictional ground step on a bilinear HEIGHTFIELD — one kernel
     per lane tile, the uneven-terrain parallel-RL shape. Same contract as
@@ -1406,6 +1536,11 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
         _check_geoms(n, collision)
         cs = collision_static(collision)
         kt = k + collision.n_contacts
+    gs = None
+    mu_g = 0.8 if mu_ground is None else float(mu_ground)
+    if ground_geoms is not None:
+        gs = ground_geoms_static(ground_geoms)
+        kt = kt + len(gs)
     ls = None if loops is None else loops_static(n, loops)
     dtype = q.dtype
     H, W = terrain.heights.shape
@@ -1433,7 +1568,8 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                                  erp=float(erp), margin=float(margin),
                                  restitution=float(restitution),
                                  terrain_static=ts, collision_static=cs,
-                                 mu_coll=mu_c, loop_static=ls)
+                                 mu_coll=mu_c, ground_static=gs,
+                                 mu_grd=mu_g, loop_static=ls)
 
     body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
     body._extra_ws = float(HWp)

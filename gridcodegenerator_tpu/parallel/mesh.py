@@ -204,7 +204,8 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
                         iters: int = 30, erp: float = 0.2,
                         margin: float = 1e-3, restitution: float = 0.0,
                         impl: str = "auto", terrain=None,
-                        collision=None, mu_collision=None, loops=None):
+                        collision=None, mu_collision=None,
+                        ground_geoms=None, mu_ground=None, loops=None):
     """dp-sharded batched frictional environment stepper — the multi-chip
     parallel-RL shape: N environments shard over the mesh, each shard
     advances its slice with :func:`..ops.contact.fb_step_ground_batched`
@@ -220,6 +221,8 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
     in-kernel. ``loops``: optional loop-closure cuts
     ``(pairs, offsets_a, offsets_b)`` as bilateral rows in each shard's
     PGS (closed-chain linkage legs; static geometry, replicated).
+    ``ground_geoms``/``mu_ground``: geom-vs-ground cone rows (capsule
+    feet, fallen-torso contact), likewise replicated static geometry.
 
     Returns a jitted ``step(state, tau) -> (next_state, impulses)`` with
     ``state = (quat (B,4), pos (B,3), q (B,n), vb (B,6), qd (B,n))``,
@@ -241,7 +244,8 @@ def sharded_ground_step(ffm, mesh: Mesh, links, offsets, dt, mu=0.8,
         return _ct.fb_step_ground_batched(
             ffm, state, tau, dt, links, off, mu, ground_z, gravity, iters,
             erp, margin, restitution, impl=impl, terrain=terrain,
-            collision=collision, mu_collision=mu_collision, loops=loops)
+            collision=collision, mu_collision=mu_collision,
+            ground_geoms=ground_geoms, mu_ground=mu_ground, loops=loops)
 
     return jax.jit(_step)
 

@@ -362,3 +362,148 @@ def test_base_geom_bl_and_stepper_match_single():
                                        atol=1e-9)
         np.testing.assert_allclose(np.asarray(imp[e]), np.asarray(i1),
                                    atol=1e-9)
+
+
+# ---------------------------------------------------------------- ground geoms
+def _ground_geom_setup():
+    """HyQ free-flyer with a base torso capsule, a leg capsule, and a leg
+    sphere as ground_geoms — covers base/link owners and 2/1-contact
+    geoms."""
+    desc, _, _ = get_setup("hyq")
+    ffm = free_flyer_model(desc)
+    gg = col.make_geoms([-1, 2, 7],
+                        a=[[-0.3, 0, -0.02], [0, 0, 0], [0.1, 0, 0.05]],
+                        b=[[0.3, 0, -0.02], [0.3, 0, 0], [0.1, 0, 0.05]],
+                        r=[0.25, 0.08, 0.06], dtype=jnp.float64)
+    return ffm, gg
+
+
+def test_ground_geom_contact_counts():
+    _, gg = _ground_geom_setup()
+    assert col.n_ground_contacts(gg) == 5  # 2 + 2 + 1 (sphere)
+
+
+def test_ground_geom_gap_gradient_is_normal_row():
+    """Plane envelope identity (EXACT — the r·n offset is normal to n):
+    d(gap)/dt along (vb, q̇) equals the normal row times the tangent."""
+    from gridcodegenerator_tpu.ops.freeflyer import (quat_exp_body,
+                                                     quat_mul, quat_to_rot)
+    ffm, gg = _ground_geom_setup()
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, ffm.n))
+    quat = jnp.asarray([0.9, 0.1, -0.3, 0.2])
+    quat = quat / jnp.linalg.norm(quat)
+    pos = jnp.asarray([0.1, 0.2, 0.5])
+    vb = jnp.asarray(rng.standard_normal(6))
+    qd = jnp.asarray(rng.standard_normal(ffm.n))
+
+    def gaps_at(t):
+        quat_t = quat_mul(quat, quat_exp_body(vb[:3] * t))
+        pos_t = pos + t * (quat_to_rot(quat) @ vb[3:])
+        return col.fb_ground_geom_rows(ffm, quat_t, pos_t, q + t * qd,
+                                       gg)[0]
+
+    _, dgap = jax.jvp(gaps_at, (0.0,), (1.0,))
+    _, J = col.fb_ground_geom_rows(ffm, quat, pos, q, gg)
+    v = jnp.concatenate([vb, qd])
+    np.testing.assert_allclose(np.asarray(dgap), np.asarray(J[2::3] @ v),
+                               atol=1e-10)
+
+
+def test_ground_geom_flat_terrain_matches_plane():
+    """Ground-geom rows on a flat heightfield at h == ground_z equal the
+    plane rows."""
+    from gridcodegenerator_tpu.ops import terrain as terr
+    ffm, gg = _ground_geom_setup()
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.uniform(-0.4, 0.4, ffm.n))
+    quat = jnp.asarray([0.8, -0.2, 0.1, 0.3])
+    quat = quat / jnp.linalg.norm(quat)
+    pos = jnp.asarray([0.0, -0.1, 0.45])
+    flat = terr.make_terrain(np.full((6, 6), 0.1), cell=1.0,
+                             origin=(-3.0, -3.0), dtype=jnp.float64)
+    g_p, J_p = col.fb_ground_geom_rows(ffm, quat, pos, q, gg, ground_z=0.1)
+    g_t, J_t = col.fb_ground_geom_rows(ffm, quat, pos, q, gg, terrain=flat)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_p), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J_t), np.asarray(J_p), atol=1e-12)
+
+
+def test_ground_geom_capsule_rests_at_radius():
+    """Statics: a base capsule dropped on the plane settles with its axis
+    at z = r − z_offset; both endpoint contacts carry impulse (flat
+    resting, not a single-point wobble)."""
+    ffm, _ = _ground_geom_setup()
+    n = ffm.n
+    gg = col.make_geoms([-1], a=[[-0.3, 0, -0.02]], b=[[0.3, 0, -0.02]],
+                        r=0.25, dtype=jnp.float64)
+    feet = (2, 5, 8, 11)
+    offs = np.tile([0.0, 0.0, 2.0], (4, 1))   # feet never touch
+    step = jax.jit(lambda s: ct.fb_step_ground(
+        ffm, s, jnp.zeros(n), 2e-3, feet, offs, mu=0.7,
+        ground_geoms=gg, mu_ground=0.7))
+    s = (jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([0.0, 0.0, 0.6]),
+         jnp.zeros(n), jnp.zeros(6), jnp.zeros(n))
+    for _ in range(900):
+        s, imp = step(s)
+    assert abs(float(s[1][2]) - 0.27) < 5e-3
+    assert imp.shape == (4 + 2, 3)
+    assert float(imp[4, 2]) > 0 and float(imp[5, 2]) > 0
+
+
+def test_ground_geom_bl_and_stepper_match_single():
+    """Batch-last rows == single-state rows (plane AND terrain), and the
+    batched stepper (XLA bl body) == per-env single steps with
+    ground_geoms active."""
+    from gridcodegenerator_tpu.ops import terrain as terr
+    ffm, gg = _ground_geom_setup()
+    rng = np.random.default_rng(12)
+    B = 3
+    quats = rng.standard_normal((B, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    poss = np.column_stack([rng.uniform(-0.2, 0.2, (B, 2)),
+                            rng.uniform(0.3, 0.5, B)[:, None]]
+                           ).reshape(B, 3)
+    qs = rng.uniform(-0.3, 0.3, (B, ffm.n))
+    hills = terr.make_terrain(0.08 * rng.standard_normal((7, 7)),
+                              cell=0.8, origin=(-2.8, -2.8),
+                              dtype=jnp.float64)
+    for terrain in (None, hills):
+        g_bl, J_bl = col.fb_ground_geom_rows_bl(
+            ffm, jnp.asarray(quats.T), jnp.asarray(poss.T),
+            jnp.asarray(qs.T), gg, terrain=terrain)
+        for e in range(B):
+            g1, J1 = col.fb_ground_geom_rows(
+                ffm, jnp.asarray(quats[e]), jnp.asarray(poss[e]),
+                jnp.asarray(qs[e]), gg, terrain=terrain)
+            np.testing.assert_allclose(np.asarray(g_bl[:, e]),
+                                       np.asarray(g1), atol=1e-11)
+            np.testing.assert_allclose(np.asarray(J_bl[..., e]),
+                                       np.asarray(J1), atol=1e-11)
+    # stepper end-to-end (upright quats so contacts actually activate)
+    links = (0, 1, 2, 3)
+    offsets = np.zeros((4, 3))
+    quats0 = np.tile([1.0, 0, 0, 0], (B, 1))
+    vbs = 0.2 * rng.standard_normal((B, 6))
+    qds = 0.2 * rng.standard_normal((B, ffm.n))
+    taus = rng.standard_normal((B, ffm.n))
+    poss0 = np.column_stack([rng.uniform(-0.1, 0.1, (B, 2)),
+                             rng.uniform(0.35, 0.45, B)[:, None]]
+                            ).reshape(B, 3)
+    state_b = tuple(jnp.asarray(a) for a in (quats0, poss0, qs, vbs, qds))
+    nxt, imp = ct.fb_step_ground_batched(
+        ffm, state_b, jnp.asarray(taus), 5e-3, links, offsets, impl="bl",
+        ground_geoms=gg, mu_ground=0.5)
+    assert imp.shape == (B, 4 + col.n_ground_contacts(gg), 3)
+    touched = 0
+    for e in range(B):
+        s1 = tuple(jnp.asarray(a[e]) for a in (quats0, poss0, qs, vbs, qds))
+        n1, i1 = ct.fb_step_ground(ffm, s1, jnp.asarray(taus[e]), 5e-3,
+                                   links, offsets, ground_geoms=gg,
+                                   mu_ground=0.5)
+        for a, b in zip(nxt, n1):
+            np.testing.assert_allclose(np.asarray(a[e]), np.asarray(b),
+                                       atol=1e-9)
+        np.testing.assert_allclose(np.asarray(imp[e]), np.asarray(i1),
+                                   atol=1e-9)
+        touched += int(np.abs(np.asarray(i1)[4:]).max() > 1e-9)
+    assert touched, "no geom-ground contact active — vacuous"

@@ -504,3 +504,55 @@ def test_step_ground_fused_base_geom_matches_xla(hyq_ff):
     imp_c = np.asarray(imp_r)[:, 4:, 2]
     assert bool((imp_c[:, base_pairs] > 1e-9).any())
     assert bool((imp_c[:, base_obs] > 1e-9).any())
+
+
+def test_step_ground_fused_ground_geoms_matches_xla(hyq_ff):
+    """Fused step with ground_geoms (geom-vs-ground cone rows — capsule
+    feet / fallen-torso contact): interpret == the XLA batch-last body,
+    on the plane AND on a heightfield. A base torso capsule, a leg
+    capsule, and a leg sphere cover base/link owners and 2/1-contact
+    geoms; low drop heights keep the rows ACTIVE."""
+    from gridcodegenerator_tpu.ops import collision as col
+    from gridcodegenerator_tpu.ops import terrain as terr
+
+    ffm = hyq_ff
+    n = ffm.n
+    B = 4
+    quat, pos, q, vb, qd, tau = _states(n, B, seed=31)
+    # upright-ish, low: geom-ground contacts activate
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float64), (B, 1))
+    pos = pos.at[:, 2].set(jnp.asarray([0.30, 0.26, 0.33, 0.28]))
+    gg = col.make_geoms((-1, 2, 7),
+                        a=[[-0.3, 0, -0.02], [0, 0, 0], [0.1, 0, 0.05]],
+                        b=[[0.3, 0, -0.02], [0.3, 0, 0], [0.1, 0, 0.05]],
+                        r=[0.25, 0.08, 0.06], dtype=jnp.float64)
+    kg = col.n_ground_contacts(gg)
+    kt = 4 + kg
+    bl = lambda a: a.T
+    rng = np.random.default_rng(8)
+    hills = terr.make_terrain(0.05 * rng.standard_normal((6, 6)),
+                              cell=1.0, origin=(-3.0, -3.0),
+                              dtype=jnp.float64)
+    for terrain in (None, hills):
+        nxt_r, imp_r = ct.fb_step_ground_batched(
+            ffm, (quat, pos, q, vb, qd), tau, 1e-3, _FEET, _FOFF, mu=0.8,
+            ground_geoms=gg, mu_ground=0.55, terrain=terrain, impl="vmap")
+        if terrain is None:
+            outs = cf.step_ground_fused(
+                ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau),
+                jnp.full((4, B), 0.8, jnp.float64), 1e-3, _FEET, _FOFF,
+                ground_geoms=gg, mu_ground=0.55, interpret=True)
+        else:
+            outs = cf.step_ground_terrain_fused(
+                ffm, bl(quat), bl(pos), bl(q), bl(vb), bl(qd), bl(tau),
+                jnp.full((4, B), 0.8, jnp.float64), 1e-3, _FEET, _FOFF,
+                terrain, ground_geoms=gg, mu_ground=0.55, interpret=True)
+        for nm, a, b in zip(("quat2", "pos2", "q2", "vb2", "qd2"),
+                            outs[:5], nxt_r):
+            np.testing.assert_allclose(np.asarray(a.T), np.asarray(b),
+                                       atol=1e-11, err_msg=nm)
+        imp_f = jnp.moveaxis(outs[5], 0, -1).reshape(B, kt, 3)
+        np.testing.assert_allclose(np.asarray(imp_f), np.asarray(imp_r),
+                                   atol=1e-10)
+        # non-vacuous: geom-ground triplets carry impulse
+        assert bool((np.asarray(imp_r)[:, 4:, 2] > 1e-9).any())

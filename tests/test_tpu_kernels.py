@@ -31,9 +31,10 @@ if os.environ.get("GRID_TPU_TESTS") != "1":
 
 @pytest.fixture(scope="module")
 def tpu_setup():
-    # 1800 s default: the tier carries 12 tests (fixed-base x3, staged
-    # atlas, contact kernels, terrain kernel, collision kernel, multi-dof
-    # fused + staged, SO Hessian kernel, pallas-vs-vmap, trig A/B);
+    # 1800 s default: the tier carries 14+ tests (fixed-base x3, staged
+    # atlas, contact kernels, terrain kernel, collision kernel,
+    # ground-geom kernel, loop kernel, multi-dof fused + staged,
+    # SO Hessian kernels, pallas-vs-vmap, trig A/B);
     # measured 1077 s with
     # fresh md-kernel compiles (2026-08-17) BEFORE the SO kernel, whose
     # cold compile alone is ~11 min (BENCHLOG r3s8) — raise
@@ -444,6 +445,68 @@ def test_collision_fused_kernel_on_tpu(tpu_setup):
                 ffm, st, jnp.asarray(tau[k], jnp.float32), 1e-3, feet,
                 jnp.asarray(foff, jnp.float32), mu=0.8, collision=cm,
                 mu_collision=0.45)
+            for name, ref in (("q2", s_r[2]), ("vb2", s_r[3]),
+                              ("imp", imp_r)):
+                ref = np_.asarray(ref)
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(got[name][k] - ref).max() / scale
+                assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
+
+
+def test_ground_geom_fused_kernel_on_tpu(tpu_setup):
+    """Geom-vs-ground cone rows inside the fused ground-step kernel
+    (contact_fused._ground_geom_rows_s: endpoint-sphere gaps, material
+    points at the surface, base-geom zero arm columns) through real
+    Mosaic lowering vs the single-state CPU path — the capsule-feet /
+    fallen-torso pattern. Low drop heights keep the rows active."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import collision as col
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    desc = g.parse_urdf(zoo.hyq(damping=0.2))
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float32)
+    n = ffm.n
+    feet = (2, 5, 8, 11)
+    foff = np_.tile([0.35, 0.0, 0.0], (4, 1))
+    gg = col.make_geoms((-1, 2, 7),
+                        a=[[-0.3, 0, -0.02], [0, 0, 0], [0.1, 0, 0.05]],
+                        b=[[0.3, 0, -0.02], [0.3, 0, 0], [0.1, 0, 0.05]],
+                        r=[0.25, 0.08, 0.06])
+    kg = col.n_ground_contacts(gg)
+    rng = np_.random.default_rng(61)
+    B = 256
+    quat = np_.tile([1.0, 0, 0, 0], (B, 1)) + 0.05 * rng.normal(size=(B, 4))
+    quat /= np_.linalg.norm(quat, axis=1, keepdims=True)
+    pos = rng.uniform(-0.1, 0.1, (B, 3)) + [0, 0, 0.30]
+    q = np_.tile([-0.1, 0.7, -1.2], (B, 4)) + rng.uniform(-0.05, 0.05,
+                                                          (B, n))
+    vb = rng.uniform(-0.6, 0.6, (B, 6))
+    qd = rng.uniform(-0.5, 0.5, (B, n))
+    tau = rng.uniform(-10, 10, (B, n))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    nxt, imp = ct.fb_step_ground_batched(
+        ffm, tuple(f32(s) for s in (quat, pos, q, vb, qd)), f32(tau),
+        1e-3, feet, foff, mu=0.8, ground_geoms=gg, mu_ground=0.55,
+        impl="pallas")
+    got = dict(q2=np_.asarray(nxt[2]), vb2=np_.asarray(nxt[3]),
+               imp=np_.asarray(imp))
+    assert got["imp"].shape == (B, 4 + kg, 3)
+    assert (got["imp"][:, 4:, 2] > 0).any(), "no active geom-ground rows"
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 127, 128, B - 1):
+            st = tuple(jnp.asarray(a[k], jnp.float32)
+                       for a in (quat, pos, q, vb, qd))
+            s_r, imp_r = ct.fb_step_ground(
+                ffm, st, jnp.asarray(tau[k], jnp.float32), 1e-3, feet,
+                jnp.asarray(foff, jnp.float32), mu=0.8, ground_geoms=gg,
+                mu_ground=0.55)
             for name, ref in (("q2", s_r[2]), ("vb2", s_r[3]),
                               ("imp", imp_r)):
                 ref = np_.asarray(ref)
