@@ -57,12 +57,21 @@ def main():
     from gridcodegenerator_tpu.utils import randomize as rz
 
     # ---- 1. MJCF intake ---------------------------------------------------
-    desc, cm = g.mjcf_collision_model(zoo.ant_mjcf(), dtype=dtype)
+    src = zoo.ant_mjcf()
+    desc, cm = g.mjcf_collision_model(src, dtype=dtype)
     ffm = ff.free_flyer_model(desc, dtype=dtype)
     n = ffm.n
-    names = desc.topology.link_names
-    feet = tuple(names.index(f"shin{k}") for k in range(4))
-    offs = np.tile([0.4, 0.0, 0.0], (4, 1))
+    # foot anchors straight from the document's <site> tags; motor
+    # saturation from the <actuator> block (gear * ctrlrange)
+    sites = g.mjcf_sites(src)
+    foot_sites = [sites[f"foot{k}"] for k in range(4)]
+    feet = tuple(s.link for s in foot_sites)
+    offs = np.stack([s.pos for s in foot_sites])
+    act = g.mjcf_actuators(src)
+    tau_max = jnp.asarray(
+        np.abs(act.gear_matrix()) @ np.maximum(np.abs(act.ctrl_lower),
+                                               np.abs(act.ctrl_upper)),
+        dtype)
     # trim the auto candidate set to the pairs that can actually touch in a
     # crouch: shin-shin crossings + torso(base geom)-shin folds
     shin_g = [i for i, l in enumerate(cm.geoms.links) if l in feet]
@@ -97,6 +106,7 @@ def main():
     def roll(state):
         def step(s, _):
             tau = ct.pd_torque(s[2], s[4], q_hold, kp=kp, kd=kd)
+            tau = jnp.clip(tau, -tau_max, tau_max)   # motor saturation
             nxt, imp = ct.fb_step_ground_batched(
                 ffm, s, tau, args.dt, feet, offs, mu=mus, collision=cm,
                 mu_collision=0.8, iters=args.iters)

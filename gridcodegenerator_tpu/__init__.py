@@ -164,7 +164,8 @@ from .models.robot import (RobotModel, load_robot,
                            robot_model_from_description, with_armature)
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
-from .models.mjcf import mjcf_collision_model, parse_mjcf
+from .models.mjcf import (MjcfActuation, MjcfSite, mjcf_actuators,
+                          mjcf_collision_model, mjcf_sites, parse_mjcf)
 from .utils.golden import GoldenDynamics
 from .utils.randomize import (model_axes, randomize_model,
                               scale_links, vmap_model)
@@ -175,6 +176,7 @@ __version__ = "0.1.0"
 __all__ = [
     "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
     "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
+    "mjcf_sites", "mjcf_actuators", "MjcfSite", "MjcfActuation",
     "randomize_model", "scale_links", "vmap_model", "model_axes",
     "robot_model_from_description",
     "with_armature",

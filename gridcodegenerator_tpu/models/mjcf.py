@@ -50,6 +50,7 @@ parsed structurally but only consumed for inertia synthesis here — build
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
+from typing import NamedTuple
 
 import numpy as np
 
@@ -302,6 +303,74 @@ def parse_mjcf(source: str) -> RobotDescription:
     return _parse_mjcf_impl(source)[0]
 
 
+class MjcfSite(NamedTuple):
+    """A named MJCF ``<site>`` re-expressed in the parsed description's
+    frames: ``link`` is the governing moving link (-1 = the root weld —
+    the floating base under ``free_flyer_model`` — and -2 = a static
+    worldbody site), ``pos``/``R`` the site frame in that link's
+    coordinates. Foot anchors for the ground steppers come straight from
+    here: ``offsets = [sites[f].pos for f in feet]``."""
+    link: int
+    pos: np.ndarray            # (3,)
+    R: np.ndarray              # (3, 3)
+
+
+def mjcf_sites(source: str) -> "dict[str, MjcfSite]":
+    """Extract the document's named ``<site>`` frames (MuJoCo's standard
+    anchor idiom for feet, sensors, and end-effectors) in moving-link
+    coordinates — the same weld/anchor re-expression as
+    :func:`mjcf_collision_model`'s geoms."""
+    _, _, extras = _parse_mjcf_impl(source)
+    return {name: MjcfSite(link, T[:3, 3].copy(), T[:3, :3].copy())
+            for name, link, T in extras["sites"]}
+
+
+class MjcfActuation(NamedTuple):
+    """The document's ``<actuator>`` block as a torque transmission:
+    τ = gear_matrix() @ clamp(ctrl). ``joint[i]`` is actuator i's moving-
+    joint index, ``gear[i]`` its torque gain, ``ctrl_lower/upper`` the
+    ctrlrange (±inf when unlimited)."""
+    n: int                     # moving-joint count of the model
+    names: "tuple[str, ...]"
+    joint: np.ndarray          # (a,) int
+    gear: np.ndarray           # (a,)
+    ctrl_lower: np.ndarray     # (a,)
+    ctrl_upper: np.ndarray     # (a,)
+
+    def gear_matrix(self) -> np.ndarray:
+        """(n, a) map from actuator controls to joint torques."""
+        T = np.zeros((self.n, self.joint.shape[0]))
+        for i, (j, s) in enumerate(zip(self.joint, self.gear)):
+            T[j, i] += s
+        return T
+
+    def clamp(self, ctrl):
+        """Clip controls to ctrlrange (works on numpy or jax arrays)."""
+        lo = np.where(np.isfinite(self.ctrl_lower), self.ctrl_lower,
+                      -np.finfo(np.float64).max)
+        hi = np.where(np.isfinite(self.ctrl_upper), self.ctrl_upper,
+                      np.finfo(np.float64).max)
+        return ctrl.clip(lo, hi) if hasattr(ctrl, "clip") else np.clip(
+            ctrl, lo, hi)
+
+
+def mjcf_actuators(source: str) -> MjcfActuation:
+    """Extract the document's ``<actuator>`` block (motor / torque-mode
+    general with joint transmission): gears, ctrlranges, and the joint
+    map, so RL policies emitting per-actuator controls drive the steppers
+    via ``tau = act.gear_matrix() @ act.clamp(ctrl)``."""
+    desc, _, extras = _parse_mjcf_impl(source)
+    acts = extras["actuators"]
+    return MjcfActuation(
+        n=desc.n,
+        names=tuple(a["name"] for a in acts),
+        joint=np.array([a["joint"] for a in acts], dtype=np.int64),
+        gear=np.array([a["gear"] for a in acts], dtype=np.float64),
+        ctrl_lower=np.array([a["lo"] for a in acts], dtype=np.float64),
+        ctrl_upper=np.array([a["hi"] for a in acts], dtype=np.float64),
+    )
+
+
 def _geom_endpoints(geom, defaults, compiler):
     """Collision endpoints of a sphere/capsule geom in its owner frame:
     (a (3,), b (3,), r) or None for non-capsule types / contactless
@@ -358,7 +427,7 @@ def mjcf_collision_model(source: str, dtype=None, min_separation: int = 2,
     if base_geoms not in ("link", "obstacle"):
         raise ValueError('base_geoms must be "link" or "obstacle", got '
                          f"{base_geoms!r}")
-    desc, records = _parse_mjcf_impl(source)
+    desc, records, _ = _parse_mjcf_impl(source)
     dtype = jnp.float32 if dtype is None else dtype
     links, ga, gb, gr = [], [], [], []
     oa, ob, orr = [], [], []
@@ -423,6 +492,7 @@ def _parse_mjcf_impl(source: str):
     inertias: list[np.ndarray] = []
     base_inertia = np.zeros((6, 6))
     geom_records: list[tuple] = []   # (link_idx | -1, T_owner→frame, ends)
+    site_records: list[tuple] = []   # (name, link_idx | -1 | -2, T_site)
 
     def record_geoms(body, link_idx, T, cls):
         for geom in body.findall("geom"):
@@ -431,6 +501,12 @@ def _parse_mjcf_impl(source: str):
             ends = _geom_endpoints(geom, d, compiler)
             if ends is not None:
                 geom_records.append((link_idx, T, ends))
+        for site in body.findall("site"):
+            d = _defaults_for(defaults_table, "site",
+                              site.get("class", cls))
+            site_records.append(
+                (site.get("name", f"site{len(site_records)}"), link_idx,
+                 T @ _pose(site, d, compiler)))
 
     def joint_spec(jel, cls, body_name, freejoint=False):
         if freejoint:
@@ -570,4 +646,43 @@ def _parse_mjcf_impl(source: str):
         armature=np.array([j["armature"] for j in ordered]),
         mimic=(),
     )
-    return desc, geom_records
+
+    # <actuator> block: motor/general with joint transmission → per-row
+    # (joint index, gear, ctrlrange). Evaluated here because the moving-
+    # joint ordering is only known after the tree walk.
+    acts: list[dict] = []
+    act_el = root.find("actuator")
+    if act_el is not None:
+        name_to_idx = {j["name"]: i for i, j in enumerate(ordered)}
+        for a in act_el:
+            if a.tag not in ("motor", "general"):
+                raise NotImplementedError(
+                    f"actuator type <{a.tag}> is not supported (motor / "
+                    "torque-mode general only; convert position/velocity "
+                    "servos to explicit PD laws — see contact.pd_torque)")
+            d = _defaults_for(defaults_table, a.tag, a.get("class", "main"))
+            jn = _attr(a, d, "joint")
+            if jn is None:
+                raise NotImplementedError(
+                    f"actuator {a.get('name', '?')!r}: only joint "
+                    "transmission is supported (site/tendon/body are not)")
+            if jn not in name_to_idx:
+                raise ValueError(f"actuator {a.get('name', '?')!r} targets "
+                                 f"unknown joint {jn!r}")
+            gear = _floats(_attr(a, d, "gear", "1"))
+            if gear.shape[0] != 1:
+                raise NotImplementedError(
+                    "multi-component gear vectors are not supported for "
+                    "joint-transmission actuators")
+            cr = _attr(a, d, "ctrlrange")
+            limited = _attr(a, d, "ctrllimited", "auto")
+            lo, hi = -_INF, _INF
+            if cr is not None and limited in ("auto", "true"):
+                vals = _floats(cr)
+                if not (vals[0] == 0.0 and vals[1] == 0.0):
+                    lo, hi = float(vals[0]), float(vals[1])
+            acts.append(dict(name=a.get("name", jn),
+                             joint=name_to_idx[jn], gear=float(gear[0]),
+                             lo=lo, hi=hi))
+
+    return desc, geom_records, dict(sites=site_records, actuators=acts)

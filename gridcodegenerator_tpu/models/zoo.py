@@ -549,9 +549,11 @@ def ant_mjcf(damping: float = 0.5) -> str:
     ``base_inertia`` — the free-flyer base), four 2-joint legs mounted at
     90° yaw increments via DEGREE-mode eulers, capsule geoms supplying the
     inertia (no explicit <inertial> — exercises geom-derived mass), a
-    <default> class tree for the joints, and joint ranges. Feet are the
-    shin capsule tips: offsets (0.4, 0, 0) on the shin links."""
-    legs = []
+    <default> class tree for the joints, joint ranges, foot <site>
+    anchors at the shin capsule tips (offsets (0.4, 0, 0) on the shin
+    links — read them with ``mjcf_sites``), and an <actuator> block of
+    torque motors (gear 30, ctrlrange ±1 — ``mjcf_actuators``)."""
+    legs, motors = [], []
     for k in range(4):
         ang = 45 + 90 * k
         legs.append(f"""
@@ -561,8 +563,12 @@ def ant_mjcf(damping: float = 0.5) -> str:
       <body name="shin{k}" pos="0.28 0 0">
         <joint name="knee{k}_j" axis="0 1 0" range="25 100" class="knee"/>
         <geom type="capsule" size="0.046" fromto="0 0 0 0.4 0 0"/>
+        <site name="foot{k}" pos="0.4 0 0"/>
       </body>
     </body>""")
+        motors.append(
+            f'    <motor name="m_hip{k}" joint="hip{k}_j"/>\n'
+            f'    <motor name="m_knee{k}" joint="knee{k}_j" gear="45"/>')
     return f"""
 <mujoco model="ant">
   <compiler angle="degree"/>
@@ -570,6 +576,7 @@ def ant_mjcf(damping: float = 0.5) -> str:
     <joint damping="{damping}" armature="0.01"/>
     <default class="knee"><joint damping="{2 * damping}"/></default>
     <geom density="900"/>
+    <motor gear="30" ctrlrange="-1 1"/>
   </default>
   <worldbody>
     <body name="torso">
@@ -577,5 +584,8 @@ def ant_mjcf(damping: float = 0.5) -> str:
       {''.join(legs)}
     </body>
   </worldbody>
+  <actuator>
+{chr(10).join(motors)}
+  </actuator>
 </mujoco>
 """

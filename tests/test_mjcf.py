@@ -500,3 +500,68 @@ def test_ant_fixture():
     np.testing.assert_allclose(np.asarray(vb_dot[:3]), 0.0, atol=1e-9)
     np.testing.assert_allclose(np.asarray(vb_dot[3:]), [0, 0, -9.81],
                                atol=1e-9)
+
+
+def test_sites_and_actuators():
+    """<site> anchors and the <actuator> block on the ant fixture: foot
+    sites land on the shin links at the capsule tips (the stepper's
+    offsets come straight from the document), motors carry class-default
+    gear/ctrlrange with per-element overrides, and the gear matrix maps
+    per-actuator controls to joint torques."""
+    from gridcodegenerator_tpu.models import zoo
+
+    src = zoo.ant_mjcf()
+    desc = g.parse_mjcf(src)
+    sites = g.mjcf_sites(src)
+    assert set(sites) == {f"foot{k}" for k in range(4)}
+    for k in range(4):
+        s = sites[f"foot{k}"]
+        assert s.link == desc.topology.link_names.index(f"shin{k}")
+        np.testing.assert_allclose(s.pos, [0.4, 0, 0], atol=1e-12)
+        np.testing.assert_allclose(s.R, np.eye(3), atol=1e-12)
+
+    act = g.mjcf_actuators(src)
+    assert act.n == 8 and len(act.names) == 8
+    jn = desc.topology.joint_names
+    for i, name in enumerate(act.names):
+        # m_hipK drives hipK_j at the default gear 30; m_kneeK overrides 45
+        target = name[2:] + "_j"
+        assert jn[act.joint[i]] == target
+        assert act.gear[i] == (45.0 if "knee" in name else 30.0)
+    np.testing.assert_allclose(act.ctrl_lower, -1.0)
+    np.testing.assert_allclose(act.ctrl_upper, 1.0)
+    T = act.gear_matrix()
+    assert T.shape == (8, 8)
+    ctrl = np.linspace(-2, 2, 8)            # exceeds ctrlrange
+    tau = T @ act.clamp(ctrl)
+    # every joint driven by exactly one motor: |tau_j| <= gear_j
+    assert (np.abs(tau) <= np.abs(T).sum(1) + 1e-12).all()
+    assert np.abs(tau).max() == 45.0        # clamped knee at full gear
+
+    # welded-body site: re-expressed through the fixed transform; world
+    # sites get link -2
+    src2 = """
+<mujoco><compiler angle="radian"/><worldbody>
+  <site name="anchor" pos="1 2 3"/>
+  <body name="a"><joint name="j" axis="0 0 1"/>
+    <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/>
+    <body name="tool" pos="0.5 0 0" euler="0 1.5707963267948966 0">
+      <site name="tip" pos="0.1 0 0"/>
+    </body>
+  </body>
+</worldbody></mujoco>"""
+    s2 = g.mjcf_sites(src2)
+    assert s2["anchor"].link == -2
+    np.testing.assert_allclose(s2["anchor"].pos, [1, 2, 3], atol=1e-12)
+    assert s2["tip"].link == 0
+    # euler(0, pi/2, 0) sends +x to -z: tip at 0.5 + (0, 0, -0.1)
+    np.testing.assert_allclose(s2["tip"].pos, [0.5, 0, -0.1], atol=1e-9)
+
+    # unsupported actuator types fail loudly
+    bad = """
+<mujoco><worldbody><body name="a"><joint name="j" axis="0 0 1"/>
+  <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/>
+</body></worldbody><actuator><position joint="j" kp="10"/></actuator>
+</mujoco>"""
+    with pytest.raises(NotImplementedError, match="actuator type"):
+        g.mjcf_actuators(bad)
