@@ -165,7 +165,8 @@ from .models.robot import (RobotModel, load_robot,
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
 from .models.mjcf import (MjcfActuation, MjcfSite, mjcf_actuators,
-                          mjcf_collision_model, mjcf_sites, parse_mjcf)
+                          mjcf_collision_model, mjcf_loops, mjcf_sites,
+                          parse_mjcf)
 from .utils.golden import GoldenDynamics
 from .utils.randomize import (model_axes, randomize_model,
                               scale_links, vmap_model)
@@ -176,7 +177,8 @@ __version__ = "0.1.0"
 __all__ = [
     "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
     "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
-    "mjcf_sites", "mjcf_actuators", "MjcfSite", "MjcfActuation",
+    "mjcf_sites", "mjcf_actuators", "mjcf_loops",
+    "MjcfSite", "MjcfActuation",
     "randomize_model", "scale_links", "vmap_model", "model_axes",
     "robot_model_from_description",
     "with_armature",

@@ -325,6 +325,37 @@ def mjcf_sites(source: str) -> "dict[str, MjcfSite]":
             for name, link, T in extras["sites"]}
 
 
+def mjcf_loops(source: str):
+    """Extract the document's ``<equality><connect>`` constraints (MuJoCo's
+    loop-closure idiom — parallel linkages, self-grasps) as the engine's
+    ``loops = (pairs, offsets_a, offsets_b)`` spec, ready for
+    ``loop_forward_dynamics`` / ``loops=`` on the ground steppers.
+    Anchors follow MuJoCo's convention: body2's local point is derived at
+    the zero configuration. Cut faces on jointless ROOT bodies (the torso
+    weld) or the worldbody become world pins (``link_b = -1``, world
+    anchor) — correct for the fixed-base reading; a floating-base
+    promotion would pin them to the WORLD, not the base.
+
+    Joint-space equalities (``<equality><joint>`` linear polycoef) land in
+    ``RobotDescription.mimic`` instead — feed ``transmission_rows`` /
+    ``couplings=``. Returns ``None`` when the document has no connects."""
+    desc, _, extras = _parse_mjcf_impl(source)
+    if not extras["connects"]:
+        return None
+    pairs, oa, ob = [], [], []
+    for l1, o1, l2, o2 in extras["connects"]:
+        if l1 < 0 and l2 < 0:
+            raise ValueError(
+                "connect between two world/root-welded bodies constrains "
+                "nothing the tree can move")
+        if l1 < 0:                              # world side first → swap
+            l1, o1, l2, o2 = l2, o2, l1, o1
+        pairs.append((l1, -1 if l2 < 0 else l2))
+        oa.append(o1)
+        ob.append(o2)
+    return tuple(pairs), np.stack(oa), np.stack(ob)
+
+
 class MjcfActuation(NamedTuple):
     """The document's ``<actuator>`` block as a torque transmission:
     τ = gear_matrix() @ clamp(ctrl). ``joint[i]`` is actuator i's moving-
@@ -493,6 +524,7 @@ def _parse_mjcf_impl(source: str):
     base_inertia = np.zeros((6, 6))
     geom_records: list[tuple] = []   # (link_idx | -1, T_owner→frame, ends)
     site_records: list[tuple] = []   # (name, link_idx | -1 | -2, T_site)
+    body_frames: dict = {}           # body name → (link_idx | -1, T_body)
 
     def record_geoms(body, link_idx, T, cls):
         for geom in body.findall("geom"):
@@ -575,6 +607,7 @@ def _parse_mjcf_impl(source: str):
                 base_inertia += I_target
             else:
                 inertias[parent_idx] = inertias[parent_idx] + I_target
+            body_frames[body_name] = (parent_idx, T_pb)
             record_geoms(body, parent_idx, T_pb, cls)
             for sub in body.findall("body"):
                 visit(sub, parent_idx, T_pb, cls)
@@ -606,6 +639,7 @@ def _parse_mjcf_impl(source: str):
             prev_anchor = s["anchor"]
         # children see the body frame: undo the final anchor shift
         T_body_in_link = homogeneous(np.eye(3), -prev_anchor)
+        body_frames[body_name] = (idx, T_body_in_link)
         record_geoms(body, idx, T_body_in_link, cls)
         for sub in body.findall("body"):
             visit(sub, idx, T_body_in_link, cls)
@@ -630,6 +664,90 @@ def _parse_mjcf_impl(source: str):
     origin_R = np.stack([j["T_origin"][:3, :3] for j in ordered])
     axis = np.stack([j["axis"] / np.linalg.norm(j["axis"])
                      for j in ordered])
+
+    # <equality> block: <joint> (linear polycoef) → mimic couplings, and
+    # <connect> → loop-closure cuts. Evaluated here because it needs the
+    # moving-joint ordering and the zero-configuration link poses (MuJoCo
+    # derives body2's local anchor at qpos0; same convention here).
+    mimics: list[tuple] = []
+    connects: list[tuple] = []
+    eq_el = root.find("equality")
+    if eq_el is not None:
+        name_to_idx = {j["name"]: i for i, j in enumerate(ordered)}
+        # zero-config world pose of every moving link: joint motion is
+        # identity at q = 0, so poses chain the joint origins alone
+        L = []
+        for i in range(n):
+            pi = parent_of[i]
+            Li = (L[pi] if pi >= 0 else np.eye(4)) @ ordered[i]["T_origin"]
+            L.append(Li)
+
+        def world_T(link, T_local):
+            return (L[link] if link >= 0 else np.eye(4)) @ T_local
+
+        site_map = {nm: (l, T) for nm, l, T in site_records}
+        for e in eq_el:
+            d = _defaults_for(defaults_table, e.tag, e.get("class", "main"))
+            if e.tag == "joint":
+                j1 = _attr(e, d, "joint1")
+                j2 = _attr(e, d, "joint2")
+                if j1 not in name_to_idx or (j2 is not None
+                                             and j2 not in name_to_idx):
+                    raise ValueError(
+                        f"equality joint constraint references unknown "
+                        f"joint ({j1!r}, {j2!r})")
+                if j2 is None:
+                    raise NotImplementedError(
+                        "single-joint equality (lock to a constant) is "
+                        "not supported — fix the joint or use limits")
+                poly = _floats(_attr(e, d, "polycoef", "0 1 0 0 0"))
+                if np.any(poly[2:] != 0.0):
+                    raise NotImplementedError(
+                        "nonlinear polycoef joint couplings are not "
+                        "supported (linear a0 + a1*q only)")
+                mimics.append((name_to_idx[j1], name_to_idx[j2],
+                               float(poly[1]), float(poly[0])))
+            elif e.tag == "connect":
+                s1 = _attr(e, d, "site1")
+                if s1 is not None:
+                    s2 = _attr(e, d, "site2")
+                    if s1 not in site_map or s2 not in site_map:
+                        raise ValueError(
+                            f"connect references unknown site "
+                            f"({s1!r}, {s2!r})")
+                    l1, T1 = site_map[s1]
+                    l2, T2 = site_map[s2]
+                    if l1 == -2 or l2 == -2:   # worldbody site = world pin
+                        if l1 == -2:
+                            (l1, T1), (l2, T2) = (l2, T2), (l1, T1)
+                    o1, o2 = T1[:3, 3], T2[:3, 3]
+                else:
+                    b1 = _attr(e, d, "body1")
+                    b2 = _attr(e, d, "body2")
+                    anchor = _floats(_attr(e, d, "anchor", "0 0 0"))
+                    if b1 not in body_frames:
+                        raise ValueError(f"connect references unknown "
+                                         f"body {b1!r}")
+                    l1, T1 = body_frames[b1]
+                    o1 = (T1 @ np.append(anchor, 1.0))[:3]
+                    w = (world_T(l1, T1) @ np.append(anchor, 1.0))[:3]
+                    if b2 is None or b2 == "world":
+                        l2, o2 = -2, w          # world pin at the anchor
+                    else:
+                        if b2 not in body_frames:
+                            raise ValueError(f"connect references unknown "
+                                             f"body {b2!r}")
+                        l2, T2 = body_frames[b2]
+                        # body2's local point: the SAME world point at q=0
+                        W2 = world_T(l2, T2)
+                        o2 = (np.linalg.inv(W2) @ np.append(w, 1.0))[:3]
+                connects.append((int(l1), np.asarray(o1, np.float64),
+                                 int(l2), np.asarray(o2, np.float64)))
+            else:
+                raise NotImplementedError(
+                    f"equality constraint <{e.tag}> is not supported "
+                    "(joint couplings and connect cuts only)")
+
     desc = RobotDescription(
         name=name, topology=topo,
         joint_types=tuple(j["type"] for j in ordered),
@@ -644,7 +762,7 @@ def _parse_mjcf_impl(source: str):
         effort=np.array([j["effort"] for j in ordered]),
         velocity=np.full(n, _INF),
         armature=np.array([j["armature"] for j in ordered]),
-        mimic=(),
+        mimic=tuple(mimics),
     )
 
     # <actuator> block: motor/general with joint transmission → per-row
@@ -685,4 +803,5 @@ def _parse_mjcf_impl(source: str):
                              joint=name_to_idx[jn], gear=float(gear[0]),
                              lo=lo, hi=hi))
 
-    return desc, geom_records, dict(sites=site_records, actuators=acts)
+    return desc, geom_records, dict(sites=site_records, actuators=acts,
+                                    connects=connects)

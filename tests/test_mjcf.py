@@ -565,3 +565,108 @@ def test_sites_and_actuators():
 </mujoco>"""
     with pytest.raises(NotImplementedError, match="actuator type"):
         g.mjcf_actuators(bad)
+
+
+def _fourbar_mjcf():
+    """zoo.four_bar() re-expressed as MJCF with the loop closed by a
+    MuJoCo <equality><connect> (anchor in body1's frame; body2's local
+    point derived at q = 0 — MuJoCo's compile-time convention)."""
+    return """
+<mujoco model="four_bar"><compiler angle="radian"/>
+  <worldbody>
+    <body name="base">
+      <inertial pos="0 0 0" mass="2" diaginertia="0.02 0.02 0.02"/>
+      <body name="crank">
+        <joint name="j_crank" axis="0 1 0"/>
+        <inertial pos="0 0 -0.25" mass="1" diaginertia="0.02 0.02 0.004"/>
+        <body name="coupler" pos="0 0 -0.5">
+          <joint name="j_coupler" axis="0 1 0"/>
+          <inertial pos="0.4 0 0" mass="0.8"
+                    diaginertia="0.003 0.018 0.018"/>
+        </body>
+      </body>
+      <body name="rocker" pos="0.8 0 0">
+        <joint name="j_rocker" axis="0 1 0"/>
+        <inertial pos="0 0 -0.25" mass="1" diaginertia="0.02 0.02 0.004"/>
+      </body>
+    </body>
+  </worldbody>
+  <equality>
+    <connect body1="coupler" body2="rocker" anchor="0.8 0 0"/>
+  </equality>
+</mujoco>"""
+
+
+def test_equality_connect_matches_urdf_fourbar():
+    """<equality><connect> → mjcf_loops reproduces the hand-written loop
+    spec of the URDF four-bar fixture, and the closed-chain dynamics agree
+    description-for-description."""
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import loops as lp
+
+    src = _fourbar_mjcf()
+    dm = g.parse_mjcf(src)
+    pairs, oa, ob = g.mjcf_loops(src)
+    names = dm.topology.link_names
+    assert pairs == ((names.index("coupler"), names.index("rocker")),)
+    np.testing.assert_allclose(oa, [[0.8, 0, 0]], atol=1e-12)
+    # body2's local anchor derived at q=0: (0, 0, -0.5) in the rocker frame
+    np.testing.assert_allclose(ob, [[0, 0, -0.5]], atol=1e-12)
+    # the loop closes exactly at q = 0
+    mm = g.robot_model_from_description(dm, dtype=jnp.float64)
+    gap = lp.loop_gap(mm, jnp.zeros(3), pairs, oa, ob)
+    np.testing.assert_allclose(np.asarray(gap), 0.0, atol=1e-12)
+    # closed-chain FD agrees with the URDF fixture state-for-state
+    du = g.parse_urdf(zoo.four_bar())
+    mu_ = g.robot_model_from_description(du, dtype=jnp.float64)
+    pairs_u = ((1, 2),)
+    oa_u = np.array([[0.8, 0.0, 0.0]])
+    ob_u = np.array([[0.0, 0.0, -0.5]])
+    rng = np.random.default_rng(6)
+    for _ in range(3):
+        q = jnp.asarray(rng.uniform(-0.5, 0.5, 3))
+        qd = jnp.asarray(rng.uniform(-1, 1, 3))
+        u = jnp.asarray(rng.uniform(-2, 2, 3))
+        qdd_m, lam_m = lp.loop_forward_dynamics(mm, q, qd, u, pairs, oa,
+                                                ob, reg=1e-10)
+        qdd_u, lam_u = lp.loop_forward_dynamics(mu_, q, qd, u, pairs_u,
+                                                oa_u, ob_u, reg=1e-10)
+        np.testing.assert_allclose(np.asarray(qdd_m), np.asarray(qdd_u),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(lam_m), np.asarray(lam_u),
+                                   atol=1e-9)
+
+
+def test_equality_joint_and_world_connect():
+    """<equality><joint> (linear polycoef) lands in RobotDescription.mimic
+    with q_j1 = a1*q_j2 + a0 semantics; a connect with body2 omitted (or a
+    root-welded body1) becomes a world pin with the q=0 world anchor."""
+    src = """
+<mujoco><compiler angle="radian"/><worldbody>
+  <body name="a"><joint name="jA" axis="0 1 0"/>
+    <inertial pos="0.2 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+    <body name="b" pos="0.4 0 0"><joint name="jB" axis="0 1 0"/>
+      <inertial pos="0.2 0 0" mass="1" diaginertia="0.01 0.01 0.01"/>
+    </body>
+  </body>
+</worldbody>
+<equality>
+  <joint joint1="jB" joint2="jA" polycoef="0.1 -2 0 0 0"/>
+  <connect body1="b" anchor="0.4 0 0"/>
+</equality></mujoco>"""
+    d = g.parse_mjcf(src)
+    assert d.mimic == ((1, 0, -2.0, 0.1),)
+    pairs, oa, ob = g.mjcf_loops(src)
+    assert pairs == ((1, -1),)
+    np.testing.assert_allclose(oa, [[0.4, 0, 0]], atol=1e-12)
+    np.testing.assert_allclose(ob, [[0.8, 0, 0]], atol=1e-12)  # world, q=0
+    # unsupported equality types fail loudly
+    bad = src.replace('<joint joint1="jB" joint2="jA" '
+                      'polycoef="0.1 -2 0 0 0"/>',
+                      '<weld body1="a" body2="b"/>')
+    with pytest.raises(NotImplementedError, match="weld"):
+        g.parse_mjcf(bad)
+    quad = src.replace('polycoef="0.1 -2 0 0 0"',
+                       'polycoef="0.1 -2 0.3 0 0"')
+    with pytest.raises(NotImplementedError, match="polycoef"):
+        g.parse_mjcf(quad)
