@@ -141,6 +141,15 @@ from .ops.freeflyer import (
     fb_simulate,
     free_flyer_model,
 )
+from .ops.md_contact import (
+    md_constrained_fd,
+    md_contact_rows,
+    md_fk,
+    md_point_jacobian,
+    md_simulate_ground,
+    md_step_ground,
+    md_step_ground_batched,
+)
 from .ops.multidof import (
     MultiDofModel,
     md_aba,
@@ -224,6 +233,8 @@ __all__ = [
     "fb_forward_dynamics_batched",
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",
+    "md_fk", "md_point_jacobian", "md_contact_rows", "md_constrained_fd",
+    "md_step_ground", "md_step_ground_batched", "md_simulate_ground",
     "MultiDofModel", "multidof_model_from_description", "md_inverse_dynamics",
     "md_forward_dynamics", "md_forward_dynamics_gradient", "md_id_grad",
     "md_crba", "md_forward_dynamics_batched", "md_inverse_dynamics_batched",

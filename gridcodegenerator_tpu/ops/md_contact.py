@@ -1,0 +1,257 @@
+"""Frictional ground contact for the multi-dof stack — spherical and
+in-tree floating joints stepping on the plane or a heightfield.
+
+This closes the contact layer over the generalized-coordinate models
+(``ops/multidof.py``: nq ≠ nv — ball-hip quadrupeds, free-floating
+humanoids with spherical joints, MJCF ``<freejoint>`` robots), the same
+design obligation the free-flyer stack already honors
+(``ops/contact.py::fb_step_ground``). Beyond the reference by construction:
+GRiDCodeGenerator has no contact layer and no multi-dof joints (S is a
+one-hot 6-vector, ``/root/reference/helpers/_spatial_algebra_helpers.py:13``).
+
+Formulation is the free-flyer stepper's, re-expressed on the tangent space:
+
+    v_free = q̇ + dt·M⁻¹(τ − c)          (M from md_crba, incl. armature)
+    G = J M⁻¹ Jᵀ,  PGS cone solve        (same pgs_solve as every stepper)
+    q⁺ = q ⊕ dt·v⁺                       (md_tangent_apply retraction)
+
+with J the world point Jacobian over the nv tangent coordinates — each
+column of a joint's (6, w) motion subspace contributes
+``ω_c × (x − p_j) + v_c`` exactly like the single-dof case, so one code
+path covers revolute/prismatic/spherical/floating joints.
+
+There is no separate "base": a floating robot's torso is joint 0's moving
+link, so torso geoms attach to a REGULAR link index (contrast the
+free-flyer layer's link -1 idiom).
+
+Single-state functions plus a ``vmap``-batched entry; the batch-last /
+fused-kernel tier of the free-flyer steppers does not exist here yet (the
+fb stack needed a round of register-utilization work to earn its 36×/18×
+— see BENCHMARKS.md "Contact layer"); the vmap tier is the correctness
+reference it will be built against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .contact import pgs_solve
+from .multidof import (MultiDofModel, md_crba, md_inverse_dynamics,
+                       md_joint_transforms, md_tangent_apply)
+
+
+def _unskew(S):
+    return jnp.stack([S[2, 1], S[0, 2], S[1, 0]])
+
+
+def md_fk(model: MultiDofModel, q):
+    """World pose of every moving link frame: ((n,3,3) rotations, (n,3)
+    origins) — ``kinematics.fk`` over the multi-dof joint transforms."""
+    topo = model.topology
+    n = topo.n
+    X = md_joint_transforms(model, q)
+    Rs, ps = [None] * n, [None] * n
+    for i in range(n):
+        E = X[i][:3, :3]                    # child ← parent rotation
+        r = _unskew(-E.T @ X[i][3:, :3])    # joint origin in parent coords
+        p = topo.parents[i]
+        Rp = jnp.eye(3, dtype=r.dtype) if p < 0 else Rs[p]
+        pp = jnp.zeros(3, r.dtype) if p < 0 else ps[p]
+        Rs[i] = Rp @ E.T
+        ps[i] = pp + Rp @ r
+    return jnp.stack(Rs), jnp.stack(ps)
+
+
+def md_point_jacobian(model: MultiDofModel, R, p, link: int, x):
+    """(3, nv) world linear Jacobian of a (traced) point ``x`` rigidly
+    attached to ``link``, given FK poses (R, p). Column c of joint j (one
+    per tangent coordinate): ``a_ω × (x − p_j) + a_v`` with
+    ``[a_ω; a_v] = blockdiag(R_j, R_j) · S_j[:, c]`` — the multi-dof
+    generalization of ``collision._arm_point_jac``'s trace-time-sparse
+    column loop."""
+    topo = model.topology
+    nv = model.nv
+    support = set(topo.ancestors[link]) | {link}
+    cols = [jnp.zeros((3, 1), x.dtype)] * nv
+    for j in range(topo.n):
+        if j not in support:
+            continue
+        sv, wv = model.v_slices[j]
+        for c in range(wv):
+            a_ang = R[j] @ model.S[j, :3, c]
+            a_lin = R[j] @ model.S[j, 3:, c]
+            cols[sv + c] = (jnp.cross(a_ang, x - p[j]) + a_lin)[:, None]
+    return jnp.concatenate(cols, axis=1)
+
+
+def md_contact_rows(model: MultiDofModel, q, links, offsets, ground_z=0.0,
+                    terrain=None, geoms=None):
+    """Contact rows for foot points (and optional ground geoms) on a
+    multi-dof robot: ``(gaps (k_t,), J (3k_t, nv))`` in local [t1, t2, n]
+    triplets over the tangent velocity — feet first, then geom endpoint
+    contacts (:func:`..collision.fb_ground_geom_rows` semantics: gap along
+    the local normal minus the radius, material point at the surface).
+    ``geoms``: a :class:`..collision.Geoms` on REGULAR link indices (a
+    floating torso is a link here, not a base)."""
+    from .collision import _ground_contact_list
+
+    n = model.topology.n
+    dtype = q.dtype
+    R, p = md_fk(model, q)
+    eye3 = jnp.eye(3, dtype=dtype)
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    points = [(int(l), jnp.asarray(offsets[i], dtype), None)
+              for i, l in enumerate(links)]
+    if geoms is not None:
+        bad = [l for l in geoms.links if not 0 <= l < n]
+        if bad:
+            raise ValueError(
+                f"md ground-geom links {bad} out of range [0, {n}) — the "
+                "multi-dof stack has no base link; attach torso geoms to "
+                "the floating joint's link")
+        for i, e_idx in _ground_contact_list(geoms):
+            e0 = (geoms.a[i] if e_idx == 0 else geoms.b[i]).astype(dtype)
+            points.append((geoms.links[i], e0, geoms.r[i].astype(dtype)))
+    gaps, rows = [], []
+    for l, off, r in points:
+        x_w = p[l] + R[l] @ off
+        if terrain is None:
+            nrm_w, C = ez, eye3
+            gap = x_w[2] - ground_z
+        else:
+            from .terrain import contact_frame, terrain_surface
+            h, nrm_w = terrain_surface(terrain, x_w[0], x_w[1])
+            gap = (x_w[2] - h) * nrm_w[2]
+            C = contact_frame(nrm_w)
+        x_c = x_w
+        if r is not None:                   # endpoint sphere: radius shift
+            gap = gap - r
+            x_c = x_w - r * nrm_w           # material point at the surface
+        gaps.append(gap)
+        rows.append(C @ md_point_jacobian(model, R, p, l, x_c))
+    return jnp.stack(gaps), jnp.concatenate(rows, axis=0)
+
+
+def md_constrained_fd(model: MultiDofModel, q, qd, tau, links, offsets,
+                      gravity=-9.81, baumgarte=(10.0, 10.0), reg=0.0):
+    """Bilateral point-constrained FD (stance / pinned feet) on a
+    multi-dof robot: ``(q̈ (nv,), λ (3k,))`` — the generalized-coordinate
+    ``fb_constrained_forward_dynamics``. Constraint acceleration target
+    uses the standard Baumgarte velocity damping ``a* = −2α J q̇`` (β is
+    accepted for signature parity; the velocity-level rows hold the
+    points where they are)."""
+    c = md_inverse_dynamics(model, q, qd, gravity=gravity)
+    M = md_crba(model, q)
+    Lm = jnp.linalg.cholesky(M)
+    msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
+
+    def J_at(q_):
+        R, p = md_fk(model, q_)
+        return jnp.concatenate(
+            [md_point_jacobian(model, R, p, int(l),
+                               p[int(l)] + R[int(l)]
+                               @ jnp.asarray(offsets[i], q.dtype))
+             for i, l in enumerate(links)])
+
+    J = J_at(q)
+    # bias J̇ q̇ = d/dt [J(q(t)) q̇] along the flow — the Jacobian's tangent
+    # CHART moves with the configuration (J_at re-centers at q ⊕ d), the
+    # same exact forward-mode construction as ..contact.fb_contact_bias.
+    # (Differentiating the POSITION map twice along the retraction curve
+    # instead is wrong at second order for floating joints: the retraction
+    # translates with the frozen attitude, dropping the R ω̂ v term.)
+    _, Jdqd = jax.jvp(
+        lambda d: J_at(md_tangent_apply(model, q, d)) @ qd,
+        (jnp.zeros(model.nv, q.dtype),), (qd,))
+    qdd_free = msolve(tau - c)
+    alpha, beta = baumgarte
+    a_star = -2.0 * alpha * (J @ qd)
+    MiJt = msolve(J.T)
+    G = J @ MiJt + (reg + 1e-12) * jnp.eye(J.shape[0], dtype=q.dtype)
+    lam = jnp.linalg.solve(G, a_star - Jdqd - J @ qdd_free)
+    return qdd_free + MiJt @ lam, lam
+
+
+def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
+                   mu=0.8, ground_z=0.0, gravity=-9.81, iters: int = 30,
+                   erp: float = 0.2, margin: float = 1e-3,
+                   restitution: float = 0.0, diff_mode: str = "unroll",
+                   relax: float = 1.0, terrain=None, ground_geoms=None,
+                   mu_ground=None):
+    """One frictional ground-contact step of a multi-dof robot — the
+    generalized-coordinate ``fb_step_ground``, identical semantics
+    (Stewart-Trinkle velocity stepping, gap-gated PGS cone solve, erp
+    penetration recovery, restitution, ``diff_mode="implicit"`` IFT
+    gradients) on tangent velocities with manifold retraction. Returns
+    ``((q⁺, q̇⁺), impulses (k_t, 3))``, feet first then ground-geom
+    contacts."""
+    if diff_mode not in ("unroll", "implicit"):
+        raise ValueError(f"diff_mode must be 'unroll' or 'implicit', "
+                         f"got {diff_mode!r}")
+    dtype = q.dtype
+    c = md_inverse_dynamics(model, q, qd, gravity=gravity)
+    M = md_crba(model, q)
+    Lm = jnp.linalg.cholesky(M)
+    msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
+    v_free = qd + dt * msolve(tau - c)
+
+    gaps, J = md_contact_rows(model, q, links, offsets, ground_z=ground_z,
+                              terrain=terrain, geoms=ground_geoms)
+    k_feet = len(links)
+    k = gaps.shape[0]
+    active = (gaps < margin).astype(dtype)
+    MiJt = msolve(J.T)
+    G = J @ MiJt + 1e-9 * jnp.eye(3 * k, dtype=dtype)
+    vn_now = (J @ qd).reshape(k, 3)[:, 2]
+    v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
+              - restitution * jnp.minimum(vn_now, 0.0))
+    b = (J @ v_free).at[2::3].add(-v_star)
+
+    mu_vec = jnp.broadcast_to(jnp.asarray(mu, dtype), (k_feet,))
+    if k > k_feet:
+        mu_g = mu if mu_ground is None else mu_ground
+        mu_vec = jnp.concatenate([mu_vec, jnp.broadcast_to(
+            jnp.asarray(mu_g, dtype), (k - k_feet,))])
+    p_imp = pgs_solve(G, b, mu_vec, active, iters,
+                      implicit_diff=(diff_mode == "implicit"), relax=relax)
+
+    v_new = v_free + MiJt @ p_imp
+    q2 = md_tangent_apply(model, q, dt * v_new)
+    return (q2, v_new), p_imp.reshape(k, 3)
+
+
+def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
+                           offsets, mu=0.8, ground_z=0.0, gravity=-9.81,
+                           iters: int = 30, erp: float = 0.2,
+                           margin: float = 1e-3, restitution: float = 0.0,
+                           diff_mode: str = "unroll", relax: float = 1.0,
+                           terrain=None, ground_geoms=None,
+                           mu_ground=None):
+    """Batched :func:`md_step_ground`: ``q (B, nq)``, ``qd/tau (B, nv)``,
+    optional per-environment ``mu (B,)`` → ``((q⁺, q̇⁺), impulses
+    (B, k_t, 3))``. vmap tier (see the module docstring's perf note)."""
+    mu_arr = jnp.asarray(mu)
+    in_axes = (0, 0, 0, 0 if mu_arr.ndim == 1 else None)
+
+    def step1(q1, qd1, tau1, mu1):
+        return md_step_ground(
+            model, q1, qd1, tau1, dt, links, offsets, mu=mu1,
+            ground_z=ground_z, gravity=gravity, iters=iters, erp=erp,
+            margin=margin, restitution=restitution, diff_mode=diff_mode,
+            relax=relax, terrain=terrain, ground_geoms=ground_geoms,
+            mu_ground=mu_ground)
+
+    return jax.vmap(step1, in_axes=in_axes)(q, qd, tau, mu_arr)
+
+
+def md_simulate_ground(model: MultiDofModel, q0, qd0, taus, dt, links,
+                       offsets, **kw):
+    """``lax.scan`` rollout of :func:`md_step_ground` (``taus (T, nv)``).
+    Returns ``((q_T, q̇_T), (q stack, q̇ stack, impulse stack))``."""
+    def step(s, tau):
+        (q2, v2), imp = md_step_ground(model, s[0], s[1], tau, dt, links,
+                                       offsets, **kw)
+        return (q2, v2), (q2, v2, imp)
+
+    return jax.lax.scan(step, (q0, qd0), taus)
