@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .contact import pgs_solve
 from .multidof import (MultiDofModel, md_crba, md_inverse_dynamics,
@@ -225,13 +226,49 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
                            offsets, mu=0.8, ground_z=0.0, gravity=-9.81,
                            iters: int = 30, erp: float = 0.2,
                            margin: float = 1e-3, restitution: float = 0.0,
-                           diff_mode: str = "unroll", relax: float = 1.0,
-                           terrain=None, ground_geoms=None,
-                           mu_ground=None):
+                           impl: str = "auto", diff_mode: str = "unroll",
+                           relax: float = 1.0, terrain=None,
+                           ground_geoms=None, mu_ground=None):
     """Batched :func:`md_step_ground`: ``q (B, nq)``, ``qd/tau (B, nv)``,
     optional per-environment ``mu (B,)`` → ``((q⁺, q̇⁺), impulses
-    (B, k_t, 3))``. vmap tier (see the module docstring's perf note)."""
+    (B, k_t, 3))``.
+
+    ``impl="auto"`` routes the whole step through ONE fused Pallas kernel
+    per 128-environment lane tile on TPU
+    (:func:`.kernels.md_contact_fused.md_step_ground_fused`) when the
+    shape qualifies: flat plane, ``diff_mode="unroll"``, ``relax == 1``,
+    static scalar ``mu_ground`` and concrete geom geometry. Heightfield
+    terrain, implicit-diff, and traced geometry run the vmap tier."""
+    from .contact import _impl_auto, _mu_to_bl
+
     mu_arr = jnp.asarray(mu)
+    mu_ground_static = (ground_geoms is None
+                        or (isinstance(mu_ground
+                                       if mu_ground is not None else mu,
+                                       (int, float))
+                            and not any(isinstance(leaf, jax.core.Tracer)
+                                        for leaf in
+                                        jax.tree_util.tree_leaves(
+                                            (ground_geoms.a, ground_geoms.b,
+                                             ground_geoms.r)))))
+    if (_impl_auto(impl, q) == "pallas" and terrain is None
+            and diff_mode == "unroll" and relax == 1.0
+            and mu_ground_static):
+        from .kernels import md_contact_fused as _mcf
+
+        B = q.shape[0]
+        k = len(links)
+        mu_bl = _mu_to_bl(mu, k, B, q.dtype)
+        mu_g = (None if ground_geoms is None
+                else float(mu_ground if mu_ground is not None else mu))
+        q2, v2, imp = _mcf.md_step_ground_fused(
+            model, q.T, qd.T, tau.T, mu_bl, dt, links,
+            np.asarray(offsets, np.float64), ground_z, gravity, iters,
+            erp, margin, restitution, ground_geoms=ground_geoms,
+            mu_ground=mu_g)
+        kt = imp.shape[0] // 3
+        return (q2.T, v2.T), jnp.moveaxis(imp, 0, -1).reshape(B, kt, 3)
+
     in_axes = (0, 0, 0, 0 if mu_arr.ndim == 1 else None)
 
     def step1(q1, qd1, tau1, mu1):

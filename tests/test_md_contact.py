@@ -272,3 +272,53 @@ def test_md_ground_geoms_and_scan_rollout(ball_ant):
     # torso sphere supports the whole robot at z = r
     assert abs(float(qT[6]) - 0.18) < 8e-3
     assert float(np.asarray(imph)[-1, 4, 2]) > 1e-4
+
+
+def test_md_step_ground_fused_interpret_matches_vmap(ball_ant):
+    """The fused md step kernel (interpret mode — the identical body the
+    TPU lowers) == the vmap reference, with foot AND torso-geom contacts
+    active, per-env friction, and quaternion retraction exercised."""
+    from gridcodegenerator_tpu.ops import collision as col
+    from gridcodegenerator_tpu.ops.kernels import md_contact_fused as mcf
+
+    mdm, feet, offs = ball_ant
+    gg = col.make_geoms([0], a=[[0, 0, 0]], r=0.18, dtype=jnp.float64)
+    rng = np.random.default_rng(29)
+    B = 4
+    q0 = np.array(md.neutral_q(mdm))
+    qs, qds, taus = [], [], []
+    for e in range(B):
+        d = rng.uniform(-0.25, 0.25, mdm.nv)
+        qe = np.array(md.md_tangent_apply(mdm, jnp.asarray(q0),
+                                          jnp.asarray(d)))
+        qe[6] = rng.uniform(0.0, 0.15)       # feet/torso touch range
+        qs.append(qe)
+        qds.append(rng.uniform(-0.4, 0.4, mdm.nv))
+        taus.append(rng.uniform(-3, 3, mdm.nv))
+    qs, qds, taus = (jnp.asarray(np.stack(a)) for a in (qs, qds, taus))
+    mus = jnp.asarray(rng.uniform(0.4, 1.0, B))
+
+    (q_r, v_r), imp_r = mc.md_step_ground_batched(
+        mdm, qs, qds, taus, 2e-3, feet, offs, mu=mus, ground_geoms=gg,
+        mu_ground=0.6, impl="vmap")
+    mu_bl = jnp.broadcast_to(mus[None, :], (4, B))
+    q_f, v_f, imp_f = mcf.md_step_ground_fused(
+        mdm, qs.T, qds.T, taus.T, mu_bl, 2e-3, feet,
+        np.asarray(offs, np.float64), ground_geoms=gg, mu_ground=0.6,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(q_f.T), np.asarray(q_r),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v_f.T), np.asarray(v_r),
+                               atol=1e-10)
+    imp_f3 = jnp.moveaxis(imp_f, 0, -1).reshape(B, 5, 3)
+    np.testing.assert_allclose(np.asarray(imp_f3), np.asarray(imp_r),
+                               atol=1e-10)
+    assert (np.asarray(imp_r)[:, :, 2] > 1e-9).any(), "vacuous"
+    # the plain-XLA fallback of the same body agrees too (gate path)
+    q_x, v_x, imp_x = mcf.md_step_ground_fused(
+        mdm, qs.T, qds.T, taus.T, mu_bl, 2e-3, feet,
+        np.asarray(offs, np.float64), ground_geoms=gg, mu_ground=0.6,
+        force_xla=True)
+    np.testing.assert_allclose(np.asarray(q_x), np.asarray(q_f), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(imp_x), np.asarray(imp_f),
+                               atol=1e-12)

@@ -515,6 +515,84 @@ def test_ground_geom_fused_kernel_on_tpu(tpu_setup):
                 assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
 
 
+def test_md_step_ground_fused_kernel_on_tpu(tpu_setup):
+    """The multi-dof frictional ground-step kernel
+    (md_contact_fused._md_step_ground_body: generalized transforms/RNEA/
+    CRBA, merged multi-rhs active-region Cholesky, PGS, quaternion
+    retraction) through real Mosaic lowering vs the single-state CPU
+    path, on a freejoint + ball-hip quadruped."""
+    import jax
+    g, jnp, models = tpu_setup
+    import numpy as np_
+    from gridcodegenerator_tpu.ops import collision as col
+    from gridcodegenerator_tpu.ops import md_contact as mc
+    from gridcodegenerator_tpu.ops import multidof as md
+
+    legs = []
+    for kk in range(4):
+        ang = 45 + 90 * kk
+        legs.append(f"""
+      <body name="hip{kk}" pos="0.18 0 0" euler="0 0 {ang}">
+        <joint name="hip{kk}_j" type="ball" damping="1.2"/>
+        <geom type="capsule" size="0.04" fromto="0 0 0 0.22 0 0"/>
+        <body name="shin{kk}" pos="0.22 0 0">
+          <joint name="knee{kk}_j" axis="0 1 0" damping="1.2"/>
+          <geom type="capsule" size="0.04" fromto="0 0 0 0.3 0 0"/>
+          <site name="foot{kk}" pos="0.3 0 0"/>
+        </body>
+      </body>""")
+    src_mj = f"""
+<mujoco model="ball_ant"><compiler angle="degree"/>
+  <default><geom density="800"/></default>
+  <worldbody><body name="torso"><freejoint/>
+    <geom type="sphere" size="0.18" density="500"/>
+    {''.join(legs)}
+  </body></worldbody></mujoco>"""
+    desc = g.parse_mjcf(src_mj)
+    mdm = md.multidof_model_from_description(desc, dtype=jnp.float32)
+    sites = g.mjcf_sites(src_mj)
+    feet = tuple(sites[f"foot{kk}"].link for kk in range(4))
+    offs = np_.stack([sites[f"foot{kk}"].pos for kk in range(4)])
+    gg = col.make_geoms([0], a=[[0, 0, 0]], r=0.18)
+
+    rng = np_.random.default_rng(71)
+    B = 256
+    q0 = np_.array(md.neutral_q(mdm), np_.float64)
+    qs, qds, taus = [], [], []
+    for e in range(B):
+        d = rng.uniform(-0.25, 0.25, mdm.nv)
+        qe = np_.array(md.md_tangent_apply(
+            mdm, jnp.asarray(q0, jnp.float32),
+            jnp.asarray(d, jnp.float32)), np_.float64)
+        qe[6] = rng.uniform(0.0, 0.15)
+        qs.append(qe)
+        qds.append(rng.uniform(-0.4, 0.4, mdm.nv))
+        taus.append(rng.uniform(-3, 3, mdm.nv))
+    f32 = lambda a: jnp.asarray(np_.stack(a), jnp.float32)
+    qs, qds, taus = f32(qs), f32(qds), f32(taus)
+
+    (q2, v2), imp = mc.md_step_ground_batched(
+        mdm, qs, qds, taus, 2e-3, feet, offs, mu=0.7, ground_geoms=gg,
+        mu_ground=0.6, impl="pallas")
+    got = dict(q2=np_.asarray(q2), v2=np_.asarray(v2),
+               imp=np_.asarray(imp))
+    assert got["imp"].shape == (B, 5, 3)
+    assert (got["imp"][..., 2] > 0).any(), "no active contacts"
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        for k in (0, 127, 128, B - 1):
+            (q1, v1), i1 = mc.md_step_ground(
+                mdm, qs[k], qds[k], taus[k], 2e-3, feet,
+                jnp.asarray(offs, jnp.float32), mu=0.7, ground_geoms=gg,
+                mu_ground=0.6)
+            for name, ref in (("q2", q1), ("v2", v1), ("imp", i1)):
+                ref = np_.asarray(ref)
+                scale = max(1.0, np_.abs(ref).max())
+                err = np_.abs(got[name][k] - ref).max() / scale
+                assert err < 3e-5, f"{name}@state{k}: rel err {err:.3e}"
+
+
 def test_loop_fused_kernel_on_tpu(tpu_setup):
     """Loop-closure bilateral rows inside the fused ground-step kernel
     (contact_fused._loop_rows_s + the eq rows of _pgs_rows) through real
