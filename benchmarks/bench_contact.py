@@ -250,5 +250,50 @@ def main(argv=None):
                   f"{B/med:11.3e} env-steps/s", file=sys.stderr)
 
 
+    # ---- multi-dof ground stepper: ball-hip ant, in-kernel ----------------
+    # (r3s13: freejoint + 4×(ball ⊕ hinge) quadruped on frictional ground —
+    # the generalized-joint RL-env shape; impl routing as in "step": on TPU
+    # "auto" measures the fused md step kernel, ops/kernels/
+    # md_contact_fused.py)
+    if "md_step" in args.cases:
+        from gridcodegenerator_tpu.ops import collision as col
+        from gridcodegenerator_tpu.ops import md_contact as mc
+        from gridcodegenerator_tpu.ops import multidof as md
+
+        src = zoo.ball_ant_mjcf()
+        mdm = md.multidof_model_from_description(g.parse_mjcf(src),
+                                                 dtype=jnp.float32)
+        sites = g.mjcf_sites(src)
+        mfeet = tuple(sites[f"foot{k}"].link for k in range(4))
+        moffs = np.stack([sites[f"foot{k}"].pos for k in range(4)])
+        torso = col.make_geoms([0], a=[[0, 0, 0]], r=0.18)
+
+        @jax.jit
+        def md_env_step(q, qd, tau):
+            return mc.md_step_ground_batched(
+                mdm, q, qd, tau, 2e-3, mfeet, moffs, mu=0.7,
+                ground_geoms=torso, mu_ground=0.6, impl=args.impl)[0]
+
+        q0 = np.asarray(md.neutral_q(mdm), np.float64)
+        for B in args.batches:
+            d = jnp.asarray(rng.uniform(-0.25, 0.25, (B, mdm.nv)),
+                            jnp.float32)
+            q = jax.vmap(lambda t: md.md_tangent_apply(
+                mdm, jnp.asarray(q0, jnp.float32), t))(d)
+            q = q.at[:, 6].add(jnp.asarray(
+                rng.uniform(0.0, 0.15, B), jnp.float32))
+            qd = jnp.asarray(rng.uniform(-0.4, 0.4, (B, mdm.nv)),
+                             jnp.float32)
+            tau = jnp.asarray(rng.uniform(-3, 3, (B, mdm.nv)), jnp.float32)
+            med, mn = time_fn(lambda a, b, c: md_env_step(a, b, c)[1],
+                              (q, qd, tau), reps=args.reps)
+            row = dict(case="md_step_ball_ant", nq=mdm.nq, nv=mdm.nv,
+                       contacts=5, batch=B, impl=args.impl,
+                       median_ms=med * 1e3, env_steps_per_sec=B / med)
+            print(json.dumps(row))
+            print(f"# mdstep ant  B={B:7d}  {med*1e3:9.3f} ms  "
+                  f"{B/med:11.3e} env-steps/s", file=sys.stderr)
+
+
 if __name__ == "__main__":
     main()

@@ -121,7 +121,8 @@ from .ops.centroidal import (
 from .ops.aba import aba, aba_bl, fb_aba
 from .ops.fd import forward_dynamics_diff
 from .ops.regressor import inertial_params, joint_torque_regressor
-from .ops.kinematics import fk, point_position, world_jacobian
+from .ops.kinematics import (fk, point_force_fext, point_position,
+                             world_jacobian)
 from .ops.ik import ik_frame, ik_point, ik_point_batched, rotation_log
 from .ops.task import (
     dynamically_consistent_pinv,
@@ -208,7 +209,7 @@ __all__ = [
     "compile_freeflyer", "CompiledFreeFlyer",
     "compile_multidof", "CompiledMultiDof",
     "simulate", "linearize_trajectory",
-    "fk", "point_position", "world_jacobian",
+    "fk", "point_force_fext", "point_position", "world_jacobian",
     "ik_point", "ik_point_batched", "ik_frame", "rotation_log",
     "task_jacobian", "task_space_inertia", "dynamically_consistent_pinv",
     "osc_torque", "osc_torque_batched", "task_pd_acceleration",

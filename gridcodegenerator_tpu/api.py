@@ -179,10 +179,24 @@ def _inverse_dynamics_vmap(model, q, qd, qdd, *, gravity=-9.81):
     return rnea.inverse_dynamics(model, q, qd, qdd, gravity)
 
 
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=4)
+def _inverse_dynamics_fext_vmap(model, q, qd, qdd, f_ext, *, gravity=-9.81):
+    return rnea.inverse_dynamics(model, q, qd, qdd, gravity, f_ext=f_ext)
+
+
 def inverse_dynamics(model: RobotModel, q, qd, qdd, *, gravity: float = -9.81,
-                     impl: str = "auto"):
-    """c(q, q̇, q̈): joint torques. RNEA."""
+                     impl: str = "auto", f_ext=None):
+    """c(q, q̇, q̈): joint torques. RNEA.
+
+    ``f_ext``: optional (..., n, 6) link-local external wrenches (batch
+    dims matching ``q``; see :func:`.ops.rnea.rnea_fwd` and
+    :func:`.ops.kinematics.point_force_fext`). Runs the vmap tier — the
+    fused kernels carry no external-force operand."""
     _check_states(model, (q, qd, qdd), ("q", "qd", "qdd"))
+    if f_ext is not None:
+        return _inverse_dynamics_fext_vmap(model, q, qd, qdd, f_ext,
+                                           gravity=gravity)
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, qdd), kernel=_k_id, gravity=gravity)
     return _inverse_dynamics_vmap(model, q, qd, qdd, gravity=gravity)
@@ -226,10 +240,22 @@ def _forward_dynamics_vmap(model, q, qd, u, *, gravity=-9.81):
     return fd.forward_dynamics(model, q, qd, u, gravity)
 
 
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=4)
+def _forward_dynamics_fext_vmap(model, q, qd, u, f_ext, *, gravity=-9.81):
+    return fd.forward_dynamics(model, q, qd, u, gravity, f_ext=f_ext)
+
+
 def forward_dynamics(model: RobotModel, q, qd, u, *, gravity: float = -9.81,
-                     impl: str = "auto"):
-    """q̈ = M⁻¹ (u − c(q, q̇))."""
+                     impl: str = "auto", f_ext=None):
+    """q̈ = M⁻¹ (u − c(q, q̇)).
+
+    ``f_ext``: optional (..., n, 6) link-local external wrenches (vmap
+    tier; see :func:`inverse_dynamics`)."""
     _check_states(model, (q, qd, u), ("q", "qd", "u"))
+    if f_ext is not None:
+        return _forward_dynamics_fext_vmap(model, q, qd, u, f_ext,
+                                           gravity=gravity)
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, u), kernel=_k_fd, gravity=gravity)
     return _forward_dynamics_vmap(model, q, qd, u, gravity=gravity)
@@ -241,10 +267,22 @@ def _inverse_dynamics_gradient_vmap(model, q, qd, qdd, *, gravity=-9.81):
     return rnea_grad.inverse_dynamics_gradient(model, q, qd, qdd, gravity)
 
 
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=4)
+def _id_grad_fext_vmap(model, q, qd, qdd, f_ext, *, gravity=-9.81):
+    return rnea_grad.inverse_dynamics_gradient(model, q, qd, qdd, gravity,
+                                               f_ext=f_ext)
+
+
 def inverse_dynamics_gradient(model: RobotModel, q, qd, qdd, *,
-                              gravity: float = -9.81, impl: str = "auto"):
-    """[∂c/∂q | ∂c/∂q̇] as (..., n, 2n)."""
+                              gravity: float = -9.81, impl: str = "auto",
+                              f_ext=None):
+    """[∂c/∂q | ∂c/∂q̇] as (..., n, 2n). ``f_ext``: optional (..., n, 6)
+    link-local external wrenches — the analytic recursion stays exact
+    (see :func:`.ops.rnea_grad.inverse_dynamics_gradient`)."""
     _check_states(model, (q, qd, qdd), ("q", "qd", "qdd"))
+    if f_ext is not None:
+        return _id_grad_fext_vmap(model, q, qd, qdd, f_ext, gravity=gravity)
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, qdd), kernel=_k_id_grad,
                            gravity=gravity)
@@ -257,10 +295,21 @@ def _forward_dynamics_gradient_vmap(model, q, qd, u, *, gravity=-9.81):
     return fd_grad.forward_dynamics_gradient(model, q, qd, u, gravity)
 
 
+@functools.partial(jax.jit, static_argnames=("gravity",))
+@functools.partial(_batchify, n_state_args=4)
+def _fd_grad_fext_vmap(model, q, qd, u, f_ext, *, gravity=-9.81):
+    return fd_grad.forward_dynamics_gradient(model, q, qd, u, gravity,
+                                             f_ext=f_ext)
+
+
 def forward_dynamics_gradient(model: RobotModel, q, qd, u, *,
-                              gravity: float = -9.81, impl: str = "auto"):
-    """[∂q̈/∂q | ∂q̈/∂q̇] as (..., n, 2n) — the north-star op."""
+                              gravity: float = -9.81, impl: str = "auto",
+                              f_ext=None):
+    """[∂q̈/∂q | ∂q̈/∂q̇] as (..., n, 2n) — the north-star op. ``f_ext``:
+    optional (..., n, 6) link-local external wrenches (vmap tier)."""
     _check_states(model, (q, qd, u), ("q", "qd", "u"))
+    if f_ext is not None:
+        return _fd_grad_fext_vmap(model, q, qd, u, f_ext, gravity=gravity)
     if _resolve_impl(impl, q) == "pallas" and jnp.ndim(q) > 1:
         return _pallas_run(model, (q, qd, u), kernel=_k_fd_grad,
                            gravity=gravity)

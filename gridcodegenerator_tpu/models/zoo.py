@@ -589,3 +589,32 @@ def ant_mjcf(damping: float = 0.5) -> str:
   </actuator>
 </mujoco>
 """
+
+
+def ball_ant_mjcf(damping: float = 1.2) -> str:
+    """Free-floating quadruped with BALL (3-dof spherical) hips and revolute
+    knees — the multi-dof contact fixture (freejoint base ⊕ 4×(ball ⊕
+    hinge): nq = 7+4·(4+1) = 27, nv = 6+4·(3+1) = 22). Foot <site> anchors
+    at the shin tips; one torso sphere geom for geom-vs-ground contact.
+    Used by the md ground-step hardware test and ``bench_contact.py
+    --cases md_step``."""
+    legs = []
+    for k in range(4):
+        ang = 45 + 90 * k
+        legs.append(f"""
+      <body name="hip{k}" pos="0.18 0 0" euler="0 0 {ang}">
+        <joint name="hip{k}_j" type="ball" damping="{damping}"/>
+        <geom type="capsule" size="0.04" fromto="0 0 0 0.22 0 0"/>
+        <body name="shin{k}" pos="0.22 0 0">
+          <joint name="knee{k}_j" axis="0 1 0" damping="{damping}"/>
+          <geom type="capsule" size="0.04" fromto="0 0 0 0.3 0 0"/>
+          <site name="foot{k}" pos="0.3 0 0"/>
+        </body>
+      </body>""")
+    return f"""
+<mujoco model="ball_ant"><compiler angle="degree"/>
+  <default><geom density="800"/></default>
+  <worldbody><body name="torso"><freejoint/>
+    <geom type="sphere" size="0.18" density="500"/>
+    {''.join(legs)}
+  </body></worldbody></mujoco>"""

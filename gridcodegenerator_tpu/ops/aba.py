@@ -35,10 +35,12 @@ from .rnea import gravity_accel
 from .spatial import crm_apply, crf_apply, xform_apply, xform_T_apply
 
 
-def aba(model: RobotModel, q, qd, u, gravity=-9.81):
+def aba(model: RobotModel, q, qd, u, gravity=-9.81, f_ext=None):
     """Single-state ABA: q/q̇/u (n,) → q̈ (n,). Bitwise-independent of the
     M⁻¹ path (different recursion), so it doubles as an in-family
-    cross-check of ``ops/fd.py::forward_dynamics``."""
+    cross-check of ``ops/fd.py::forward_dynamics``. ``f_ext``: optional
+    (n, 6) link-local external wrenches, entering the bias force
+    pᴬ_i = v ×* Iv − f_ext_i (Featherstone's standard fext slot)."""
     topo = model.topology
     n = topo.n
     X = model.joint_transforms(q)
@@ -53,6 +55,8 @@ def aba(model: RobotModel, q, qd, u, gravity=-9.81):
         zeta[i] = crm_apply(v[i], Sqd)
     IA = [model.inertia[i] for i in range(n)]
     pA = [crf_apply(v[i], model.inertia[i] @ v[i]) for i in range(n)]
+    if f_ext is not None:
+        pA = [pA[i] - f_ext[i] for i in range(n)]
 
     # pass 2 — articulated inertias up the tree
     U = [None] * n
@@ -85,7 +89,8 @@ def aba(model: RobotModel, q, qd, u, gravity=-9.81):
 
 
 # --------------------------------------------------------------- free-flyer
-def fb_aba(ffm, quat, q, vb, qd, tau, gravity=-9.81):
+def fb_aba(ffm, quat, q, vb, qd, tau, gravity=-9.81, f_ext=None,
+           f_base=None):
     """Floating-base ABA: returns (v̇b (6,), q̈ (n,)), exactly
     :func:`..freeflyer.fb_forward_dynamics` without ever assembling the
     (6+n)² mass matrix — the articulated recursion runs in the engine's
@@ -112,8 +117,12 @@ def fb_aba(ffm, quat, q, vb, qd, tau, gravity=-9.81):
         zeta[i] = crm_apply(v[i], Sqd)
     IA = [arm.inertia[i] for i in range(n)]
     pA = [crf_apply(v[i], arm.inertia[i] @ v[i]) for i in range(n)]
+    if f_ext is not None:
+        pA = [pA[i] - f_ext[i] for i in range(n)]
     IA_b = ffm.I_base
     pA_b = crf_apply(vb, ffm.I_base @ vb)
+    if f_base is not None:
+        pA_b = pA_b - f_base
 
     U = [None] * n
     Dinv = [None] * n

@@ -23,19 +23,22 @@ from .rnea import rnea_bwd, rnea_fwd
 from .rnea_grad import rnea_grad_inner
 
 
-def forward_dynamics_gradient(model: RobotModel, q, qd, u, gravity=-9.81):
+def forward_dynamics_gradient(model: RobotModel, q, qd, u, gravity=-9.81,
+                              f_ext=None):
     """∂q̈/∂(q, q̇) as an (n, 2n) matrix — reference host API
     ``forward_dynamics_gradient<T>`` in its (q, q̇, u) input mode
-    (``_forward_dynamics_gradient.py:74-81``)."""
+    (``_forward_dynamics_gradient.py:74-81``). ``f_ext``: optional (n, 6)
+    link-local external wrenches (exact — see
+    :func:`.rnea_grad.inverse_dynamics_gradient`)."""
     X = model.joint_transforms(q)
     # ID at q̈ = 0 for the bias torque c
-    v, a0, f0 = rnea_fwd(model, X, qd, None, gravity)
+    v, a0, f0 = rnea_fwd(model, X, qd, None, gravity, f_ext=f_ext)
     c, _ = rnea_bwd(model, X, f0, qd)
     # analytic M⁻¹ and q̈
     Minv = densify(minv_inner(model, X))
     qdd = Minv @ (u - c)
     # (v, a, f) at the true q̈ — v reused, only a/f recomputed
-    _, a, f = rnea_fwd(model, X, qd, qdd, gravity, v_known=v)
+    _, a, f = rnea_fwd(model, X, qd, qdd, gravity, v_known=v, f_ext=f_ext)
     _, f = rnea_bwd(model, X, f, None)
     dc_dq, dc_dqd = rnea_grad_inner(model, X, qd, v, a, f, gravity)
     return -Minv @ jnp.concatenate([dc_dq, dc_dqd], axis=1)

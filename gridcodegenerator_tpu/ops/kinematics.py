@@ -214,3 +214,26 @@ def contact_rows_and_bias_bl(model: RobotModel, q_bl, qd_bl, links, offsets):
 
     (J, _), (_, bias) = jax.jvp(vel, (q_bl,), (qd_bl,))
     return J, bias
+
+
+def point_force_fext(model: RobotModel, q, link: int, offset, force_world,
+                     moment_world=None):
+    """Build an (n, 6) link-local external-wrench array ``f_ext`` (the input
+    of :func:`.rnea.rnea`/:func:`.fd.forward_dynamics` etc.) from a
+    WORLD-frame force applied at a point rigidly attached to ``link`` at
+    body-frame ``offset`` (3,) — the usual "push the robot here" idiom
+    (MuJoCo's ``xfrc_applied``, Pinocchio's ``fext`` built by hand).
+
+    The wrench about the link-frame origin, in link coordinates
+    (engine convention ``[moment; force]``):
+    ``f_local = R_linkᵀ f_world``, ``m_local = offset × f_local
+    (+ R_linkᵀ m_world)``. All other rows are zero. Differentiable in
+    ``q``, ``force_world``, ``moment_world``.
+    """
+    R, p = fk(model, q)
+    f_l = R[link].T @ jnp.asarray(force_world, q.dtype)
+    m_l = jnp.cross(jnp.asarray(offset, q.dtype), f_l)
+    if moment_world is not None:
+        m_l = m_l + R[link].T @ jnp.asarray(moment_world, q.dtype)
+    w = jnp.concatenate([m_l, f_l])
+    return jnp.zeros((model.n, 6), q.dtype).at[link].set(w)

@@ -34,7 +34,8 @@ def gravity_accel(gravity, dtype):
     return jnp.zeros(6, dtype).at[5].set(-gravity)
 
 
-def rnea_fwd(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None):
+def rnea_fwd(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None,
+             f_ext=None):
     """Forward sweep → (v, a, f_body), each (n, 6).
 
     ``f_body`` is the per-link Newton-Euler wrench *before* backward
@@ -47,6 +48,12 @@ def rnea_fwd(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None):
         depend on q̈, so the ∇FD pipeline reuses it instead of re-running the
         velocity recursion (the optimization the reference leaves as a TODO,
         ``_forward_dynamics_gradient.py:11-14``).
+      f_ext: optional (n, 6) external wrenches ``[moment; force]`` applied to
+        each link, expressed in the LINK-LOCAL frame (Pinocchio's ``fext``
+        semantics — the reference has no external-force input). Subtracted
+        from the Newton–Euler body wrench: ``f_i = I a + v ×* Iv − f_ext_i``.
+        Use :func:`..kinematics.point_force_fext` to build one from a
+        world-frame point force.
     """
     topo = model.topology
     a_base = gravity_accel(gravity, X.dtype)
@@ -69,6 +76,8 @@ def rnea_fwd(model: RobotModel, X, qd, qdd=None, gravity=-9.81, v_known=None):
     a = jnp.stack(a)
     Iv = jnp.einsum("nij,nj->ni", model.inertia, v)
     f = jnp.einsum("nij,nj->ni", model.inertia, a) + crf_apply(v, Iv)
+    if f_ext is not None:
+        f = f - f_ext
     return v, a, f
 
 
@@ -93,30 +102,35 @@ def rnea_bwd(model: RobotModel, X, f, qd=None, qdd=None):
     return c, jnp.stack(f)
 
 
-def rnea(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
+def rnea(model: RobotModel, q, qd, qdd=None, gravity=-9.81, f_ext=None):
     """Full inverse dynamics.
 
     Returns ``(c, v, a, f)`` where ``c`` is the joint torque/force vector,
     ``f`` the backward-accumulated wrenches — matching the golden model's
-    ``test_rnea`` (``/root/reference/_test.py:109-115``).
-    """
+    ``test_rnea`` (``/root/reference/_test.py:109-115``). ``f_ext``: optional
+    (n, 6) link-local external wrenches (see :func:`rnea_fwd`)."""
     X = model.joint_transforms(q)
-    v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
+    v, a, f = rnea_fwd(model, X, qd, qdd, gravity, f_ext=f_ext)
     c, f = rnea_bwd(model, X, f, qd, qdd)
     return c, v, a, f
 
 
-def inverse_dynamics(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
+def inverse_dynamics(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
+                     f_ext=None):
     """Torques only — the reference host API ``inverse_dynamics<T>``
     (``_inverse_dynamics.py:423-495``)."""
-    return rnea(model, q, qd, qdd, gravity)[0]
+    return rnea(model, q, qd, qdd, gravity, f_ext=f_ext)[0]
 
 
-def rnea_vaf(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
+def rnea_vaf(model: RobotModel, q, qd, qdd=None, gravity=-9.81, f_ext=None):
     """(v, a, f_acc) without the torque extraction — the reference's
     ``inverse_dynamics_inner_vaf`` variant (``_inverse_dynamics.py:23,55``),
-    consumed by the gradient pass."""
+    consumed by the gradient pass. With ``f_ext`` the accumulated wrenches
+    include the (locally constant) external contribution, which is exactly
+    what keeps the analytic ∂ID formulas valid unchanged — the direct term
+    ∂f_ext/∂(q,q̇) is zero in the link frame, and the X-derivative terms use
+    the true accumulated f."""
     X = model.joint_transforms(q)
-    v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
+    v, a, f = rnea_fwd(model, X, qd, qdd, gravity, f_ext=f_ext)
     _, f = rnea_bwd(model, X, f, None)
     return v, a, f

@@ -136,12 +136,16 @@ def rnea_grad_inner(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
     return dc_dq, dc_dqd
 
 
-def inverse_dynamics_gradient(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
+def inverse_dynamics_gradient(model: RobotModel, q, qd, qdd=None, gravity=-9.81,
+                              f_ext=None):
     """Reference host API ``inverse_dynamics_gradient<T>``
     (``_inverse_dynamics_gradient.py:762-834``): returns the (n, 2n) matrix
-    ``[∂c/∂q | ∂c/∂q̇]``."""
+    ``[∂c/∂q | ∂c/∂q̇]``. ``f_ext``: optional (n, 6) link-local external
+    wrenches — they enter only through the accumulated f consumed by the
+    X-derivative terms (constant in the link frame), so the analytic
+    recursion is exact unchanged (see :func:`.rnea.rnea_vaf`)."""
     X = model.joint_transforms(q)
-    v, a, f = rnea_fwd(model, X, qd, qdd, gravity)
+    v, a, f = rnea_fwd(model, X, qd, qdd, gravity, f_ext=f_ext)
     _, f = rnea_bwd(model, X, f, None)
     dc_dq, dc_dqd = rnea_grad_inner(model, X, qd, v, a, f, gravity)
     return jnp.concatenate([dc_dq, dc_dqd], axis=1)
