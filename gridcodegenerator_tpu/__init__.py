@@ -177,6 +177,8 @@ from .models.urdf import RobotDescription, parse_urdf
 from .models.mjcf import (MjcfActuation, MjcfSite, mjcf_actuators,
                           mjcf_collision_model, mjcf_loops, mjcf_sites,
                           parse_mjcf)
+from .envs import GroundEnv, make_ground_env, make_ground_env_urdf
+from .models.urdf import demote_floating_root
 from .utils.golden import GoldenDynamics
 from .utils.randomize import (model_axes, randomize_model,
                               scale_links, vmap_model)
@@ -186,6 +188,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "RobotModel", "RobotDescription", "Topology", "GoldenDynamics",
+    "GroundEnv", "make_ground_env", "make_ground_env_urdf",
+    "demote_floating_root",
     "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
     "mjcf_sites", "mjcf_actuators", "mjcf_loops",
     "MjcfSite", "MjcfActuation",

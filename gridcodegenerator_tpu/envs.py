@@ -1,0 +1,371 @@
+"""High-level parallel-environment API: one object from an MJCF/URDF
+document to batched frictional ground stepping.
+
+The engine's contact stack is a toolbox (`ops/contact.py`,
+`ops/md_contact.py`, `ops/collision.py`, `models/mjcf.py`); this module is
+the assembled instrument — the MuJoCo-style ``reset / step / rollout``
+surface an RL user expects, with every wiring decision (free-flyer vs
+multi-dof routing, foot-site extraction, actuator gearing, joint limits,
+collision geoms, termination) made automatically from the document:
+
+    env = g.make_ground_env(zoo.ant_mjcf(), dt=2e-3)
+    state = env.reset(4096, seed=0)
+    state, impulses = env.step(state, ctrl)           # ctrl (B, n_ctrl)
+    obs = env.observation(state)                      # (B, obs_dim)
+    done = env.fallen(state)                          # (B,) bool
+
+Routing (trace-time static, like every topology decision in the engine):
+
+* hinge/slide trees — either the MJCF jointless-root idiom or an explicit
+  root ``<freejoint/>`` (demoted via
+  :func:`..models.urdf.demote_floating_root`) — run the FREE-FLYER stack,
+  whose steppers fuse into one Pallas kernel per 128-environment lane tile
+  on TPU (`ops/kernels/contact_fused.py`);
+* trees with ball or in-tree free joints run the MULTI-DOF stack
+  (`ops/md_contact.py`, fused via `ops/kernels/md_contact_fused.py`).
+
+The reference has no environment layer (it is a derivatives library); this
+sits beyond it, composing SURVEY §2's algorithm families into the
+parallel-RL serving shape the TPU build exists for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import mjcf as _mjcf
+from .models.urdf import RobotDescription, demote_floating_root, parse_urdf
+from .ops import contact as _ct
+from .ops import md_contact as _mc
+from .ops import multidof as _md
+from .ops.freeflyer import free_flyer_model, quat_to_rot
+
+
+def _site_feet(sites, prefixes=("foot", "toe")):
+    """Foot anchors by MuJoCo naming convention: sites whose name starts
+    with 'foot' or 'toe', in document order."""
+    names = sorted(n for n in sites
+                   if any(n.lower().startswith(p) for p in prefixes))
+    return names
+
+
+def _gear_fb(act, n, demoted):
+    """(n, a) actuation map onto the fixed-base arm's joint torques."""
+    G = act.gear_matrix()
+    if demoted:
+        if np.any(G[0] != 0.0):
+            raise ValueError("an <actuator> drives the root free joint — "
+                             "not representable on the free-flyer base")
+        G = G[1:]
+    assert G.shape[0] == n
+    return G
+
+
+def _gear_md(act, mdm, demoted_unused=False):
+    """(nv, a) actuation map onto velocity coordinates (base rows zero)."""
+    G = np.zeros((mdm.nv, len(act.joint)))
+    for i, (j, s) in enumerate(zip(act.joint, act.gear)):
+        off, w = mdm.v_slices[j]
+        if w != 1:
+            raise ValueError(
+                f"<motor> on multi-dof joint {j} (width {w}) — attach "
+                "motors to hinge/slide joints")
+        G[off, i] += s
+    return G
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundEnv:
+    """A batch of identical frictional-ground environments. Frozen/static —
+    jit-stable when closed over; states are plain pytrees.
+
+    Build with :func:`make_ground_env` (MJCF) or
+    :func:`make_ground_env_urdf`. All physics options (``mu``, ``iters``,
+    ``terrain=``, ``collision=``, ``ground_geoms=``, ``loops=``,
+    ``limits``/``effort``…) ride the underlying steppers —
+    :func:`..ops.contact.fb_step_ground_batched` /
+    :func:`..ops.md_contact.md_step_ground_batched` — unchanged."""
+
+    kind: str                       # "fb" | "md"
+    model: Any                      # FreeFlyerModel | MultiDofModel
+    feet: tuple                     # link indices (remapped if demoted)
+    offsets: np.ndarray             # (k, 3) anchors in link frames
+    dt: float
+    mu: float = 0.8
+    iters: int = 30
+    gravity: float = -9.81
+    erp: float = 0.2
+    margin: float = 1e-3
+    restitution: float = 0.0
+    gear: Optional[np.ndarray] = None         # (n_tau, n_ctrl) or None
+    ctrl_lower: Optional[np.ndarray] = None   # (n_ctrl,)
+    ctrl_upper: Optional[np.ndarray] = None
+    limits: Optional[tuple] = None            # (q_lower, q_upper) fb only
+    effort: Optional[np.ndarray] = None       # (n,) fb only
+    terrain: Any = None
+    collision: Any = None
+    mu_collision: Optional[float] = None
+    ground_geoms: Any = None
+    mu_ground: Optional[float] = None
+    loops: Any = None
+    init_q: Optional[np.ndarray] = None       # neutral joint coords
+    init_height: float = 0.5
+    min_height: float = 0.1                   # `fallen` thresholds
+    max_tilt: float = 1.0                     # rad from vertical
+
+    # ----------------------------------------------------------- properties
+    @property
+    def n_ctrl(self) -> int:
+        if self.gear is not None:
+            return self.gear.shape[1]
+        return self.model.n if self.kind == "fb" else self.model.nv
+
+    @property
+    def n_contacts(self) -> int:
+        from .ops.collision import n_ground_contacts
+        k = len(self.feet)
+        if self.collision is not None:
+            k += self.collision.n_contacts
+        if self.ground_geoms is not None:
+            k += n_ground_contacts(self.ground_geoms)
+        return k
+
+    # ---------------------------------------------------------------- state
+    def reset(self, batch: int, seed: int = 0, pos_noise: float = 0.1,
+              vel_noise: float = 0.1, height_noise: float = 0.05,
+              dtype=None):
+        """Initial state pytree for ``batch`` environments: the neutral
+        configuration dropped at ``init_height`` (+U[0, height_noise]),
+        joint coordinates perturbed by U[±pos_noise] (tangent-space for
+        multi-dof robots), velocities by U[±vel_noise]. ``dtype`` defaults
+        to the model's dtype."""
+        if dtype is None:
+            dtype = (self.model.arm.inertia.dtype if self.kind == "fb"
+                     else self.model.inertia.dtype)
+        rng = np.random.default_rng(seed)
+        B = batch
+        if self.kind == "fb":
+            n = self.model.n
+            quat = np.tile([1.0, 0, 0, 0], (B, 1))
+            pos = np.zeros((B, 3))
+            pos[:, 2] = self.init_height + rng.uniform(0, height_noise, B)
+            q0 = np.zeros(n) if self.init_q is None else self.init_q
+            q = q0 + rng.uniform(-pos_noise, pos_noise, (B, n))
+            vb = rng.uniform(-vel_noise, vel_noise, (B, 6))
+            qd = rng.uniform(-vel_noise, vel_noise, (B, n))
+            arr = lambda a: jnp.asarray(a, dtype)
+            return (arr(quat), arr(pos), arr(q), arr(vb), arr(qd))
+        mdm = self.model
+        q0 = (np.asarray(_md.neutral_q(mdm), np.float64)
+              if self.init_q is None else np.asarray(self.init_q))
+        d = jnp.asarray(rng.uniform(-pos_noise, pos_noise, (B, mdm.nv)),
+                        dtype)
+        q = jax.vmap(lambda t: _md.md_tangent_apply(
+            mdm, jnp.asarray(q0, dtype), t))(d)
+        # root free joint (if any): spawn height into its position slot
+        if mdm.joint_types and mdm.joint_types[0] == "floating":
+            q = q.at[:, 6].set(jnp.asarray(
+                self.init_height + rng.uniform(0, height_noise, B), dtype))
+        qd = jnp.asarray(rng.uniform(-vel_noise, vel_noise, (B, mdm.nv)),
+                         dtype)
+        return (q, qd)
+
+    def _tau(self, ctrl):
+        if self.gear is None:
+            return ctrl
+        lo = np.where(np.isfinite(self.ctrl_lower), self.ctrl_lower, -1e30)
+        hi = np.where(np.isfinite(self.ctrl_upper), self.ctrl_upper, 1e30)
+        c = jnp.clip(ctrl, jnp.asarray(lo, ctrl.dtype),
+                     jnp.asarray(hi, ctrl.dtype))
+        return c @ jnp.asarray(self.gear.T, ctrl.dtype)
+
+    # ----------------------------------------------------------------- step
+    def step(self, state, ctrl, impl: str = "auto",
+             diff_mode: str = "unroll"):
+        """One dt of every environment: ``ctrl (B, n_ctrl)`` → (next_state,
+        impulses (B, k, 3)). On TPU ``impl="auto"`` runs the fused step
+        kernels; ``diff_mode="implicit"`` gives exact IFT gradients through
+        the cone solve (XLA body)."""
+        dtype = state[0].dtype
+        tau = self._tau(jnp.asarray(ctrl, dtype))
+        if self.kind == "fb":
+            return _ct.fb_step_ground_batched(
+                self.model, state, tau, self.dt, self.feet, self.offsets,
+                mu=self.mu, gravity=self.gravity, iters=self.iters,
+                erp=self.erp, margin=self.margin,
+                restitution=self.restitution, impl=impl,
+                limits=self.limits, effort=self.effort,
+                diff_mode=diff_mode, terrain=self.terrain,
+                collision=self.collision, mu_collision=self.mu_collision,
+                ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
+                loops=self.loops)
+        q, qd = state
+        (q2, qd2), imp = _mc.md_step_ground_batched(
+            self.model, q, qd, tau, self.dt, self.feet, self.offsets,
+            mu=self.mu, gravity=self.gravity, iters=self.iters,
+            erp=self.erp, margin=self.margin, restitution=self.restitution,
+            impl=impl, diff_mode=diff_mode, terrain=self.terrain,
+            ground_geoms=self.ground_geoms, mu_ground=self.mu_ground)
+        return (q2, qd2), imp
+
+    def rollout(self, state, ctrls, impl: str = "auto"):
+        """``lax.scan`` of :meth:`step` over ``ctrls (T, B, n_ctrl)`` — T
+        steps in ONE dispatch. Returns (final state, impulses (T, B, k, 3)).
+        Differentiable end-to-end (BPTT through contact)."""
+        def body(s, c):
+            s2, imp = self.step(s, c, impl=impl)
+            return s2, imp
+        return jax.lax.scan(body, state, ctrls)
+
+    # ----------------------------------------------------------- diagnostics
+    def base_pose(self, state):
+        """(quat (B, 4), pos (B, 3)) of the floating base."""
+        if self.kind == "fb":
+            return state[0], state[1]
+        q = state[0]
+        if not (self.model.joint_types
+                and self.model.joint_types[0] == "floating"):
+            raise ValueError("robot has no floating root")
+        return q[:, 0:4], q[:, 4:7]
+
+    def base_velocity(self, state):
+        """Body-frame base twist (B, 6)."""
+        return state[3] if self.kind == "fb" else state[1][:, :6]
+
+    def joint_state(self, state):
+        """(q_joints, qd_joints) — the actuated tree, base excluded."""
+        if self.kind == "fb":
+            return state[2], state[4]
+        return state[0][:, 7:], state[1][:, 6:]
+
+    def observation(self, state):
+        """Standard translation-invariant observation: [base height (1),
+        base quaternion (4), joint positions, base twist (6), joint
+        velocities] → (B, obs_dim)."""
+        quat, pos = self.base_pose(state)
+        qj, qdj = self.joint_state(state)
+        return jnp.concatenate(
+            [pos[:, 2:3], quat, qj, self.base_velocity(state), qdj], axis=1)
+
+    def fallen(self, state):
+        """(B,) termination flags: base below ``min_height`` or tilted more
+        than ``max_tilt`` rad from vertical (body z-axis vs world up)."""
+        quat, pos = self.base_pose(state)
+        up_z = jax.vmap(lambda w: quat_to_rot(w)[2, 2])(quat)
+        return ((pos[:, 2] < self.min_height)
+                | (up_z < jnp.cos(self.max_tilt)))
+
+
+def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
+                    feet=None, collision: bool = False,
+                    ground_geoms: bool = False, terrain=None,
+                    loops: str | bool = "auto", use_limits: bool = True,
+                    init_height: float = 0.5, dtype=jnp.float32,
+                    **opts) -> GroundEnv:
+    """Build a :class:`GroundEnv` from an MJCF document.
+
+    Everything is extracted from the document: the kinematic tree
+    (``parse_mjcf``), foot anchors (``feet=`` site names, or every site
+    named ``foot*``/``toe*``), the actuator block (``ctrl → τ`` gearing and
+    ctrlranges), joint limits, loop-closure ``<equality><connect>`` cuts
+    (``loops="auto"``), and — opt-in, they add cone rows per environment —
+    capsule/sphere collision geoms (``collision=True`` → self/obstacle
+    pairs, ``ground_geoms=True`` → geom-vs-ground contact).
+
+    ``**opts`` forwards to :class:`GroundEnv` (``iters``, ``gravity``,
+    ``erp``, ``margin``, ``restitution``, ``min_height``, ``max_tilt``,
+    ``mu_collision``, ``mu_ground``…).
+    """
+    desc = _mjcf.parse_mjcf(source)
+    sites = _mjcf.mjcf_sites(source)
+    types = desc.joint_types
+    demoted = False
+    if (types and types[0] == "floating"
+            and not any(t in ("spherical", "floating") for t in types[1:])):
+        desc_arm = demote_floating_root(desc)
+        model = free_flyer_model(desc_arm, dtype=dtype)
+        kind, demoted = "fb", True
+    elif any(t in ("spherical", "floating") for t in types):
+        model = _md.multidof_model_from_description(desc, dtype=dtype)
+        kind = "md"
+    else:
+        model = free_flyer_model(desc, dtype=dtype)   # jointless-root idiom
+        kind = "fb"
+    remap = (lambda l: l - 1) if demoted else (lambda l: l)
+
+    names = feet if feet is not None else _site_feet(sites)
+    if not names:
+        raise ValueError("no foot sites found — name them foot*/toe* or "
+                         "pass feet=[site names]")
+    fs = [sites[nm] for nm in names]
+    feet_links = tuple(remap(s.link) for s in fs)
+    if kind == "fb" and any(l < 0 for l in feet_links):
+        raise ValueError("a foot site sits on the base — feet must ride "
+                         "moving links")
+    offsets = np.stack([s.pos for s in fs])
+
+    gear = ctrl_lo = ctrl_hi = None
+    act = _mjcf.mjcf_actuators(source)
+    if len(act.joint):
+        gear = (_gear_fb(act, model.n, demoted) if kind == "fb"
+                else _gear_md(act, model))
+        ctrl_lo, ctrl_hi = act.ctrl_lower, act.ctrl_upper
+
+    limits = effort = None
+    if use_limits and kind == "fb":
+        d = desc_arm if demoted else desc
+        if d.q_lower is not None and np.any(np.isfinite(d.q_lower)):
+            limits = (d.q_lower, d.q_upper)
+        if d.effort is not None and np.any(np.isfinite(d.effort)):
+            effort = d.effort
+
+    cm = gg = None
+    if collision or ground_geoms:
+        _, cmodel = _mjcf.mjcf_collision_model(source, dtype=dtype)
+        if demoted and cmodel is not None:
+            geoms = cmodel.geoms._replace(
+                links=tuple(remap(l) for l in cmodel.geoms.links))
+            cmodel = cmodel._replace(geoms=geoms)
+        if collision:
+            cm = cmodel
+        if ground_geoms and cmodel is not None:
+            gg = cmodel.geoms
+    lp = _mjcf.mjcf_loops(source) if loops == "auto" else (loops or None)
+    if lp is not None and demoted:
+        pairs, oa, ob = lp
+        lp = (tuple((remap(a), remap(b)) for a, b in pairs), oa, ob)
+
+    return GroundEnv(kind=kind, model=model, feet=feet_links,
+                     offsets=offsets, dt=dt, mu=mu, gear=gear,
+                     ctrl_lower=ctrl_lo, ctrl_upper=ctrl_hi, limits=limits,
+                     effort=effort, terrain=terrain, collision=cm,
+                     ground_geoms=gg, loops=lp, init_height=init_height,
+                     **opts)
+
+
+def make_ground_env_urdf(urdf: str, feet, offsets, *, dt: float = 2e-3,
+                         mu: float = 0.8, use_limits: bool = True,
+                         init_height: float = 0.5, dtype=jnp.float32,
+                         **opts) -> GroundEnv:
+    """Build a free-flyer :class:`GroundEnv` from a fixed-base URDF (the
+    root link becomes the floating base): ``feet`` are moving-link indices,
+    ``offsets (k, 3)`` the anchors in link frames. URDF has no actuator
+    block — ``ctrl`` is the joint torque vector directly (the ``<limit
+    effort>`` clamp still applies when present)."""
+    desc = parse_urdf(urdf)
+    model = free_flyer_model(desc, dtype=dtype)
+    limits = effort = None
+    if use_limits:
+        if desc.q_lower is not None and np.any(np.isfinite(desc.q_lower)):
+            limits = (desc.q_lower, desc.q_upper)
+        if desc.effort is not None and np.any(np.isfinite(desc.effort)):
+            effort = desc.effort
+    return GroundEnv(kind="fb", model=model, feet=tuple(feet),
+                     offsets=np.asarray(offsets, np.float64), dt=dt, mu=mu,
+                     limits=limits, effort=effort, init_height=init_height,
+                     **opts)
