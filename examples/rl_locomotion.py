@@ -93,10 +93,16 @@ def main():
             from gridcodegenerator_tpu.ops.freeflyer import quat_to_rot
             vx_w = jax.vmap(lambda w, v: (quat_to_rot(w) @ v[3:])[0])(
                 quat, vb)
-            falling = env.fallen(state2)
+            # clip the velocity reward (a blown-up PGS state must not pay)
+            # and gate with where so a NaN'd dead environment contributes
+            # exactly 0, not NaN (0 * nan == nan)
+            vx_w = jnp.clip(jnp.nan_to_num(vx_w), -10.0, 10.0)
+            falling = env.fallen(state2) | ~jnp.isfinite(
+                env.base_pose(state2)[1][:, 2])
             alive = alive & ~falling
-            r = (vx_w - 0.005 * jnp.sum(ctrl**2, axis=1)) * alive - \
-                0.5 * falling
+            r = jnp.where(alive,
+                          vx_w - 0.005 * jnp.sum(ctrl**2, axis=1),
+                          jnp.where(falling, -0.5, 0.0))
             return (state2, ret + r, alive), None
 
         alive0 = jnp.ones(B, bool)
@@ -137,9 +143,10 @@ def main():
     state = env.reset(256, seed=99)
     dist0 = np.asarray(env.base_pose(state)[1][:, 0])
     for _ in range(args.steps):
-        ctrl = policy(theta, env.observation(state))
+        ctrl = jnp.nan_to_num(policy(theta, env.observation(state)))
         state, _ = env.step(state, ctrl)
     dist = np.asarray(env.base_pose(state)[1][:, 0]) - dist0
+    dist = dist[np.isfinite(dist)]
     print(f"greedy policy: mean +x displacement over {args.steps} steps "
           f"({args.steps * args.dt:.2f} s): {dist.mean():.3f} m "
           f"(p90 {np.percentile(dist, 90):.3f} m)")

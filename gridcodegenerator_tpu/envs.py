@@ -186,11 +186,13 @@ class GroundEnv:
 
     # ----------------------------------------------------------------- step
     def step(self, state, ctrl, impl: str = "auto",
-             diff_mode: str = "unroll"):
+             diff_mode: str = "unroll", push=None):
         """One dt of every environment: ``ctrl (B, n_ctrl)`` → (next_state,
         impulses (B, k, 3)). On TPU ``impl="auto"`` runs the fused step
         kernels; ``diff_mode="implicit"`` gives exact IFT gradients through
-        the cone solve (XLA body)."""
+        the cone solve (XLA body). ``push``: optional (B, 6) external base
+        wrench per environment ([moment; force], base frame) — the RL
+        push-perturbation idiom; rides the fused kernels."""
         dtype = state[0].dtype
         tau = self._tau(jnp.asarray(ctrl, dtype))
         if self.kind == "fb":
@@ -203,8 +205,15 @@ class GroundEnv:
                 diff_mode=diff_mode, terrain=self.terrain,
                 collision=self.collision, mu_collision=self.mu_collision,
                 ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
-                loops=self.loops)
+                loops=self.loops, f_base=push)
         q, qd = state
+        if push is not None:
+            # a floating root's first 6 velocity rows ARE the base wrench
+            # slot of the generalized force vector
+            if not (self.model.joint_types
+                    and self.model.joint_types[0] == "floating"):
+                raise ValueError("push= needs a floating root")
+            tau = tau.at[:, :6].add(jnp.asarray(push, dtype))
         (q2, qd2), imp = _mc.md_step_ground_batched(
             self.model, q, qd, tau, self.dt, self.feet, self.offsets,
             mu=self.mu, gravity=self.gravity, iters=self.iters,
@@ -213,14 +222,16 @@ class GroundEnv:
             ground_geoms=self.ground_geoms, mu_ground=self.mu_ground)
         return (q2, qd2), imp
 
-    def rollout(self, state, ctrls, impl: str = "auto"):
+    def rollout(self, state, ctrls, impl: str = "auto", pushes=None):
         """``lax.scan`` of :meth:`step` over ``ctrls (T, B, n_ctrl)`` — T
         steps in ONE dispatch. Returns (final state, impulses (T, B, k, 3)).
-        Differentiable end-to-end (BPTT through contact)."""
-        def body(s, c):
-            s2, imp = self.step(s, c, impl=impl)
+        Differentiable end-to-end (BPTT through contact). ``pushes``:
+        optional (T, B, 6) per-step base-wrench schedule."""
+        def body(s, x):
+            c, p = x
+            s2, imp = self.step(s, c, impl=impl, push=p)
             return s2, imp
-        return jax.lax.scan(body, state, ctrls)
+        return jax.lax.scan(body, state, (ctrls, pushes))
 
     # ----------------------------------------------------------- diagnostics
     def base_pose(self, state):

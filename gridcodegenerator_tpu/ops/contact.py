@@ -939,7 +939,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, collision=None,
                    mu_collision=None, ground_geoms=None, mu_ground=None,
-                   loops=None):
+                   loops=None, f_base=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -1030,7 +1030,12 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     Lm = jnp.linalg.cholesky(M)
     msolve = lambda rhs: jax.scipy.linalg.cho_solve((Lm, True), rhs)
     v = jnp.concatenate([vb, qd])
-    v_free = v + dt * msolve(jnp.concatenate([-p_b, tau - c_j]))
+    # f_base: optional (6,) external wrench on the base, base frame
+    # ([moment; force] — RL push perturbations); differentiable, incl.
+    # through diff_mode="implicit" (it enters the IFT fixed point only
+    # via v_free)
+    p_b_eff = p_b if f_base is None else p_b - f_base
+    v_free = v + dt * msolve(jnp.concatenate([-p_b_eff, tau - c_j]))
 
     # contact rows: local [t1, t2, n] per foot (n = +z for the flat plane,
     # the surface normal at the foot's (x, y) for a heightfield)
@@ -1244,7 +1249,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            limit_mode: str = "project",
                            diff_mode: str = "unroll", relax: float = 1.0,
                            terrain=None, collision=None, mu_collision=None,
-                           ground_geoms=None, mu_ground=None, loops=None):
+                           ground_geoms=None, mu_ground=None, loops=None,
+                           f_base=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1360,13 +1366,15 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            else mu))
         mu_g = (None if ground_geoms is None
                 else float(mu_ground if mu_ground is not None else mu))
+        push = None if f_base is None else jnp.asarray(f_base, dtype).T
         if terrain is None:
             q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
                 dt, links, np.asarray(offsets_raw, np.float64), ground_z,
                 gravity, iters, erp, margin, restitution,
                 collision=collision, mu_collision=mu_c,
-                ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops)
+                ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops,
+                push=push)
         else:
             # heightfield kernel: the MXU one-hot bilinear gather; grids
             # past the VMEM gate run the same body as plain XLA inside
@@ -1375,7 +1383,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 dt, links, np.asarray(offsets_raw, np.float64), terrain,
                 gravity, iters, erp, margin, restitution,
                 collision=collision, mu_collision=mu_c,
-                ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops)
+                ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops,
+                push=push)
         if limits is not None:
             qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
                                             limits[1][:, None])
@@ -1386,6 +1395,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     X = joint_transforms_bl(ffm.arm, q_bl)
     R = _quat_to_rot_bl(quat_bl)
     p_b, c_j = _fb_bias_bl(ffm, X, R, vb_bl, qd_bl, gravity)
+    if f_base is not None:
+        p_b = p_b - jnp.asarray(f_base, dtype).T
     M = _fb_mass_matrix_bl(ffm, X)
     Lm = chol_factor_bl(M)
     v = jnp.concatenate([vb_bl, qd_bl])
@@ -1548,23 +1559,27 @@ def fb_simulate_ground_batched(ffm, state0, taus, dt, links, offsets,
                                restitution: float = 0.0, impl="auto",
                                terrain=None, collision=None,
                                mu_collision=None, ground_geoms=None,
-                               mu_ground=None, loops=None):
+                               mu_ground=None, loops=None, f_bases=None):
     """``lax.scan`` rollout of :func:`fb_step_ground_batched` — T steps of
     N frictional environments in ONE device dispatch (the RL-training
     inner loop; on TPU each step is one fused Pallas kernel per lane
     tile). ``state0 = (quat (B,4), pos (B,3), q (B,n), vb (B,6),
     qd (B,n))``, ``taus (T, B, n)``. Returns (final state, per-step
     impulse stacks (T, B, k, 3)); ``terrain=``/``collision=``/
-    ``ground_geoms=`` pass through to every step."""
-    def step(s, tau):
+    ``ground_geoms=`` pass through to every step. ``f_bases``: optional
+    (T, B, 6) per-step external base wrenches (push-perturbation
+    schedules for robustness training)."""
+    def step(s, x):
+        tau, f_base = x
         nxt, imp = fb_step_ground_batched(
             ffm, s, tau, dt, links, offsets, mu, ground_z, gravity, iters,
             erp, margin, restitution, impl=impl, terrain=terrain,
             collision=collision, mu_collision=mu_collision,
-            ground_geoms=ground_geoms, mu_ground=mu_ground, loops=loops)
+            ground_geoms=ground_geoms, mu_ground=mu_ground, loops=loops,
+            f_base=f_base)
         return nxt, imp
 
-    return jax.lax.scan(step, state0, taus)
+    return jax.lax.scan(step, state0, (taus, f_bases))
 
 
 def fb_simulate_constrained(ffm, state0, taus, dt, links, offsets,

@@ -975,8 +975,8 @@ def _stance_body(km, I_base, quat, pos, q, vb, qd, tau, *, links, offsets,
 
 
 def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
-                      tables=None, *, links, offsets, dt, ground_z,
-                      gravity, iters, erp, margin, restitution,
+                      tables=None, push=None, *, links, offsets, dt,
+                      ground_z, gravity, iters, erp, margin, restitution,
                       terrain_static=None, collision_static=None,
                       mu_coll=0.8, ground_static=None, mu_grd=0.8,
                       loop_static=None):
@@ -999,7 +999,9 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
     X, R, f_b, c_j, M = _stance_prelude(km, I_base, quat, q, vb, qd, tau,
                                         gravity)
     Lm = _chol_factor_ev(M, m)
-    rhs_free = ([-f_b[c:c + 1] for c in range(6)]
+    # push: optional (6, B) external base wrench (RL perturbation forces)
+    rhs_free = ([(-f_b[c:c + 1] if push is None
+                  else push[c:c + 1] - f_b[c:c + 1]) for c in range(6)]
                 + [tau[i:i + 1] - c_j[i:i + 1] for i in range(n)])
     v = _vfull_list(km, vb, qd)
 
@@ -1445,7 +1447,7 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                       erp: float = 0.2, margin: float = 1e-3,
                       restitution: float = 0.0, collision=None,
                       mu_collision=None, ground_geoms=None, mu_ground=None,
-                      loops=None, interpret=False):
+                      loops=None, push=None, interpret=False):
     """Fused frictional ground step — the parallel-RL flagship op as ONE
     kernel per lane tile: batch-last states + mu (k,B) → next state
     (quat2 (4,B), pos2 (3,B), q2 (n,B), vb2 (6,B), qd2 (n,B)) and impulses
@@ -1485,8 +1487,9 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
         kt = kt + len(gs)
     ls = None if loops is None else loops_static(n, loops)
 
-    def body(km, I_base, quat, pos, q, vb, qd, tau, mu):
+    def body(km, I_base, quat, pos, q, vb, qd, tau, mu, *rest):
         return _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
+                                 None, *rest,
                                  links=links, offsets=off, dt=float(dt),
                                  ground_z=float(ground_z),
                                  gravity=float(gravity), iters=int(iters),
@@ -1497,8 +1500,10 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                                  loop_static=ls)
 
     body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
-    return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
-                   [4, 3, n, 6, n, 3 * kt], interpret)
+    states = [quat, pos, q, vb, qd, tau, mu]
+    if push is not None:
+        states.append(push)
+    return _run_ff(ffm, body, states, [4, 3, n, 6, n, 3 * kt], interpret)
 
 
 def terrain_fused_ok(ffm, terrain, k: int) -> bool:
@@ -1515,7 +1520,7 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                               margin: float = 1e-3,
                               restitution: float = 0.0, collision=None,
                               mu_collision=None, ground_geoms=None,
-                              mu_ground=None, loops=None,
+                              mu_ground=None, loops=None, push=None,
                               interpret=False):
     """Fused frictional ground step on a bilinear HEIGHTFIELD — one kernel
     per lane tile, the uneven-terrain parallel-RL shape. Same contract as
@@ -1560,9 +1565,10 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
     ts = dict(W=W, H=H, cell=float(terrain.cell),
               x0=float(terrain.origin[0]), y0=float(terrain.origin[1]))
 
-    def body(km, I_base, quat, pos, q, vb, qd, tau, mu, tables):
+    def body(km, I_base, quat, pos, q, vb, qd, tau, mu, *rest):
+        push_t, tables = (rest if len(rest) == 2 else (None, rest[0]))
         return _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
-                                 tables, links=links, offsets=off,
+                                 tables, push_t, links=links, offsets=off,
                                  dt=float(dt), ground_z=0.0,
                                  gravity=float(gravity), iters=int(iters),
                                  erp=float(erp), margin=float(margin),
@@ -1573,5 +1579,8 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
 
     body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
     body._extra_ws = float(HWp)
-    return _run_ff(ffm, body, [quat, pos, q, vb, qd, tau, mu],
-                   [4, 3, n, 6, n, 3 * kt], interpret, consts=[tables])
+    states = [quat, pos, q, vb, qd, tau, mu]
+    if push is not None:
+        states.append(push)
+    return _run_ff(ffm, body, states, [4, 3, n, 6, n, 3 * kt], interpret,
+                   consts=[tables])

@@ -214,3 +214,158 @@ def test_fb_aba_fext_roundtrip():
     tau_ext_q = jax.grad(vel_power, argnums=1)(vb, qd)
     rhs = jnp.concatenate([tau_ext_b, tau + tau_ext_q])
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-8)
+
+
+# ---------------------------------------------------------------- steppers
+def _hyq_env():
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+
+    ffm = ff.free_flyer_model(g.parse_urdf(zoo.hyq(damping=0.2)),
+                              dtype=jnp.float64)
+    feet = (2, 5, 8, 11)
+    offs = np.tile([0.35, 0.0, 0.0], (4, 1))
+    return ffm, feet, offs
+
+
+def test_step_ground_push_freefall_matches_aba():
+    """No contact (feet high above ground): one stepper dt with a base
+    push equals the explicit-Euler step of fb_aba with the same f_base."""
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    ffm, feet, offs = _hyq_env()
+    n = ffm.n
+    rng = np.random.default_rng(71)
+    quat = jnp.asarray(rng.normal(size=4)); quat = quat / jnp.linalg.norm(quat)
+    pos = jnp.asarray([0.0, 0.0, 5.0])            # far above the plane
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, n))
+    vb = jnp.asarray(rng.uniform(-0.3, 0.3, 6))
+    qd = jnp.asarray(rng.uniform(-0.3, 0.3, n))
+    tau = jnp.asarray(rng.uniform(-5, 5, n))
+    fb = jnp.asarray(rng.uniform(-30, 30, 6))
+    dt = 1e-3
+
+    (q2, p2, qq2, vb2, qd2), imp = ct.fb_step_ground(
+        ffm, (quat, pos, q, vb, qd), tau, dt, feet, offs, f_base=fb)
+    assert float(jnp.abs(imp).max()) == 0.0        # airborne
+    from gridcodegenerator_tpu.ops import aba
+    dvb, qdd = aba.fb_aba(ffm, quat, q, vb, qd, tau, f_base=fb)
+    np.testing.assert_allclose(np.asarray(vb2), np.asarray(vb + dt * dvb),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(qd2), np.asarray(qd + dt * qdd),
+                               atol=1e-10)
+
+
+def test_step_ground_push_batched_matches_single():
+    """Batched XLA body and fused-interpret kernel with per-env pushes ==
+    the single-state path per environment."""
+    from gridcodegenerator_tpu.ops import contact as ct
+    from gridcodegenerator_tpu.ops.kernels import contact_fused as cf
+
+    ffm, feet, offs = _hyq_env()
+    n = ffm.n
+    B = 3
+    rng = np.random.default_rng(73)
+    quat = np.tile([1.0, 0, 0, 0], (B, 1))
+    pos = np.column_stack([np.zeros((B, 2)), 0.55 + rng.uniform(0, .05, B)])
+    q = np.tile([-0.1, 0.7, -1.2], (B, 4)) + rng.uniform(-0.05, .05, (B, n))
+    vb = rng.uniform(-0.3, 0.3, (B, 6))
+    qd = rng.uniform(-0.3, 0.3, (B, n))
+    tau = rng.uniform(-8, 8, (B, n))
+    push = rng.uniform(-40, 40, (B, 6))
+    arr = lambda a: jnp.asarray(a, jnp.float64)
+    state = tuple(map(arr, (quat, pos, q, vb, qd)))
+    dt = 1e-3
+
+    nxt, imp = ct.fb_step_ground_batched(ffm, state, arr(tau), dt, feet,
+                                         offs, f_base=arr(push), impl="vmap")
+    for b in range(B):
+        sb = tuple(x[b] for x in state)
+        nb, ib = ct.fb_step_ground(ffm, sb, arr(tau)[b], dt, feet, offs,
+                                   f_base=arr(push)[b])
+        for a_, r_ in zip((x[b] for x in nxt), nb):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                       atol=1e-9)
+        np.testing.assert_allclose(np.asarray(imp[b]), np.asarray(ib),
+                                   atol=1e-9)
+
+    # fused kernel body (interpret mode) sees the same push operand
+    flat = lambda x: arr(x).T
+    outs = cf.step_ground_fused(ffm, flat(quat), flat(pos), flat(q),
+                                flat(vb), flat(qd), flat(tau),
+                                jnp.full((4, B), 0.8, jnp.float64), dt,
+                                feet, offs, push=flat(push), interpret=True)
+    q2k, p2k, qq2k, vb2k, qd2k, impk = outs
+    np.testing.assert_allclose(np.asarray(vb2k.T), np.asarray(nxt[3]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(qd2k.T), np.asarray(nxt[4]),
+                               atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(impk.T.reshape(B, len(feet), 3)), np.asarray(imp),
+        atol=1e-9)
+
+
+def test_step_ground_push_zero_identity():
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    ffm, feet, offs = _hyq_env()
+    n = ffm.n
+    B = 2
+    rng = np.random.default_rng(74)
+    state = (jnp.asarray(np.tile([1.0, 0, 0, 0], (B, 1))),
+             jnp.asarray(np.column_stack([np.zeros((B, 2)),
+                                          np.full(B, 0.5)])),
+             jnp.asarray(np.tile([-0.1, 0.7, -1.2], (B, 4))),
+             jnp.asarray(rng.uniform(-0.2, 0.2, (B, 6))),
+             jnp.asarray(rng.uniform(-0.2, 0.2, (B, n))))
+    tau = jnp.asarray(rng.uniform(-5, 5, (B, n)))
+    a = ct.fb_step_ground_batched(ffm, state, tau, 1e-3, feet, offs,
+                                  impl="vmap")
+    b = ct.fb_step_ground_batched(ffm, state, tau, 1e-3, feet, offs,
+                                  impl="vmap", f_base=jnp.zeros((B, 6)))
+    for x, y in zip(a[0], b[0]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_env_push_fb_vs_md():
+    """env.step(push=) through BOTH pipelines on the same freejoint doc:
+    the fb path's f_base equals the md path's base generalized-force rows."""
+    import re
+
+    import gridcodegenerator_tpu as g
+    from gridcodegenerator_tpu import envs
+    from gridcodegenerator_tpu.models import zoo
+    from gridcodegenerator_tpu.ops import md_contact as mc
+    from gridcodegenerator_tpu.ops import multidof as md
+
+    src = re.sub(r"<actuator>.*</actuator>", "",
+                 zoo.ant_mjcf().replace('<body name="torso">',
+                                        '<body name="torso"><freejoint/>',
+                                        1), flags=re.S)
+    env = envs.make_ground_env(src, dt=1e-3, iters=15, use_limits=False,
+                               dtype=jnp.float64)
+    assert env.kind == "fb"
+    B = 2
+    s = env.reset(B, seed=11)
+    rng = np.random.default_rng(12)
+    ctrl = jnp.asarray(rng.uniform(-2, 2, (B, env.n_ctrl)))
+    push = jnp.asarray(rng.uniform(-25, 25, (B, 6)))
+    (q2, p2, qj2, vb2, qd2), imp = env.step(s, ctrl, push=push)
+
+    desc = g.parse_mjcf(src)
+    mdm = md.multidof_model_from_description(desc, dtype=jnp.float64)
+    sites = g.mjcf_sites(src)
+    feet_md = tuple(sites[f"foot{k}"].link for k in range(4))
+    offs = np.stack([sites[f"foot{k}"].pos for k in range(4)])
+    q_md = jnp.concatenate([s[0], s[1], s[2]], axis=1)
+    qd_md = jnp.concatenate([s[3], s[4]], axis=1)
+    tau_md = jnp.concatenate([push, ctrl], axis=1)
+    (q2m, qd2m), impm = mc.md_step_ground_batched(
+        mdm, q_md, qd_md, tau_md, env.dt, feet_md, offs, mu=env.mu,
+        iters=env.iters)
+    np.testing.assert_allclose(np.asarray(qd2m[:, :6]), np.asarray(vb2),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(qd2m[:, 6:]), np.asarray(qd2),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(impm), np.asarray(imp), atol=1e-6)
