@@ -54,29 +54,31 @@ def _site_feet(sites, prefixes=("foot", "toe")):
     return names
 
 
-def _gear_fb(act, n, demoted):
-    """(n, a) actuation map onto the fixed-base arm's joint torques."""
-    G = act.gear_matrix()
+def _act_arrays_fb(act, n, demoted):
+    """(vidx, qidx) of each actuator in the fixed-base arm coordinates."""
+    j = np.asarray(act.joint, np.int64)
     if demoted:
-        if np.any(G[0] != 0.0):
+        if np.any(j == 0):
             raise ValueError("an <actuator> drives the root free joint — "
                              "not representable on the free-flyer base")
-        G = G[1:]
-    assert G.shape[0] == n
-    return G
+        j = j - 1
+    assert j.max(initial=-1) < n
+    return j, j
 
 
-def _gear_md(act, mdm, demoted_unused=False):
-    """(nv, a) actuation map onto velocity coordinates (base rows zero)."""
-    G = np.zeros((mdm.nv, len(act.joint)))
-    for i, (j, s) in enumerate(zip(act.joint, act.gear)):
-        off, w = mdm.v_slices[j]
+def _act_arrays_md(act, mdm):
+    """(vidx into q̇/τ rows, qidx into q coords) — scalar joints only
+    (a motor on a ball/free joint is ambiguous in the scalar-gear model)."""
+    vidx, qidx = [], []
+    for j in act.joint:
+        voff, w = mdm.v_slices[j]
         if w != 1:
             raise ValueError(
                 f"<motor> on multi-dof joint {j} (width {w}) — attach "
                 "motors to hinge/slide joints")
-        G[off, i] += s
-    return G
+        vidx.append(voff)
+        qidx.append(mdm.q_slices[j][0])
+    return np.asarray(vidx, np.int64), np.asarray(qidx, np.int64)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,11 +104,22 @@ class GroundEnv:
     erp: float = 0.2
     margin: float = 1e-3
     restitution: float = 0.0
-    gear: Optional[np.ndarray] = None         # (n_tau, n_ctrl) or None
-    ctrl_lower: Optional[np.ndarray] = None   # (n_ctrl,)
+    # actuator block (None = ctrl IS the torque vector): MuJoCo's affine
+    # model — force = gain·c + bias_q·(gear·q_j) + bias_v·(gear·q̇_j),
+    # clamped to forcerange; τ_j += gear·force
+    act_vidx: Optional[np.ndarray] = None     # (a,) rows into τ / q̇
+    act_qidx: Optional[np.ndarray] = None     # (a,) coords into q
+    act_gear: Optional[np.ndarray] = None     # (a,)
+    act_gain: Optional[np.ndarray] = None     # (a,)
+    act_bias_q: Optional[np.ndarray] = None   # (a,)
+    act_bias_v: Optional[np.ndarray] = None   # (a,)
+    act_flo: Optional[np.ndarray] = None      # (a,) forcerange
+    act_fhi: Optional[np.ndarray] = None
+    ctrl_lower: Optional[np.ndarray] = None   # (a,)
     ctrl_upper: Optional[np.ndarray] = None
     limits: Optional[tuple] = None            # (q_lower, q_upper) fb only
     effort: Optional[np.ndarray] = None       # (n,) fb only
+    frictionloss: Optional[np.ndarray] = None  # (n,) dry friction, fb only
     terrain: Any = None
     collision: Any = None
     mu_collision: Optional[float] = None
@@ -121,8 +134,8 @@ class GroundEnv:
     # ----------------------------------------------------------- properties
     @property
     def n_ctrl(self) -> int:
-        if self.gear is not None:
-            return self.gear.shape[1]
+        if self.act_vidx is not None:
+            return len(self.act_vidx)
         return self.model.n if self.kind == "fb" else self.model.nv
 
     @property
@@ -175,14 +188,34 @@ class GroundEnv:
                          dtype)
         return (q, qd)
 
-    def _tau(self, ctrl):
-        if self.gear is None:
+    def actuator_torque(self, state, ctrl):
+        """Apply the document's actuator law: controls (B, n_ctrl) → the
+        generalized torque vector (B, n_tau). Without an <actuator> block,
+        ``ctrl`` IS the torque vector. Motors are state-free; position/
+        velocity servos read the joint state (MuJoCo's affine gain/bias
+        model, forcerange-clamped)."""
+        if self.act_vidx is None:
             return ctrl
+        dtype = ctrl.dtype
+        arr = lambda a: jnp.asarray(a, dtype)
         lo = np.where(np.isfinite(self.ctrl_lower), self.ctrl_lower, -1e30)
         hi = np.where(np.isfinite(self.ctrl_upper), self.ctrl_upper, 1e30)
-        c = jnp.clip(ctrl, jnp.asarray(lo, ctrl.dtype),
-                     jnp.asarray(hi, ctrl.dtype))
-        return c @ jnp.asarray(self.gear.T, ctrl.dtype)
+        c = jnp.clip(ctrl, arr(lo), arr(hi))
+        if self.kind == "fb":
+            qf, qdf = state[2], state[4]
+            n_tau = self.model.n
+        else:
+            qf, qdf = state[0], state[1]
+            n_tau = self.model.nv
+        g = arr(self.act_gear)
+        f = (arr(self.act_gain) * c
+             + arr(self.act_bias_q) * (g * qf[:, self.act_qidx])
+             + arr(self.act_bias_v) * (g * qdf[:, self.act_vidx]))
+        flo = np.where(np.isfinite(self.act_flo), self.act_flo, -1e30)
+        fhi = np.where(np.isfinite(self.act_fhi), self.act_fhi, 1e30)
+        f = jnp.clip(f, arr(flo), arr(fhi))
+        tau = jnp.zeros(ctrl.shape[:-1] + (n_tau,), dtype)
+        return tau.at[..., self.act_vidx].add(g * f)
 
     # ----------------------------------------------------------------- step
     def step(self, state, ctrl, impl: str = "auto",
@@ -194,7 +227,7 @@ class GroundEnv:
         wrench per environment ([moment; force], base frame) — the RL
         push-perturbation idiom; rides the fused kernels."""
         dtype = state[0].dtype
-        tau = self._tau(jnp.asarray(ctrl, dtype))
+        tau = self.actuator_torque(state, jnp.asarray(ctrl, dtype))
         if self.kind == "fb":
             return _ct.fb_step_ground_batched(
                 self.model, state, tau, self.dt, self.feet, self.offsets,
@@ -205,7 +238,8 @@ class GroundEnv:
                 diff_mode=diff_mode, terrain=self.terrain,
                 collision=self.collision, mu_collision=self.mu_collision,
                 ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
-                loops=self.loops, f_base=push)
+                loops=self.loops, f_base=push,
+                frictionloss=self.frictionloss)
         q, qd = state
         if push is not None:
             # a floating root's first 6 velocity rows ARE the base wrench
@@ -320,20 +354,35 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
                          "moving links")
     offsets = np.stack([s.pos for s in fs])
 
-    gear = ctrl_lo = ctrl_hi = None
+    act_kw = {}
     act = _mjcf.mjcf_actuators(source)
     if len(act.joint):
-        gear = (_gear_fb(act, model.n, demoted) if kind == "fb"
-                else _gear_md(act, model))
-        ctrl_lo, ctrl_hi = act.ctrl_lower, act.ctrl_upper
+        if kind == "fb":
+            vidx, qidx = _act_arrays_fb(act, model.n, demoted)
+        else:
+            vidx, qidx = _act_arrays_md(act, model)
+        gain, bias_q, bias_v = act.gains()
+        flo = (act.force_lower if act.force_lower is not None
+               else np.full(len(act.joint), -np.inf))
+        fhi = (act.force_upper if act.force_upper is not None
+               else np.full(len(act.joint), np.inf))
+        act_kw = dict(act_vidx=vidx, act_qidx=qidx,
+                      act_gear=np.asarray(act.gear), act_gain=gain,
+                      act_bias_q=bias_q, act_bias_v=bias_v,
+                      act_flo=flo, act_fhi=fhi,
+                      ctrl_lower=act.ctrl_lower, ctrl_upper=act.ctrl_upper)
 
-    limits = effort = None
+    limits = effort = fl = None
     if use_limits and kind == "fb":
         d = desc_arm if demoted else desc
         if d.q_lower is not None and np.any(np.isfinite(d.q_lower)):
             limits = (d.q_lower, d.q_upper)
         if d.effort is not None and np.any(np.isfinite(d.effort)):
             effort = d.effort
+    if kind == "fb":
+        d = desc_arm if demoted else desc
+        if d.frictionloss is not None and np.any(d.frictionloss > 0):
+            fl = d.frictionloss
 
     cm = gg = None
     if collision or ground_geoms:
@@ -352,11 +401,10 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
         lp = (tuple((remap(a), remap(b)) for a, b in pairs), oa, ob)
 
     return GroundEnv(kind=kind, model=model, feet=feet_links,
-                     offsets=offsets, dt=dt, mu=mu, gear=gear,
-                     ctrl_lower=ctrl_lo, ctrl_upper=ctrl_hi, limits=limits,
-                     effort=effort, terrain=terrain, collision=cm,
-                     ground_geoms=gg, loops=lp, init_height=init_height,
-                     **opts)
+                     offsets=offsets, dt=dt, mu=mu, limits=limits,
+                     effort=effort, frictionloss=fl, terrain=terrain,
+                     collision=cm, ground_geoms=gg, loops=lp,
+                     init_height=init_height, **act_kw, **opts)
 
 
 def make_ground_env_urdf(urdf: str, feet, offsets, *, dt: float = 2e-3,

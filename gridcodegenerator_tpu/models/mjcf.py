@@ -357,16 +357,64 @@ def mjcf_loops(source: str):
 
 
 class MjcfActuation(NamedTuple):
-    """The document's ``<actuator>`` block as a torque transmission:
-    τ = gear_matrix() @ clamp(ctrl). ``joint[i]`` is actuator i's moving-
-    joint index, ``gear[i]`` its torque gain, ``ctrl_lower/upper`` the
-    ctrlrange (±inf when unlimited)."""
+    """The document's ``<actuator>`` block. For pure torque motors the
+    transmission is τ = gear_matrix() @ clamp(ctrl); position/velocity
+    servos follow MuJoCo's affine actuator model — per actuator
+    ``force = gain·ctrl + bias_q·(gear·q_j) + bias_v·(gear·q̇_j)`` with
+    (gain, bias_q, bias_v) = (1, 0, 0) for motors, (kp, −kp, −kv) for
+    ``<position>``, (kv, 0, −kv) for ``<velocity>``; the applied joint
+    torque is gear·force, force clamped to ``forcerange``. Use
+    :meth:`torque` for the full state-dependent law. ``joint[i]`` is
+    actuator i's moving-joint index, ``ctrl_lower/upper`` the ctrlrange
+    (±inf when unlimited)."""
     n: int                     # moving-joint count of the model
     names: "tuple[str, ...]"
     joint: np.ndarray          # (a,) int
     gear: np.ndarray           # (a,)
     ctrl_lower: np.ndarray     # (a,)
     ctrl_upper: np.ndarray     # (a,)
+    kind: "tuple[str, ...]" = ()        # 'motor'|'general'|'position'|...
+    kp: np.ndarray = None      # (a,) position gain
+    kv: np.ndarray = None      # (a,) velocity gain
+    force_lower: np.ndarray = None      # (a,) forcerange
+    force_upper: np.ndarray = None
+
+    def gains(self):
+        """(gain, bias_q, bias_v) arrays of the affine actuator model."""
+        kinds = self.kind or ("motor",) * len(self.joint)
+        kp = self.kp if self.kp is not None else np.ones(len(self.joint))
+        kv = self.kv if self.kv is not None else np.zeros(len(self.joint))
+        gain = np.array([kp[i] if k == "position"
+                         else kv[i] if k == "velocity" else 1.0
+                         for i, k in enumerate(kinds)])
+        bias_q = np.array([-kp[i] if k == "position" else 0.0
+                           for i, k in enumerate(kinds)])
+        bias_v = np.array([-kv[i] if k in ("position", "velocity") else 0.0
+                           for i, k in enumerate(kinds)])
+        return gain, bias_q, bias_v
+
+    def torque(self, ctrl, q, qd):
+        """Joint torques (..., n) from controls (..., a) and the joint
+        state (..., n) — the full MuJoCo actuator law (ctrlrange clamp,
+        affine gain/bias, forcerange clamp, gear transmission). Works on
+        numpy or jax arrays; fixed-base moving-joint indexing."""
+        c = self.clamp(ctrl)
+        gain, bias_q, bias_v = self.gains()
+        gear = self.gear
+        qj = q[..., self.joint] * gear
+        qdj = qd[..., self.joint] * gear
+        f = gain * c + bias_q * qj + bias_v * qdj
+        if self.force_lower is not None:
+            lo = np.where(np.isfinite(self.force_lower), self.force_lower,
+                          -np.finfo(np.float64).max)
+            hi = np.where(np.isfinite(self.force_upper), self.force_upper,
+                          np.finfo(np.float64).max)
+            f = f.clip(lo, hi)
+        tau = q * 0.0
+        if hasattr(tau, "at"):
+            return tau.at[..., self.joint].add(gear * f)
+        np.add.at(tau, (..., self.joint), gear * f)
+        return tau
 
     def gear_matrix(self) -> np.ndarray:
         """(n, a) map from actuator controls to joint torques."""
@@ -399,6 +447,11 @@ def mjcf_actuators(source: str) -> MjcfActuation:
         gear=np.array([a["gear"] for a in acts], dtype=np.float64),
         ctrl_lower=np.array([a["lo"] for a in acts], dtype=np.float64),
         ctrl_upper=np.array([a["hi"] for a in acts], dtype=np.float64),
+        kind=tuple(a["kind"] for a in acts),
+        kp=np.array([a["kp"] for a in acts], dtype=np.float64),
+        kv=np.array([a["kv"] for a in acts], dtype=np.float64),
+        force_lower=np.array([a["flo"] for a in acts], dtype=np.float64),
+        force_upper=np.array([a["fhi"] for a in acts], dtype=np.float64),
     )
 
 
@@ -573,6 +626,7 @@ def _parse_mjcf_impl(source: str):
                   else np.array([0.0, 0.0, 1.0])),
             damping=float(_attr(jel, d, "damping", "0")),
             armature=float(_attr(jel, d, "armature", "0")),
+            frictionloss=float(_attr(jel, d, "frictionloss", "0")),
             lower=lo, upper=hi, effort=eff,
         )
 
@@ -762,6 +816,7 @@ def _parse_mjcf_impl(source: str):
         effort=np.array([j["effort"] for j in ordered]),
         velocity=np.full(n, _INF),
         armature=np.array([j["armature"] for j in ordered]),
+        frictionloss=np.array([j["frictionloss"] for j in ordered]),
         mimic=tuple(mimics),
     )
 
@@ -773,11 +828,11 @@ def _parse_mjcf_impl(source: str):
     if act_el is not None:
         name_to_idx = {j["name"]: i for i, j in enumerate(ordered)}
         for a in act_el:
-            if a.tag not in ("motor", "general"):
+            if a.tag not in ("motor", "general", "position", "velocity"):
                 raise NotImplementedError(
                     f"actuator type <{a.tag}> is not supported (motor / "
-                    "torque-mode general only; convert position/velocity "
-                    "servos to explicit PD laws — see contact.pd_torque)")
+                    "torque-mode general / position / velocity; convert "
+                    "other servos to explicit laws — see contact.pd_torque)")
             d = _defaults_for(defaults_table, a.tag, a.get("class", "main"))
             jn = _attr(a, d, "joint")
             if jn is None:
@@ -799,9 +854,22 @@ def _parse_mjcf_impl(source: str):
                 vals = _floats(cr)
                 if not (vals[0] == 0.0 and vals[1] == 0.0):
                     lo, hi = float(vals[0]), float(vals[1])
-            acts.append(dict(name=a.get("name", jn),
+            # servo gains (MuJoCo's affine actuator model: force =
+            # gain·ctrl + bias; position → gain kp, bias (−kp·len,
+            # −kv·vel); velocity → gain kv, bias −kv·vel)
+            kp = float(_attr(a, d, "kp", "1"))
+            kv_def = "1" if a.tag == "velocity" else "0"
+            kv = float(_attr(a, d, "kv", kv_def))
+            flo, fhi = -_INF, _INF
+            fr = _attr(a, d, "forcerange")
+            flimited = _attr(a, d, "forcelimited", "auto")
+            if fr is not None and flimited in ("auto", "true"):
+                vals = _floats(fr)
+                if not (vals[0] == 0.0 and vals[1] == 0.0):
+                    flo, fhi = float(vals[0]), float(vals[1])
+            acts.append(dict(name=a.get("name", jn), kind=a.tag,
                              joint=name_to_idx[jn], gear=float(gear[0]),
-                             lo=lo, hi=hi))
+                             lo=lo, hi=hi, kp=kp, kv=kv, flo=flo, fhi=fhi))
 
     return desc, geom_records, dict(sites=site_records, actuators=acts,
                                     connects=connects)

@@ -108,6 +108,11 @@ class RobotDescription:
     # parsed from the nonstandard <dynamics armature="..."> attribute). Adds
     # armatureᵢ·q̈ᵢ to joint i's torque, i.e. M → M + diag(armature).
     armature: np.ndarray = None           # (n,)
+    # Coulomb (dry) joint friction — URDF <dynamics friction="...">,
+    # MJCF joint ``frictionloss``. The tree dynamics do NOT apply it;
+    # the ground steppers take it as box impulse rows
+    # (``frictionloss=`` on fb_step_ground(_batched)).
+    frictionloss: np.ndarray = None       # (n,)
     # URDF <mimic> tags: linear transmission couplings q_j = m·q_k + o,
     # each entry (joint_idx j, source_idx k, multiplier m, offset o) over
     # moving-joint indices. The tree dynamics do NOT enforce these — build
@@ -194,11 +199,14 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
             axis = np.array([float(s) for s in ax.get("xyz").split()])
         damping = 0.0
         armature = 0.0
+        friction = 0.0
         dyn = j.find("dynamics")
         if dyn is not None and dyn.get("damping"):
             damping = float(dyn.get("damping"))
         if dyn is not None and dyn.get("armature"):
             armature = float(dyn.get("armature"))
+        if dyn is not None and dyn.get("friction"):
+            friction = float(dyn.get("friction"))
         lim = j.find("limit")
         inf = float("inf")
         limits = dict(lower=-inf, upper=inf, effort=inf, velocity=inf)
@@ -221,7 +229,8 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         joints.append(dict(
             name=j.get("name"), type=jtype, parent=parent, child=child,
             xyz=xyz, rpy=rpy, axis=axis, damping=damping,
-            armature=armature, limits=limits, mimic=mimic,
+            armature=armature, friction=friction, limits=limits,
+            mimic=mimic,
         ))
 
     root_links = [ln for ln in links if ln not in child_links]
@@ -280,6 +289,7 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
     axis = np.stack([j["axis"] / np.linalg.norm(j["axis"]) for j in ordered])
     damping = np.array([j["damping"] for j in ordered])
     armature = np.array([j["armature"] for j in ordered])
+    friction = np.array([j["friction"] for j in ordered])
     lims = {key: np.array([j["limits"][key] for j in ordered])
             for key in ("lower", "upper", "effort", "velocity")}
     types = tuple("revolute" if j["type"] == "continuous" else j["type"] for j in ordered)
@@ -311,7 +321,7 @@ def parse_urdf(source: str, *, merge_fixed: bool = True) -> RobotDescription:
         base_inertia=link_inertia6[root_link],
         q_lower=lims["lower"], q_upper=lims["upper"],
         effort=lims["effort"], velocity=lims["velocity"],
-        armature=armature, mimic=tuple(mimic),
+        armature=armature, frictionloss=friction, mimic=tuple(mimic),
     )
     return desc
 
@@ -373,5 +383,6 @@ def demote_floating_root(desc: RobotDescription) -> RobotDescription:
         q_lower=opt(desc.q_lower), q_upper=opt(desc.q_upper),
         effort=opt(desc.effort), velocity=opt(desc.velocity),
         armature=opt(desc.armature),
+        frictionloss=opt(desc.frictionloss),
         mimic=tuple((j - 1, k - 1, m, o) for j, k, m, o in desc.mimic),
     )

@@ -721,7 +721,7 @@ def fb_constrained_fd_batched(ffm, quat, pos, q, vb, qd, tau, links, offsets,
 # Unilateral ground contact with Coulomb friction (velocity-stepping PGS)
 # --------------------------------------------------------------------------
 def _pgs_sweep(p, G, b, mu, active, lim_active, diag, k: int, m: int,
-               relax: float = 1.0, eq: int = 0):
+               relax: float = 1.0, eq: int = 0, fric=None):
     """One full (projected-SOR) Gauss-Seidel sweep of the cone solve
     (single state): the map T(p, θ) whose fixed point is the contact
     solution. Shared verbatim by the forward ``fori_loop`` and the
@@ -764,12 +764,23 @@ def _pgs_sweep(p, G, b, mu, active, lim_active, diag, k: int, m: int,
         if relax != 1.0:
             pj = p[row] + relax * (pj - p[row])
         p = p.at[row].set(pj)
+    for j in range(0 if fric is None else fric.shape[0]):
+        # BOX rows — joint dry friction (MuJoCo frictionloss): bilateral
+        # impulse clamped to ±bound (= frictionloss·dt); inside the box
+        # the joint sticks (row drives its velocity to zero), at the box
+        # face it slides against the constant Coulomb torque
+        row = 3 * k + m + eq + j
+        r = G[row] @ p + b[row]
+        pj = jnp.clip(p[row] - r / diag[row], -fric[j], fric[j])
+        if relax != 1.0:
+            pj = p[row] + relax * (pj - p[row])
+        p = p.at[row].set(pj)
     return p
 
 
 def pgs_solve(G, b, mu, active, iters: int = 30, lim_active=None,
               implicit_diff: bool = False, relax: float = 1.0,
-              eq_rows: int = 0):
+              eq_rows: int = 0, fric_bound=None):
     """Projected Gauss-Seidel for the contact LCP/cone problem: find
     impulses p minimizing ½pᵀGp + pᵀb subject to, per contact i (rows
     ordered [t1, t2, n]): p_n ≥ 0 (only pushing), ‖p_t‖ ≤ μ p_n (Coulomb
@@ -796,39 +807,49 @@ def pgs_solve(G, b, mu, active, iters: int = 30, lim_active=None,
 
     ``eq_rows`` appends that many trailing BILATERAL rows (λ sign-free,
     no projection — loop-closure cuts, :mod:`.loops`) after the limit
-    rows; on those rows PGS degenerates to plain Gauss-Seidel."""
+    rows; on those rows PGS degenerates to plain Gauss-Seidel.
+
+    ``fric_bound`` (f,) appends f trailing BOX rows (joint dry friction /
+    MuJoCo ``frictionloss``: λ ∈ [−bound, bound], bound = loss·dt) after
+    the eq rows — sticking inside the box, constant Coulomb torque at its
+    face; differentiable in the bound (friction identification)."""
     m = 0 if lim_active is None else lim_active.shape[0]
-    k = (b.shape[0] - m - eq_rows) // 3
+    f = 0 if fric_bound is None else fric_bound.shape[0]
+    k = (b.shape[0] - m - eq_rows - f) // 3
     lim = (jnp.zeros((0,) + b.shape[1:], b.dtype) if lim_active is None
            else lim_active)
+    fr = (jnp.zeros((0,) + b.shape[1:], b.dtype) if fric_bound is None
+          else jnp.asarray(fric_bound, b.dtype))
     if implicit_diff:
         return _pgs_implicit("single", k, m, int(eq_rows), int(iters),
-                             float(relax), G, b, mu, active, lim)
+                             float(relax), G, b, mu, active, lim, fr)
     diag = jnp.clip(jnp.diagonal(G), 1e-9, None)
     return jax.lax.fori_loop(
         0, iters,
         lambda _, p: _pgs_sweep(p, G, b, mu, active, lim, diag, k, m,
-                                relax, eq_rows),
+                                relax, eq_rows, fr),
         jnp.zeros_like(b))
 
 
 def _pgs_step_of_theta(layout: str, p, G, b, mu, active, lim_active,
-                       k: int, m: int, relax: float = 1.0, eq: int = 0):
+                       k: int, m: int, relax: float = 1.0, eq: int = 0,
+                       fric=None):
     """T(p, θ) with the diagonal preconditioner folded in as the function
     of G it is (the IFT needs T's full θ-dependence, including diag)."""
     if layout == "single":
         diag = jnp.clip(jnp.diagonal(G), 1e-9, None)
         return _pgs_sweep(p, G, b, mu, active, lim_active, diag, k, m,
-                          relax, eq)
-    diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k + m + eq)]),
+                          relax, eq, fric)
+    f = 0 if fric is None else fric.shape[0]
+    diag = jnp.clip(jnp.stack([G[d, d] for d in range(3 * k + m + eq + f)]),
                     1e-9, None)
     return _pgs_sweep_bl(p, G, b, mu, active, lim_active, diag, k, m,
-                         relax, eq)
+                         relax, eq, fric)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _pgs_implicit(layout, k, m, eq, iters, relax, G, b, mu, active,
-                  lim_active):
+                  lim_active, fric=None):
     """PGS with implicit fixed-point gradients. Forward: the plain solver.
     Backward: at the converged p* = T(p*, θ), the IFT gives
     ∂p*/∂θ = (I − ∂T/∂p)⁻¹ ∂T/∂θ, so the VJP is θ̄ = (∂T/∂θ)ᵀ u with
@@ -846,22 +867,22 @@ def _pgs_implicit(layout, k, m, eq, iters, relax, G, b, mu, active,
     return jax.lax.fori_loop(
         0, iters,
         lambda _, p: _pgs_step_of_theta(layout, p, G, b, mu, active,
-                                        lim_active, k, m, relax, eq),
+                                        lim_active, k, m, relax, eq, fric),
         p0)
 
 
 def _pgs_implicit_fwd(layout, k, m, eq, iters, relax, G, b, mu, active,
-                      lim_active):
+                      lim_active, fric=None):
     p = _pgs_implicit(layout, k, m, eq, iters, relax, G, b, mu, active,
-                      lim_active)
-    return p, (p, G, b, mu, active, lim_active)
+                      lim_active, fric)
+    return p, (p, G, b, mu, active, lim_active, fric)
 
 
 def _pgs_implicit_bwd(layout, k, m, eq, iters, relax, res, pbar):
-    p, G, b, mu, active, lim_active = res
-    rows = 3 * k + m + eq
+    p, G, b, mu, active, lim_active, fric = res
+    rows = 3 * k + m + eq + (0 if fric is None else fric.shape[0])
     T = lambda p_: _pgs_step_of_theta(layout, p_, G, b, mu, active,
-                                      lim_active, k, m, relax, eq)
+                                      lim_active, k, m, relax, eq, fric)
     eye = jnp.eye(rows, dtype=p.dtype)
     if layout == "single":
         A = jax.jacfwd(T)(p)                       # (rows, rows)
@@ -876,10 +897,16 @@ def _pgs_implicit_bwd(layout, k, m, eq, iters, relax, res, pbar):
         A_env = jnp.moveaxis(A, 1, 0)              # (B, rows_out, rows_in)
         lhs = eye[None] - jnp.swapaxes(A_env, 1, 2)
         u = jnp.linalg.solve(lhs, pbar.T[..., None])[..., 0].T  # (rows, B)
+    if fric is None:
+        _, vjp_th = jax.vjp(
+            lambda G_, b_, mu_, act_, lim_: _pgs_step_of_theta(
+                layout, p, G_, b_, mu_, act_, lim_, k, m, relax, eq),
+            G, b, mu, active, lim_active)
+        return vjp_th(u) + (None,)
     _, vjp_th = jax.vjp(
-        lambda G_, b_, mu_, act_, lim_: _pgs_step_of_theta(
-            layout, p, G_, b_, mu_, act_, lim_, k, m, relax, eq),
-        G, b, mu, active, lim_active)
+        lambda G_, b_, mu_, act_, lim_, fr_: _pgs_step_of_theta(
+            layout, p, G_, b_, mu_, act_, lim_, k, m, relax, eq, fr_),
+        G, b, mu, active, lim_active, fric)
     return vjp_th(u)
 
 
@@ -939,7 +966,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, collision=None,
                    mu_collision=None, ground_geoms=None, mu_ground=None,
-                   loops=None, f_base=None):
+                   loops=None, f_base=None, frictionloss=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -1099,6 +1126,27 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         gap_loop = fb_loop_gap(ffm, quat, pos, q, lpairs, loa, lob)
         J = jnp.concatenate([J, J_loop], axis=0)
         eq = J_loop.shape[0]
+    fr_bound = None
+    if frictionloss is not None:
+        # joint dry friction (MuJoCo frictionloss): one BOX row per joint
+        # selecting its velocity; bound = loss·dt. Static zero losses are
+        # dropped at trace time; traced losses keep every row
+        # (differentiable — friction identification).
+        if isinstance(frictionloss, jax.core.Tracer):
+            fsel = list(range(n))
+            fl = frictionloss
+        else:
+            fl_np = np.asarray(frictionloss, np.float64)
+            fsel = [int(i) for i in np.nonzero(fl_np)[0]]
+            fl = jnp.asarray(fl_np[fsel], q.dtype)
+        if fsel:
+            J_f = jnp.zeros((len(fsel), 6 + n), q.dtype)
+            J_f = J_f.at[jnp.arange(len(fsel)),
+                         6 + jnp.asarray(fsel)].set(1.0)
+            J = jnp.concatenate([J, J_f], axis=0)
+            fr_bound = (jnp.asarray(fl, q.dtype)[jnp.asarray(fsel)]
+                        if isinstance(frictionloss, jax.core.Tracer)
+                        else fl) * dt
     MiJt = msolve(J.T)
     G = J @ MiJt + 1e-9 * jnp.eye(J.shape[0], dtype=q.dtype)
     vn_now = (J[:3 * k] @ v).reshape(k, 3)[:, 2]
@@ -1112,7 +1160,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         b = b.at[3 * k:3 * k + n_lim].add(-v_star_l)
     if eq:
         # bilateral rows: J v⁺ = −erp·gap/dt (two-sided gap recovery)
-        b = b.at[3 * k + n_lim:].add(erp * gap_loop / dt)
+        b = b.at[3 * k + n_lim:3 * k + n_lim + eq].add(erp * gap_loop / dt)
 
     mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k_feet,))
     if n_coll:
@@ -1125,7 +1173,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
             jnp.asarray(mu_g, q.dtype), (k - k_feet - n_coll,))])
     p_imp = pgs_solve(G, b, mu_vec, active, iters, lim_active=lim_active,
                       implicit_diff=(diff_mode == "implicit"), relax=relax,
-                      eq_rows=eq)
+                      eq_rows=eq, fric_bound=fr_bound)
 
     v_new = v_free + MiJt @ p_imp
     p_imp = p_imp[:3 * k]
@@ -1181,9 +1229,9 @@ def _mu_to_bl(mu, k, B, dtype):
 
 
 def _pgs_sweep_bl(p, G, b, mu, active, lim_active, diag, k: int, m: int,
-                  relax: float = 1.0, eq: int = 0):
+                  relax: float = 1.0, eq: int = 0, fric=None):
     """Batch-last :func:`_pgs_sweep` — the lane-parallel T(p, θ)."""
-    rows = 3 * k + m + eq
+    rows = 3 * k + m + eq + (0 if fric is None else fric.shape[0])
     for i in range(k):
         s = 3 * i
         r = matvec_bl(G[s:s + 3], p) + b[s:s + 3]
@@ -1211,33 +1259,45 @@ def _pgs_sweep_bl(p, G, b, mu, active, lim_active, diag, k: int, m: int,
         if relax != 1.0:
             pj = p[row] + relax * (pj - p[row])
         p = jnp.concatenate([p[:row], pj[None], p[row + 1:]])
+    for j in range(0 if fric is None else fric.shape[0]):
+        # box (dry-friction) rows: lane-parallel clamp to ±bound
+        row = 3 * k + m + eq + j
+        r = sum(G[row, c] * p[c] for c in range(rows)) + b[row]
+        pj = jnp.clip(p[row] - r / diag[row], -fric[j], fric[j])
+        if relax != 1.0:
+            pj = p[row] + relax * (pj - p[row])
+        p = jnp.concatenate([p[:row], pj[None], p[row + 1:]])
     return p
 
 
 def pgs_solve_bl(G, b, mu, active, iters: int = 30, lim_active=None,
                  implicit_diff: bool = False, relax: float = 1.0,
-                 eq_rows: int = 0):
+                 eq_rows: int = 0, fric_bound=None):
     """Batch-last :func:`pgs_solve`: G (3k,3k,B), b (3k,B), mu (k,) or
     (k,B) — static, traced, or per-environment — active (k,B) →
     impulses (3k,B); every sweep step a lane-parallel op. ``lim_active``
     (m,B) appends m normal-only joint-limit rows (G/b sized 3k+m).
     ``implicit_diff``/``relax`` as in :func:`pgs_solve` (exact fixed-point
     gradients; the IFT system is factored per environment).
-    ``eq_rows`` trailing bilateral rows as in :func:`pgs_solve`."""
+    ``eq_rows`` trailing bilateral rows and ``fric_bound`` ((f,) or
+    (f, B)) trailing box dry-friction rows as in :func:`pgs_solve`."""
     m = 0 if lim_active is None else lim_active.shape[0]
-    k = (b.shape[0] - m - eq_rows) // 3
+    f = 0 if fric_bound is None else fric_bound.shape[0]
+    k = (b.shape[0] - m - eq_rows - f) // 3
     mu = jnp.asarray(mu, b.dtype)
-    rows = 3 * k + m + eq_rows
+    rows = 3 * k + m + eq_rows + f
     lim = (jnp.zeros((0,) + b.shape[1:], b.dtype) if lim_active is None
            else lim_active)
+    fr = (jnp.zeros((0,) + b.shape[1:], b.dtype) if fric_bound is None
+          else jnp.asarray(fric_bound, b.dtype))
     if implicit_diff:
         return _pgs_implicit("bl", k, m, int(eq_rows), int(iters),
-                             float(relax), G, b, mu, active, lim)
+                             float(relax), G, b, mu, active, lim, fr)
     diag = jnp.clip(jnp.stack([G[d, d] for d in range(rows)]), 1e-9, None)
     return jax.lax.fori_loop(
         0, iters,
         lambda _, p: _pgs_sweep_bl(p, G, b, mu, active, lim, diag, k, m,
-                                   relax, eq_rows),
+                                   relax, eq_rows, fr),
         jnp.zeros_like(b))
 
 
@@ -1250,7 +1310,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            diff_mode: str = "unroll", relax: float = 1.0,
                            terrain=None, collision=None, mu_collision=None,
                            ground_geoms=None, mu_ground=None, loops=None,
-                           f_base=None):
+                           f_base=None, frictionloss=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1349,6 +1409,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                                  for leaf in jax.tree_util.tree_leaves(
                                      (loops[1], loops[2]))))
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
+            and frictionloss is None
             and diff_mode == "unroll" and relax == 1.0
             and mu_coll_static and mu_ground_static and loops_concrete):
         # the fused kernel bakes offsets as literals (concrete required —
@@ -1482,6 +1543,22 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         gap_loop = jnp.concatenate(gap_rows)   # (3·k_loop, B)
         J = jnp.concatenate([J, J_loop], axis=0)
         eq = J_loop.shape[0]
+    fr_bound = None
+    if frictionloss is not None:
+        # joint dry friction (see fb_step_ground): box rows selecting the
+        # joint velocities, bound = loss·dt
+        if isinstance(frictionloss, jax.core.Tracer):
+            fsel = list(range(n))
+            fl = jnp.asarray(frictionloss, dtype)
+        else:
+            fl_np = np.asarray(frictionloss, np.float64)
+            fsel = [int(i) for i in np.nonzero(fl_np)[0]]
+            fl = jnp.asarray(fl_np[fsel], dtype)
+        if fsel:
+            zero_row = jnp.zeros((6 + n, B), dtype)
+            J_f = [zero_row.at[6 + j].set(1.0) for j in fsel]
+            J = jnp.concatenate([J, jnp.stack(J_f)], axis=0)
+            fr_bound = (fl * dt)[:, None]
     rows = J.shape[0]
     MiJt_cols = [chol_apply_bl(Lm, J[r]) for r in range(rows)]
     G = jnp.stack([
@@ -1503,7 +1580,9 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         + ([b[3 * k:3 * k + n_lim]
             + erp * jnp.minimum(lim_gap, 0.0) / dt]
            if impulse_limits else [])
-        + ([b[3 * k + n_lim:] + erp * gap_loop / dt] if eq else []))
+        + ([b[3 * k + n_lim:3 * k + n_lim + eq] + erp * gap_loop / dt]
+           if eq else [])
+        + ([b[3 * k + n_lim + eq:]] if fr_bound is not None else []))
 
     mu_bl = _mu_to_bl(mu, k_feet, B, dtype)
     if n_coll:
@@ -1518,7 +1597,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     p_imp = pgs_solve_bl(G, b, mu_bl, active, iters,
                          lim_active=lim_active,
                          implicit_diff=(diff_mode == "implicit"),
-                         relax=relax, eq_rows=eq)
+                         relax=relax, eq_rows=eq, fric_bound=fr_bound)
 
     v_new = v_free + sum(MiJt_cols[s] * p_imp[s][None, :]
                          for s in range(rows))

@@ -80,7 +80,8 @@ def test_actuator_gearing_matches_manual():
     act = g.mjcf_actuators(src)
     rng = np.random.default_rng(3)
     ctrl = jnp.asarray(rng.uniform(-2, 2, (4, env.n_ctrl)))  # exceeds ±1
-    tau_env = np.asarray(env._tau(ctrl))
+    s0 = env.reset(4, seed=4)
+    tau_env = np.asarray(env.actuator_torque(s0, ctrl))
     tau_ref = np.asarray(act.clamp(np.asarray(ctrl))) @ act.gear_matrix().T
     np.testing.assert_allclose(tau_env, tau_ref, rtol=1e-6)
 
@@ -95,7 +96,7 @@ def test_demoted_fb_vs_md_agree():
     dt, iters = 1e-3, 20
     fb = envs.make_ground_env(src, dt=dt, iters=iters, use_limits=False,
                               dtype=jnp.float64)
-    assert fb.gear is None
+    assert fb.act_vidx is None
 
     # force the md route by building its model directly from the document
     from gridcodegenerator_tpu.ops import md_contact as mc
@@ -189,3 +190,85 @@ def test_collision_and_ground_geoms_compose():
     s = env.reset(2)
     s2, imp = env.step(s, jnp.zeros((2, env.n_ctrl)))
     assert imp.shape == (2, k, 3)
+
+
+def _servo_ant(act_block):
+    """ant_mjcf with its <actuator> block replaced wholesale."""
+    import re
+    src = zoo.ant_mjcf()
+    body = "\n".join(act_block)
+    return re.sub(r"<actuator>.*</actuator>",
+                  f"<actuator>\n{body}\n</actuator>", src, flags=re.S)
+
+
+def test_position_servo_actuators():
+    """<position kp= kv=> servos: the env torque equals MuJoCo's affine
+    law gear·(kp·ctrl − kp·gear·q − kv·gear·q̇), forcerange-clamped; a
+    held target is approached under pure servo control."""
+    rows = []
+    for k in range(4):
+        rows.append(f'<position name="p_hip{k}" joint="hip{k}_j" kp="60" '
+                    f'kv="4" forcerange="-40 40"/>')
+        rows.append(f'<position name="p_knee{k}" joint="knee{k}_j" kp="90" '
+                    f'kv="6" forcerange="-40 40"/>')
+    src = _servo_ant(rows)
+    env = envs.make_ground_env(src, dt=2e-3, iters=8, dtype=jnp.float64)
+    act = g.mjcf_actuators(src)
+    assert set(act.kind) == {"position"}
+    B = 3
+    s = env.reset(B, seed=6)
+    rng = np.random.default_rng(7)
+    ctrl = jnp.asarray(rng.uniform(-0.4, 0.4, (B, env.n_ctrl)))
+    tau = np.asarray(env.actuator_torque(s, ctrl))
+    qj, qdj = map(np.asarray, env.joint_state(s))
+    gain, bq, bv = act.gains()
+    f = (gain * np.asarray(ctrl) + bq * act.gear * qj[:, act.joint]
+         + bv * act.gear * qdj[:, act.joint])
+    f = f.clip(act.force_lower, act.force_upper)
+    ref = np.zeros_like(tau)
+    np.add.at(ref, (slice(None), act.joint), act.gear * f)
+    np.testing.assert_allclose(tau, ref, atol=1e-12)
+
+    # servo control actually tracks: hold a crouch target for 150 steps,
+    # joints approach the (clamped-by-limits) target
+    target = jnp.tile(jnp.asarray(np.clip(
+        [0.3, 0.9] * 4, np.asarray(env.limits[0]),
+        np.asarray(env.limits[1]))), (B, 1))
+    for _ in range(150):
+        s, _ = env.step(s, target)
+    qj = np.asarray(env.joint_state(s)[0])
+    assert np.abs(qj - np.asarray(target)).max() < 0.25
+
+
+def test_velocity_servo_actuators():
+    rows = [f'<velocity name="v_{n}{k}" joint="{n}{k}_j" kv="8"/>'
+            for k in range(4) for n in ("hip", "knee")]
+    src = _servo_ant(rows)
+    env = envs.make_ground_env(src, dt=2e-3, iters=8, dtype=jnp.float64)
+    act = g.mjcf_actuators(src)
+    assert set(act.kind) == {"velocity"}
+    B = 2
+    s = env.reset(B, seed=8)
+    ctrl = jnp.asarray(np.random.default_rng(9).uniform(-1, 1,
+                                                        (B, env.n_ctrl)))
+    tau = np.asarray(env.actuator_torque(s, ctrl))
+    qdj = np.asarray(env.joint_state(s)[1])
+    ref = np.zeros_like(tau)
+    np.add.at(ref, (slice(None), act.joint),
+              act.gear * 8.0 * (np.asarray(ctrl)
+                                - act.gear * qdj[:, act.joint]))
+    np.testing.assert_allclose(tau, ref, atol=1e-12)
+
+
+def test_mjcf_actuation_torque_method():
+    """MjcfActuation.torque (standalone fixed-base law) matches the env."""
+    src = zoo.ant_mjcf()
+    act = g.mjcf_actuators(src)
+    env = envs.make_ground_env(src, dt=2e-3, dtype=jnp.float64)
+    B = 2
+    s = env.reset(B, seed=10)
+    ctrl = jnp.asarray(np.random.default_rng(11).uniform(-2, 2, (B, 8)))
+    qj, qdj = env.joint_state(s)
+    np.testing.assert_allclose(
+        np.asarray(act.torque(ctrl, qj, qdj)),
+        np.asarray(env.actuator_torque(s, ctrl)), atol=1e-12)

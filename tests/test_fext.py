@@ -369,3 +369,127 @@ def test_env_push_fb_vs_md():
     np.testing.assert_allclose(np.asarray(qd2m[:, 6:]), np.asarray(qd2),
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(impm), np.asarray(imp), atol=1e-6)
+
+
+# ------------------------------------------------------------ dry friction
+def test_frictionloss_stiction_and_sliding():
+    """Joint dry friction as box impulse rows: airborne 1-joint analytic
+    check — below the breakaway bound the joint STOPS exactly (stiction);
+    above it, the step removes exactly the bound impulse (sliding)."""
+    from gridcodegenerator_tpu.ops import contact as ct
+    import gridcodegenerator_tpu as g
+
+    u = """<robot name="p"><link name="base"><inertial><mass value="1"/>
+    <inertia ixx="1" iyy="1" izz="1" ixy="0" ixz="0" iyz="0"/></inertial>
+    </link><link name="l1"><inertial><origin xyz="0 0 0"/><mass value="2"/>
+    <inertia ixx=".4" iyy=".4" izz=".4" ixy="0" ixz="0" iyz="0"/></inertial>
+    </link><joint name="j1" type="revolute"><parent link="base"/>
+    <child link="l1"/><axis xyz="0 0 1"/>
+    <dynamics friction="0.5"/></joint></robot>"""
+    desc = g.parse_urdf(u)
+    from gridcodegenerator_tpu.ops import freeflyer as ff
+    ffm = ff.free_flyer_model(desc, dtype=jnp.float64)
+    dt = 1e-2
+    feet, offs = (0,), np.zeros((1, 3))
+    quat = jnp.asarray([1.0, 0, 0, 0])
+    pos = jnp.asarray([0.0, 0.0, 9.0])          # airborne
+    q = jnp.zeros(1)
+    fl = desc.frictionloss                      # (1,) = 0.5 N·m
+
+    def one(qd0, vb0=None):
+        vb = jnp.zeros(6) if vb0 is None else vb0
+        (q2, p2, qq2, vb2, qd2), _ = ct.fb_step_ground(
+            ffm, (quat, pos, q, vb, jnp.asarray([qd0])), jnp.zeros(1),
+            dt, feet, offs, gravity=0.0, frictionloss=fl, iters=100)
+        return float(qd2[0])
+
+    # joint inertia about z at q=0: a spinning joint drags the base too
+    # (free-floating), so use the APPARENT inertia from the solver itself:
+    # measured slide decrement must equal bound/I_app, with I_app from a
+    # reference no-friction step comparison at unit torque.
+    # Stiction: tiny velocity → zero after one step (to the Delassus
+    # Tikhonov floor, G += 1e-9·I — not bitwise zero)
+    assert abs(one(1e-3)) < 1e-10
+    assert abs(one(-1e-3)) < 1e-10
+    # Sliding: large velocity → decrement equal to the breakaway decrement
+    d_fast = 3.0 - one(3.0)
+    d_slow = 2.0 - one(2.0)
+    assert d_fast > 0 and abs(d_fast - d_slow) < 1e-10  # constant torque
+    # direction opposes motion
+    assert one(-3.0) > -3.0
+
+
+def test_frictionloss_batched_matches_single_and_grad():
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    ffm, feet, offs = _hyq_env()
+    n = ffm.n
+    fl = np.zeros(n)
+    fl[[0, 3, 7]] = [0.4, 0.8, 0.2]             # sparse static losses
+    B = 3
+    rng = np.random.default_rng(81)
+    quat = np.tile([1.0, 0, 0, 0], (B, 1))
+    pos = np.column_stack([np.zeros((B, 2)), 0.55 + rng.uniform(0, .05, B)])
+    q = np.tile([-0.1, 0.7, -1.2], (B, 4))
+    vb = rng.uniform(-0.3, 0.3, (B, 6))
+    qd = rng.uniform(-0.3, 0.3, (B, n))
+    tau = rng.uniform(-8, 8, (B, n))
+    arr = lambda a: jnp.asarray(a, jnp.float64)
+    state = tuple(map(arr, (quat, pos, q, vb, qd)))
+
+    nxt, imp = ct.fb_step_ground_batched(ffm, state, arr(tau), 1e-3, feet,
+                                         offs, frictionloss=fl,
+                                         impl="vmap")
+    for b in range(B):
+        sb = tuple(x[b] for x in state)
+        nb, _ = ct.fb_step_ground(ffm, sb, arr(tau)[b], 1e-3, feet, offs,
+                                  frictionloss=fl)
+        for a_, r_ in zip((x[b] for x in nxt), nb):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(r_),
+                                       atol=1e-9)
+
+    # differentiable in the loss (friction identification) through the
+    # implicit-diff path: gradient matches central finite differences.
+    # Airborne state with every joint firmly SLIDING (impulse pinned at
+    # its bound, away from the stick/slide kink) — there the post-step
+    # velocity is LINEAR in the loss and the IFT gradient is exact.
+    sb = (arr(quat)[0], jnp.asarray([0.0, 0.0, 9.0]),   # far above ground
+          arr(q)[0], arr(vb)[0],
+          jnp.asarray(np.full(n, 2.0)))                 # fast joints
+
+    def loss(fl_):
+        (q2, p2, qq2, vb2, qd2), _ = ct.fb_step_ground(
+            ffm, sb, jnp.zeros(n), 1e-3, feet, offs, frictionloss=fl_,
+            diff_mode="implicit", iters=120)
+        return jnp.sum(qd2 ** 2)
+
+    flj = jnp.asarray(fl + 0.05)                # all-positive (traced path)
+    gr = jax.grad(loss)(flj)
+    eps = 1e-6
+    for j in (0, 3):
+        e = jnp.zeros(n).at[j].set(eps)
+        fd = (loss(flj + e) - loss(flj - e)) / (2 * eps)
+        np.testing.assert_allclose(float(gr[j]), float(fd), rtol=1e-6,
+                                   atol=1e-10)
+
+
+def test_frictionloss_zero_identity():
+    from gridcodegenerator_tpu.ops import contact as ct
+
+    ffm, feet, offs = _hyq_env()
+    n = ffm.n
+    B = 2
+    rng = np.random.default_rng(83)
+    state = (jnp.asarray(np.tile([1.0, 0, 0, 0], (B, 1))),
+             jnp.asarray(np.column_stack([np.zeros((B, 2)),
+                                          np.full(B, 0.5)])),
+             jnp.asarray(np.tile([-0.1, 0.7, -1.2], (B, 4))),
+             jnp.asarray(rng.uniform(-0.2, 0.2, (B, 6))),
+             jnp.asarray(rng.uniform(-0.2, 0.2, (B, n))))
+    tau = jnp.asarray(rng.uniform(-5, 5, (B, n)))
+    a = ct.fb_step_ground_batched(ffm, state, tau, 1e-3, feet, offs,
+                                  impl="vmap")
+    b = ct.fb_step_ground_batched(ffm, state, tau, 1e-3, feet, offs,
+                                  impl="vmap", frictionloss=np.zeros(n))
+    for x, y in zip(a[0], b[0]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -557,12 +557,19 @@ def test_sites_and_actuators():
     # euler(0, pi/2, 0) sends +x to -z: tip at 0.5 + (0, 0, -0.1)
     np.testing.assert_allclose(s2["tip"].pos, [0.5, 0, -0.1], atol=1e-9)
 
-    # unsupported actuator types fail loudly
-    bad = """
+    # position servos parse into the affine gain/bias model (r3s14);
+    # genuinely unsupported types still fail loudly
+    servo = """
 <mujoco><worldbody><body name="a"><joint name="j" axis="0 0 1"/>
   <inertial pos="0 0 0" mass="1" diaginertia="1 1 1"/>
-</body></worldbody><actuator><position joint="j" kp="10"/></actuator>
-</mujoco>"""
+</body></worldbody><actuator><position joint="j" kp="10" kv="2"/>
+</actuator></mujoco>"""
+    sv = g.mjcf_actuators(servo)
+    assert sv.kind == ("position",)
+    gain, bq, bv = sv.gains()
+    np.testing.assert_allclose([gain[0], bq[0], bv[0]], [10, -10, -2])
+    bad = servo.replace("<position joint=\"j\" kp=\"10\" kv=\"2\"/>",
+                        "<muscle joint=\"j\"/>")
     with pytest.raises(NotImplementedError, match="actuator type"):
         g.mjcf_actuators(bad)
 

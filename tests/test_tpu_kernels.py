@@ -187,15 +187,17 @@ def test_contact_fused_kernels_on_tpu(tpu_setup):
     vb = rng.uniform(-0.6, 0.6, (B, 6))
     qd = rng.uniform(-0.5, 0.5, (B, n))
     tau = rng.uniform(-10, 10, (B, n))
+    push = rng.uniform(-40, 40, (B, 6))        # per-env base perturbation
     f32 = lambda a: jnp.asarray(a, jnp.float32)
 
-    # TPU fused kernels (the impl="pallas" routed production path)
+    # TPU fused kernels (the impl="pallas" routed production path); the
+    # step carries the f_base push operand (r3s14) through Mosaic
     dvb, qdd, lam = ct.fb_constrained_fd_batched(
         ffm32, f32(quat), f32(pos), f32(q), f32(vb), f32(qd), f32(tau),
         feet, foff, impl="pallas")
     nxt, imp = ct.fb_step_ground_batched(
         ffm32, tuple(f32(s) for s in (quat, pos, q, vb, qd)), f32(tau),
-        1e-3, feet, foff, mu=0.8, impl="pallas")
+        1e-3, feet, foff, mu=0.8, impl="pallas", f_base=f32(push))
     got = dict(dvb=np_.asarray(dvb), qdd=np_.asarray(qdd),
                lam=np_.asarray(lam), q2=np_.asarray(nxt[2]),
                vb2=np_.asarray(nxt[3]), imp=np_.asarray(imp))
@@ -211,7 +213,8 @@ def test_contact_fused_kernels_on_tpu(tpu_setup):
                 jnp.asarray(foff, jnp.float32))
             s_r, imp_r = ct.fb_step_ground(
                 ffm64, st64, jnp.asarray(tau[k], jnp.float32), 1e-3, feet,
-                jnp.asarray(foff, jnp.float32), mu=0.8)
+                jnp.asarray(foff, jnp.float32), mu=0.8,
+                f_base=jnp.asarray(push[k], jnp.float32))
             refs = dict(dvb=dvb_r, qdd=qdd_r, lam=lam_r, q2=s_r[2],
                         vb2=s_r[3], imp=imp_r)
             for name, ref in refs.items():
