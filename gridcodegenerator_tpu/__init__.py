@@ -79,6 +79,7 @@ from .ops.contact import (
     project_joint_limits,
     project_velocity,
     simulate_constrained,
+    soft_contact_params,
 )
 from .ops.collision import (
     CollisionModel,
@@ -229,6 +230,7 @@ __all__ = [
     "fb_simulate_constrained",
     "fb_stance_inverse_dynamics", "fb_stance_inverse_dynamics_batched",
     "fb_step_ground", "fb_simulate_ground", "fb_step_ground_batched",
+    "soft_contact_params",
     "fb_simulate_ground_batched",
     "clamp_effort", "joint_limit_torque", "project_joint_limits",
     "pd_torque",

@@ -43,6 +43,7 @@ from .models.urdf import RobotDescription, demote_floating_root, parse_urdf
 from .ops import contact as _ct
 from .ops import md_contact as _mc
 from .ops import multidof as _md
+from .ops import sensors as _sn
 from .ops.freeflyer import free_flyer_model, quat_to_rot
 
 
@@ -126,6 +127,8 @@ class GroundEnv:
     ground_geoms: Any = None
     mu_ground: Optional[float] = None
     loops: Any = None
+    softness: Any = None                      # compliant-contact diag (soft)
+    sensors: tuple = ()                       # SensorSpec rows (static)
     init_q: Optional[np.ndarray] = None       # neutral joint coords
     init_height: float = 0.5
     min_height: float = 0.1                   # `fallen` thresholds
@@ -188,6 +191,27 @@ class GroundEnv:
                          dtype)
         return (q, qd)
 
+    def actuator_force(self, state, ctrl):
+        """Clamped scalar actuator forces (B, a) — MuJoCo's
+        ``actuator_force``: the affine gain/bias law per actuator before
+        the gear scatter (this is what ``<actuatorfrc>`` sensors read)."""
+        dtype = ctrl.dtype
+        arr = lambda a: jnp.asarray(a, dtype)
+        lo = np.where(np.isfinite(self.ctrl_lower), self.ctrl_lower, -1e30)
+        hi = np.where(np.isfinite(self.ctrl_upper), self.ctrl_upper, 1e30)
+        c = jnp.clip(ctrl, arr(lo), arr(hi))
+        if self.kind == "fb":
+            qf, qdf = state[2], state[4]
+        else:
+            qf, qdf = state[0], state[1]
+        g = arr(self.act_gear)
+        f = (arr(self.act_gain) * c
+             + arr(self.act_bias_q) * (g * qf[..., self.act_qidx])
+             + arr(self.act_bias_v) * (g * qdf[..., self.act_vidx]))
+        flo = np.where(np.isfinite(self.act_flo), self.act_flo, -1e30)
+        fhi = np.where(np.isfinite(self.act_fhi), self.act_fhi, 1e30)
+        return jnp.clip(f, arr(flo), arr(fhi))
+
     def actuator_torque(self, state, ctrl):
         """Apply the document's actuator law: controls (B, n_ctrl) → the
         generalized torque vector (B, n_tau). Without an <actuator> block,
@@ -197,23 +221,9 @@ class GroundEnv:
         if self.act_vidx is None:
             return ctrl
         dtype = ctrl.dtype
-        arr = lambda a: jnp.asarray(a, dtype)
-        lo = np.where(np.isfinite(self.ctrl_lower), self.ctrl_lower, -1e30)
-        hi = np.where(np.isfinite(self.ctrl_upper), self.ctrl_upper, 1e30)
-        c = jnp.clip(ctrl, arr(lo), arr(hi))
-        if self.kind == "fb":
-            qf, qdf = state[2], state[4]
-            n_tau = self.model.n
-        else:
-            qf, qdf = state[0], state[1]
-            n_tau = self.model.nv
-        g = arr(self.act_gear)
-        f = (arr(self.act_gain) * c
-             + arr(self.act_bias_q) * (g * qf[:, self.act_qidx])
-             + arr(self.act_bias_v) * (g * qdf[:, self.act_vidx]))
-        flo = np.where(np.isfinite(self.act_flo), self.act_flo, -1e30)
-        fhi = np.where(np.isfinite(self.act_fhi), self.act_fhi, 1e30)
-        f = jnp.clip(f, arr(flo), arr(fhi))
+        n_tau = self.model.n if self.kind == "fb" else self.model.nv
+        f = self.actuator_force(state, ctrl)
+        g = jnp.asarray(self.act_gear, dtype)
         tau = jnp.zeros(ctrl.shape[:-1] + (n_tau,), dtype)
         return tau.at[..., self.act_vidx].add(g * f)
 
@@ -239,7 +249,7 @@ class GroundEnv:
                 collision=self.collision, mu_collision=self.mu_collision,
                 ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
                 loops=self.loops, f_base=push,
-                frictionloss=self.frictionloss)
+                frictionloss=self.frictionloss, softness=self.softness)
         q, qd = state
         if push is not None:
             # a floating root's first 6 velocity rows ARE the base wrench
@@ -253,17 +263,27 @@ class GroundEnv:
             mu=self.mu, gravity=self.gravity, iters=self.iters,
             erp=self.erp, margin=self.margin, restitution=self.restitution,
             impl=impl, diff_mode=diff_mode, terrain=self.terrain,
-            ground_geoms=self.ground_geoms, mu_ground=self.mu_ground)
+            ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
+            softness=self.softness)
         return (q2, qd2), imp
 
-    def rollout(self, state, ctrls, impl: str = "auto", pushes=None):
+    def rollout(self, state, ctrls, impl: str = "auto", pushes=None,
+                sensors: bool = False):
         """``lax.scan`` of :meth:`step` over ``ctrls (T, B, n_ctrl)`` — T
-        steps in ONE dispatch. Returns (final state, impulses (T, B, k, 3)).
-        Differentiable end-to-end (BPTT through contact). ``pushes``:
-        optional (T, B, 6) per-step base-wrench schedule."""
+        steps in ONE dispatch. Returns (final state, impulses (T, B, k, 3)),
+        or with ``sensors=True`` (final state, (impulses, sensordata
+        (T, B, sensor_dim))) — per-step :meth:`sensordata` with the
+        prev-state/impulse/ctrl threading done for you (accelerometers and
+        touch included). Differentiable end-to-end (BPTT through contact,
+        sensor-space losses included). ``pushes``: optional (T, B, 6)
+        per-step base-wrench schedule."""
         def body(s, x):
             c, p = x
             s2, imp = self.step(s, c, impl=impl, push=p)
+            if sensors:
+                sd = self.sensordata(s2, prev_state=s, impulses=imp,
+                                     ctrl=c)
+                return s2, (imp, sd)
             return s2, imp
         return jax.lax.scan(body, state, (ctrls, pushes))
 
@@ -305,11 +325,138 @@ class GroundEnv:
         return ((pos[:, 2] < self.min_height)
                 | (up_z < jnp.cos(self.max_tilt)))
 
+    # ------------------------------------------------------------- sensors
+    @property
+    def sensor_names(self) -> tuple:
+        return tuple(s.name for s in self.sensors)
+
+    @property
+    def sensor_dim(self) -> int:
+        return _sn.sensor_dim(self.sensors)
+
+    def sensor_slices(self) -> dict:
+        """Sensor name → slice into the sensordata vector."""
+        return _sn.sensor_slices(self.sensors)
+
+    def contact_links(self) -> tuple:
+        """Owning link of every contact row of :meth:`step`'s impulse
+        array (feet, then collision pairs, then ground-geom endpoints).
+        Self/obstacle collision pair rows have two or zero owners and are
+        marked -1000 (excluded from touch attribution)."""
+        from .ops.collision import _ground_contact_list
+        links = list(self.feet)
+        if self.collision is not None:
+            links += [-1000] * self.collision.n_contacts
+        if self.ground_geoms is not None:
+            links += [self.ground_geoms.links[g]
+                      for g, _ in _ground_contact_list(self.ground_geoms)]
+        return tuple(links)
+
+    def sensordata(self, state, prev_state=None, impulses=None, ctrl=None):
+        """The document's ``<sensor>`` readings, batched: (B, sensor_dim).
+
+        Pure kinematic sensors (jointpos/jointvel/gyro/velocimeter/
+        frame*) need only ``state``. ``accelerometer`` rows additionally
+        want ``prev_state`` (the state the last :meth:`step` advanced
+        FROM) for the integrator-consistent finite-difference
+        acceleration — without it the site is treated as unaccelerated
+        (at-rest IMU reading, −g in the site frame). ``touch`` rows need
+        ``impulses`` (the step's second return); ``actuatorfrc`` rows
+        need ``ctrl``. Differentiable end-to-end; one fused XLA program
+        under jit (vmapped straight-line kinematics, no dynamics solve).
+
+        Typical RL loop::
+
+            prev = state
+            state, imp = env.step(state, ctrl)
+            obs = env.sensordata(state, prev_state=prev, impulses=imp,
+                                 ctrl=ctrl)
+        """
+        if not self.sensors:
+            raise ValueError("no sensors: the document has no <sensor> "
+                             "block (or sensors=() was passed)")
+        af = None
+        if ctrl is not None and self.act_vidx is not None:
+            af = self.actuator_force(
+                state, jnp.asarray(ctrl, state[0].dtype))
+        cl = self.contact_links()
+
+        def single(st, ex):
+            return _sn.sensor_readings(
+                self.kind, self.model, self.sensors, st,
+                prev_state=ex.get("prev"), dt=self.dt,
+                gravity=self.gravity, impulses=ex.get("imp"),
+                contact_links=cl, act_force=ex.get("af"))
+
+        ex = {}
+        if prev_state is not None:
+            ex["prev"] = prev_state
+        if impulses is not None:
+            ex["imp"] = impulses
+        if af is not None:
+            ex["af"] = af
+        return jax.vmap(single)(state, ex)
+
+
+def _resolve_sensors(raw, source, desc, kind, model, demoted, sites, act):
+    """MjcfSensor rows → trace-time-static SensorSpec rows in the env's
+    own coordinates (fb: arm links / arm q-v indices, the demoted free
+    joint erased; md: tree links / q- and v-slice offsets)."""
+    bodies = _mjcf.mjcf_bodies(source) if any(
+        s.objtype == "body" for s in raw) else {}
+    jmap = {nm: i for i, nm in enumerate(desc.topology.joint_names)}
+    remap = (lambda l: l - 1 if l >= 0 else l) if demoted else (lambda l: l)
+    specs = []
+    for sr in raw:
+        if sr.objtype == "joint":
+            if sr.obj not in jmap:
+                raise ValueError(
+                    f"sensor {sr.name!r} references unknown joint "
+                    f"{sr.obj!r}")
+            j = jmap[sr.obj]
+            if kind == "fb":
+                if demoted and j == 0:
+                    raise ValueError(
+                        f"sensor {sr.name!r} on the root free joint — "
+                        "read the base via frame*/gyro sensors instead")
+                coord = j - 1 if demoted else j
+            else:
+                sl = (model.q_slices[j] if sr.kind == "jointpos"
+                      else model.v_slices[j])
+                if sl[1] != 1:
+                    raise ValueError(
+                        f"sensor {sr.name!r}: {sr.kind} is scalar-joint "
+                        f"only (joint {sr.obj!r} has width {sl[1]}) — "
+                        "use frame*/gyro sensors for ball/free joints")
+                coord = sl[0]
+            specs.append(_sn.SensorSpec(kind=sr.kind, name=sr.name,
+                                        coord=coord))
+        elif sr.objtype in ("site", "body"):
+            table = sites if sr.objtype == "site" else bodies
+            if sr.obj not in table:
+                raise ValueError(
+                    f"sensor {sr.name!r} references unknown "
+                    f"{sr.objtype} {sr.obj!r}")
+            rec = table[sr.obj]
+            specs.append(_sn.SensorSpec(
+                kind=sr.kind, name=sr.name, link=remap(rec.link),
+                pos=np.asarray(rec.pos, np.float64),
+                R=np.asarray(rec.R, np.float64)))
+        else:                                     # actuator
+            if sr.obj not in act.names:
+                raise ValueError(
+                    f"sensor {sr.name!r} references unknown actuator "
+                    f"{sr.obj!r}")
+            specs.append(_sn.SensorSpec(kind=sr.kind, name=sr.name,
+                                        coord=act.names.index(sr.obj)))
+    return tuple(specs)
+
 
 def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
                     feet=None, collision: bool = False,
                     ground_geoms: bool = False, terrain=None,
                     loops: str | bool = "auto", use_limits: bool = True,
+                    sensors: str | tuple = "auto",
                     init_height: float = 0.5, dtype=jnp.float32,
                     **opts) -> GroundEnv:
     """Build a :class:`GroundEnv` from an MJCF document.
@@ -318,9 +465,12 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     (``parse_mjcf``), foot anchors (``feet=`` site names, or every site
     named ``foot*``/``toe*``), the actuator block (``ctrl → τ`` gearing and
     ctrlranges), joint limits, loop-closure ``<equality><connect>`` cuts
-    (``loops="auto"``), and — opt-in, they add cone rows per environment —
-    capsule/sphere collision geoms (``collision=True`` → self/obstacle
-    pairs, ``ground_geoms=True`` → geom-vs-ground contact).
+    (``loops="auto"``), the ``<sensor>`` block (``sensors="auto"`` →
+    :meth:`GroundEnv.sensordata`; pass ``sensors=()`` to skip or a tuple
+    of :class:`~.models.mjcf.MjcfSensor` rows to override), and — opt-in,
+    they add cone rows per environment — capsule/sphere collision geoms
+    (``collision=True`` → self/obstacle pairs, ``ground_geoms=True`` →
+    geom-vs-ground contact).
 
     ``**opts`` forwards to :class:`GroundEnv` (``iters``, ``gravity``,
     ``erp``, ``margin``, ``restitution``, ``min_height``, ``max_tilt``,
@@ -400,10 +550,16 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
         pairs, oa, ob = lp
         lp = (tuple((remap(a), remap(b)) for a, b in pairs), oa, ob)
 
+    raw_sens = (_mjcf.mjcf_sensors(source) if sensors == "auto"
+                else tuple(sensors or ()))
+    sens = (_resolve_sensors(raw_sens, source, desc, kind, model, demoted,
+                             sites, act)
+            if raw_sens else ())
+
     return GroundEnv(kind=kind, model=model, feet=feet_links,
                      offsets=offsets, dt=dt, mu=mu, limits=limits,
                      effort=effort, frictionloss=fl, terrain=terrain,
-                     collision=cm, ground_geoms=gg, loops=lp,
+                     collision=cm, ground_geoms=gg, loops=lp, sensors=sens,
                      init_height=init_height, **act_kw, **opts)
 
 

@@ -455,6 +455,39 @@ def mjcf_actuators(source: str) -> MjcfActuation:
     )
 
 
+class MjcfSensor(NamedTuple):
+    """One ``<sensor>`` row, unresolved: ``obj`` names a site, joint,
+    body, or actuator in the same document (``objtype`` says which).
+    Resolve against :func:`mjcf_sites` / :func:`mjcf_bodies` /
+    :func:`mjcf_actuators` — the env layer does this automatically
+    (:func:`..envs.make_ground_env` → ``GroundEnv.sensordata``)."""
+    kind: str        # jointpos|jointvel|gyro|accelerometer|velocimeter|
+                     # touch|framepos|framequat|framelinvel|frameangvel|
+                     # actuatorfrc
+    name: str
+    obj: str
+    objtype: str     # 'site' | 'joint' | 'body' | 'actuator'
+
+
+def mjcf_sensors(source: str) -> "tuple[MjcfSensor, ...]":
+    """Extract the document's ``<sensor>`` block (MuJoCo's observation
+    idiom — IMUs, touch sensors, joint encoders, frame trackers) as
+    unresolved rows in document order."""
+    _, _, extras = _parse_mjcf_impl(source)
+    return tuple(MjcfSensor(s["kind"], s["name"], s["obj"], s["objtype"])
+                 for s in extras["sensors"])
+
+
+def mjcf_bodies(source: str) -> "dict[str, MjcfSite]":
+    """Named ``<body>`` frames re-expressed like :func:`mjcf_sites`:
+    body name → (governing moving link | -1 base, frame pose in that
+    link's coordinates) — the resolution table for ``<framepos
+    objtype="body">``-style sensors."""
+    _, _, extras = _parse_mjcf_impl(source)
+    return {name: MjcfSite(link, T[:3, 3].copy(), T[:3, :3].copy())
+            for name, (link, T) in extras["bodies"].items()}
+
+
 def _geom_endpoints(geom, defaults, compiler):
     """Collision endpoints of a sphere/capsule geom in its owner frame:
     (a (3,), b (3,), r) or None for non-capsule types / contactless
@@ -871,5 +904,40 @@ def _parse_mjcf_impl(source: str):
                              joint=name_to_idx[jn], gear=float(gear[0]),
                              lo=lo, hi=hi, kp=kp, kv=kv, flo=flo, fhi=fhi))
 
+    # <sensor> block → raw rows; resolution against the parsed frames
+    # happens in mjcf_sensors / the env layer (which owns the fb-vs-md
+    # coordinate mapping)
+    sensors: list[dict] = []
+    sens_el = root.find("sensor")
+    if sens_el is not None:
+        for s in sens_el:
+            tag = s.tag
+            if tag in ("jointpos", "jointvel"):
+                obj, objtype = s.get("joint"), "joint"
+            elif tag in ("gyro", "accelerometer", "velocimeter", "touch"):
+                obj, objtype = s.get("site"), "site"
+            elif tag in ("framepos", "framequat", "framelinvel",
+                         "frameangvel"):
+                objtype = s.get("objtype", "site")
+                obj = s.get("objname")
+                if objtype not in ("site", "body"):
+                    raise NotImplementedError(
+                        f"<{tag} objtype={objtype!r}> — site and body "
+                        "frames only")
+            elif tag == "actuatorfrc":
+                obj, objtype = s.get("actuator"), "actuator"
+            else:
+                raise NotImplementedError(
+                    f"sensor type <{tag}> is not supported (jointpos / "
+                    "jointvel / gyro / accelerometer / velocimeter / "
+                    "touch / framepos / framequat / framelinvel / "
+                    "frameangvel / actuatorfrc)")
+            if obj is None:
+                raise ValueError(f"<{tag}> sensor names no target object")
+            sensors.append(dict(
+                kind=tag, obj=obj, objtype=objtype,
+                name=s.get("name", f"{tag}_{obj}_{len(sensors)}")))
+
     return desc, geom_records, dict(sites=site_records, actuators=acts,
-                                    connects=connects)
+                                    connects=connects, sensors=sensors,
+                                    bodies=dict(body_frames))

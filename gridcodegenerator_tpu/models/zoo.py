@@ -543,7 +543,7 @@ def expand_spherical(urdf: str) -> str:
     return ET.tostring(root, encoding="unicode")
 
 
-def ant_mjcf(damping: float = 0.5) -> str:
+def ant_mjcf(damping: float = 0.5, sensors: bool = False) -> str:
     """MuJoCo-style quadruped 'ant' as an MJCF document (the MJCF front-end
     fixture): torso sphere welded to the root (its inertia lands in
     ``base_inertia`` — the free-flyer base), four 2-joint legs mounted at
@@ -569,6 +569,25 @@ def ant_mjcf(damping: float = 0.5) -> str:
         motors.append(
             f'    <motor name="m_hip{k}" joint="hip{k}_j"/>\n'
             f'    <motor name="m_knee{k}" joint="knee{k}_j" gear="45"/>')
+    # sensors=True appends a torso IMU site + the standard MuJoCo RL
+    # sensor suite (IMU triple, world trackers, encoders on leg 0, foot
+    # touch sensors, one actuator-force readout) — the mjcf_sensors /
+    # GroundEnv.sensordata fixture
+    sens = "" if not sensors else f"""
+  <sensor>
+    <gyro name="gyro" site="imu"/>
+    <accelerometer name="acc" site="imu"/>
+    <velocimeter name="vel" site="imu"/>
+    <framepos name="imu_pos" objtype="site" objname="imu"/>
+    <framequat name="imu_quat" objtype="site" objname="imu"/>
+    <framelinvel name="imu_linvel" objtype="site" objname="imu"/>
+    <frameangvel name="imu_angvel" objtype="site" objname="imu"/>
+    <jointpos name="hip0_pos" joint="hip0_j"/>
+    <jointvel name="knee0_vel" joint="knee0_j"/>
+    {''.join(f'<touch name="touch{k}" site="foot{k}"/>' for k in range(4))}
+    <actuatorfrc name="f_hip0" actuator="m_hip0"/>
+  </sensor>"""
+    imu = '<site name="imu" pos="0 0 0.05"/>' if sensors else ""
     return f"""
 <mujoco model="ant">
   <compiler angle="degree"/>
@@ -581,17 +600,18 @@ def ant_mjcf(damping: float = 0.5) -> str:
   <worldbody>
     <body name="torso">
       <geom type="sphere" size="0.25" density="400"/>
+      {imu}
       {''.join(legs)}
     </body>
   </worldbody>
   <actuator>
 {chr(10).join(motors)}
-  </actuator>
+  </actuator>{sens}
 </mujoco>
 """
 
 
-def ball_ant_mjcf(damping: float = 1.2) -> str:
+def ball_ant_mjcf(damping: float = 1.2, sensors: bool = False) -> str:
     """Free-floating quadruped with BALL (3-dof spherical) hips and revolute
     knees — the multi-dof contact fixture (freejoint base ⊕ 4×(ball ⊕
     hinge): nq = 7+4·(4+1) = 27, nv = 6+4·(3+1) = 22). Foot <site> anchors
@@ -611,10 +631,21 @@ def ball_ant_mjcf(damping: float = 1.2) -> str:
           <site name="foot{k}" pos="0.3 0 0"/>
         </body>
       </body>""")
+    sens = "" if not sensors else """
+  <sensor>
+    <gyro name="gyro" site="imu"/>
+    <accelerometer name="acc" site="imu"/>
+    <velocimeter name="vel" site="imu"/>
+    <framepos name="imu_pos" objtype="site" objname="imu"/>
+    <jointvel name="knee0_vel" joint="knee0_j"/>
+    <touch name="touch0" site="foot0"/>
+  </sensor>"""
+    imu = '<site name="imu" pos="0 0 0.04"/>' if sensors else ""
     return f"""
 <mujoco model="ball_ant"><compiler angle="degree"/>
   <default><geom density="800"/></default>
   <worldbody><body name="torso"><freejoint/>
     <geom type="sphere" size="0.18" density="500"/>
+    {imu}
     {''.join(legs)}
-  </body></worldbody></mujoco>"""
+  </body></worldbody>{sens}</mujoco>"""

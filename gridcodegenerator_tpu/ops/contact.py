@@ -959,6 +959,36 @@ def project_joint_limits(q, qd, lo, hi):
     return qc, jnp.where(stop, jnp.zeros_like(qd), qd)
 
 
+def soft_contact_params(kp, kd, dt):
+    """MuJoCo/ODE-style compliant contact: map a contact spring-damper
+    (stiffness ``kp`` [N/m], damping ``kd`` [N·s/m]) to the velocity-
+    stepping solver's ``(erp, softness)`` pair.
+
+    Implicit-Euler discretization of F = −kp·x − kd·ẋ at the contact
+    (Catto's soft-constraint relation, the ODE ERP/CFM correspondence):
+    ``erp = dt·kp/(dt·kp + kd)`` and ``softness = 1/(dt·(dt·kp + kd))``
+    — the diagonal compliance added to the impulse-level Delassus
+    operator, so each cone row solves ``(G + softness·I)·λ = rhs``
+    exactly like MuJoCo's regularized contact (R = solimp compliance).
+    ``softness → 0`` recovers the rigid Stewart-Trinkle contact; at
+    equilibrium a supported contact penetrates by
+    ``x* = softness·λ*·dt/erp`` (tested analytically). Use::
+
+        erp, soft = soft_contact_params(kp=5e4, kd=2e3, dt=dt)
+        fb_step_ground_batched(..., erp=erp, softness=soft)
+    """
+    denom = dt * kp + kd
+    return dt * kp / denom, 1.0 / (dt * denom)
+
+
+def _softness_rows(softness, k, dtype):
+    """(3k,) per-row Delassus compliance from a scalar or per-contact
+    (k,) ``softness`` (each cone triplet shares its contact's value —
+    tangent rows soften with the normal, MuJoCo-style)."""
+    s = jnp.broadcast_to(jnp.asarray(softness, dtype), (k,))
+    return jnp.repeat(s, 3)
+
+
 def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    ground_z=0.0, gravity=-9.81, iters: int = 30,
                    erp: float = 0.2, margin: float = 1e-3,
@@ -966,7 +996,8 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, collision=None,
                    mu_collision=None, ground_geoms=None, mu_ground=None,
-                   loops=None, f_base=None, frictionloss=None):
+                   loops=None, f_base=None, frictionloss=None,
+                   softness=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -1012,6 +1043,13 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     feet, shin scraping, fallen-torso contact), appended as cone
     triplets with coefficient ``mu_ground`` (defaulting like
     ``mu_collision``). Impulse order: feet, collision, ground-geoms.
+
+    ``softness``: optional compliant (soft) contact — a scalar or
+    per-contact (k,) diagonal compliance added to the impulse-level
+    Delassus rows of the cone triplets (MuJoCo's regularized-contact R;
+    map a physical spring-damper with :func:`soft_contact_params`).
+    ``None``/0 is the rigid contact; softness is differentiable
+    (compliance identification) and composes with every row type.
 
     ``diff_mode``: how reverse-mode AD treats the PGS cone solve —
     ``"unroll"`` (default) differentiates through the stored sweeps;
@@ -1149,6 +1187,11 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                         else fl) * dt
     MiJt = msolve(J.T)
     G = J @ MiJt + 1e-9 * jnp.eye(J.shape[0], dtype=q.dtype)
+    if softness is not None:
+        # compliant (soft) contact: per-row Delassus compliance on the
+        # cone triplets only (see soft_contact_params)
+        idx = jnp.arange(3 * k)
+        G = G.at[idx, idx].add(_softness_rows(softness, k, q.dtype))
     vn_now = (J[:3 * k] @ v).reshape(k, 3)[:, 2]
     # normal velocity target: penetration recovery + restitution
     v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
@@ -1310,7 +1353,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            diff_mode: str = "unroll", relax: float = 1.0,
                            terrain=None, collision=None, mu_collision=None,
                            ground_geoms=None, mu_ground=None, loops=None,
-                           f_base=None, frictionloss=None):
+                           f_base=None, frictionloss=None, softness=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1408,10 +1451,18 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                       or not any(isinstance(leaf, jax.core.Tracer)
                                  for leaf in jax.tree_util.tree_leaves(
                                      (loops[1], loops[2]))))
+    # soft contact rides the kernel when the compliance is concrete (baked
+    # per-row like the geometry); traced softness (compliance
+    # identification) falls back to XLA
+    softness_concrete = (softness is None
+                         or not any(isinstance(leaf, jax.core.Tracer)
+                                    for leaf in
+                                    jax.tree_util.tree_leaves(softness)))
     if (_impl_auto(impl, q) == "pallas" and not impulse_limits
             and frictionloss is None
             and diff_mode == "unroll" and relax == 1.0
-            and mu_coll_static and mu_ground_static and loops_concrete):
+            and mu_coll_static and mu_ground_static and loops_concrete
+            and softness_concrete):
         # the fused kernel bakes offsets as literals (concrete required —
         # the raw argument, before any traced jnp conversion); the XLA
         # path below keeps them traceable
@@ -1428,6 +1479,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         mu_g = (None if ground_geoms is None
                 else float(mu_ground if mu_ground is not None else mu))
         push = None if f_base is None else jnp.asarray(f_base, dtype).T
+        soft_np = (None if softness is None
+                   else np.asarray(softness, np.float64))
         if terrain is None:
             q2, p2, qq2, vb2, qd2, imp = _cf.step_ground_fused(
                 ffm, quat_bl, pos_bl, q_bl, vb_bl, qd_bl, tau_bl, mu_bl,
@@ -1435,7 +1488,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 gravity, iters, erp, margin, restitution,
                 collision=collision, mu_collision=mu_c,
                 ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops,
-                push=push)
+                push=push, softness=soft_np)
         else:
             # heightfield kernel: the MXU one-hot bilinear gather; grids
             # past the VMEM gate run the same body as plain XLA inside
@@ -1445,7 +1498,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 gravity, iters, erp, margin, restitution,
                 collision=collision, mu_collision=mu_c,
                 ground_geoms=ground_geoms, mu_ground=mu_g, loops=loops,
-                push=push)
+                push=push, softness=soft_np)
         if limits is not None:
             qq2, qd2 = project_joint_limits(qq2, qd2, limits[0][:, None],
                                             limits[1][:, None])
@@ -1565,6 +1618,12 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         jnp.stack([sum(J[r, c] * MiJt_cols[s][c] for c in range(6 + n))
                    for s in range(rows)])
         for r in range(rows)]) + 1e-9 * jnp.eye(rows, dtype=dtype)[..., None]
+    if softness is not None:
+        # compliant contact (see soft_contact_params): per-row Delassus
+        # compliance on the cone triplets
+        idx = jnp.arange(3 * k)
+        G = G.at[idx, idx, :].add(_softness_rows(softness, k,
+                                                 dtype)[:, None])
     Jv = jnp.stack([sum(J[r, c] * v[c] for c in range(6 + n))
                     for r in range(3 * k)])
     Jvf = jnp.stack([sum(J[r, c] * v_free[c] for c in range(6 + n))

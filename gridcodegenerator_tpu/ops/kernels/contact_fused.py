@@ -979,7 +979,7 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
                       ground_z, gravity, iters, erp, margin, restitution,
                       terrain_static=None, collision_static=None,
                       mu_coll=0.8, ground_static=None, mu_grd=0.8,
-                      loop_static=None):
+                      loop_static=None, softness=None):
     """One frictional ground step on a lane tile. Mirrors
     :func:`..contact.fb_step_ground_batched`: free velocity step, gap-gated
     PGS cone solve on the Delassus operator, semi-implicit manifold
@@ -1085,7 +1085,15 @@ def _step_ground_body(km, I_base, quat, pos, q, vb, qd, tau, mu,
         _sum_terms([J[r][c] * MiJt[c] for c in range(m)
                     if J[r][c] is not None])
         for r in range(rows_t)]
-    eye_reg = 1e-9
+    if softness is None:
+        eye_reg = 1e-9
+    else:
+        # compliant contact: per-row Delassus compliance baked as
+        # literals (scalar or per-contact over ALL cone triplets — feet,
+        # collision, ground-geom; see ..contact.soft_contact_params)
+        s_rows = np.broadcast_to(np.asarray(softness, np.float64), (k,))
+        eye_reg = ([1e-9 + float(s_rows[i // 3]) for i in range(3 * k)]
+                   + [1e-9] * n_eq)
     Jv = _sum_terms([JT[c] * v[c] for c in range(m) if JT[c] is not None])
     b = _sum_terms([JT[c] * v_free[c] for c in range(m)
                     if JT[c] is not None])
@@ -1125,10 +1133,14 @@ def _pgs_rows(G_rows, b, mu, active, k, iters, reg, eq: int = 0):
     residual is a full-register multiply + sublane reduction instead of
     3k scalar-lane FMAs. ``eq`` trailing BILATERAL rows (loop-closure
     cuts: sign-free impulses, plain unprojected Gauss-Seidel) follow the
-    cone blocks. Numerics mirror :func:`..contact.pgs_solve_bl`
-    (``eq_rows=``) exactly."""
+    cone blocks. ``reg``: a scalar ridge, or a per-row sequence
+    (rows_t,) — soft contact bakes per-row Delassus compliance here
+    (:func:`..contact.soft_contact_params`). Numerics mirror
+    :func:`..contact.pgs_solve_bl` (``eq_rows=``) exactly."""
     rows_t = 3 * k + eq
-    diag = [jnp.clip(G_rows[d][d:d + 1] + reg, 1e-9, None)
+    regs = (list(reg) if isinstance(reg, (list, tuple, np.ndarray))
+            else [reg] * rows_t)
+    diag = [jnp.clip(G_rows[d][d:d + 1] + regs[d], 1e-9, None)
             for d in range(rows_t)]
 
     def sweep(_, p):
@@ -1137,7 +1149,8 @@ def _pgs_rows(G_rows, b, mu, active, k, iters, reg, eq: int = 0):
             cand = []
             for d in range(3):
                 r = (jnp.sum(G_rows[s + d] * p, axis=0, keepdims=True)
-                     + reg * p[s + d:s + d + 1] + b[s + d:s + d + 1])
+                     + regs[s + d] * p[s + d:s + d + 1]
+                     + b[s + d:s + d + 1])
                 cand.append(p[s + d:s + d + 1] - r / diag[s + d])
             pn = jnp.maximum(cand[2], 0.0) * active[i]
             norm_t = jnp.sqrt(cand[0] ** 2 + cand[1] ** 2 + 1e-30)
@@ -1151,7 +1164,7 @@ def _pgs_rows(G_rows, b, mu, active, k, iters, reg, eq: int = 0):
         for j in range(eq):
             s = 3 * k + j
             r = (jnp.sum(G_rows[s] * p, axis=0, keepdims=True)
-                 + reg * p[s:s + 1] + b[s:s + 1])
+                 + regs[s] * p[s:s + 1] + b[s:s + 1])
             parts = [p[:s], p[s:s + 1] - r / diag[s]]
             if s + 1 < rows_t:
                 parts.append(p[s + 1:])
@@ -1447,7 +1460,8 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                       erp: float = 0.2, margin: float = 1e-3,
                       restitution: float = 0.0, collision=None,
                       mu_collision=None, ground_geoms=None, mu_ground=None,
-                      loops=None, push=None, interpret=False):
+                      loops=None, push=None, softness=None,
+                      interpret=False):
     """Fused frictional ground step — the parallel-RL flagship op as ONE
     kernel per lane tile: batch-last states + mu (k,B) → next state
     (quat2 (4,B), pos2 (3,B), q2 (n,B), vb2 (6,B), qd2 (n,B)) and impulses
@@ -1497,7 +1511,7 @@ def step_ground_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt, links, offsets,
                                  restitution=float(restitution),
                                  collision_static=cs, mu_coll=mu_c,
                                  ground_static=gs, mu_grd=mu_g,
-                                 loop_static=ls)
+                                 loop_static=ls, softness=softness)
 
     body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
     states = [quat, pos, q, vb, qd, tau, mu]
@@ -1521,7 +1535,7 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                               restitution: float = 0.0, collision=None,
                               mu_collision=None, ground_geoms=None,
                               mu_ground=None, loops=None, push=None,
-                              interpret=False):
+                              softness=None, interpret=False):
     """Fused frictional ground step on a bilinear HEIGHTFIELD — one kernel
     per lane tile, the uneven-terrain parallel-RL shape. Same contract as
     :func:`step_ground_fused` plus ``terrain`` (:class:`...terrain.
@@ -1575,7 +1589,8 @@ def step_ground_terrain_fused(ffm, quat, pos, q, vb, qd, tau, mu, dt,
                                  restitution=float(restitution),
                                  terrain_static=ts, collision_static=cs,
                                  mu_coll=mu_c, ground_static=gs,
-                                 mu_grd=mu_g, loop_static=ls)
+                                 mu_grd=mu_g, loop_static=ls,
+                                 softness=softness)
 
     body._k_contacts = kt + (0 if ls is None else len(ls["pairs"]))
     body._extra_ws = float(HWp)

@@ -70,7 +70,8 @@ def _md_point_cols_s(km, Rs, ps, link, x):
 
 def _md_step_ground_body(km, q, qd, tau, mu, *, links, offsets, dt,
                          ground_z, gravity, iters, erp, margin,
-                         restitution, ground_static=None, mu_grd=0.8):
+                         restitution, ground_static=None, mu_grd=0.8,
+                         softness=None):
     """One md frictional ground step on a lane tile. Mirrors
     ``..md_contact.md_step_ground`` term for term; returns
     (q2 (nq,B), v2 (nv,B), imp (3k_t,B))."""
@@ -139,7 +140,14 @@ def _md_step_ground_body(km, q, qd, tau, mu, *, links, offsets, dt,
         # (Mosaic miscompiles purely constant chains)
         mu = jnp.concatenate(
             [mu] + [mu[0:1] * 0.0 + mu_grd] * len(ground_static))
-    p_imp_arr = _pgs_rows(G_rows, b, mu, active, k, iters, 1e-9)
+    if softness is None:
+        regs = 1e-9
+    else:
+        # compliant contact: per-row Delassus compliance baked as
+        # literals (see ...contact.soft_contact_params)
+        s_rows = np.broadcast_to(np.asarray(softness, np.float64), (k,))
+        regs = [1e-9 + float(s_rows[i // 3]) for i in range(3 * k)]
+    p_imp_arr = _pgs_rows(G_rows, b, mu, active, k, iters, regs)
 
     v_new = [
         v_free[c2] + jnp.sum(MiJt[c2] * p_imp_arr, axis=0, keepdims=True)
@@ -178,7 +186,8 @@ def md_step_ground_fused(model, q, qd, tau, mu, dt, links, offsets,
                          ground_z=0.0, gravity=-9.81, iters: int = 30,
                          erp: float = 0.2, margin: float = 1e-3,
                          restitution: float = 0.0, ground_geoms=None,
-                         mu_ground=None, interpret=False, force_xla=False):
+                         mu_ground=None, softness=None, interpret=False,
+                         force_xla=False):
     """Fused md frictional ground step — batch-last ``q (nq,B)``,
     ``qd/tau (nv,B)``, ``mu (k_feet,B)`` → ``(q2 (nq,B), v2 (nv,B),
     imp (3k_t,B))``. Numerics mirror ``..md_contact.md_step_ground``
@@ -204,7 +213,8 @@ def md_step_ground_fused(model, q, qd, tau, mu, dt, links, offsets,
             km, q, qd, tau, mu, links=links, offsets=off, dt=float(dt),
             ground_z=float(ground_z), gravity=float(gravity),
             iters=int(iters), erp=float(erp), margin=float(margin),
-            restitution=float(restitution), ground_static=gs, mu_grd=mu_g)
+            restitution=float(restitution), ground_static=gs, mu_grd=mu_g,
+            softness=softness)
 
     nq, nv = model.nq, model.nv
     gate = lambda n_, nv_: md_step_workset_ok(n_, nv_, kt)

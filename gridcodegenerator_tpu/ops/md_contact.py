@@ -179,7 +179,7 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
                    erp: float = 0.2, margin: float = 1e-3,
                    restitution: float = 0.0, diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, ground_geoms=None,
-                   mu_ground=None):
+                   mu_ground=None, softness=None):
     """One frictional ground-contact step of a multi-dof robot — the
     generalized-coordinate ``fb_step_ground``, identical semantics
     (Stewart-Trinkle velocity stepping, gap-gated PGS cone solve, erp
@@ -204,6 +204,12 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     active = (gaps < margin).astype(dtype)
     MiJt = msolve(J.T)
     G = J @ MiJt + 1e-9 * jnp.eye(3 * k, dtype=dtype)
+    if softness is not None:
+        # compliant contact (see ..contact.soft_contact_params): per-row
+        # Delassus compliance on the cone triplets
+        from .contact import _softness_rows
+        idx = jnp.arange(3 * k)
+        G = G.at[idx, idx].add(_softness_rows(softness, k, dtype))
     vn_now = (J @ qd).reshape(k, 3)[:, 2]
     v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
               - restitution * jnp.minimum(vn_now, 0.0))
@@ -228,7 +234,8 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
                            margin: float = 1e-3, restitution: float = 0.0,
                            impl: str = "auto", diff_mode: str = "unroll",
                            relax: float = 1.0, terrain=None,
-                           ground_geoms=None, mu_ground=None):
+                           ground_geoms=None, mu_ground=None,
+                           softness=None):
     """Batched :func:`md_step_ground`: ``q (B, nq)``, ``qd/tau (B, nv)``,
     optional per-environment ``mu (B,)`` → ``((q⁺, q̇⁺), impulses
     (B, k_t, 3))``.
@@ -251,9 +258,13 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
                                         jax.tree_util.tree_leaves(
                                             (ground_geoms.a, ground_geoms.b,
                                              ground_geoms.r)))))
+    softness_concrete = (softness is None
+                         or not any(isinstance(leaf, jax.core.Tracer)
+                                    for leaf in
+                                    jax.tree_util.tree_leaves(softness)))
     if (_impl_auto(impl, q) == "pallas" and terrain is None
             and diff_mode == "unroll" and relax == 1.0
-            and mu_ground_static):
+            and mu_ground_static and softness_concrete):
         from .kernels import md_contact_fused as _mcf
 
         B = q.shape[0]
@@ -265,7 +276,9 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
             model, q.T, qd.T, tau.T, mu_bl, dt, links,
             np.asarray(offsets, np.float64), ground_z, gravity, iters,
             erp, margin, restitution, ground_geoms=ground_geoms,
-            mu_ground=mu_g)
+            mu_ground=mu_g,
+            softness=(None if softness is None
+                      else np.asarray(softness, np.float64)))
         kt = imp.shape[0] // 3
         return (q2.T, v2.T), jnp.moveaxis(imp, 0, -1).reshape(B, kt, 3)
 
@@ -277,7 +290,7 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
             ground_z=ground_z, gravity=gravity, iters=iters, erp=erp,
             margin=margin, restitution=restitution, diff_mode=diff_mode,
             relax=relax, terrain=terrain, ground_geoms=ground_geoms,
-            mu_ground=mu_ground)
+            mu_ground=mu_ground, softness=softness)
 
     return jax.vmap(step1, in_axes=in_axes)(q, qd, tau, mu_arr)
 

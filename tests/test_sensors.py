@@ -1,0 +1,356 @@
+"""Sensor layer: MJCF <sensor> parsing, resolution, and batched readings.
+
+Validation strategy mirrors the contact suite: analytic invariants (an IMU
+at rest reads −g; a pure base twist transports exactly), independent
+ground truth by forward-mode AD (framelinvel == d/dt framepos along the
+state flow), integrator consistency (free-fall accelerometer reads ~0;
+settled touch forces sum to the robot's weight), and the fb and md
+pipelines cross-checked on their own fixtures."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gridcodegenerator_tpu import envs
+from gridcodegenerator_tpu.models import mjcf as M
+from gridcodegenerator_tpu.models import zoo
+from gridcodegenerator_tpu.ops import multidof as md
+from gridcodegenerator_tpu.ops import sensors as S
+
+G = 9.81
+# knees bent 1 rad puts the feet ~0.34 below the hip plane — the ant
+# stands instead of tipping (q order: hip0, knee0, hip1, knee1, ...)
+ANT_INIT_Q = np.array([0.0, 1.0] * 4)
+
+
+@pytest.fixture(scope="module")
+def ant_env():
+    return envs.make_ground_env(zoo.ant_mjcf(sensors=True), dt=4e-3,
+                                iters=12, dtype=jnp.float64,
+                                init_q=ANT_INIT_Q, init_height=0.38)
+
+
+@pytest.fixture(scope="module")
+def ant_rest(ant_env):
+    """Noise-free reset."""
+    return ant_env.reset(3, seed=0, pos_noise=0.0, vel_noise=0.0,
+                         height_noise=0.0)
+
+
+def test_mjcf_sensor_parsing():
+    sens = M.mjcf_sensors(zoo.ant_mjcf(sensors=True))
+    kinds = [s.kind for s in sens]
+    assert kinds.count("touch") == 4
+    assert "gyro" in kinds and "accelerometer" in kinds
+    assert all(s.objtype == "site" for s in sens
+               if s.kind in ("gyro", "touch"))
+    fq = [s for s in sens if s.kind == "framequat"][0]
+    assert fq.obj == "imu" and fq.objtype == "site"
+    jp = [s for s in sens if s.kind == "jointpos"][0]
+    assert jp.obj == "hip0_j" and jp.objtype == "joint"
+    af = [s for s in sens if s.kind == "actuatorfrc"][0]
+    assert af.obj == "m_hip0" and af.objtype == "actuator"
+
+
+def test_unsupported_sensor_tag_raises():
+    doc = zoo.ant_mjcf(sensors=True).replace(
+        "<sensor>", "<sensor><subtreecom body=\"torso\"/>")
+    with pytest.raises(NotImplementedError, match="subtreecom"):
+        M.mjcf_sensors(doc)
+
+
+def test_mjcf_bodies_frames():
+    bodies = M.mjcf_bodies(zoo.ant_mjcf())
+    assert bodies["torso"].link == -1            # jointless root = base
+    assert bodies["shin0"].link >= 0
+    np.testing.assert_allclose(bodies["shin0"].pos, [0.0, 0.0, 0.0],
+                               atol=1e-12)
+
+
+@pytest.mark.smoke
+def test_rest_readings_fb(ant_env, ant_rest):
+    """At rest: gyro/velocimeter/framelinvel 0, accelerometer −g in the
+    site frame (+9.81 up), frame trackers = the reset pose, encoders =
+    the state coordinates."""
+    env, st = ant_env, ant_rest
+    sd = env.sensordata(st)
+    sl = env.sensor_slices()
+    assert sd.shape == (3, env.sensor_dim)
+    np.testing.assert_allclose(sd[:, sl["gyro"]], 0.0, atol=1e-12)
+    np.testing.assert_allclose(sd[:, sl["vel"]], 0.0, atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["acc"]], [0, 0, G], atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["imu_pos"]], [0, 0, 0.38 + 0.05],
+                               atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["imu_quat"]], [1, 0, 0, 0],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sd[:, sl["hip0_pos"]]).ravel(),
+                               np.asarray(st[2][:, 0]), atol=1e-15)
+    np.testing.assert_allclose(np.asarray(sd[:, sl["knee0_vel"]]).ravel(),
+                               np.asarray(st[4][:, 1]), atol=1e-15)
+    # touch/actuatorfrc read 0 without impulses/ctrl (pre-step sensordata)
+    np.testing.assert_allclose(sd[:, sl["touch0"]], 0.0)
+    np.testing.assert_allclose(sd[:, sl["f_hip0"]], 0.0)
+
+
+def test_base_twist_transport(ant_env, ant_rest):
+    """Identity base pose + hand-set twist: gyro = ω, velocimeter =
+    v + ω×r_site, world trackers match."""
+    env = ant_env
+    quat, pos, q, vb, qd = ant_rest
+    w = np.array([0.1, -0.2, 0.3])
+    v = np.array([1.0, 2.0, -0.5])
+    vb = jnp.asarray(np.tile(np.r_[w, v], (3, 1)))
+    sd = env.sensordata((quat, pos, q, vb, qd))
+    sl = env.sensor_slices()
+    off = np.array([0, 0, 0.05])                 # imu site on the base
+    np.testing.assert_allclose(sd[0, sl["gyro"]], w, atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["imu_angvel"]], w, atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["vel"]], v + np.cross(w, off),
+                               atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["imu_linvel"]],
+                               v + np.cross(w, off), atol=1e-12)
+
+
+def test_arm_site_velocity_vs_jvp(ant_env, ant_rest):
+    """framelinvel/frameangvel of a site on a MOVING ARM LINK equal the
+    forward-mode derivative of its framepos/orientation along the exact
+    state flow (q̇, base twist → quaternion/position rates) — independent
+    ground truth for the Jacobian-transport formula, ω×r terms included."""
+    env = ant_env
+    quat0, pos0, q0, vb0, qd0 = [x[0] for x in ant_rest]
+    rng = np.random.default_rng(7)
+    quat0 = quat0 + jnp.asarray(rng.uniform(-0.1, 0.1, 4))
+    quat0 = quat0 / jnp.linalg.norm(quat0)
+    q0 = q0 + jnp.asarray(rng.uniform(-0.3, 0.3, env.model.n))
+    vb0 = jnp.asarray(rng.uniform(-1, 1, 6))
+    qd0 = jnp.asarray(rng.uniform(-1, 1, env.model.n))
+    foot = [s for s in env.sensors if s.name == "touch0"][0]
+    # a full site frame on the foot link (identity site R)
+    spec_pos = S.SensorSpec(kind="framepos", name="p", link=foot.link,
+                            pos=np.array([0.4, 0.0, 0.0]), R=np.eye(3))
+    spec_lv = spec_pos._replace(kind="framelinvel", name="lv")
+    spec_av = spec_pos._replace(kind="frameangvel", name="av")
+    spec_fq = spec_pos._replace(kind="framequat", name="fq")
+
+    def flow(t):
+        # exact kinematic flow: q̇ = 0.5·quat⊗[0, ω_b], ṗ = R₀ v_b
+        from gridcodegenerator_tpu.ops.freeflyer import quat_mul, \
+            quat_to_rot
+        dq = 0.5 * quat_mul(quat0, jnp.concatenate(
+            [jnp.zeros(1, quat0.dtype), vb0[:3]]))
+        quat_t = quat0 + t * dq
+        pos_t = pos0 + t * (quat_to_rot(quat0) @ vb0[3:])
+        q_t = q0 + t * qd0
+        return (quat_t, pos_t, q_t, vb0, qd0)
+
+    def posf(t):
+        return S.sensor_readings("fb", env.model, (spec_pos,), flow(t))
+
+    t0 = jnp.array(0.0)
+    _, dpos = jax.jvp(posf, (t0,), (jnp.array(1.0),))
+    lv = S.sensor_readings("fb", env.model, (spec_lv,), flow(0.0))
+    np.testing.assert_allclose(np.asarray(dpos), np.asarray(lv),
+                               atol=1e-10)
+
+    # angular: d/dt quat = 0.5·quat ⊗ [0, ω_world_in_site...]; check via
+    # R: dR = [ω]× R  ⇒  ω = unskew(dR Rᵀ)
+    def rotf(t):
+        qv = S.sensor_readings("fb", env.model, (spec_fq,), flow(t))
+        from gridcodegenerator_tpu.ops.freeflyer import quat_to_rot
+        return quat_to_rot(qv / jnp.linalg.norm(qv))
+
+    R0, dR = jax.jvp(rotf, (t0,), (jnp.array(1.0),))
+    Wx = dR @ R0.T
+    w_fd = jnp.stack([Wx[2, 1], Wx[0, 2], Wx[1, 0]])
+    av = S.sensor_readings("fb", env.model, (spec_av,), flow(0.0))
+    np.testing.assert_allclose(np.asarray(w_fd), np.asarray(av),
+                               atol=1e-10)
+
+
+def test_freefall_accelerometer_reads_zero(ant_env, ant_rest):
+    """One ballistic step high above ground: the site's FD world
+    acceleration equals g, so the IMU reads ~0 (weightlessness) — the
+    integrator-consistent acceleration definition."""
+    env = ant_env
+    quat, pos, q, vb, qd = ant_rest
+    st_hi = (quat, pos + jnp.array([0.0, 0.0, 3.0]), q, vb, qd)
+    ctrl = jnp.zeros((3, env.n_ctrl))
+    s2, imp = env.step(st_hi, ctrl, impl="xla")
+    sd = env.sensordata(s2, prev_state=st_hi, impulses=imp, ctrl=ctrl)
+    sl = env.sensor_slices()
+    np.testing.assert_allclose(sd[:, sl["acc"]], 0.0, atol=1e-9)
+    np.testing.assert_allclose(sd[:, sl["touch0"]], 0.0, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def ant_settled(ant_env, ant_rest):
+    """~1.2 s of settling on the ground under a PD pose-hold through the
+    motors (an unactuated ant collapses — its yaw hips are free); one
+    scanned dispatch. Returns (final state, last ctrl, last impulses)."""
+    env = ant_env
+    q0 = jnp.asarray(ANT_INIT_Q)
+    vidx = jnp.asarray(env.act_vidx)
+    gear = jnp.asarray(env.act_gear, jnp.float64)
+
+    def pd_ctrl(s):
+        tau_des = 60.0 * (q0 - s[2]) - 3.0 * s[4]       # (B, n)
+        return tau_des[:, vidx] / gear                  # motor gain 1
+
+    def body(s, _):
+        c = pd_ctrl(s)
+        s2, imp = env.step(s, c, impl="xla")
+        return s2, (c, imp)
+
+    sT, (cs, imps) = jax.lax.scan(body, ant_rest, None, length=300)
+    return sT, cs[-1], imps[-1]
+
+
+def test_touch_sums_to_weight(ant_env, ant_settled):
+    """Settled on all fours: the four foot touch sensors sum to the
+    robot's weight (the engine's complementarity + force-unit touch
+    attribution, end to end)."""
+    env = ant_env
+    sT, _, imp = ant_settled
+    assert not bool(env.fallen(sT)[0]), "fixture should stand"
+    sd = env.sensordata(sT, impulses=imp)
+    sl = env.sensor_slices()
+    touch = np.sum([np.asarray(sd[0, sl[f"touch{k}"]]) for k in range(4)])
+    ffm = env.model
+    mass = float(ffm.I_base[5, 5]) + sum(
+        float(ffm.arm.inertia[i][5, 5]) for i in range(ffm.n))
+    assert touch == pytest.approx(mass * G, rel=0.1)
+    # every touch reading is a nonneg scalar
+    for k in range(4):
+        assert float(np.asarray(sd[0, sl[f"touch{k}"]])[0]) >= 0.0
+
+
+def test_settled_accelerometer_gravity_norm(ant_env, ant_settled):
+    """A settled (near-static) IMU reads |a| = g whatever the torso
+    attitude, and the gyro is near zero."""
+    env = ant_env
+    sT, _, imp = ant_settled
+    sd = env.sensordata(sT, prev_state=sT, impulses=imp)
+    sl = env.sensor_slices()
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(sd[:, sl["acc"]]), axis=1), G,
+        atol=1e-9)
+
+
+def test_actuatorfrc_reads_geared_clamped_force(ant_env, ant_rest):
+    env = ant_env
+    ctrl = jnp.full((3, env.n_ctrl), 0.5)
+    sd = env.sensordata(ant_rest, ctrl=ctrl)
+    sl = env.sensor_slices()
+    # m_hip0: pure motor, gain 1 → force = clamped ctrl = 0.5 (gear
+    # multiplies into τ, not the force readout)
+    np.testing.assert_allclose(sd[:, sl["f_hip0"]], 0.5, atol=1e-12)
+    sd2 = env.sensordata(ant_rest, ctrl=jnp.full((3, env.n_ctrl), 7.0))
+    np.testing.assert_allclose(sd2[:, sl["f_hip0"]], 1.0, atol=1e-12)
+
+
+def test_sensordata_differentiable(ant_env, ant_rest):
+    env = ant_env
+
+    def loss(st):
+        return jnp.sum(env.sensordata(st) ** 2)
+
+    gr = jax.grad(loss)(ant_rest)
+    for leaf in jax.tree_util.tree_leaves(gr):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+# ------------------------------------------------------------------- md
+@pytest.fixture(scope="module")
+def md_env():
+    return envs.make_ground_env(zoo.ball_ant_mjcf(sensors=True), dt=4e-3,
+                                iters=10, dtype=jnp.float64)
+
+
+def test_md_rest_readings(md_env):
+    env = md_env
+    st = env.reset(2, seed=1, pos_noise=0.0, vel_noise=0.0,
+                   height_noise=0.0)
+    sd = env.sensordata(st)
+    sl = env.sensor_slices()
+    np.testing.assert_allclose(sd[0, sl["acc"]], [0, 0, G], atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["gyro"]], 0.0, atol=1e-12)
+    np.testing.assert_allclose(sd[0, sl["imu_pos"]],
+                               [0, 0, env.init_height + 0.04], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sd[:, sl["knee0_vel"]]).ravel(),
+                               np.asarray(st[1][:, env.sensors[
+                                   [s.name for s in env.sensors].index(
+                                       "knee0_vel")].coord]), atol=1e-15)
+
+
+def test_md_site_velocity_vs_tangent_jvp(md_env):
+    """md framelinvel == d/dt framepos under the manifold flow
+    q(t) = q ⊕ t·q̇ (``md_tangent_apply``) — validates the multi-dof
+    velocity columns (ball + free joints) against forward AD."""
+    env = md_env
+    mdm = env.model
+    rng = np.random.default_rng(3)
+    st = env.reset(1, seed=2)
+    q0 = st[0][0]
+    qd0 = jnp.asarray(rng.uniform(-1, 1, mdm.nv))
+    imu = [s for s in env.sensors if s.name == "imu_pos"][0]
+    foot = [s for s in env.sensors if s.name == "touch0"][0]
+    for link, pos in [(imu.link, imu.pos),
+                      (foot.link, np.array([0.3, 0.0, 0.0]))]:
+        spec_p = S.SensorSpec(kind="framepos", name="p", link=link,
+                              pos=pos, R=np.eye(3))
+        spec_v = spec_p._replace(kind="framelinvel", name="v")
+
+        def posf(t):
+            return S.sensor_readings(
+                "md", mdm, (spec_p,),
+                (md.md_tangent_apply(mdm, q0, t * qd0), qd0))
+
+        _, dv = jax.jvp(posf, (jnp.array(0.0),), (jnp.array(1.0),))
+        lv = S.sensor_readings("md", mdm, (spec_v,), (q0, qd0))
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(lv),
+                                   atol=1e-10)
+
+
+def test_md_step_sensordata(md_env):
+    env = md_env
+    st = env.reset(2, seed=4, pos_noise=0.0, vel_noise=0.0,
+                   height_noise=0.0)
+    ctrl = jnp.zeros((2, env.n_ctrl))
+    s2, imp = env.step(st, ctrl, impl="xla")
+    sd = env.sensordata(s2, prev_state=st, impulses=imp)
+    assert bool(jnp.all(jnp.isfinite(sd)))
+    assert sd.shape == (2, env.sensor_dim)
+
+
+def test_rollout_collects_sensordata(ant_env, ant_rest):
+    """rollout(sensors=True) threads prev-state/impulses/ctrl per step:
+    row t equals a hand-stepped sensordata at step t."""
+    env = ant_env
+    T, B = 4, 3
+    ctrls = jnp.zeros((T, B, env.n_ctrl))
+    sT, (imps, sds) = env.rollout(ant_rest, ctrls, impl="xla",
+                                  sensors=True)
+    assert sds.shape == (T, B, env.sensor_dim)
+    s = ant_rest
+    for t in range(T):
+        s2, imp = env.step(s, ctrls[t], impl="xla")
+        ref = env.sensordata(s2, prev_state=s, impulses=imp,
+                             ctrl=ctrls[t])
+        np.testing.assert_allclose(np.asarray(sds[t]), np.asarray(ref),
+                                   atol=1e-12)
+        s = s2
+
+
+def test_jointpos_on_ball_joint_rejected():
+    doc = zoo.ball_ant_mjcf(sensors=True).replace(
+        "<sensor>", '<sensor><jointpos name="bad" joint="hip0_j"/>')
+    with pytest.raises(ValueError, match="scalar-joint only"):
+        envs.make_ground_env(doc, dt=2e-3)
+
+
+def test_unknown_sensor_targets_rejected():
+    doc = zoo.ant_mjcf(sensors=True).replace(
+        "<sensor>", '<sensor><gyro name="g2" site="nope"/>')
+    with pytest.raises(ValueError, match="unknown site"):
+        envs.make_ground_env(doc, dt=2e-3)
