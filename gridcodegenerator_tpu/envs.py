@@ -341,12 +341,18 @@ class GroundEnv:
     def contact_links(self) -> tuple:
         """Owning link of every contact row of :meth:`step`'s impulse
         array (feet, then collision pairs, then ground-geom endpoints).
-        Self/obstacle collision pair rows have two or zero owners and are
-        marked -1000 (excluded from touch attribution)."""
+        Robot-vs-static-obstacle rows have a single robot owner and are
+        attributed to that geom's link, so touch sensors see obstacle
+        impulses; SELF-collision rows have two owners and are marked
+        -1000 (excluded — a touch site would double-count or
+        mis-attribute the shared impulse; MuJoCo's site-volume semantics
+        splits these per-geom, which a row-level attribution cannot)."""
         from .ops.collision import _ground_contact_list
         links = list(self.feet)
         if self.collision is not None:
-            links += [-1000] * self.collision.n_contacts
+            links += [-1000] * len(self.collision.pairs)
+            links += [self.collision.geoms.links[g]
+                      for g, _ in self.collision.obs_pairs]
         if self.ground_geoms is not None:
             links += [self.ground_geoms.links[g]
                       for g, _ in _ground_contact_list(self.ground_geoms)]

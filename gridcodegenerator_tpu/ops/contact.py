@@ -978,6 +978,15 @@ def soft_contact_params(kp, kd, dt):
         fb_step_ground_batched(..., erp=erp, softness=soft)
     """
     denom = dt * kp + kd
+    try:
+        bad = float(denom) <= 0.0
+    except TypeError:      # traced kp/kd (identification): caller's problem
+        bad = False
+    if bad:
+        raise ValueError(
+            f"soft_contact_params: dt*kp + kd = {float(denom):g} must be "
+            "positive (kp and kd cannot both be zero/negative) — erp and "
+            "softness would be inf/NaN")
     return dt * kp / denom, 1.0 / (dt * denom)
 
 

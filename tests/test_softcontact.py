@@ -62,8 +62,16 @@ def test_zero_softness_matches_rigid():
                                atol=1e-14)
 
 
-def _foot_normal_vel(ffm, state, i):
-    quat, pos, q, vb, qd = state
+def _foot_normal_vel(ffm, jac_state, vel_state, i):
+    """Normal velocity of foot i: Jacobian at ``jac_state``'s
+    configuration applied to ``vel_state``'s velocity. The solver's
+    row law v⁺ₙ = v*ₙ − softness·λₙ holds in the PRE-step
+    configuration's contact frame (the impulse solve happens before the
+    integrator moves q), so post-step velocities must be measured with
+    the pre-step Jacobian — using the post-step configuration picks up
+    O(dt·v) drift, far above solver tolerance."""
+    quat, _, q = jac_state[0], jac_state[1], jac_state[2]
+    vb, qd = vel_state[3], vel_state[4]
     J = ct.fb_contact_jacobian(ffm, quat, q, _FEET, _FOFF)
     v = J @ jnp.concatenate([vb, qd])
     return float(v[3 * i + 2])
@@ -87,7 +95,7 @@ def test_soft_row_law():
             lam_n = float(imp[i, 2])
             if lam_n <= 1e-10:
                 continue
-            vn_post = _foot_normal_vel(ffm, nxt, i)
+            vn_post = _foot_normal_vel(ffm, state, nxt, i)
             assert vn_post == pytest.approx(v_star - gamma * lam_n,
                                             abs=1e-8), (s_val, i)
 
@@ -197,9 +205,14 @@ def test_md_fused_interpret_matches_xla_soft(ball_env):
     st = env.reset(B, seed=3, pos_noise=0.05, vel_noise=0.2,
                    height_noise=0.0)
     q, qd = st
-    # start penetrated so contacts are active
-    q = q.at[:, 6].add(-0.2)
     tau = jnp.zeros((B, mdm.nv))
+    # settle under gravity until feet actually penetrate — a fixed base
+    # drop can leave every foot airborne, and a contact-free comparison
+    # would not exercise the soft path at all
+    for _ in range(150):
+        (q, qd), imp_s = mc.md_step_ground_batched(
+            mdm, q, qd, tau, 2e-3, env.feet, env.offsets, impl="vmap")
+    assert bool((np.asarray(imp_s)[..., 2] > 0).any())
     soft = 0.04
     (q_r, v_r), imp_r = mc.md_step_ground_batched(
         mdm, q, qd, tau, 2e-3, env.feet, env.offsets, impl="vmap",
