@@ -11,8 +11,11 @@ wall-clock budget:
 
 * a watchdog thread prints the best-so-far JSON line and exits the process
   before any external timeout can kill it silently;
-* the first defensible number (batch 2^18) is measured within seconds of
-  compile; the 2^20 refinement only runs if budget remains;
+* phase 0 measures the cheap-to-compile XLA vmap path (batch 2^16) and its
+  256-state golden parity FIRST, so a number + parity are on record within
+  ~1 min cold; only then is the fused Pallas kernel (2^18, then 2^20)
+  compiled and measured — a slow fused compile degrades the result to the
+  phase-0 number instead of producing nothing (the r3 failure mode);
 * at most 12 kernel calls are ever in flight (~70 ms of device work); inputs
   are generated on-device (no multi-MB host->device transfers through the
   TPU tunnel); the parity check transfers a handful of states, never
@@ -72,15 +75,21 @@ def _watchdog():
     emit_and_exit(0)
 
 
-def record(batch, evals_per_sec):
+def record(batch, evals_per_sec, impl, parity=None):
+    if _BEST and evals_per_sec <= _BEST.get("value", 0.0):
+        return
+    keep_parity = _BEST.get("parity") if _BEST else None
     _BEST.clear()
     _BEST.update({
         "metric": (f"batched fwd-dynamics-gradient evals/sec, iiwa-14, "
-                   f"batch={batch}, f32, fused pallas kernel"),
+                   f"batch={batch}, f32, {impl}"),
         "value": evals_per_sec,
         "unit": "evals/sec",
         "vs_baseline": evals_per_sec / 1e6,
     })
+    p = parity if parity is not None else keep_parity
+    if p is not None:
+        _BEST["parity"] = p  # {"max": .., "median": ..} rel err, 256 states
 
 
 def timeit(fn, args, reps, trials):
@@ -128,6 +137,9 @@ def main():
     threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
+    if os.environ.get("BENCH_CPU"):  # logic-testing escape hatch: run the
+        # whole protocol on host CPU (phase 1/2 then degrade gracefully)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -156,53 +168,85 @@ def main():
     # against O(B·n²·depth) gradient work (<1%).
     P_HEAD = 256  # parity sample size (VERDICT r2 #3: 4 states under-sampled)
 
-    @partial(jax.jit, static_argnums=0)
-    def run_batch(batch):
+    @partial(jax.jit, static_argnums=(0, 1))
+    def run_batch(batch, impl):
         ks = jax.random.split(jax.random.key(0), 3)
         q = jax.random.uniform(ks[0], (batch, n), jnp.float32, -2, 2)
         qd = jax.random.uniform(ks[1], (batch, n), jnp.float32, -1, 1)
         u = jax.random.uniform(ks[2], (batch, n), jnp.float32, -8, 8)
-        out = g.forward_dynamics_gradient(model, q, qd, u)
+        out = g.forward_dynamics_gradient(model, q, qd, u, impl=impl)
         return out[:P_HEAD], q[:P_HEAD], qd[:P_HEAD], u[:P_HEAD]
 
-    # ---- phase 1: compile + first defensible number at batch 2^18 ----------
-    B1 = 1 << 18
+    def parity(head, qh, qdh, uh, tag):
+        """Max/p99/median relative error of ``head`` vs the float64 golden
+        model. The f32 error is a floor-attributed distribution
+        (PARITY.md), so a sample-robust claim needs tail AND typical."""
+        errs = np.empty(P_HEAD)
+        for k in range(P_HEAD):
+            ref = gold.fd_grad(qh[k], qdh[k], uh[k])
+            errs[k] = np.abs(head[k] - ref).max() / max(1.0,
+                                                        np.abs(ref).max())
+        log(f"[{elapsed():.1f}s] f32-vs-golden relative parity "
+            f"({P_HEAD} states, {tag}): max={errs.max():.3e} "
+            f"p99={np.quantile(errs, 0.99):.3e} "
+            f"median={np.median(errs):.3e}")
+        return {"max": float(errs.max()), "median": float(np.median(errs)),
+                "states": P_HEAD}
+
+    # ---- phase 0: XLA-path number + parity, cheap to compile ---------------
+    # The vmap/XLA route compiles in seconds even with a cold persistent
+    # cache, so a defensible number AND the 256-state parity are both on
+    # record long before the fused kernel's (potentially cold, r3: ~190 s
+    # via the tunnel's remote-compile service) compile is attempted. A slow
+    # fused compile now degrades the result instead of zeroing it
+    # (VERDICT r3 weak #1).
+    shift = int(os.environ.get("BENCH_SHIFT", "0"))  # debug: shrink batches
+    B0 = 1 << (16 - shift)
     t0 = time.perf_counter()
-    head, qh, qdh, uh = (np.asarray(x, np.float64) for x in run_batch(B1))
-    log(f"[{elapsed():.1f}s] compile+first run (B={B1}): "
+    head, qh, qdh, uh = (np.asarray(x, np.float64)
+                         for x in run_batch(B0, "vmap"))
+    log(f"[{elapsed():.1f}s] phase0 compile+first run (B={B0}, vmap): "
         f"{time.perf_counter() - t0:.2f}s")
+    par0 = parity(head, qh, qdh, uh, "vmap")
+    med, mn = timeit(run_batch, (B0, "vmap"), reps=10, trials=2)
+    record(B0, B0 / med, "XLA vmap path", parity=par0)
+    log(f"[{elapsed():.1f}s] phase0 batch={B0} median={med*1e3:.3f}ms/call "
+        f"evals/sec={B0/med:.3e} ({med/B0*1e9:.1f} ns/state)")
 
-    # parity vs the float64 golden model over the first 256 states of the
-    # real batch (same compiled program — no extra TPU computation; ~100 kB
-    # transferred once). Reporting max AND p99: the f32 error is a
-    # floor-attributed distribution (PARITY.md), so a sample-robust claim
-    # needs both the tail and the typical state.
-    errs = np.empty(P_HEAD)
-    for k in range(P_HEAD):
-        ref = gold.fd_grad(qh[k], qdh[k], uh[k])
-        errs[k] = np.abs(head[k] - ref).max() / max(1.0, np.abs(ref).max())
-    log(f"[{elapsed():.1f}s] f32-vs-golden relative parity ({P_HEAD} states): "
-        f"max={errs.max():.3e} p99={np.quantile(errs, 0.99):.3e} "
-        f"median={np.median(errs):.3e}")
-
-    med, mn = timeit(run_batch, (B1,), reps=12, trials=2)
-    record(B1, B1 / med)
-    log(f"[{elapsed():.1f}s] batch={B1} median={med*1e3:.3f}ms/call "
-        f"evals/sec={B1/med:.3e} ({med/B1*1e9:.1f} ns/state)")
-
-    # ---- phase 2: refine at 2^20 if budget remains --------------------------
-    if elapsed() < 0.55 * BUDGET_S:
-        B2 = 1 << 20
+    # ---- phase 1: fused pallas kernel at batch 2^18 ------------------------
+    # Wrapped so a fused-path failure (compile error, non-TPU backend)
+    # still emits the phase-0 record instead of dying with nothing.
+    try:
+        B1 = 1 << (18 - shift)
         t0 = time.perf_counter()
-        np.asarray(run_batch(B2)[0])
-        log(f"[{elapsed():.1f}s] compile+first run (B={B2}): "
+        head, qh, qdh, uh = (np.asarray(x, np.float64)
+                             for x in run_batch(B1, "pallas"))
+        log(f"[{elapsed():.1f}s] phase1 compile+first run (B={B1}, pallas): "
             f"{time.perf_counter() - t0:.2f}s")
-        if elapsed() < 0.75 * BUDGET_S:
-            med2, _ = timeit(run_batch, (B2,), reps=12, trials=3)
-            if B2 / med2 > _BEST["value"]:
-                record(B2, B2 / med2)
-            log(f"[{elapsed():.1f}s] batch={B2} median={med2*1e3:.3f}ms/call "
-                f"evals/sec={B2/med2:.3e} ({med2/B2*1e9:.1f} ns/state)")
+        par1 = parity(head, qh, qdh, uh, "pallas")
+        med, mn = timeit(run_batch, (B1, "pallas"), reps=12, trials=2)
+        record(B1, B1 / med, "fused pallas kernel", parity=par1)
+        log(f"[{elapsed():.1f}s] phase1 batch={B1} "
+            f"median={med*1e3:.3f}ms/call evals/sec={B1/med:.3e} "
+            f"({med/B1*1e9:.1f} ns/state)")
+
+        # ---- phase 2: refine at 2^20 if budget remains ---------------------
+        if elapsed() < 0.55 * BUDGET_S:
+            B2 = 1 << (20 - shift)
+            t0 = time.perf_counter()
+            np.asarray(run_batch(B2, "pallas")[0])
+            log(f"[{elapsed():.1f}s] phase2 compile+first run (B={B2}): "
+                f"{time.perf_counter() - t0:.2f}s")
+            if elapsed() < 0.75 * BUDGET_S:
+                med2, _ = timeit(run_batch, (B2, "pallas"), reps=12,
+                                 trials=3)
+                record(B2, B2 / med2, "fused pallas kernel", parity=par1)
+                log(f"[{elapsed():.1f}s] phase2 batch={B2} "
+                    f"median={med2*1e3:.3f}ms/call evals/sec={B2/med2:.3e} "
+                    f"({med2/B2*1e9:.1f} ns/state)")
+    except Exception as e:  # noqa: BLE001 — degrade, never zero the result
+        log(f"[{elapsed():.1f}s] fused phase failed ({type(e).__name__}: "
+            f"{e}); emitting phase-0 result")
 
     emit_and_exit(0)
 

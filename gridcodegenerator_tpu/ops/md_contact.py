@@ -37,13 +37,68 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .contact import pgs_solve
+from .contact import clamp_effort, pgs_solve
 from .multidof import (MultiDofModel, md_crba, md_inverse_dynamics,
                        md_joint_transforms, md_tangent_apply)
 
 
 def _unskew(S):
     return jnp.stack([S[2, 1], S[0, 2], S[1, 0]])
+
+
+def _md_scalar_coords(model: MultiDofModel):
+    """Static (qidx, vidx) index arrays of the width-1 (hinge/slide)
+    joints' slots in q and in the tangent — the coordinates joint limits
+    are defined on (ball/free joints have no scalar range; MuJoCo's ball
+    cone limit is out of scope, matching the MJCF parser)."""
+    qidx, vidx = [], []
+    for j, (qs, qw) in enumerate(model.q_slices):
+        if qw == 1:
+            qidx.append(qs)
+            vidx.append(model.v_slices[j][0])
+    return np.asarray(qidx, np.int64), np.asarray(vidx, np.int64)
+
+
+def _md_check_limits(model: MultiDofModel, lo, hi):
+    """Fail fast (concrete bounds only) if a finite limit sits on a
+    ball/free-joint coordinate — those slots are quaternion components,
+    not angles, and a silent clamp there would corrupt the state."""
+    try:
+        lo_np, hi_np = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return
+    scalar_q = set(int(i) for i in _md_scalar_coords(model)[0])
+    bad = [i for i in range(model.nq) if i not in scalar_q
+           and (np.isfinite(lo_np[i]) or np.isfinite(hi_np[i]))]
+    if bad:
+        raise ValueError(
+            f"finite joint limits on multi-dof joint coordinates {bad} — "
+            "limits apply to hinge/slide coordinates only (ball/free "
+            "slots hold quaternion components); set those slots to ±inf")
+
+
+def md_project_joint_limits(model: MultiDofModel, q, qd, lo, hi):
+    """HARD joint limits on a multi-dof robot, position-level projection
+    (the generalized-coordinate :func:`..contact.project_joint_limits`):
+    clamp the scalar-joint coordinates of ``q (..., nq)`` into
+    ``[lo, hi]`` ((nq,) each, ±inf on non-scalar slots) and zero the
+    *outward* tangent velocity of clamped joints. Composes with every
+    impl including the fused step kernel (applied to integrator
+    outputs); same documented approximation as the fb version (the
+    stopping impulse is not propagated to the rest of the momentum
+    within the step)."""
+    qidx, vidx = _md_scalar_coords(model)
+    if qidx.size == 0:
+        return q, qd
+    lo_s = jnp.asarray(lo, q.dtype)[qidx]
+    hi_s = jnp.asarray(hi, q.dtype)[qidx]
+    qs = q[..., qidx]
+    qds = qd[..., vidx]
+    qc = jnp.clip(qs, lo_s, hi_s)
+    stop = ((qs >= hi_s) & (qds > 0)) | ((qs <= lo_s) & (qds < 0))
+    return (q.at[..., qidx].set(qc),
+            qd.at[..., vidx].set(jnp.where(stop, jnp.zeros_like(qds),
+                                           qds)))
 
 
 def md_fk(model: MultiDofModel, q):
