@@ -82,6 +82,36 @@ def _act_arrays_md(act, mdm):
     return np.asarray(vidx, np.int64), np.asarray(qidx, np.int64)
 
 
+def _md_joint_grants(mdm, desc, use_limits: bool = True):
+    """Expand the document's per-JOINT limit/effort/frictionloss grants
+    to the multi-dof model's coordinate layouts: ``limits`` as (nq,)
+    lower/upper (±inf on ball/free slots — no scalar range exists
+    there), ``effort``/``frictionloss`` as (nv,) per tangent coordinate
+    (a ball joint's frictionloss applies componentwise to its 3 tangent
+    rows, MuJoCo's per-dof row semantics). Returns (limits, effort,
+    frictionloss), each None when the document grants nothing."""
+    n = len(mdm.q_slices)
+    lo = np.full(mdm.nq, -np.inf)
+    hi = np.full(mdm.nq, np.inf)
+    eff = np.full(mdm.nv, np.inf)
+    fl = np.zeros(mdm.nv)
+    for j in range(n):
+        qs, qw = mdm.q_slices[j]
+        vs, vw = mdm.v_slices[j]
+        if qw == 1:
+            if desc.q_lower is not None:
+                lo[qs], hi[qs] = desc.q_lower[j], desc.q_upper[j]
+            if desc.effort is not None:
+                eff[vs] = desc.effort[j]
+        if desc.frictionloss is not None:
+            fl[vs:vs + vw] = desc.frictionloss[j]
+    limits = ((lo, hi) if use_limits and np.any(np.isfinite(lo) |
+                                                np.isfinite(hi)) else None)
+    effort = (eff if use_limits and np.any(np.isfinite(eff)) else None)
+    frictionloss = fl if np.any(fl > 0) else None
+    return limits, effort, frictionloss
+
+
 @dataclasses.dataclass(frozen=True)
 class GroundEnv:
     """A batch of identical frictional-ground environments. Frozen/static —
@@ -118,9 +148,12 @@ class GroundEnv:
     act_fhi: Optional[np.ndarray] = None
     ctrl_lower: Optional[np.ndarray] = None   # (a,)
     ctrl_upper: Optional[np.ndarray] = None
-    limits: Optional[tuple] = None            # (q_lower, q_upper) fb only
-    effort: Optional[np.ndarray] = None       # (n,) fb only
-    frictionloss: Optional[np.ndarray] = None  # (n,) dry friction, fb only
+    # joint constraints, both routes: fb shapes are per joint ((n,));
+    # md shapes are per q-coordinate for limits ((nq,), ±inf on
+    # ball/free slots) and per tangent coordinate ((nv,)) for the rest
+    limits: Optional[tuple] = None            # (q_lower, q_upper)
+    effort: Optional[np.ndarray] = None       # τ clamp
+    frictionloss: Optional[np.ndarray] = None  # dry friction
     terrain: Any = None
     collision: Any = None
     mu_collision: Optional[float] = None
@@ -172,6 +205,13 @@ class GroundEnv:
             pos[:, 2] = self.init_height + rng.uniform(0, height_noise, B)
             q0 = np.zeros(n) if self.init_q is None else self.init_q
             q = q0 + rng.uniform(-pos_noise, pos_noise, (B, n))
+            if self.limits is not None:
+                # spawn in-range: an out-of-range initial q would be
+                # TELEPORTED to the bound by the first step's limit
+                # projection — feet can snap into the ground and the erp
+                # recovery catapults the robot (MuJoCo initial states
+                # are in-range by construction)
+                q = np.clip(q, self.limits[0], self.limits[1])
             vb = rng.uniform(-vel_noise, vel_noise, (B, 6))
             qd = rng.uniform(-vel_noise, vel_noise, (B, n))
             arr = lambda a: jnp.asarray(a, dtype)
@@ -187,6 +227,12 @@ class GroundEnv:
         if mdm.joint_types and mdm.joint_types[0] == "floating":
             q = q.at[:, 6].set(jnp.asarray(
                 self.init_height + rng.uniform(0, height_noise, B), dtype))
+        if self.limits is not None:
+            # in-range spawn (see the fb branch); md limits are (nq,)
+            # with ±inf on ball/free slots, so a whole-q clip only
+            # touches the scalar-joint coordinates
+            q = jnp.clip(q, jnp.asarray(self.limits[0], dtype),
+                         jnp.asarray(self.limits[1], dtype))
         qd = jnp.asarray(rng.uniform(-vel_noise, vel_noise, (B, mdm.nv)),
                          dtype)
         return (q, qd)
@@ -262,9 +308,10 @@ class GroundEnv:
             self.model, q, qd, tau, self.dt, self.feet, self.offsets,
             mu=self.mu, gravity=self.gravity, iters=self.iters,
             erp=self.erp, margin=self.margin, restitution=self.restitution,
+            limits=self.limits, effort=self.effort,
             impl=impl, diff_mode=diff_mode, terrain=self.terrain,
             ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
-            softness=self.softness)
+            frictionloss=self.frictionloss, softness=self.softness)
         return (q2, qd2), imp
 
     def rollout(self, state, ctrls, impl: str = "auto", pushes=None,
@@ -529,16 +576,22 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
                       ctrl_lower=act.ctrl_lower, ctrl_upper=act.ctrl_upper)
 
     limits = effort = fl = None
-    if use_limits and kind == "fb":
-        d = desc_arm if demoted else desc
-        if d.q_lower is not None and np.any(np.isfinite(d.q_lower)):
-            limits = (d.q_lower, d.q_upper)
-        if d.effort is not None and np.any(np.isfinite(d.effort)):
-            effort = d.effort
     if kind == "fb":
         d = desc_arm if demoted else desc
+        if use_limits:
+            if d.q_lower is not None and np.any(np.isfinite(d.q_lower)):
+                limits = (d.q_lower, d.q_upper)
+            if d.effort is not None and np.any(np.isfinite(d.effort)):
+                effort = d.effort
         if d.frictionloss is not None and np.any(d.frictionloss > 0):
             fl = d.frictionloss
+    else:
+        # md route: expand the per-JOINT document grants to the model's
+        # coordinate layouts — limits on the scalar (hinge/slide) q
+        # slots (ball/free slots stay ±inf: no scalar range exists),
+        # effort/frictionloss on every tangent coordinate of the joint
+        limits, effort, fl = _md_joint_grants(model, desc,
+                                              use_limits=use_limits)
 
     cm = gg = None
     if collision or ground_geoms:
