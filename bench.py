@@ -138,10 +138,15 @@ def main():
 
     import jax
     if os.environ.get("BENCH_CPU"):  # logic-testing escape hatch: run the
-        # whole protocol on host CPU (phase 1/2 then degrade gracefully)
+        # whole protocol on host CPU (phase 1/2 then degrade gracefully).
+        # No persistent cache on CPU — XLA:CPU AOT read-back segfaults in
+        # this jaxlib (tests/conftest.py postmortem).
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
     import jax.numpy as jnp
 
     import gridcodegenerator_tpu as g

@@ -152,9 +152,14 @@ class GoldenDynamics:
         return c, v, a, f
 
     # ----------------------------------------------------- analytic M⁻¹
-    def minv(self, q, dense: bool = True):
-        """Analytic mass-matrix inverse (Carpentier's recursion; reference
-        ``_test.py:117-226``). Returns upper-triangular unless ``dense``."""
+    def minv_bpass(self, q):
+        """Backward sweep of the analytic M⁻¹ recursion, separately
+        callable (the reference exposes ``test_minv_bpass`` as its own
+        stage, ``_test.py:117``): children before parents, articulated
+        inertias propagated to the root. Returns the pass state
+        ``(Minv, F, U, Dinv)`` that :meth:`minv_fpass` consumes —
+        diff each tensor against a kernel's intermediates when the
+        fused M⁻¹ diverges."""
         n = self.n
         X = self.xmats(q)
         IA = self.inertias.copy()
@@ -177,8 +182,16 @@ class GoldenDynamics:
                 F[p] += X[i].T @ F[i]
                 Ia = IA[i] - np.outer(U[i], Dinv[i] * U[i])
                 IA[p] += X[i].T @ Ia @ X[i]
-        # forward sweep (serial in i — the column slice i: forces it,
-        # reference ``_direct_minv.py:304-310``)
+        return Minv, F, U, Dinv
+
+    def minv_fpass(self, q, Minv, F, U, Dinv):
+        """Forward sweep of the analytic M⁻¹ recursion (reference
+        ``test_minv_fpass``, ``_test.py:186``): serial in i — the column
+        slice ``i:`` forces it (``_direct_minv.py:304-310``). Consumes
+        :meth:`minv_bpass`'s state (mutates ``Minv``/``F`` in place, as
+        the reference does) and returns the SYMMETRIC_UPPER Minv."""
+        n = self.n
+        X = self.xmats(q)
         for i in range(n):
             p = self.topo.parents[i]
             if p >= 0:
@@ -186,7 +199,18 @@ class GoldenDynamics:
             F[i][:, i:] = np.outer(self.S[i], Minv[i, i:])
             if p >= 0:
                 F[i][:, i:] += X[i] @ F[p][:, i:]
+        return Minv
+
+    def minv(self, q, dense: bool = True):
+        """Analytic mass-matrix inverse (Carpentier's recursion; reference
+        ``_test.py:117-226``). Returns upper-triangular unless ``dense``.
+        Composition of the separately-callable :meth:`minv_bpass` and
+        :meth:`minv_fpass` stages (reference ``test_minv``,
+        ``_test.py:213-226``)."""
+        Minv, F, U, Dinv = self.minv_bpass(q)
+        Minv = self.minv_fpass(q, Minv, F, U, Dinv)
         if dense:
+            n = self.n
             iu = np.triu_indices(n, 1)
             Minv[(iu[1], iu[0])] = Minv[iu]
         return Minv
@@ -199,9 +223,31 @@ class GoldenDynamics:
         return self.minv(q, True) @ (np.asarray(u) - c)
 
     # ------------------------------------------------------------- ∂RNEA/∂u
-    def rnea_grad(self, q, qd, qdd=None, gravity=-9.81):
-        """Analytic (∂c/∂q, ∂c/∂q̇), each (n, n)
-        (reference ``test_rnea_grad``, ``_test.py:229-494``)."""
+    def rnea_grad_inner(self, q, qd, qdd=None, gravity=-9.81):
+        """Analytic ∂ID with EVERY stage's intermediate tensor returned —
+        the reference's ``test_rnea_grad_inner`` contract
+        (``_test.py:229-488``, all intermediate gradient tensors returned
+        at ``:488``): when a fused ∂ID kernel diverges, diff the kernel's
+        stage dumps against these instead of bisecting the final (n, 2n).
+
+        Returns a dict:
+          ``v, a, f``            — RNEA sweep states (n, 6)
+          ``Iv, Xv, Xa``         — temp comps (n, 6)
+            (fused loop, reference ``_inverse_dynamics_gradient.py:123-138``)
+          ``SxXv, SxXa, Sxv, Sxf`` — the mx/fx column terms (n, 6)
+            (reference ``:154-164``; Sxf uses the CORRECT force cross,
+            see the crf-vs-crm note below)
+          ``dv_dq, dv_dqd``      — forward wave outputs (n, 6, n)
+            (reference ``:189-247``)
+          ``da_dq, da_dqd``      — (n, 6, n) (reference ``:268-339``)
+          ``df_dq_local, df_dqd_local`` — ∂f BEFORE the backward
+            propagation (n, 6, n) (reference stages ``:360-430``)
+          ``df_dq, df_dqd``      — after the backward waves (n, 6, n)
+            (reference ``:477-541``)
+          ``dc_dq, dc_dqd``      — the extracted (n, n) outputs
+            (reference ``:592-635``; damping on the dc/dq̇ diagonal,
+            ``_test.py:486``)
+        """
         n = self.n
         _, v, a, f = self.rnea(q, qd, qdd, gravity)
         X = self.xmats(q)
@@ -268,6 +314,8 @@ class GoldenDynamics:
             FxvI = crf(v[i]) @ self.inertias[i]
             df_dq[i] += self.inertias[i] @ da_dq[i] + FxvI @ dv_dq[i]
             df_dqd[i] += self.inertias[i] @ da_dqd[i] + FxvI @ dv_dqd[i]
+        df_dq_local = df_dq.copy()
+        df_dqd_local = df_dqd.copy()
         # backward: propagate ∂f to parents; q side gets −Xᵀ·(S×f) on own column
         for i in range(n - 1, -1, -1):
             p = parents[i]
@@ -280,7 +328,22 @@ class GoldenDynamics:
         # extract
         dc_dq = np.einsum("ij,ijk->ik", self.S, df_dq)
         dc_dqd = np.einsum("ij,ijk->ik", self.S, df_dqd) + np.diag(self.damping)
-        return dc_dq, dc_dqd
+        return {
+            "v": v, "a": a, "f": f, "Iv": Iv, "Xv": Xv, "Xa": Xa,
+            "SxXv": SxXv, "SxXa": SxXa, "Sxv": Sxv, "Sxf": Sxf,
+            "dv_dq": dv_dq, "dv_dqd": dv_dqd,
+            "da_dq": da_dq, "da_dqd": da_dqd,
+            "df_dq_local": df_dq_local, "df_dqd_local": df_dqd_local,
+            "df_dq": df_dq, "df_dqd": df_dqd,
+            "dc_dq": dc_dq, "dc_dqd": dc_dqd,
+        }
+
+    def rnea_grad(self, q, qd, qdd=None, gravity=-9.81):
+        """Analytic (∂c/∂q, ∂c/∂q̇), each (n, n)
+        (reference ``test_rnea_grad``, ``_test.py:490-494`` — the final
+        outputs of :meth:`rnea_grad_inner`)."""
+        out = self.rnea_grad_inner(q, qd, qdd, gravity)
+        return out["dc_dq"], out["dc_dqd"]
 
     # --------------------------------------------------------------- ∂FD/∂u
     def fd_grad(self, q, qd, u, gravity=-9.81):

@@ -24,10 +24,18 @@ if not _TPU_TIER:
     jax.config.update("jax_platforms", "cpu")  # axon is never initialized
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_num_cpu_devices", 8)  # virtual mesh devices
-# persistent compilation cache: the unrolled-graph compiles dominate test
-# time on small CPU hosts; cache them across runs
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compilation cache: TPU tier ONLY. XLA:CPU AOT deserialization
+# is unreliable in this jaxlib — reading back a CPU entry (even one written
+# seconds earlier BY THE SAME HOST) segfaults nondeterministically once the
+# process has run other executables (r4s1 postmortem: repeatable crash in
+# compilation_cache.get_executable_and_time under cpu_aot_loader
+# machine-feature warnings; the AOT pipeline bakes +prefer-no-scatter/-gather
+# target features every host then fails to match). No cache dir on CPU ⇒
+# reads always miss ⇒ nothing ever deserializes. TPU executables carry no
+# host coupling and share /root/repo/.jax_cache with bench.py.
+if _TPU_TIER:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

