@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--mu-true", type=float, default=0.45)
     ap.add_argument("--mu-init", type=float, default=1.0)
     ap.add_argument("--gd-iters", type=int, default=25)
+    ap.add_argument("--cpu", action="store_true",
+                    help="accepted for CLI consistency; this example "
+                         "always pins the CPU backend")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--grade-true", type=float, default=0.18)
     ap.add_argument("--grade-init", type=float, default=0.0)
     ap.add_argument("--gd-iters", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true",
+                    help="accepted for CLI consistency; this example "
+                         "always pins the CPU backend")
     args = ap.parse_args()
 
     os.environ["JAX_PLATFORMS"] = "cpu"

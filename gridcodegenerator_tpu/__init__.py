@@ -46,6 +46,8 @@ from .ops.loops import (
     fb_loop_forward_dynamics,
     fb_loop_gap,
     fb_loop_jacobian,
+    fb_weld_gap,
+    fb_weld_jacobian,
     loop_bias,
     loop_forward_dynamics,
     loop_gap,
@@ -176,7 +178,7 @@ from .models.robot import (RobotModel, load_robot,
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
 from .models.mjcf import (MjcfActuation, MjcfSite, mjcf_actuators,
-                          mjcf_collision_model, mjcf_loops, mjcf_sites,
+                          mjcf_collision_model, mjcf_loops, mjcf_sites, mjcf_welds,
                           parse_mjcf)
 from .envs import GroundEnv, make_ground_env, make_ground_env_urdf
 from .models.urdf import demote_floating_root
@@ -192,7 +194,8 @@ __all__ = [
     "GroundEnv", "make_ground_env", "make_ground_env_urdf",
     "demote_floating_root",
     "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
-    "mjcf_sites", "mjcf_actuators", "mjcf_loops",
+    "mjcf_sites", "mjcf_actuators", "mjcf_loops", "mjcf_welds",
+    "fb_weld_gap", "fb_weld_jacobian",
     "MjcfSite", "MjcfActuation",
     "randomize_model", "scale_links", "vmap_model", "model_axes",
     "robot_model_from_description",

@@ -160,6 +160,8 @@ class GroundEnv:
     ground_geoms: Any = None
     mu_ground: Optional[float] = None
     loops: Any = None
+    welds: Any = None                        # (pairs, R0): weld orientation
+    # rows; the anchor halves are merged into `loops` (fb route only)
     softness: Any = None                      # compliant-contact diag (soft)
     sensors: tuple = ()                       # SensorSpec rows (static)
     init_q: Optional[np.ndarray] = None       # neutral joint coords
@@ -294,7 +296,7 @@ class GroundEnv:
                 diff_mode=diff_mode, terrain=self.terrain,
                 collision=self.collision, mu_collision=self.mu_collision,
                 ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
-                loops=self.loops, f_base=push,
+                loops=self.loops, welds=self.welds, f_base=push,
                 frictionloss=self.frictionloss, softness=self.softness)
         q, qd = state
         if push is not None:
@@ -608,6 +610,31 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     if lp is not None and demoted:
         pairs, oa, ob = lp
         lp = (tuple((remap(a), remap(b)) for a, b in pairs), oa, ob)
+    welds = None
+    wd = _mjcf.mjcf_welds(source) if loops == "auto" else None
+    if wd is not None:
+        if kind != "fb":
+            raise NotImplementedError(
+                "<equality><weld> is supported on the free-flyer route "
+                "only (demoted freejoint / fixed-base documents)")
+        wpairs, woa, wob, wR0 = wd
+        if demoted:
+            if any(a == 0 or b == 0 for a, b in wpairs):
+                raise NotImplementedError(
+                    "weld attached to the floating-base body is not "
+                    "representable on the free-flyer base")
+            wpairs = tuple((remap(a), b if b < 0 else remap(b))
+                           for a, b in wpairs)
+        # anchor halves ARE connect rows — merge into the loop cut list;
+        # orientation halves ride welds=(pairs, R0)
+        if lp is None:
+            lp = (wpairs, woa, wob)
+        else:
+            lpairs0, loa0, lob0 = lp
+            lp = (tuple(lpairs0) + wpairs,
+                  np.concatenate([np.asarray(loa0), woa]),
+                  np.concatenate([np.asarray(lob0), wob]))
+        welds = (wpairs, wR0)
 
     raw_sens = (_mjcf.mjcf_sensors(source) if sensors == "auto"
                 else tuple(sensors or ()))
@@ -618,8 +645,9 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     return GroundEnv(kind=kind, model=model, feet=feet_links,
                      offsets=offsets, dt=dt, mu=mu, limits=limits,
                      effort=effort, frictionloss=fl, terrain=terrain,
-                     collision=cm, ground_geoms=gg, loops=lp, sensors=sens,
-                     init_height=init_height, **act_kw, **opts)
+                     collision=cm, ground_geoms=gg, loops=lp, welds=welds,
+                     sensors=sens, init_height=init_height, **act_kw,
+                     **opts)
 
 
 def make_ground_env_urdf(urdf: str, feet, offsets, *, dt: float = 2e-3,

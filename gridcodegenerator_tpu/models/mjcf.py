@@ -356,6 +356,34 @@ def mjcf_loops(source: str):
     return tuple(pairs), np.stack(oa), np.stack(ob)
 
 
+def mjcf_welds(source: str):
+    """Extract the document's ``<equality><weld>`` constraints as
+    ``(pairs, offsets_a, offsets_b, R0 (w, 3, 3))``: the anchor halves
+    follow :func:`mjcf_loops`' connect convention (feed them into
+    ``loops=`` — they ARE connect rows), ``R0`` is the qpos0 relative
+    link rotation for the 3 orientation rows (``welds=(pairs, R0)`` on
+    the free-flyer ground steppers, :func:`..ops.loops.fb_weld_gap`).
+    World/root-welded second bodies become world welds (``link_b = -1``).
+    Returns ``None`` when the document has no welds."""
+    desc, _, extras = _parse_mjcf_impl(source)
+    if not extras["welds"]:
+        return None
+    pairs, oa, ob, R0s = [], [], [], []
+    for l1, o1, l2, o2, R0 in extras["welds"]:
+        if l1 < 0 and l2 < 0:
+            raise ValueError(
+                "weld between two world/root-welded bodies constrains "
+                "nothing the tree can move")
+        if l1 < 0:                              # world side first → swap
+            l1, o1, l2, o2 = l2, o2, l1, o1
+            R0 = R0.T                           # R_w_a·R0 = R_w_b swapped
+        pairs.append((l1, -1 if l2 < 0 else l2))
+        oa.append(o1)
+        ob.append(o2)
+        R0s.append(R0)
+    return tuple(pairs), np.stack(oa), np.stack(ob), np.stack(R0s)
+
+
 class MjcfActuation(NamedTuple):
     """The document's ``<actuator>`` block. For pure torque motors the
     transmission is τ = gear_matrix() @ clamp(ctrl); position/velocity
@@ -758,6 +786,7 @@ def _parse_mjcf_impl(source: str):
     # derives body2's local anchor at qpos0; same convention here).
     mimics: list[tuple] = []
     connects: list[tuple] = []
+    welds: list[tuple] = []
     eq_el = root.find("equality")
     if eq_el is not None:
         name_to_idx = {j["name"]: i for i, j in enumerate(ordered)}
@@ -830,10 +859,48 @@ def _parse_mjcf_impl(source: str):
                         o2 = (np.linalg.inv(W2) @ np.append(w, 1.0))[:3]
                 connects.append((int(l1), np.asarray(o1, np.float64),
                                  int(l2), np.asarray(o2, np.float64)))
+            elif e.tag == "weld":
+                # 6-row bilateral: the anchor's 3 connect rows plus 3
+                # orientation rows pinning the qpos0 relative rotation
+                # (MuJoCo's <weld> with the default relpose sentinel)
+                b1 = _attr(e, d, "body1")
+                b2 = _attr(e, d, "body2")
+                if b1 is None:
+                    raise ValueError("<weld> needs body1")
+                relpose = _attr(e, d, "relpose")
+                if relpose is not None and np.any(
+                        _floats(relpose)[3:] != 0.0):
+                    raise NotImplementedError(
+                        "<weld relpose=> with an explicit (nonzero) "
+                        "quaternion is not supported — the all-zero "
+                        "quaternion sentinel (qpos0 relative pose, "
+                        "MuJoCo's default) only")
+                anchor = _floats(_attr(e, d, "anchor", "0 0 0"))
+                if b1 not in body_frames:
+                    raise ValueError(f"weld references unknown body "
+                                     f"{b1!r}")
+                l1, T1 = body_frames[b1]
+                o1 = (T1 @ np.append(anchor, 1.0))[:3]
+                w = (world_T(l1, T1) @ np.append(anchor, 1.0))[:3]
+                R1 = world_T(l1, np.eye(4))[:3, :3]   # link rotation @ q0
+                if b2 is None or b2 == "world":
+                    l2, o2 = -2, w
+                    R0 = R1.T
+                else:
+                    if b2 not in body_frames:
+                        raise ValueError(f"weld references unknown body "
+                                         f"{b2!r}")
+                    l2, T2 = body_frames[b2]
+                    W2 = world_T(l2, T2)
+                    o2 = (np.linalg.inv(W2) @ np.append(w, 1.0))[:3]
+                    R0 = R1.T @ world_T(l2, np.eye(4))[:3, :3]
+                welds.append((int(l1), np.asarray(o1, np.float64),
+                              int(l2), np.asarray(o2, np.float64),
+                              np.asarray(R0, np.float64)))
             else:
                 raise NotImplementedError(
                     f"equality constraint <{e.tag}> is not supported "
-                    "(joint couplings and connect cuts only)")
+                    "(joint couplings, connect cuts, and welds only)")
 
     desc = RobotDescription(
         name=name, topology=topo,
@@ -939,5 +1006,6 @@ def _parse_mjcf_impl(source: str):
                 name=s.get("name", f"{tag}_{obj}_{len(sensors)}")))
 
     return desc, geom_records, dict(sites=site_records, actuators=acts,
-                                    connects=connects, sensors=sensors,
+                                    connects=connects, welds=welds,
+                                    sensors=sensors,
                                     bodies=dict(body_frames))

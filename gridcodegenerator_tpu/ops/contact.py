@@ -1005,7 +1005,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, collision=None,
                    mu_collision=None, ground_geoms=None, mu_ground=None,
-                   loops=None, f_base=None, frictionloss=None,
+                   loops=None, welds=None, f_base=None, frictionloss=None,
                    softness=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
@@ -1166,13 +1166,24 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         J = jnp.concatenate([J, J_l], axis=0)
     n_lim = J.shape[0] - 3 * k
     eq = 0
+    eq_gaps = []
     if loops is not None:
         from .loops import fb_loop_gap, fb_loop_jacobian
         lpairs, loa, lob = loops
         J_loop = fb_loop_jacobian(ffm, quat, q, lpairs, loa, lob)
-        gap_loop = fb_loop_gap(ffm, quat, pos, q, lpairs, loa, lob)
+        eq_gaps.append(fb_loop_gap(ffm, quat, pos, q, lpairs, loa, lob))
         J = jnp.concatenate([J, J_loop], axis=0)
         eq = J_loop.shape[0]
+    if welds is not None:
+        # orientation rows of <equality><weld> cuts (the position rows
+        # are the same connect machinery above — pass the weld anchor
+        # through ``loops=``; make_ground_env does this merge)
+        from .loops import fb_weld_gap, fb_weld_jacobian
+        wpairs, wR0 = welds
+        J_weld = fb_weld_jacobian(ffm, quat, q, wpairs)
+        eq_gaps.append(fb_weld_gap(ffm, quat, q, wpairs, wR0))
+        J = jnp.concatenate([J, J_weld], axis=0)
+        eq = eq + J_weld.shape[0]
     fr_bound = None
     if frictionloss is not None:
         # joint dry friction (MuJoCo frictionloss): one BOX row per joint
@@ -1211,8 +1222,10 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
         b = b.at[3 * k:3 * k + n_lim].add(-v_star_l)
     if eq:
-        # bilateral rows: J v⁺ = −erp·gap/dt (two-sided gap recovery)
-        b = b.at[3 * k + n_lim:3 * k + n_lim + eq].add(erp * gap_loop / dt)
+        # bilateral rows: J v⁺ = −erp·gap/dt (two-sided gap recovery;
+        # loop connect rows first, then weld orientation rows)
+        b = b.at[3 * k + n_lim:3 * k + n_lim + eq].add(
+            erp * jnp.concatenate(eq_gaps) / dt)
 
     mu_vec = jnp.broadcast_to(jnp.asarray(mu, q.dtype), (k_feet,))
     if n_coll:
@@ -1362,7 +1375,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            diff_mode: str = "unroll", relax: float = 1.0,
                            terrain=None, collision=None, mu_collision=None,
                            ground_geoms=None, mu_ground=None, loops=None,
-                           f_base=None, frictionloss=None, softness=None):
+                           welds=None, f_base=None, frictionloss=None,
+                           softness=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1404,7 +1418,12 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
     ``loops = (pairs, offsets_a, offsets_b)``: loop-closure cuts as
     bilateral rows in the shared lane-parallel PGS (see
     :func:`fb_step_ground`) — parallel-linkage environments stepping on
-    ground; runs the XLA batch-last body."""
+    ground; runs the XLA batch-last body.
+
+    ``welds = (pairs, R0)``: weld ORIENTATION rows (3 bilateral rows per
+    pair, see :func:`..loops.fb_weld_gap`); the position half of a weld
+    rides ``loops=``. Runs the vmap tier (per-state
+    :func:`fb_step_ground` under ``jax.vmap``)."""
     quat, pos, q, vb, qd = state
     _check_contacts(ffm.n, links, offsets)
     if effort is not None:
@@ -1417,6 +1436,26 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         raise ValueError(f"diff_mode must be 'unroll' or 'implicit', "
                          f"got {diff_mode!r}")
     impulse_limits = limits is not None and limit_mode == "impulse"
+    if welds is not None:
+        mu_arr = jnp.asarray(mu)
+
+        def step1(quat1, pos1, q1, vb1, qd1, tau1, mu1, f1):
+            return fb_step_ground(
+                ffm, (quat1, pos1, q1, vb1, qd1), tau1, dt, links,
+                offsets, mu=mu1, ground_z=ground_z, gravity=gravity,
+                iters=iters, erp=erp, margin=margin,
+                restitution=restitution, limits=limits,
+                limit_mode=limit_mode, diff_mode=diff_mode, relax=relax,
+                terrain=terrain, collision=collision,
+                mu_collision=mu_collision, ground_geoms=ground_geoms,
+                mu_ground=mu_ground, loops=loops, welds=welds, f_base=f1,
+                frictionloss=frictionloss, softness=softness)
+
+        in_axes = (0, 0, 0, 0, 0, 0,
+                   0 if mu_arr.ndim == 1 else None,
+                   0 if f_base is not None else None)
+        return jax.vmap(step1, in_axes=in_axes)(quat, pos, q, vb, qd, tau,
+                                                mu_arr, f_base)
     B = q.shape[0]
     n = ffm.n
     k = len(links)

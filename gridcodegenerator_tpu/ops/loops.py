@@ -428,6 +428,71 @@ def fb_loop_jacobian(ffm, quat, q, pairs, offsets_a, offsets_b):
     return jnp.concatenate(rows, axis=0)
 
 
+def _rotvec_from_matrix(E):
+    """World rotation vector (axis·angle) of a rotation matrix. Robust at
+    the identity (the weld steady state); NOT valid within ~1e-3 of
+    angle π — a stepper's weld drift never gets there, and a weld
+    assembled π out of alignment is a modelling error."""
+    w = 0.5 * jnp.stack([E[2, 1] - E[1, 2],
+                         E[0, 2] - E[2, 0],
+                         E[1, 0] - E[0, 1]])          # sinθ · axis
+    c = 0.5 * (jnp.trace(E) - 1.0)
+    s = jnp.sqrt(w @ w + 1e-30)
+    th = jnp.arctan2(s, c)
+    return w * jnp.where(s < 1e-12, 1.0, th / s)
+
+
+def fb_weld_gap(ffm, quat, q, pairs, R0):
+    """Orientation gap (3w,) of weld constraints on a free-flyer: for
+    each pair (a, b) the world rotation vector of
+    ``E = R_w_a · R0 · R_w_bᵀ`` — the drift of link b's orientation from
+    where the weld (relative rotation ``R0 = R_w_a(0)ᵀ R_w_b(0)``,
+    captured at assembly) says it should be. ``b = −1`` welds link a's
+    ORIENTATION to the world (``R_w_b = I``, ``R0 = R_w_a(0)ᵀ``); pair
+    the rows with a ``loops=`` connect cut at the same anchor to weld
+    the full pose — MuJoCo's ``<equality><weld>`` maps to exactly that
+    3+3 row split. ġ ≈ ω_a − ω_b (world) for small drift, matching
+    :func:`fb_weld_jacobian`'s rows."""
+    from .freeflyer import quat_to_rot
+    from .kinematics import fk as _fk
+
+    R_wb = quat_to_rot(quat)
+    R_bl, _ = _fk(ffm.arm, q)
+    R0 = jnp.asarray(R0, q.dtype)
+    eye = jnp.eye(3, dtype=q.dtype)
+    rows = []
+    for i, (a, b) in enumerate(pairs):
+        Ra = R_wb @ R_bl[a]
+        Rb = eye if b < 0 else R_wb @ R_bl[b]
+        rows.append(_rotvec_from_matrix(Ra @ R0[i] @ Rb.T))
+    return jnp.concatenate(rows)
+
+
+def fb_weld_jacobian(ffm, quat, q, pairs):
+    """Relative ANGULAR Jacobian (3w, 6+n) over [vb (body twist); q̇]:
+    rows are ω_a − ω_b in world coordinates. For a link↔link pair the
+    base angular block cancels (both links ride the same base); a world
+    weld (b = −1) keeps it: ``R_wb [I₃ | 0 | Jang_a]``."""
+    from .freeflyer import quat_to_rot
+    from .kinematics import world_jacobian as _wj
+
+    n = ffm.n
+    R_wb = quat_to_rot(quat)
+    z3 = jnp.zeros(3, q.dtype)
+    rows = []
+    for a, b in pairs:
+        Jang_a = _wj(ffm.arm, q, a, z3)[:3]           # (3, n) base frame
+        if b >= 0:
+            arm = Jang_a - _wj(ffm.arm, q, b, z3)[:3]
+            base = jnp.zeros((3, 6), q.dtype)
+        else:
+            arm = Jang_a
+            base = jnp.concatenate([jnp.eye(3, dtype=q.dtype),
+                                    jnp.zeros((3, 3), q.dtype)], axis=1)
+        rows.append(R_wb @ jnp.concatenate([base, arm], axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
 def fb_loop_bias(ffm, quat, q, vb, qd, pairs, offsets_a, offsets_b):
     """Relative bias acceleration J̇_rel·[vb; q̇] (3k,) at zero (v̇b, q̈) —
     the difference of the contact layer's point biases."""

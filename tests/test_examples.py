@@ -28,14 +28,14 @@ _CASES = {
     "collision_envs.py": ["--envs", "8", "--steps", "40"],
     "ddp_full_newton.py": ["--steps", "10", "--iters", "3"],
     "four_bar.py": ["--iters", "15"],
-    "freeflyer_detumble.py": ["--steps", "300"],
+    "freeflyer_detumble.py": ["--steps", "2000"],  # arm fold needs ~2 s
     "friction_id.py": ["--steps", "40", "--gd-iters", "12"],
     "humanoid_posture_lqr.py": ["--steps", "1200"],
     "mjcf_randomized_ant.py": ["--envs", "4", "--steps", "60",
                                "--rand-envs", "2"],
     "newton_manifold.py": ["--iters", "20"],
     "osc_reaching.py": ["--envs", "2", "--steps", "800"],
-    "parallel_envs.py": ["--envs", "4", "--steps", "60"],
+    "parallel_envs.py": ["--envs", "4", "--steps", "450"],  # must settle
     "policy_bptt.py": ["--envs", "4", "--steps", "24", "--iters", "3"],
     "quadruped_stance.py": ["--steps", "400"],
     "rl_locomotion.py": ["--pop", "4", "--envs", "8", "--steps", "20",
