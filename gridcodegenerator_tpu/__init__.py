@@ -147,7 +147,10 @@ from .ops.freeflyer import (
 )
 from .ops.md_contact import (
     md_constrained_fd,
+    md_angular_jacobian,
     md_contact_rows,
+    md_loop_rows,
+    md_weld_rows,
     md_fk,
     md_point_jacobian,
     md_simulate_ground,
@@ -244,6 +247,7 @@ __all__ = [
     "fb_forward_dynamics_gradient", "fb_id_grad",
     "fb_inverse_dynamics", "fb_simulate",
     "md_fk", "md_point_jacobian", "md_contact_rows", "md_constrained_fd",
+    "md_angular_jacobian", "md_loop_rows", "md_weld_rows",
     "md_step_ground", "md_step_ground_batched", "md_simulate_ground",
     "MultiDofModel", "multidof_model_from_description", "md_inverse_dynamics",
     "md_forward_dynamics", "md_forward_dynamics_gradient", "md_id_grad",

@@ -161,7 +161,7 @@ class GroundEnv:
     mu_ground: Optional[float] = None
     loops: Any = None
     welds: Any = None                        # (pairs, R0): weld orientation
-    # rows; the anchor halves are merged into `loops` (fb route only)
+    # rows; the anchor halves are merged into `loops` (both routes)
     softness: Any = None                      # compliant-contact diag (soft)
     sensors: tuple = ()                       # SensorSpec rows (static)
     init_q: Optional[np.ndarray] = None       # neutral joint coords
@@ -313,6 +313,7 @@ class GroundEnv:
             limits=self.limits, effort=self.effort,
             impl=impl, diff_mode=diff_mode, terrain=self.terrain,
             ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
+            loops=self.loops, welds=self.welds,
             frictionloss=self.frictionloss, softness=self.softness)
         return (q2, qd2), imp
 
@@ -613,10 +614,6 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     welds = None
     wd = _mjcf.mjcf_welds(source) if loops == "auto" else None
     if wd is not None:
-        if kind != "fb":
-            raise NotImplementedError(
-                "<equality><weld> is supported on the free-flyer route "
-                "only (demoted freejoint / fixed-base documents)")
         wpairs, woa, wob, wR0 = wd
         if demoted:
             if any(a == 0 or b == 0 for a, b in wpairs):

@@ -146,6 +146,71 @@ def md_point_jacobian(model: MultiDofModel, R, p, link: int, x):
     return jnp.concatenate(cols, axis=1)
 
 
+def md_angular_jacobian(model: MultiDofModel, R, p, link: int):
+    """(3, nv) world ANGULAR Jacobian of ``link``: column c of joint j is
+    ``R_j · S_j[:3, c]`` for j ∈ ancestors ∪ {link} — the rotational half
+    of :func:`md_point_jacobian`'s column loop."""
+    topo = model.topology
+    nv = model.nv
+    support = set(topo.ancestors[link]) | {link}
+    cols = [jnp.zeros((3, 1), R.dtype)] * nv
+    for j in range(topo.n):
+        if j not in support:
+            continue
+        sv, wv = model.v_slices[j]
+        for c in range(wv):
+            cols[sv + c] = (R[j] @ model.S[j, :3, c])[:, None]
+    return jnp.concatenate(cols, axis=1)
+
+
+def md_loop_rows(model: MultiDofModel, q, pairs, offsets_a, offsets_b):
+    """Loop-closure (connect) rows on a multi-dof robot: ``(gaps (3L,),
+    J (3L, nv))`` — the generalized-coordinate ``fb_loop_gap/jacobian``
+    (:mod:`.loops`): gap = x_a − x_b in world coordinates, J = J_a − J_b
+    over the tangent. ``b = −1`` pins to the world (``offsets_b`` is then
+    the world anchor)."""
+    dtype = q.dtype
+    R, p = md_fk(model, q)
+    oa = jnp.asarray(offsets_a, dtype)
+    ob = jnp.asarray(offsets_b, dtype)
+    gaps, rows = [], []
+    for i, (a, b) in enumerate(pairs):
+        xa = p[a] + R[a] @ oa[i]
+        Ja = md_point_jacobian(model, R, p, int(a), xa)
+        if b < 0:
+            gaps.append(xa - ob[i])
+            rows.append(Ja)
+        else:
+            xb = p[b] + R[b] @ ob[i]
+            gaps.append(xa - xb)
+            rows.append(Ja - md_point_jacobian(model, R, p, int(b), xb))
+    return jnp.concatenate(gaps), jnp.concatenate(rows, axis=0)
+
+
+def md_weld_rows(model: MultiDofModel, q, pairs, R0):
+    """Weld ORIENTATION rows on a multi-dof robot: ``(gaps (3w,),
+    J (3w, nv))`` — gap is the world rotation vector of
+    ``R_a · R0 · R_bᵀ`` (assembly drift, ``..loops.fb_weld_gap``
+    semantics; ``b = −1`` welds to the world), J rows are ω_a − ω_b over
+    the tangent. Pair with :func:`md_loop_rows` at the anchor for the
+    full 6-row weld."""
+    from .loops import _rotvec_from_matrix
+
+    dtype = q.dtype
+    R, p = md_fk(model, q)
+    R0 = jnp.asarray(R0, dtype)
+    eye = jnp.eye(3, dtype=dtype)
+    gaps, rows = [], []
+    for i, (a, b) in enumerate(pairs):
+        Rb = eye if b < 0 else R[b]
+        gaps.append(_rotvec_from_matrix(R[a] @ R0[i] @ Rb.T))
+        Jw = md_angular_jacobian(model, R, p, int(a))
+        if b >= 0:
+            Jw = Jw - md_angular_jacobian(model, R, p, int(b))
+        rows.append(Jw)
+    return jnp.concatenate(gaps), jnp.concatenate(rows, axis=0)
+
+
 def md_contact_rows(model: MultiDofModel, q, links, offsets, ground_z=0.0,
                     terrain=None, geoms=None):
     """Contact rows for foot points (and optional ground geoms) on a
@@ -240,7 +305,8 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
                    restitution: float = 0.0, limits=None, effort=None,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, ground_geoms=None,
-                   mu_ground=None, frictionloss=None, softness=None):
+                   mu_ground=None, loops=None, welds=None,
+                   frictionloss=None, softness=None):
     """One frictional ground-contact step of a multi-dof robot — the
     generalized-coordinate ``fb_step_ground``, identical semantics
     (Stewart-Trinkle velocity stepping, gap-gated PGS cone solve, erp
@@ -256,7 +322,13 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     ``"impulse"`` (unilateral limit rows in the one PGS solve);
     ``effort (nv,)`` clamps τ to ±effort; ``frictionloss (nv,)``
     adds MuJoCo-style dry-friction BOX rows per tangent coordinate
-    (bound = loss·dt; differentiable in the loss)."""
+    (bound = loss·dt; differentiable in the loss).
+
+    ``loops = (pairs, offsets_a, offsets_b)`` adds loop-closure connect
+    cuts and ``welds = (pairs, R0)`` weld orientation rows as bilateral
+    rows in the same PGS solve (:func:`md_loop_rows` /
+    :func:`md_weld_rows` — the md counterpart of the fb steppers'
+    ``loops=``/``welds=``)."""
     if diff_mode not in ("unroll", "implicit"):
         raise ValueError(f"diff_mode must be 'unroll' or 'implicit', "
                          f"got {diff_mode!r}")
@@ -302,6 +374,20 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
         J_l = jnp.zeros((n_lim, model.nv), dtype)
         J_l = J_l.at[jnp.arange(n_lim), jnp.asarray(vidx)].set(-sign)
         J = jnp.concatenate([J, J_l], axis=0)
+    eq = 0
+    eq_gaps = []
+    if loops is not None:
+        lpairs, loa, lob = loops
+        gap_loop, J_loop = md_loop_rows(model, q, lpairs, loa, lob)
+        eq_gaps.append(gap_loop)
+        J = jnp.concatenate([J, J_loop], axis=0)
+        eq = J_loop.shape[0]
+    if welds is not None:
+        wpairs, wR0 = welds
+        gap_weld, J_weld = md_weld_rows(model, q, wpairs, wR0)
+        eq_gaps.append(gap_weld)
+        J = jnp.concatenate([J, J_weld], axis=0)
+        eq = eq + J_weld.shape[0]
     fr_bound = None
     if frictionloss is not None:
         # joint dry friction (MuJoCo frictionloss): one BOX row per
@@ -340,6 +426,10 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     if impulse_limits:
         v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
         b = b.at[3 * k:3 * k + n_lim].add(-v_star_l)
+    if eq:
+        # bilateral rows: J v⁺ = −erp·gap/dt (loop connects, then welds)
+        b = b.at[3 * k + n_lim:3 * k + n_lim + eq].add(
+            erp * jnp.concatenate(eq_gaps) / dt)
 
     mu_vec = jnp.broadcast_to(jnp.asarray(mu, dtype), (k_feet,))
     if k > k_feet:
@@ -348,7 +438,7 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
             jnp.asarray(mu_g, dtype), (k - k_feet,))])
     p_imp = pgs_solve(G, b, mu_vec, active, iters, lim_active=lim_active,
                       implicit_diff=(diff_mode == "implicit"), relax=relax,
-                      fric_bound=fr_bound)
+                      eq_rows=eq, fric_bound=fr_bound)
 
     v_new = v_free + MiJt @ p_imp
     q2 = md_tangent_apply(model, q, dt * v_new)
@@ -367,8 +457,8 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
                            limit_mode: str = "project",
                            impl: str = "auto", diff_mode: str = "unroll",
                            relax: float = 1.0, terrain=None,
-                           ground_geoms=None, mu_ground=None,
-                           frictionloss=None, softness=None):
+                           ground_geoms=None, mu_ground=None, loops=None,
+                           welds=None, frictionloss=None, softness=None):
     """Batched :func:`md_step_ground`: ``q (B, nq)``, ``qd/tau (B, nv)``,
     optional per-environment ``mu (B,)`` → ``((q⁺, q̇⁺), impulses
     (B, k_t, 3))``. ``limits``/``effort``/``limit_mode``/``frictionloss``
@@ -379,10 +469,10 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
     (:func:`.kernels.md_contact_fused.md_step_ground_fused`) when the
     shape qualifies: flat plane, ``diff_mode="unroll"``, ``relax == 1``,
     static scalar ``mu_ground`` and concrete geom geometry. Heightfield
-    terrain, implicit-diff, traced geometry, impulse-mode limits, and
-    frictionloss run the vmap tier; effort clamps and PROJECT-mode
-    limits compose with the fused kernel (clamp before, projection
-    after, both pure XLA)."""
+    terrain, implicit-diff, traced geometry, impulse-mode limits,
+    loop/weld rows, and frictionloss run the vmap tier; effort clamps
+    and PROJECT-mode limits compose with the fused kernel (clamp
+    before, projection after, both pure XLA)."""
     from .contact import _impl_auto, _mu_to_bl
 
     if limit_mode not in ("project", "impulse"):
@@ -410,6 +500,7 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
     if (_impl_auto(impl, q) == "pallas" and terrain is None
             and diff_mode == "unroll" and relax == 1.0
             and not impulse_limits and frictionloss is None
+            and loops is None and welds is None
             and mu_ground_static and softness_concrete):
         from .kernels import md_contact_fused as _mcf
 
@@ -441,8 +532,8 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
             margin=margin, restitution=restitution, limits=limits,
             limit_mode=limit_mode, diff_mode=diff_mode,
             relax=relax, terrain=terrain, ground_geoms=ground_geoms,
-            mu_ground=mu_ground, frictionloss=frictionloss,
-            softness=softness)
+            mu_ground=mu_ground, loops=loops, welds=welds,
+            frictionloss=frictionloss, softness=softness)
 
     return jax.vmap(step1, in_axes=in_axes)(q, qd, tau, mu_arr)
 
