@@ -98,11 +98,13 @@ def _md_joint_grants(mdm, desc, use_limits: bool = True):
     for j in range(n):
         qs, qw = mdm.q_slices[j]
         vs, vw = mdm.v_slices[j]
-        if qw == 1:
-            if desc.q_lower is not None:
-                lo[qs], hi[qs] = desc.q_lower[j], desc.q_upper[j]
-            if desc.effort is not None:
-                eff[vs] = desc.effort[j]
+        if qw == 1 and desc.q_lower is not None:
+            lo[qs], hi[qs] = desc.q_lower[j], desc.q_upper[j]
+        # effort and frictionloss expand componentwise to EVERY tangent
+        # coordinate of the joint (a ball's actuatorfrcrange clamps each
+        # of its 3 torque rows, matching the frictionloss treatment)
+        if desc.effort is not None:
+            eff[vs:vs + vw] = desc.effort[j]
         if desc.frictionloss is not None:
             fl[vs:vs + vw] = desc.frictionloss[j]
     limits = ((lo, hi) if use_limits and np.any(np.isfinite(lo) |
@@ -511,7 +513,9 @@ def _resolve_sensors(raw, source, desc, kind, model, demoted, sites, act):
 def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
                     feet=None, collision: bool = False,
                     ground_geoms: bool = False, terrain=None,
-                    loops: str | bool = "auto", use_limits: bool = True,
+                    loops: str | bool = "auto",
+                    welds: str | bool | tuple = "auto",
+                    use_limits: bool = True,
                     sensors: str | tuple = "auto",
                     init_height: float = 0.5, dtype=jnp.float32,
                     **opts) -> GroundEnv:
@@ -521,7 +525,9 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     (``parse_mjcf``), foot anchors (``feet=`` site names, or every site
     named ``foot*``/``toe*``), the actuator block (``ctrl → τ`` gearing and
     ctrlranges), joint limits, loop-closure ``<equality><connect>`` cuts
-    (``loops="auto"``), the ``<sensor>`` block (``sensors="auto"`` →
+    (``loops="auto"``) and ``<equality><weld>`` constraints
+    (``welds="auto"``; anchor rows merge into the loop cuts, orientation
+    rows ride ``welds=`` on the steppers), the ``<sensor>`` block (``sensors="auto"`` →
     :meth:`GroundEnv.sensordata`; pass ``sensors=()`` to skip or a tuple
     of :class:`~.models.mjcf.MjcfSensor` rows to override), and — opt-in,
     they add cone rows per environment — capsule/sphere collision geoms
@@ -611,8 +617,11 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     if lp is not None and demoted:
         pairs, oa, ob = lp
         lp = (tuple((remap(a), remap(b)) for a, b in pairs), oa, ob)
+    # welds are parsed independently of the loops= override: passing
+    # explicit loop cuts must not silently drop the document's welds
+    # (welds=False opts out; an explicit (pairs, oa, ob, R0) overrides)
+    wd = _mjcf.mjcf_welds(source) if welds == "auto" else (welds or None)
     welds = None
-    wd = _mjcf.mjcf_welds(source) if loops == "auto" else None
     if wd is not None:
         wpairs, woa, wob, wR0 = wd
         if demoted:

@@ -978,15 +978,15 @@ def soft_contact_params(kp, kd, dt):
         fb_step_ground_batched(..., erp=erp, softness=soft)
     """
     denom = dt * kp + kd
-    try:
-        bad = float(denom) <= 0.0
-    except TypeError:      # traced kp/kd (identification): caller's problem
+    try:                   # scalar OR per-contact array kp/kd
+        bad = bool(np.any(np.asarray(denom) <= 0.0))
+    except Exception:      # traced kp/kd (identification): caller's problem
         bad = False
     if bad:
         raise ValueError(
-            f"soft_contact_params: dt*kp + kd = {float(denom):g} must be "
-            "positive (kp and kd cannot both be zero/negative) — erp and "
-            "softness would be inf/NaN")
+            f"soft_contact_params: dt*kp + kd = {np.asarray(denom)} must "
+            "be positive everywhere (kp and kd cannot both be "
+            "zero/negative) — erp and softness would be inf/NaN")
     return dt * kp / denom, 1.0 / (dt * denom)
 
 
@@ -996,6 +996,52 @@ def _softness_rows(softness, k, dtype):
     tangent rows soften with the normal, MuJoCo-style)."""
     s = jnp.broadcast_to(jnp.asarray(softness, dtype), (k,))
     return jnp.repeat(s, 3)
+
+
+def _limit_rows(q_sel, lo, hi, margin, cols, width, dtype):
+    """Unilateral joint-limit rows shared by the fb and md single-state
+    steppers: one normal-only row per scalar joint, direction −s·e_col
+    (the direction that INCREASES the distance-to-bound "gap"): s = +1
+    near the upper bound, −1 near the lower; gap g = hi−q or q−lo, ġ =
+    −s·q̇, recovered with the same erp semantics as contacts. ±inf
+    bounds never activate; their gap is kept finite for the math.
+    Returns ``(J_l (m, width), lim_active (m,), lim_gap (m,))``."""
+    lim_margin = 10.0 * margin
+    s_hi = (q_sel > hi - lim_margin)
+    s_lo = (q_sel < lo + lim_margin)
+    sign = s_hi.astype(dtype) - s_lo.astype(dtype)
+    lim_active = (s_hi | s_lo).astype(dtype)
+    lim_gap = jnp.where(s_lo, q_sel - lo, hi - q_sel)
+    lim_gap = jnp.where(jnp.isfinite(lim_gap), lim_gap, 1.0)
+    m = q_sel.shape[0]
+    J_l = jnp.zeros((m, width), dtype)
+    J_l = J_l.at[jnp.arange(m), jnp.asarray(cols)].set(-sign)
+    return J_l, lim_active, lim_gap
+
+
+def _fric_box_rows(frictionloss, cols, width, dt, dtype):
+    """Dry-friction BOX rows shared by the fb and md single-state
+    steppers (MuJoCo ``frictionloss``): one row per coordinate with
+    loss > 0 selecting tangent column ``cols[i]``; bound = loss·dt.
+    Static zero losses are dropped at trace time; traced losses keep
+    every row (differentiable — friction identification). Returns
+    ``(J_f, fr_bound)`` or ``(None, None)`` when no row survives."""
+    cols = np.asarray(cols)
+    if isinstance(frictionloss, jax.core.Tracer):
+        fsel = np.arange(len(cols))
+        fl = jnp.asarray(frictionloss, dtype)
+    else:
+        fl_np = np.asarray(frictionloss, np.float64)
+        fsel = np.nonzero(fl_np)[0]
+        fl = jnp.asarray(fl_np[fsel], dtype)
+    if fsel.size == 0:
+        return None, None
+    J_f = jnp.zeros((len(fsel), width), dtype)
+    J_f = J_f.at[jnp.arange(len(fsel)),
+                 jnp.asarray(cols[fsel])].set(1.0)
+    bound = (fl[jnp.asarray(fsel)]
+             if isinstance(frictionloss, jax.core.Tracer) else fl) * dt
+    return J_f, bound
 
 
 def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
@@ -1147,22 +1193,10 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
 
     lim_active = None
     if impulse_limits:
-        # one normal-only row per joint, direction −s·e_{6+j} (the
-        # direction that INCREASES the distance-to-bound "gap"): s = +1
-        # near the upper bound, −1 near the lower; gap g = hi−q or q−lo,
-        # ġ = −s·q̇, recovered with the same erp semantics as contacts
-        lo = jnp.asarray(limits[0], q.dtype)
-        hi = jnp.asarray(limits[1], q.dtype)
-        lim_margin = 10.0 * margin
-        s_hi = (q > hi - lim_margin)
-        s_lo = (q < lo + lim_margin)
-        sign = s_hi.astype(q.dtype) - s_lo.astype(q.dtype)
-        lim_active = (s_hi | s_lo).astype(q.dtype)
-        lim_gap = jnp.where(s_lo, q - lo, hi - q)
-        # ±inf bounds never activate; keep their gap finite for the math
-        lim_gap = jnp.where(jnp.isfinite(lim_gap), lim_gap, 1.0)
-        J_l = jnp.concatenate(
-            [jnp.zeros((n, 6), q.dtype), jnp.diag(-sign)], axis=1)
+        J_l, lim_active, lim_gap = _limit_rows(
+            q, jnp.asarray(limits[0], q.dtype),
+            jnp.asarray(limits[1], q.dtype), margin,
+            6 + np.arange(n), 6 + n, q.dtype)
         J = jnp.concatenate([J, J_l], axis=0)
     n_lim = J.shape[0] - 3 * k
     eq = 0
@@ -1186,25 +1220,10 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         eq = eq + J_weld.shape[0]
     fr_bound = None
     if frictionloss is not None:
-        # joint dry friction (MuJoCo frictionloss): one BOX row per joint
-        # selecting its velocity; bound = loss·dt. Static zero losses are
-        # dropped at trace time; traced losses keep every row
-        # (differentiable — friction identification).
-        if isinstance(frictionloss, jax.core.Tracer):
-            fsel = list(range(n))
-            fl = frictionloss
-        else:
-            fl_np = np.asarray(frictionloss, np.float64)
-            fsel = [int(i) for i in np.nonzero(fl_np)[0]]
-            fl = jnp.asarray(fl_np[fsel], q.dtype)
-        if fsel:
-            J_f = jnp.zeros((len(fsel), 6 + n), q.dtype)
-            J_f = J_f.at[jnp.arange(len(fsel)),
-                         6 + jnp.asarray(fsel)].set(1.0)
+        J_f, fr_bound = _fric_box_rows(frictionloss, 6 + np.arange(n),
+                                       6 + n, dt, q.dtype)
+        if J_f is not None:
             J = jnp.concatenate([J, J_f], axis=0)
-            fr_bound = (jnp.asarray(fl, q.dtype)[jnp.asarray(fsel)]
-                        if isinstance(frictionloss, jax.core.Tracer)
-                        else fl) * dt
     MiJt = msolve(J.T)
     G = J @ MiJt + 1e-9 * jnp.eye(J.shape[0], dtype=q.dtype)
     if softness is not None:

@@ -124,43 +124,50 @@ def md_fk(model: MultiDofModel, q):
     return jnp.stack(Rs), jnp.stack(ps)
 
 
-def md_point_jacobian(model: MultiDofModel, R, p, link: int, x):
-    """(3, nv) world linear Jacobian of a (traced) point ``x`` rigidly
-    attached to ``link``, given FK poses (R, p). Column c of joint j (one
-    per tangent coordinate): ``a_ω × (x − p_j) + a_v`` with
-    ``[a_ω; a_v] = blockdiag(R_j, R_j) · S_j[:, c]`` — the multi-dof
-    generalization of ``collision._arm_point_jac``'s trace-time-sparse
-    column loop."""
+def _md_jac_cols(model: MultiDofModel, R, p, link: int, x=None):
+    """Trace-time-sparse per-tangent-coordinate world motion columns of
+    ``link``: ``(Jang (3, nv), Jlin (3, nv) | None)`` — column c of
+    joint j is ``a_ω = R_j·S_j[:3, c]`` (angular) and
+    ``a_ω × (x − p_j) + R_j·S_j[3:, c]`` (linear, needs the point
+    ``x``). One column loop serves both Jacobian flavors; unused
+    angular output is DCE'd by XLA."""
     topo = model.topology
     nv = model.nv
     support = set(topo.ancestors[link]) | {link}
-    cols = [jnp.zeros((3, 1), x.dtype)] * nv
+    acols = [jnp.zeros((3, 1), R.dtype)] * nv
+    lcols = None if x is None else [jnp.zeros((3, 1), x.dtype)] * nv
     for j in range(topo.n):
         if j not in support:
             continue
         sv, wv = model.v_slices[j]
         for c in range(wv):
             a_ang = R[j] @ model.S[j, :3, c]
-            a_lin = R[j] @ model.S[j, 3:, c]
-            cols[sv + c] = (jnp.cross(a_ang, x - p[j]) + a_lin)[:, None]
-    return jnp.concatenate(cols, axis=1)
+            acols[sv + c] = a_ang[:, None]
+            if x is not None:
+                a_lin = R[j] @ model.S[j, 3:, c]
+                lcols[sv + c] = (jnp.cross(a_ang, x - p[j])
+                                 + a_lin)[:, None]
+    return (jnp.concatenate(acols, axis=1),
+            None if x is None else jnp.concatenate(lcols, axis=1))
+
+
+def md_point_jacobian(model: MultiDofModel, R, p, link: int, x):
+    """(3, nv) world linear Jacobian of a (traced) point ``x`` rigidly
+    attached to ``link``, given FK poses (R, p). Column c of joint j (one
+    per tangent coordinate): ``a_ω × (x − p_j) + a_v`` with
+    ``[a_ω; a_v] = blockdiag(R_j, R_j) · S_j[:, c]`` — the multi-dof
+    generalization of ``collision._arm_point_jac``'s trace-time-sparse
+    column loop (shared with :func:`md_angular_jacobian` via
+    :func:`_md_jac_cols`)."""
+    return _md_jac_cols(model, R, p, link, x)[1]
 
 
 def md_angular_jacobian(model: MultiDofModel, R, p, link: int):
     """(3, nv) world ANGULAR Jacobian of ``link``: column c of joint j is
     ``R_j · S_j[:3, c]`` for j ∈ ancestors ∪ {link} — the rotational half
-    of :func:`md_point_jacobian`'s column loop."""
-    topo = model.topology
-    nv = model.nv
-    support = set(topo.ancestors[link]) | {link}
-    cols = [jnp.zeros((3, 1), R.dtype)] * nv
-    for j in range(topo.n):
-        if j not in support:
-            continue
-        sv, wv = model.v_slices[j]
-        for c in range(wv):
-            cols[sv + c] = (R[j] @ model.S[j, :3, c])[:, None]
-    return jnp.concatenate(cols, axis=1)
+    of :func:`md_point_jacobian`'s column loop (``p`` accepted for
+    signature symmetry; positions don't enter the angular columns)."""
+    return _md_jac_cols(model, R, p, link)[0]
 
 
 def md_loop_rows(model: MultiDofModel, q, pairs, offsets_a, offsets_b):
@@ -356,23 +363,15 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     lim_active = None
     n_lim = 0
     if impulse_limits:
-        # one normal-only row per SCALAR joint, direction −s·e_{vidx}
-        # (the direction that increases the distance-to-bound "gap") —
-        # exactly ..contact.fb_step_ground's limit rows, on the tangent
+        # one normal-only row per SCALAR joint on its tangent column —
+        # ..contact._limit_rows, exactly the fb stepper's machinery
+        from .contact import _limit_rows
         qidx, vidx = _md_scalar_coords(model)
-        lo = jnp.asarray(limits[0], dtype)[qidx]
-        hi = jnp.asarray(limits[1], dtype)[qidx]
-        qs = q[qidx]
-        lim_margin = 10.0 * margin
-        s_hi = (qs > hi - lim_margin)
-        s_lo = (qs < lo + lim_margin)
-        sign = s_hi.astype(dtype) - s_lo.astype(dtype)
-        lim_active = (s_hi | s_lo).astype(dtype)
-        lim_gap = jnp.where(s_lo, qs - lo, hi - qs)
-        lim_gap = jnp.where(jnp.isfinite(lim_gap), lim_gap, 1.0)
+        J_l, lim_active, lim_gap = _limit_rows(
+            q[qidx], jnp.asarray(limits[0], dtype)[qidx],
+            jnp.asarray(limits[1], dtype)[qidx], margin, vidx,
+            model.nv, dtype)
         n_lim = int(qidx.size)
-        J_l = jnp.zeros((n_lim, model.nv), dtype)
-        J_l = J_l.at[jnp.arange(n_lim), jnp.asarray(vidx)].set(-sign)
         J = jnp.concatenate([J, J_l], axis=0)
     eq = 0
     eq_gaps = []
@@ -390,26 +389,14 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
         eq = eq + J_weld.shape[0]
     fr_bound = None
     if frictionloss is not None:
-        # joint dry friction (MuJoCo frictionloss): one BOX row per
-        # tangent coordinate with loss > 0 (bound = loss·dt); static
-        # zero losses are dropped at trace time, traced losses keep
-        # every row (friction identification). Ball/free joints get
-        # componentwise dry friction on their tangent rows.
-        if isinstance(frictionloss, jax.core.Tracer):
-            fsel = list(range(model.nv))
-            fl = frictionloss
-        else:
-            fl_np = np.asarray(frictionloss, np.float64)
-            fsel = [int(i) for i in np.nonzero(fl_np)[0]]
-            fl = jnp.asarray(fl_np[fsel], dtype)
-        if fsel:
-            J_f = jnp.zeros((len(fsel), model.nv), dtype)
-            J_f = J_f.at[jnp.arange(len(fsel)),
-                         jnp.asarray(fsel)].set(1.0)
+        # dry-friction BOX rows per tangent coordinate — ball/free
+        # joints get componentwise friction (..contact._fric_box_rows)
+        from .contact import _fric_box_rows
+        J_f, fr_bound = _fric_box_rows(frictionloss,
+                                       np.arange(model.nv), model.nv,
+                                       dt, dtype)
+        if J_f is not None:
             J = jnp.concatenate([J, J_f], axis=0)
-            fr_bound = (jnp.asarray(fl, dtype)[jnp.asarray(fsel)]
-                        if isinstance(frictionloss, jax.core.Tracer)
-                        else fl) * dt
 
     MiJt = msolve(J.T)
     G = J @ MiJt + 1e-9 * jnp.eye(J.shape[0], dtype=dtype)

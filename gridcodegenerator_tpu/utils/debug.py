@@ -106,10 +106,6 @@ def jax_rnea_trace(model: RobotModel, q, qd, qdd=None, gravity=-9.81):
     return c
 
 
-def _fmt_label(name, i=None):
-    return f"{name}[{i}]" if i is not None else name
-
-
 _GRAD_STAGES = ("Iv", "Xv", "Xa", "SxXv", "SxXa", "Sxv", "Sxf",
                 "dv_dq", "dv_dqd", "da_dq", "da_dqd",
                 "df_dq_local", "df_dqd_local", "df_dq", "df_dqd")

@@ -1,5 +1,5 @@
 """Execute every example script (VERDICT r3 weak #6 / next #5): the
-17-script showcase layer (iLQR, DDP, BPTT, RL, identification, OSC,
+16-script showcase layer (iLQR, DDP, BPTT, RL, identification, OSC,
 Newton-on-manifold, loop closures …) regressed invisibly because nothing
 ran it. This tier runs each script in a subprocess with ``--cpu`` and
 reduced sizes — small enough for a 1-core host, large enough that each
