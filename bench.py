@@ -138,15 +138,15 @@ def main():
 
     import jax
     if os.environ.get("BENCH_CPU"):  # logic-testing escape hatch: run the
-        # whole protocol on host CPU (phase 1/2 then degrade gracefully).
-        # No persistent cache on CPU — XLA:CPU AOT read-back segfaults in
-        # this jaxlib (tests/conftest.py postmortem).
+        # whole protocol on host CPU (phase 1/2 then degrade gracefully);
+        # per-host CPU cache dir (see gridcodegenerator_tpu/utils/cache.py)
         jax.config.update("jax_platforms", "cpu")
+        from gridcodegenerator_tpu.utils.cache import cpu_cache_dir
+        cache_dir = cpu_cache_dir()
     else:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          1.0)
+        cache_dir = "/root/repo/.jax_cache"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import gridcodegenerator_tpu as g

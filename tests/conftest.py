@@ -24,18 +24,21 @@ if not _TPU_TIER:
     jax.config.update("jax_platforms", "cpu")  # axon is never initialized
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_num_cpu_devices", 8)  # virtual mesh devices
-# Persistent compilation cache: TPU tier ONLY. XLA:CPU AOT deserialization
-# is unreliable in this jaxlib — reading back a CPU entry (even one written
-# seconds earlier BY THE SAME HOST) segfaults nondeterministically once the
-# process has run other executables (r4s1 postmortem: repeatable crash in
-# compilation_cache.get_executable_and_time under cpu_aot_loader
-# machine-feature warnings; the AOT pipeline bakes +prefer-no-scatter/-gather
-# target features every host then fails to match). No cache dir on CPU ⇒
-# reads always miss ⇒ nothing ever deserializes. TPU executables carry no
-# host coupling and share /root/repo/.jax_cache with bench.py.
+# Persistent compilation cache. TPU tier: the shared TPU dir. CPU tier: a
+# PER-HOST-CPU dir (gridcodegenerator_tpu.utils.cache — full postmortem
+# there): foreign-host XLA:CPU AOT entries can crash on load, and — the
+# reason the cache is load-bearing, not just a speedup — XLA:CPU
+# compilation itself segfaults nondeterministically once one process has
+# compiled O(hundreds) of programs (r4s1: repeatable at ~30% of a cold
+# full-suite run). A warm cache keeps suite runs far below that horizon;
+# a cold warm-up run that crashes mid-way keeps its written entries, so
+# rerunning converges.
 if _TPU_TIER:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+else:
+    from gridcodegenerator_tpu.utils.cache import cpu_cache_dir
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
