@@ -180,9 +180,9 @@ from .models.robot import (RobotModel, load_robot,
                            robot_model_from_description, with_armature)
 from .models.topology import Topology
 from .models.urdf import RobotDescription, parse_urdf
-from .models.mjcf import (MjcfActuation, MjcfSite, mjcf_actuators,
-                          mjcf_collision_model, mjcf_loops, mjcf_sites, mjcf_welds,
-                          parse_mjcf)
+from .models.mjcf import (MjcfActuation, MjcfSite, MjcfTendons,
+                          mjcf_actuators, mjcf_collision_model, mjcf_loops,
+                          mjcf_sites, mjcf_tendons, mjcf_welds, parse_mjcf)
 from .envs import GroundEnv, make_ground_env, make_ground_env_urdf
 from .models.urdf import demote_floating_root
 from .utils.golden import GoldenDynamics
@@ -198,6 +198,7 @@ __all__ = [
     "demote_floating_root",
     "load_robot", "parse_urdf", "parse_mjcf", "mjcf_collision_model",
     "mjcf_sites", "mjcf_actuators", "mjcf_loops", "mjcf_welds",
+    "mjcf_tendons", "MjcfTendons",
     "fb_weld_gap", "fb_weld_jacobian",
     "MjcfSite", "MjcfActuation",
     "randomize_model", "scale_links", "vmap_model", "model_axes",

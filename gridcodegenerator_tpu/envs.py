@@ -82,6 +82,39 @@ def _act_arrays_md(act, mdm):
     return np.asarray(vidx, np.int64), np.asarray(qidx, np.int64)
 
 
+def _joint_matrix_to_env(M, kind, model, demoted, what="tendon"):
+    """Expand a per-moving-joint coefficient matrix ``M (r, n_doc)`` (a
+    tendon coef table or an actuator moment table over the document's
+    moving joints) to the env's coordinate layouts: returns ``(M_q, M_v)``
+    — fb: both are the arm's (r, n) joint matrix (root free-joint column
+    dropped after checking it is unused); md: (r, nq) / (r, nv) with the
+    coefficients on each scalar joint's q-slot / tangent row (multi-dof
+    joints must carry zero coefficients — no scalar coordinate exists)."""
+    M = np.asarray(M, np.float64)
+    if kind == "fb":
+        if demoted:
+            if np.any(M[:, 0] != 0.0):
+                raise ValueError(
+                    f"a {what} coefficient sits on the root free joint — "
+                    "not representable on the free-flyer base")
+            M = M[:, 1:]
+        return M, M
+    A_q = np.zeros((M.shape[0], model.nq))
+    A_v = np.zeros((M.shape[0], model.nv))
+    for j in range(len(model.q_slices)):
+        if not np.any(M[:, j]):
+            continue
+        qs, qw = model.q_slices[j]
+        vs, vw = model.v_slices[j]
+        if qw != 1 or vw != 1:
+            raise ValueError(
+                f"a {what} coefficient sits on multi-dof joint {j} "
+                f"(width {vw}) — scalar (hinge/slide) joints only")
+        A_q[:, qs] = M[:, j]
+        A_v[:, vs] = M[:, j]
+    return A_q, A_v
+
+
 def _md_joint_grants(mdm, desc, use_limits: bool = True):
     """Expand the document's per-JOINT limit/effort/frictionloss grants
     to the multi-dof model's coordinate layouts: ``limits`` as (nq,)
@@ -150,6 +183,11 @@ class GroundEnv:
     act_fhi: Optional[np.ndarray] = None
     ctrl_lower: Optional[np.ndarray] = None   # (a,)
     ctrl_upper: Optional[np.ndarray] = None
+    # generic (moment-matrix) transmission — set when any actuator drives
+    # a fixed tendon: actuator length = moment_q·q, applied torque =
+    # force·moment_v (gear folded in); overrides the indexed path above
+    act_moment_q: Optional[np.ndarray] = None  # (a, nq_env)
+    act_moment_v: Optional[np.ndarray] = None  # (a, nv_env)
     # joint constraints, both routes: fb shapes are per joint ((n,));
     # md shapes are per q-coordinate for limits ((nq,), ±inf on
     # ball/free slots) and per tangent coordinate ((nv,)) for the rest
@@ -164,6 +202,11 @@ class GroundEnv:
     loops: Any = None
     welds: Any = None                        # (pairs, R0): weld orientation
     # rows; the anchor halves are merged into `loops` (both routes)
+    # fixed tendons (MJCF <tendon><fixed>), env coordinate layouts:
+    tendons: Any = None       # (A_q, A_v, lo, hi) — range rows for the
+    # steppers' tendons= (limited tendons only)
+    tendon_passive: Any = None  # (A_q, A_v, stiffness, damping, L0) —
+    # passive spring/damper tendons, added to τ each step
     softness: Any = None                      # compliant-contact diag (soft)
     sensors: tuple = ()                       # SensorSpec rows (static)
     init_q: Optional[np.ndarray] = None       # neutral joint coords
@@ -254,10 +297,17 @@ class GroundEnv:
             qf, qdf = state[2], state[4]
         else:
             qf, qdf = state[0], state[1]
-        g = arr(self.act_gear)
-        f = (arr(self.act_gain) * c
-             + arr(self.act_bias_q) * (g * qf[..., self.act_qidx])
-             + arr(self.act_bias_v) * (g * qdf[..., self.act_vidx]))
+        if self.act_moment_q is not None:
+            # moment-matrix transmission (tendon actuators): length /
+            # velocity are moment·q / moment·q̇, gear folded in
+            ln = qf @ arr(self.act_moment_q).T
+            vel = qdf @ arr(self.act_moment_v).T
+        else:
+            g = arr(self.act_gear)
+            ln = g * qf[..., self.act_qidx]
+            vel = g * qdf[..., self.act_vidx]
+        f = (arr(self.act_gain) * c + arr(self.act_bias_q) * ln
+             + arr(self.act_bias_v) * vel)
         flo = np.where(np.isfinite(self.act_flo), self.act_flo, -1e30)
         fhi = np.where(np.isfinite(self.act_fhi), self.act_fhi, 1e30)
         return jnp.clip(f, arr(flo), arr(fhi))
@@ -273,6 +323,8 @@ class GroundEnv:
         dtype = ctrl.dtype
         n_tau = self.model.n if self.kind == "fb" else self.model.nv
         f = self.actuator_force(state, ctrl)
+        if self.act_moment_v is not None:
+            return f @ jnp.asarray(self.act_moment_v, dtype)
         g = jnp.asarray(self.act_gear, dtype)
         tau = jnp.zeros(ctrl.shape[:-1] + (n_tau,), dtype)
         return tau.at[..., self.act_vidx].add(g * f)
@@ -288,6 +340,21 @@ class GroundEnv:
         push-perturbation idiom; rides the fused kernels."""
         dtype = state[0].dtype
         tau = self.actuator_torque(state, jnp.asarray(ctrl, dtype))
+        if self.tendon_passive is not None:
+            # passive tendon spring/damper forces (MuJoCo's fixed-tendon
+            # stiffness/damping): F = −k·(L − L0) − b·L̇, τ += F·A_v
+            A_q, A_v, k_t, b_t, L0 = self.tendon_passive
+            qf, qdf = ((state[2], state[4]) if self.kind == "fb"
+                       else (state[0], state[1]))
+            arr = lambda a: jnp.asarray(a, dtype)
+            F = -(arr(k_t) * (qf @ arr(A_q).T - arr(L0))
+                  + arr(b_t) * (qdf @ arr(A_v).T))
+            tau = tau + F @ arr(A_v)
+        tnd_fb = tnd_md = None
+        if self.tendons is not None:
+            A_q, A_v, t_lo, t_hi = self.tendons
+            tnd_fb = (A_v, t_lo, t_hi)
+            tnd_md = (A_q, A_v, t_lo, t_hi)
         if self.kind == "fb":
             return _ct.fb_step_ground_batched(
                 self.model, state, tau, self.dt, self.feet, self.offsets,
@@ -299,7 +366,8 @@ class GroundEnv:
                 collision=self.collision, mu_collision=self.mu_collision,
                 ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
                 loops=self.loops, welds=self.welds, f_base=push,
-                frictionloss=self.frictionloss, softness=self.softness)
+                frictionloss=self.frictionloss, softness=self.softness,
+                tendons=tnd_fb)
         q, qd = state
         if push is not None:
             # a floating root's first 6 velocity rows ARE the base wrench
@@ -316,7 +384,8 @@ class GroundEnv:
             impl=impl, diff_mode=diff_mode, terrain=self.terrain,
             ground_geoms=self.ground_geoms, mu_ground=self.mu_ground,
             loops=self.loops, welds=self.welds,
-            frictionloss=self.frictionloss, softness=self.softness)
+            frictionloss=self.frictionloss, softness=self.softness,
+            tendons=tnd_md)
         return (q2, qd2), imp
 
     def rollout(self, state, ctrls, impl: str = "auto", pushes=None,
@@ -462,6 +531,7 @@ def _resolve_sensors(raw, source, desc, kind, model, demoted, sites, act):
     joint erased; md: tree links / q- and v-slice offsets)."""
     bodies = _mjcf.mjcf_bodies(source) if any(
         s.objtype == "body" for s in raw) else {}
+    tend_rows = None                     # lazy: (names, A_q, A_v)
     jmap = {nm: i for i, nm in enumerate(desc.topology.joint_names)}
     remap = (lambda l: l - 1 if l >= 0 else l) if demoted else (lambda l: l)
     specs = []
@@ -500,6 +570,21 @@ def _resolve_sensors(raw, source, desc, kind, model, demoted, sites, act):
                 kind=sr.kind, name=sr.name, link=remap(rec.link),
                 pos=np.asarray(rec.pos, np.float64),
                 R=np.asarray(rec.R, np.float64)))
+        elif sr.objtype == "tendon":
+            if tend_rows is None:
+                tend = _mjcf.mjcf_tendons(source)
+                tend_rows = (tend.names,
+                             *_joint_matrix_to_env(tend.coef, kind, model,
+                                                   demoted))
+            t_names, A_q, A_v = tend_rows
+            if sr.obj not in t_names:
+                raise ValueError(
+                    f"sensor {sr.name!r} references unknown tendon "
+                    f"{sr.obj!r}")
+            ti = t_names.index(sr.obj)
+            specs.append(_sn.SensorSpec(
+                kind=sr.kind, name=sr.name, coord=ti,
+                row=(A_q if sr.kind == "tendonpos" else A_v)[ti].copy()))
         else:                                     # actuator
             if sr.obj not in act.names:
                 raise ValueError(
@@ -569,20 +654,46 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
     act_kw = {}
     act = _mjcf.mjcf_actuators(source)
     if len(act.joint):
-        if kind == "fb":
-            vidx, qidx = _act_arrays_fb(act, model.n, demoted)
-        else:
-            vidx, qidx = _act_arrays_md(act, model)
         gain, bias_q, bias_v = act.gains()
         flo = (act.force_lower if act.force_lower is not None
                else np.full(len(act.joint), -np.inf))
         fhi = (act.force_upper if act.force_upper is not None
                else np.full(len(act.joint), np.inf))
-        act_kw = dict(act_vidx=vidx, act_qidx=qidx,
-                      act_gear=np.asarray(act.gear), act_gain=gain,
+        act_kw = dict(act_gear=np.asarray(act.gear), act_gain=gain,
                       act_bias_q=bias_q, act_bias_v=bias_v,
                       act_flo=flo, act_fhi=fhi,
                       ctrl_lower=act.ctrl_lower, ctrl_upper=act.ctrl_upper)
+        if act.tendon is not None and np.any(act.tendon >= 0):
+            # tendon transmission somewhere → the moment-matrix path for
+            # the whole block (its joint rows are gear·e_j, identical to
+            # the indexed path); the expansion's own guards catch a
+            # moment on the root free joint / a multi-dof joint
+            mq, mv = _joint_matrix_to_env(act.moment, kind, model,
+                                          demoted, what="actuator moment")
+            act_kw.update(
+                act_vidx=np.full(len(act.joint), -1, np.int64),
+                act_qidx=np.full(len(act.joint), -1, np.int64),
+                act_moment_q=mq, act_moment_v=mv)
+        else:
+            if kind == "fb":
+                vidx, qidx = _act_arrays_fb(act, model.n, demoted)
+            else:
+                vidx, qidx = _act_arrays_md(act, model)
+            act_kw.update(act_vidx=vidx, act_qidx=qidx)
+
+    tend_kw = {}
+    tend = _mjcf.mjcf_tendons(source)
+    if len(tend.names):
+        A_q, A_v = _joint_matrix_to_env(tend.coef, kind, model, demoted)
+        lm = tend.limited
+        if use_limits and lm.any():
+            tend_kw["tendons"] = (A_q[lm], A_v[lm], tend.lo[lm],
+                                  tend.hi[lm])
+        pm = (tend.stiffness > 0) | (tend.damping > 0)
+        if pm.any():
+            tend_kw["tendon_passive"] = (
+                A_q[pm], A_v[pm], tend.stiffness[pm], tend.damping[pm],
+                tend.springlength[pm])
 
     limits = effort = fl = None
     if kind == "fb":
@@ -653,7 +764,7 @@ def make_ground_env(source: str, *, dt: float = 2e-3, mu: float = 0.8,
                      effort=effort, frictionloss=fl, terrain=terrain,
                      collision=cm, ground_geoms=gg, loops=lp, welds=welds,
                      sensors=sens, init_height=init_height, **act_kw,
-                     **opts)
+                     **tend_kw, **opts)
 
 
 def make_ground_env_urdf(urdf: str, feet, offsets, *, dt: float = 2e-3,

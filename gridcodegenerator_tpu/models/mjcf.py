@@ -40,11 +40,19 @@ Supported MJCF subset (stdlib ``xml.etree``, no MuJoCo dependency):
   lumped through the accumulated fixed transform), exactly like the URDF
   parser's fixed-joint merging.
 
-Not supported (raises or ignored, see code): ``<include>``, tendons,
-equality constraints, actuators beyond force ranges, sites, sensors,
-``coordinate="global"`` (removed from modern MuJoCo). Collision geometry is
-parsed structurally but only consumed for inertia synthesis here — build
-:class:`~..ops.collision.CollisionModel` sets separately.
+Beyond the kinematic tree, the document's auxiliary blocks are parsed by
+dedicated accessors: ``<equality>`` (:func:`mjcf_loops` / :func:`mjcf_welds`
+/ mimic couplings), ``<site>`` frames (:func:`mjcf_sites`), ``<actuator>``
+(:func:`mjcf_actuators` — motor / position / velocity servos with joint OR
+fixed-tendon transmission), ``<sensor>`` (:func:`mjcf_sensors`), and
+``<tendon><fixed>`` (:func:`mjcf_tendons` — length coupling, passive
+spring/damper forces, ranges for the steppers' ``tendons=`` limit rows).
+
+Not supported (raises or ignored, see code): ``<include>``, spatial
+(wrapping) tendons, ``coordinate="global"`` (removed from modern MuJoCo).
+Collision geometry is parsed structurally but only consumed for inertia
+synthesis here — build :class:`~..ops.collision.CollisionModel` sets
+separately.
 """
 
 from __future__ import annotations
@@ -406,6 +414,13 @@ class MjcfActuation(NamedTuple):
     kv: np.ndarray = None      # (a,) velocity gain
     force_lower: np.ndarray = None      # (a,) forcerange
     force_upper: np.ndarray = None
+    # transmission generalization (tendon actuators): moment[i] is the
+    # gear-scaled (n,) transmission row — actuator length = moment·q,
+    # applied torque = force·moment. For joint actuators moment = gear·e_j
+    # (the two paths agree); tendon[i] ≥ 0 indexes mjcf_tendons() rows and
+    # joint[i] is −1 for those actuators.
+    moment: np.ndarray = None  # (a, n)
+    tendon: np.ndarray = None  # (a,) int, −1 = joint transmission
 
     def gains(self):
         """(gain, bias_q, bias_v) arrays of the affine actuator model."""
@@ -428,9 +443,17 @@ class MjcfActuation(NamedTuple):
         numpy or jax arrays; fixed-base moving-joint indexing."""
         c = self.clamp(ctrl)
         gain, bias_q, bias_v = self.gains()
-        gear = self.gear
-        qj = q[..., self.joint] * gear
-        qdj = qd[..., self.joint] * gear
+        if self.moment is not None:
+            # generic transmission path (covers tendon actuators): the
+            # actuator's length/velocity are moment·q / moment·q̇ and the
+            # applied torque is force·moment — identical to the indexed
+            # path for joint actuators, where moment = gear·e_j
+            qj = q @ self.moment.T
+            qdj = qd @ self.moment.T
+        else:
+            gear = self.gear
+            qj = q[..., self.joint] * gear
+            qdj = qd[..., self.joint] * gear
         f = gain * c + bias_q * qj + bias_v * qdj
         if self.force_lower is not None:
             lo = np.where(np.isfinite(self.force_lower), self.force_lower,
@@ -438,6 +461,9 @@ class MjcfActuation(NamedTuple):
             hi = np.where(np.isfinite(self.force_upper), self.force_upper,
                           np.finfo(np.float64).max)
             f = f.clip(lo, hi)
+        if self.moment is not None:
+            return f @ self.moment
+        gear = self.gear
         tau = q * 0.0
         if hasattr(tau, "at"):
             return tau.at[..., self.joint].add(gear * f)
@@ -446,6 +472,8 @@ class MjcfActuation(NamedTuple):
 
     def gear_matrix(self) -> np.ndarray:
         """(n, a) map from actuator controls to joint torques."""
+        if self.moment is not None:
+            return np.asarray(self.moment).T.copy()
         T = np.zeros((self.n, self.joint.shape[0]))
         for i, (j, s) in enumerate(zip(self.joint, self.gear)):
             T[j, i] += s
@@ -463,9 +491,10 @@ class MjcfActuation(NamedTuple):
 
 def mjcf_actuators(source: str) -> MjcfActuation:
     """Extract the document's ``<actuator>`` block (motor / torque-mode
-    general with joint transmission): gears, ctrlranges, and the joint
-    map, so RL policies emitting per-actuator controls drive the steppers
-    via ``tau = act.gear_matrix() @ act.clamp(ctrl)``."""
+    general / position / velocity with joint or fixed-tendon
+    transmission): gears, ctrlranges, the joint map, and the gear-scaled
+    transmission (moment) rows, so RL policies emitting per-actuator
+    controls drive the steppers via ``tau = act.torque(ctrl, q, qd)``."""
     desc, _, extras = _parse_mjcf_impl(source)
     acts = extras["actuators"]
     return MjcfActuation(
@@ -480,6 +509,85 @@ def mjcf_actuators(source: str) -> MjcfActuation:
         kv=np.array([a["kv"] for a in acts], dtype=np.float64),
         force_lower=np.array([a["flo"] for a in acts], dtype=np.float64),
         force_upper=np.array([a["fhi"] for a in acts], dtype=np.float64),
+        moment=(np.stack([a["moment"] for a in acts])
+                if acts else np.zeros((0, desc.n))),
+        tendon=np.array([a["tendon"] for a in acts], dtype=np.int64),
+    )
+
+
+class MjcfTendons(NamedTuple):
+    """The document's ``<tendon><fixed>`` rows: joint-space length
+    couplings ``L_t = Σ_j coef[t, j]·q_j`` over the moving joints (scalar
+    hinge/slide joints only — MuJoCo's fixed-tendon semantics). Carries
+    the range (±inf when unlimited — feed :meth:`stepper_rows` to the
+    steppers' ``tendons=`` for hard limit rows in the contact solve) and
+    the passive spring/damper parameters (``stiffness`` toward
+    ``springlength``, ``damping`` on L̇ — :meth:`passive_torque` is the
+    generalized-force form to add to τ). No reference analog: the
+    reference has no actuation/coupling layer at all (its intake is the
+    bare URDFParser robot, ``/root/reference/README.md:8``)."""
+    n: int                     # moving-joint count of the model
+    names: "tuple[str, ...]"
+    coef: np.ndarray           # (t, n) joint coefficients
+    lo: np.ndarray             # (t,) range (±inf = unlimited)
+    hi: np.ndarray
+    stiffness: np.ndarray      # (t,) passive spring gain
+    damping: np.ndarray        # (t,) passive damper gain
+    springlength: np.ndarray   # (t,) spring rest length
+
+    def length(self, q):
+        """Tendon lengths (..., t) from joint positions (..., n)."""
+        return q @ self.coef.T
+
+    def velocity(self, qd):
+        """Tendon length rates (..., t) from joint velocities (..., n)."""
+        return qd @ self.coef.T
+
+    def passive_force(self, q, qd):
+        """Scalar passive tendon forces (..., t): the spring toward
+        ``springlength`` plus the damper on L̇ (MuJoCo's passive tendon
+        force, positive = pulling the length down)."""
+        return -(self.stiffness * (self.length(q) - self.springlength)
+                 + self.damping * self.velocity(qd))
+
+    def passive_torque(self, q, qd):
+        """Generalized passive forces (..., n): ``passive_force @ coef``
+        — add to τ before stepping. Works on numpy or jax arrays."""
+        return self.passive_force(q, qd) @ self.coef
+
+    @property
+    def limited(self) -> np.ndarray:
+        """(t,) bool — which tendons carry a finite range."""
+        return np.isfinite(self.lo) | np.isfinite(self.hi)
+
+    def stepper_rows(self):
+        """``(coef, lo, hi)`` restricted to the limited tendons — the
+        fixed-base steppers' ``tendons=`` argument (see
+        :func:`..ops.contact.fb_step_ground`). None when no tendon has a
+        range."""
+        m = self.limited
+        if not m.any():
+            return None
+        return self.coef[m], self.lo[m], self.hi[m]
+
+
+def mjcf_tendons(source: str) -> MjcfTendons:
+    """Extract the document's ``<tendon>`` block (fixed tendons only) —
+    length couplings, ranges, and passive spring/damper parameters over
+    the moving-joint ordering of :func:`parse_mjcf`."""
+    desc, _, extras = _parse_mjcf_impl(source)
+    ts = extras["tendons"]
+    return MjcfTendons(
+        n=desc.n,
+        names=tuple(t["name"] for t in ts),
+        coef=(np.stack([t["coef"] for t in ts])
+              if ts else np.zeros((0, desc.n))),
+        lo=np.array([t["lo"] for t in ts], dtype=np.float64),
+        hi=np.array([t["hi"] for t in ts], dtype=np.float64),
+        stiffness=np.array([t["stiffness"] for t in ts], dtype=np.float64),
+        damping=np.array([t["damping"] for t in ts], dtype=np.float64),
+        springlength=np.array([t["springlength"] for t in ts],
+                              dtype=np.float64),
     )
 
 
@@ -491,10 +599,10 @@ class MjcfSensor(NamedTuple):
     (:func:`..envs.make_ground_env` → ``GroundEnv.sensordata``)."""
     kind: str        # jointpos|jointvel|gyro|accelerometer|velocimeter|
                      # touch|framepos|framequat|framelinvel|frameangvel|
-                     # actuatorfrc
+                     # actuatorfrc|tendonpos|tendonvel
     name: str
     obj: str
-    objtype: str     # 'site' | 'joint' | 'body' | 'actuator'
+    objtype: str     # 'site' | 'joint' | 'body' | 'actuator' | 'tendon'
 
 
 def mjcf_sensors(source: str) -> "tuple[MjcfSensor, ...]":
@@ -920,9 +1028,76 @@ def _parse_mjcf_impl(source: str):
         mimic=tuple(mimics),
     )
 
-    # <actuator> block: motor/general with joint transmission → per-row
-    # (joint index, gear, ctrlrange). Evaluated here because the moving-
-    # joint ordering is only known after the tree walk.
+    # <tendon> block: <fixed> length couplings L = Σ coef_j·q_j over
+    # scalar (hinge/slide) joints — MuJoCo's differential/coupling
+    # transmission idiom. Parsed before <actuator> because tendon-
+    # transmission actuators reference these rows by name.
+    tendons: list[dict] = []
+    tend_el = root.find("tendon")
+    if tend_el is not None:
+        name_to_idx = {j["name"]: i for i, j in enumerate(ordered)}
+        for t in tend_el:
+            if t.tag != "fixed":
+                raise NotImplementedError(
+                    f"tendon type <{t.tag}> is not supported — fixed "
+                    "(joint-space) tendons only; spatial wrapping tendons "
+                    "have no closed-form joint-space Jacobian")
+            d = _defaults_for(defaults_table, "tendon",
+                              t.get("class", "main"))
+            coef = np.zeros(n)
+            for jc in t:
+                if jc.tag != "joint":
+                    raise NotImplementedError(
+                        f"<fixed> tendon child <{jc.tag}> is not "
+                        "supported (<joint joint= coef=> rows only)")
+                jn = jc.get("joint")
+                if jn not in name_to_idx:
+                    raise ValueError(
+                        f"tendon {t.get('name', '?')!r} references "
+                        f"unknown joint {jn!r}")
+                ji = name_to_idx[jn]
+                if ordered[ji]["type"] in ("spherical", "floating"):
+                    raise ValueError(
+                        f"tendon {t.get('name', '?')!r}: fixed tendons "
+                        "couple scalar (hinge/slide) joints only — "
+                        f"joint {jn!r} is {ordered[ji]['type']}")
+                coef[ji] += float(jc.get("coef", "1"))
+            t_lo, t_hi = -_INF, _INF
+            rng_s = _attr(t, d, "range")
+            limited = _attr(t, d, "limited", "auto")
+            if rng_s is not None and limited in ("auto", "true"):
+                vals = _floats(rng_s)
+                if not (vals[0] == 0.0 and vals[1] == 0.0):
+                    t_lo, t_hi = float(vals[0]), float(vals[1])
+            sl_s = _attr(t, d, "springlength")
+            # MuJoCo's default springlength (-1 sentinel) means "the
+            # length at qpos0"; qpos0 IS q = 0 in this front-end, where
+            # every fixed tendon has L(0) = 0 — so both the sentinel and
+            # a missing attribute resolve to 0. An explicit non-negative
+            # value is taken literally (first value; the two-value
+            # deadband form is not supported).
+            springlength = 0.0
+            if sl_s is not None:
+                vals = _floats(sl_s)
+                if vals.shape[0] > 1 and vals[0] != vals[1]:
+                    raise NotImplementedError(
+                        "tendon springlength deadband (two distinct "
+                        "values) is not supported")
+                if vals[0] >= 0.0:
+                    springlength = float(vals[0])
+            tendons.append(dict(
+                name=t.get("name", f"tendon{len(tendons)}"), coef=coef,
+                lo=t_lo, hi=t_hi,
+                stiffness=float(_attr(t, d, "stiffness", "0")),
+                damping=float(_attr(t, d, "damping", "0")),
+                springlength=springlength))
+    tendon_names = {t["name"]: i for i, t in enumerate(tendons)}
+
+    # <actuator> block: motor/general with joint or fixed-tendon
+    # transmission → per-row (joint index | tendon index, gear,
+    # ctrlrange) plus the gear-scaled transmission (moment) row over the
+    # moving joints. Evaluated here because the moving-joint ordering is
+    # only known after the tree walk.
     acts: list[dict] = []
     act_el = root.find("actuator")
     if act_el is not None:
@@ -935,13 +1110,21 @@ def _parse_mjcf_impl(source: str):
                     "other servos to explicit laws — see contact.pd_torque)")
             d = _defaults_for(defaults_table, a.tag, a.get("class", "main"))
             jn = _attr(a, d, "joint")
-            if jn is None:
+            tn = _attr(a, d, "tendon")
+            if jn is None and tn is None:
                 raise NotImplementedError(
-                    f"actuator {a.get('name', '?')!r}: only joint "
-                    "transmission is supported (site/tendon/body are not)")
-            if jn not in name_to_idx:
+                    f"actuator {a.get('name', '?')!r}: only joint and "
+                    "fixed-tendon transmissions are supported (site/body "
+                    "are not)")
+            if jn is not None and tn is not None:
+                raise ValueError(f"actuator {a.get('name', '?')!r} names "
+                                 "both a joint and a tendon")
+            if jn is not None and jn not in name_to_idx:
                 raise ValueError(f"actuator {a.get('name', '?')!r} targets "
                                  f"unknown joint {jn!r}")
+            if tn is not None and tn not in tendon_names:
+                raise ValueError(f"actuator {a.get('name', '?')!r} targets "
+                                 f"unknown tendon {tn!r}")
             gear = _floats(_attr(a, d, "gear", "1"))
             if gear.shape[0] != 1:
                 raise NotImplementedError(
@@ -967,8 +1150,21 @@ def _parse_mjcf_impl(source: str):
                 vals = _floats(fr)
                 if not (vals[0] == 0.0 and vals[1] == 0.0):
                     flo, fhi = float(vals[0]), float(vals[1])
-            acts.append(dict(name=a.get("name", jn), kind=a.tag,
-                             joint=name_to_idx[jn], gear=float(gear[0]),
+            # the gear-scaled transmission row over the moving joints:
+            # actuator length = moment · q, applied torque = force · moment
+            # (a joint actuator's row is gear·e_j; a tendon actuator's is
+            # gear·coef — MuJoCo's mjData.actuator_moment for these
+            # transmission types)
+            moment = np.zeros(n)
+            if jn is not None:
+                jidx, tidx = name_to_idx[jn], -1
+                moment[jidx] = float(gear[0])
+            else:
+                jidx, tidx = -1, tendon_names[tn]
+                moment = float(gear[0]) * tendons[tidx]["coef"]
+            acts.append(dict(name=a.get("name", jn or tn), kind=a.tag,
+                             joint=jidx, tendon=tidx, moment=moment,
+                             gear=float(gear[0]),
                              lo=lo, hi=hi, kp=kp, kv=kv, flo=flo, fhi=fhi))
 
     # <sensor> block → raw rows; resolution against the parsed frames
@@ -993,12 +1189,14 @@ def _parse_mjcf_impl(source: str):
                         "frames only")
             elif tag == "actuatorfrc":
                 obj, objtype = s.get("actuator"), "actuator"
+            elif tag in ("tendonpos", "tendonvel"):
+                obj, objtype = s.get("tendon"), "tendon"
             else:
                 raise NotImplementedError(
                     f"sensor type <{tag}> is not supported (jointpos / "
                     "jointvel / gyro / accelerometer / velocimeter / "
                     "touch / framepos / framequat / framelinvel / "
-                    "frameangvel / actuatorfrc)")
+                    "frameangvel / actuatorfrc / tendonpos / tendonvel)")
             if obj is None:
                 raise ValueError(f"<{tag}> sensor names no target object")
             sensors.append(dict(
@@ -1007,5 +1205,5 @@ def _parse_mjcf_impl(source: str):
 
     return desc, geom_records, dict(sites=site_records, actuators=acts,
                                     connects=connects, welds=welds,
-                                    sensors=sensors,
+                                    sensors=sensors, tendons=tendons,
                                     bodies=dict(body_frames))

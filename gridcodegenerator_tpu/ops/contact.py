@@ -1019,6 +1019,28 @@ def _limit_rows(q_sel, lo, hi, margin, cols, width, dtype):
     return J_l, lim_active, lim_gap
 
 
+def _tendon_limit_rows(L, lo, hi, A, margin, dtype):
+    """Unilateral fixed-tendon range rows shared by the fb and md
+    single-state steppers — :func:`_limit_rows` generalized from one-hot
+    columns to full coefficient rows: tendon length ``L = coef·q`` is a
+    LINEAR function of the joint positions (MuJoCo's ``<tendon><fixed>``
+    with a ``range``), so a near-bound tendon contributes one normal-only
+    row −s·A_row (s = +1 near the upper bound, −1 near the lower; a λ ≥ 0
+    impulse then drives L̇ back toward the range). ``A (t, width)`` is the
+    coefficient matrix already expanded to the stepper's velocity
+    coordinates. Gap g = hi−L or L−lo, recovered with the contact erp;
+    ±inf bounds never activate. Returns ``(J_t (t, width), active (t,),
+    gap (t,))``."""
+    lim_margin = 10.0 * margin
+    s_hi = (L > hi - lim_margin)
+    s_lo = (L < lo + lim_margin)
+    sign = s_hi.astype(dtype) - s_lo.astype(dtype)
+    active = (s_hi | s_lo).astype(dtype)
+    gap = jnp.where(s_lo, L - lo, hi - L)
+    gap = jnp.where(jnp.isfinite(gap), gap, 1.0)
+    return -sign[:, None] * jnp.asarray(A, dtype), active, gap
+
+
 def _fric_box_rows(frictionloss, cols, width, dt, dtype):
     """Dry-friction BOX rows shared by the fb and md single-state
     steppers (MuJoCo ``frictionloss``): one row per coordinate with
@@ -1052,7 +1074,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
                    relax: float = 1.0, terrain=None, collision=None,
                    mu_collision=None, ground_geoms=None, mu_ground=None,
                    loops=None, welds=None, f_base=None, frictionloss=None,
-                   softness=None):
+                   softness=None, tendons=None):
     """One velocity-stepping simulation step of the free-flyer over a
     horizontal ground plane with unilateral frictional contacts at the
     given foot points — feet can lift off, stick, and slide.
@@ -1082,6 +1104,15 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
     ``"impulse"`` appends one normal-only row per near-limit joint to
     the Delassus/PGS system — the momentum-consistent treatment (the
     stopping impulse reacts on the whole tree incl. the base).
+
+    Tendon ranges (``tendons=(coef (t, n), lo, hi)`` — feed
+    :meth:`~..models.mjcf.MjcfTendons.stepper_rows`): each fixed tendon
+    ``L = coef·q`` near a bound contributes one normal-only impulse row
+    on its coefficient direction (:func:`_tendon_limit_rows`) in the
+    same solve — MuJoCo's tendon-limit constraint. Always
+    momentum-consistent rows (coupled coordinates admit no projection);
+    the coupled stopping impulse spreads over every joint the tendon
+    touches.
 
     ``collision``: an optional :class:`.collision.CollisionModel` — its
     candidate self-collision and obstacle pairs are appended to the foot
@@ -1191,13 +1222,27 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
         k = k + g_gaps.shape[0]
     active = (gaps < margin).astype(q.dtype)
 
-    lim_active = None
-    if impulse_limits:
-        J_l, lim_active, lim_gap = _limit_rows(
+    lim_active = lim_gap = None
+    lim_parts = []           # (rows, active, gap) — joint limits, then
+    if impulse_limits:       # tendon ranges, one shared normal-only block
+        lim_parts.append(_limit_rows(
             q, jnp.asarray(limits[0], q.dtype),
             jnp.asarray(limits[1], q.dtype), margin,
-            6 + np.arange(n), 6 + n, q.dtype)
-        J = jnp.concatenate([J, J_l], axis=0)
+            6 + np.arange(n), 6 + n, q.dtype))
+    if tendons is not None:
+        # fixed-tendon range rows (``tendons=(coef (t, n), lo, hi)`` —
+        # MjcfTendons.stepper_rows): coefficient rows over the joint
+        # columns, zero on the base twist
+        A_t = jnp.asarray(tendons[0], q.dtype)
+        lim_parts.append(_tendon_limit_rows(
+            A_t @ q, jnp.asarray(tendons[1], q.dtype),
+            jnp.asarray(tendons[2], q.dtype),
+            jnp.concatenate([jnp.zeros((A_t.shape[0], 6), q.dtype), A_t],
+                            axis=1), margin, q.dtype))
+    if lim_parts:
+        J = jnp.concatenate([J] + [p[0] for p in lim_parts], axis=0)
+        lim_active = jnp.concatenate([p[1] for p in lim_parts])
+        lim_gap = jnp.concatenate([p[2] for p in lim_parts])
     n_lim = J.shape[0] - 3 * k
     eq = 0
     eq_gaps = []
@@ -1237,7 +1282,7 @@ def fb_step_ground(ffm, state, tau, dt, links, offsets, mu=0.8,
               - restitution * jnp.minimum(vn_now, 0.0))
     b = J @ v_free
     b = b.at[2:3 * k:3].add(-v_star)
-    if impulse_limits:
+    if lim_active is not None:
         v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
         b = b.at[3 * k:3 * k + n_lim].add(-v_star_l)
     if eq:
@@ -1395,7 +1440,7 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                            terrain=None, collision=None, mu_collision=None,
                            ground_geoms=None, mu_ground=None, loops=None,
                            welds=None, f_base=None, frictionloss=None,
-                           softness=None):
+                           softness=None, tendons=None):
     """Batched :func:`fb_step_ground`: N independent frictional quadruped
     environments advanced in ONE step program — the massively-parallel
     RL-simulation shape. ``state = (quat (B,4), pos (B,3), q (B,n),
@@ -1455,7 +1500,9 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
         raise ValueError(f"diff_mode must be 'unroll' or 'implicit', "
                          f"got {diff_mode!r}")
     impulse_limits = limits is not None and limit_mode == "impulse"
-    if welds is not None:
+    if welds is not None or tendons is not None:
+        # weld orientation and tendon-range rows run the vmap tier (the
+        # batch-last body has no rows for them)
         mu_arr = jnp.asarray(mu)
 
         def step1(quat1, pos1, q1, vb1, qd1, tau1, mu1, f1):
@@ -1468,7 +1515,8 @@ def fb_step_ground_batched(ffm, state, tau, dt, links, offsets, mu=0.8,
                 terrain=terrain, collision=collision,
                 mu_collision=mu_collision, ground_geoms=ground_geoms,
                 mu_ground=mu_ground, loops=loops, welds=welds, f_base=f1,
-                frictionloss=frictionloss, softness=softness)
+                frictionloss=frictionloss, softness=softness,
+                tendons=tendons)
 
         in_axes = (0, 0, 0, 0, 0, 0,
                    0 if mu_arr.ndim == 1 else None,

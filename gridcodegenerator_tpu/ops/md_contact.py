@@ -313,7 +313,7 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
                    limit_mode: str = "project", diff_mode: str = "unroll",
                    relax: float = 1.0, terrain=None, ground_geoms=None,
                    mu_ground=None, loops=None, welds=None,
-                   frictionloss=None, softness=None):
+                   frictionloss=None, softness=None, tendons=None):
     """One frictional ground-contact step of a multi-dof robot — the
     generalized-coordinate ``fb_step_ground``, identical semantics
     (Stewart-Trinkle velocity stepping, gap-gated PGS cone solve, erp
@@ -335,7 +335,13 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     cuts and ``welds = (pairs, R0)`` weld orientation rows as bilateral
     rows in the same PGS solve (:func:`md_loop_rows` /
     :func:`md_weld_rows` — the md counterpart of the fb steppers'
-    ``loops=``/``welds=``)."""
+    ``loops=``/``welds=``).
+
+    ``tendons = (A_q (t, nq), A_v (t, nv), lo, hi)``: fixed-tendon range
+    rows (``L = A_q·q`` near a bound → one normal-only impulse row on
+    ``A_v`` — see :func:`..contact._tendon_limit_rows`); fixed tendons
+    couple scalar joints only, so the env layer expands the per-joint
+    MJCF coefficients to both coordinate layouts."""
     if diff_mode not in ("unroll", "implicit"):
         raise ValueError(f"diff_mode must be 'unroll' or 'implicit', "
                          f"got {diff_mode!r}")
@@ -360,19 +366,30 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     k = gaps.shape[0]
     active = (gaps < margin).astype(dtype)
 
-    lim_active = None
+    lim_active = lim_gap = None
     n_lim = 0
-    if impulse_limits:
+    lim_parts = []           # (rows, active, gap) — joint limits, then
+    if impulse_limits:       # tendon ranges, one shared normal-only block
         # one normal-only row per SCALAR joint on its tangent column —
         # ..contact._limit_rows, exactly the fb stepper's machinery
         from .contact import _limit_rows
         qidx, vidx = _md_scalar_coords(model)
-        J_l, lim_active, lim_gap = _limit_rows(
+        lim_parts.append(_limit_rows(
             q[qidx], jnp.asarray(limits[0], dtype)[qidx],
             jnp.asarray(limits[1], dtype)[qidx], margin, vidx,
-            model.nv, dtype)
-        n_lim = int(qidx.size)
-        J = jnp.concatenate([J, J_l], axis=0)
+            model.nv, dtype))
+    if tendons is not None:
+        from .contact import _tendon_limit_rows
+        A_q_t, A_v_t, t_lo, t_hi = tendons
+        lim_parts.append(_tendon_limit_rows(
+            jnp.asarray(A_q_t, dtype) @ q, jnp.asarray(t_lo, dtype),
+            jnp.asarray(t_hi, dtype), jnp.asarray(A_v_t, dtype), margin,
+            dtype))
+    if lim_parts:
+        J = jnp.concatenate([J] + [p[0] for p in lim_parts], axis=0)
+        lim_active = jnp.concatenate([p[1] for p in lim_parts])
+        lim_gap = jnp.concatenate([p[2] for p in lim_parts])
+        n_lim = int(lim_active.shape[0])
     eq = 0
     eq_gaps = []
     if loops is not None:
@@ -410,7 +427,7 @@ def md_step_ground(model: MultiDofModel, q, qd, tau, dt, links, offsets,
     v_star = (-erp * jnp.minimum(gaps, 0.0) / dt
               - restitution * jnp.minimum(vn_now, 0.0))
     b = (J @ v_free).at[2:3 * k:3].add(-v_star)
-    if impulse_limits:
+    if lim_active is not None:
         v_star_l = -erp * jnp.minimum(lim_gap, 0.0) / dt
         b = b.at[3 * k:3 * k + n_lim].add(-v_star_l)
     if eq:
@@ -445,7 +462,8 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
                            impl: str = "auto", diff_mode: str = "unroll",
                            relax: float = 1.0, terrain=None,
                            ground_geoms=None, mu_ground=None, loops=None,
-                           welds=None, frictionloss=None, softness=None):
+                           welds=None, frictionloss=None, softness=None,
+                           tendons=None):
     """Batched :func:`md_step_ground`: ``q (B, nq)``, ``qd/tau (B, nv)``,
     optional per-environment ``mu (B,)`` → ``((q⁺, q̇⁺), impulses
     (B, k_t, 3))``. ``limits``/``effort``/``limit_mode``/``frictionloss``
@@ -457,7 +475,7 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
     shape qualifies: flat plane, ``diff_mode="unroll"``, ``relax == 1``,
     static scalar ``mu_ground`` and concrete geom geometry. Heightfield
     terrain, implicit-diff, traced geometry, impulse-mode limits,
-    loop/weld rows, and frictionloss run the vmap tier; effort clamps
+    loop/weld/tendon rows, and frictionloss run the vmap tier; effort clamps
     and PROJECT-mode limits compose with the fused kernel (clamp
     before, projection after, both pure XLA)."""
     from .contact import _impl_auto, _mu_to_bl
@@ -487,7 +505,7 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
     if (_impl_auto(impl, q) == "pallas" and terrain is None
             and diff_mode == "unroll" and relax == 1.0
             and not impulse_limits and frictionloss is None
-            and loops is None and welds is None
+            and loops is None and welds is None and tendons is None
             and mu_ground_static and softness_concrete):
         from .kernels import md_contact_fused as _mcf
 
@@ -520,7 +538,7 @@ def md_step_ground_batched(model: MultiDofModel, q, qd, tau, dt, links,
             limit_mode=limit_mode, diff_mode=diff_mode,
             relax=relax, terrain=terrain, ground_geoms=ground_geoms,
             mu_ground=mu_ground, loops=loops, welds=welds,
-            frictionloss=frictionloss, softness=softness)
+            frictionloss=frictionloss, softness=softness, tendons=tendons)
 
     return jax.vmap(step1, in_axes=in_axes)(q, qd, tau, mu_arr)
 

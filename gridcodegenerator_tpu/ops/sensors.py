@@ -49,6 +49,7 @@ _SENSOR_DIMS = {
     "jointpos": 1, "jointvel": 1, "gyro": 3, "accelerometer": 3,
     "velocimeter": 3, "touch": 1, "framepos": 3, "framequat": 4,
     "framelinvel": 3, "frameangvel": 3, "actuatorfrc": 1,
+    "tendonpos": 1, "tendonvel": 1,
 }
 
 _SITE_KINDS = ("gyro", "accelerometer", "velocimeter", "framepos",
@@ -62,13 +63,16 @@ class SensorSpec(NamedTuple):
     (``link`` in the env's own indexing: fb = arm link, -1 the floating
     base; md = tree link, -1/-2 static world). ``coord`` is the q-index
     (jointpos), v-index (jointvel), or actuator index (actuatorfrc).
-    ``touch`` uses ``link`` only."""
+    ``touch`` uses ``link`` only. ``row`` carries a fixed tendon's
+    coefficient row in the env's coordinates (q-layout for ``tendonpos``,
+    v-layout for ``tendonvel`` — the reading is ``row·q`` / ``row·q̇``)."""
     kind: str
     name: str
     link: int = -2
     pos: Any = None            # (3,) np.ndarray, link frame
     R: Any = None              # (3, 3) np.ndarray, link frame
     coord: int = -1
+    row: Any = None            # (nq|nv,) np.ndarray, tendon coefficients
 
     @property
     def dim(self) -> int:
@@ -205,6 +209,10 @@ def sensor_readings(kind: str, model, specs, state, prev_state=None,
             parts.append(qf[s.coord:s.coord + 1])
         elif s.kind == "jointvel":
             parts.append(qdf[s.coord:s.coord + 1])
+        elif s.kind == "tendonpos":
+            parts.append((qf @ jnp.asarray(s.row, dtype))[None])
+        elif s.kind == "tendonvel":
+            parts.append((qdf @ jnp.asarray(s.row, dtype))[None])
         elif s.kind == "actuatorfrc":
             # no ctrl passed → pre-step reading of 0 (MuJoCo's sensordata
             # before the first mj_step)
