@@ -464,14 +464,17 @@ class GroundEnv:
         array (feet, then collision pairs, then ground-geom endpoints).
         Robot-vs-static-obstacle rows have a single robot owner and are
         attributed to that geom's link, so touch sensors see obstacle
-        impulses; SELF-collision rows have two owners and are marked
-        -1000 (excluded — a touch site would double-count or
-        mis-attribute the shared impulse; MuJoCo's site-volume semantics
-        splits these per-geom, which a row-level attribution cannot)."""
+        impulses. SELF-collision rows have two owners and are attributed
+        to BOTH links as a ``(link_a, link_b)`` tuple: the contact acts
+        equal-and-opposite on the two geoms, so a MuJoCo touch site on
+        either body reads the same normal force — a site on each reads it
+        once each (not split). ``sensor_readings`` matches a touch row
+        when its link is the scalar owner or a member of the pair."""
         from .ops.collision import _ground_contact_list
         links = list(self.feet)
         if self.collision is not None:
-            links += [-1000] * len(self.collision.pairs)
+            gl = self.collision.geoms.links
+            links += [(gl[ga], gl[gb]) for ga, gb in self.collision.pairs]
             links += [self.collision.geoms.links[g]
                       for g, _ in self.collision.obs_pairs]
         if self.ground_geoms is not None:

@@ -1044,7 +1044,22 @@ def _parse_mjcf_impl(source: str):
                     "have no closed-form joint-space Jacobian")
             d = _defaults_for(defaults_table, "tendon",
                               t.get("class", "main"))
+            # raise-on-unsupported policy (matching the rest of this
+            # parser): attributes this front-end consumes nowhere must not
+            # silently drop — a tendon relying on dry friction would
+            # otherwise simulate without it, no diagnostic (ADVICE r4).
+            for attr in ("frictionloss", "margin", "solreflimit",
+                         "solimplimit", "armature"):
+                val = _attr(t, d, attr)
+                if val is not None and any(float(v) != 0.0
+                                           for v in _floats(val)):
+                    raise NotImplementedError(
+                        f"tendon {t.get('name', '?')!r}: attribute "
+                        f"{attr}={val!r} is not supported by this "
+                        "front-end (fixed tendons carry stiffness/"
+                        "damping/springlength/range only)")
             coef = np.zeros(n)
+            seen_joints: set = set()
             for jc in t:
                 if jc.tag != "joint":
                     raise NotImplementedError(
@@ -1061,10 +1076,25 @@ def _parse_mjcf_impl(source: str):
                         f"tendon {t.get('name', '?')!r}: fixed tendons "
                         "couple scalar (hinge/slide) joints only — "
                         f"joint {jn!r} is {ordered[ji]['type']}")
+                if ji in seen_joints:
+                    # MuJoCo errors on a duplicated <joint> row inside one
+                    # tendon; accumulating coefficients would silently
+                    # diverge from it (ADVICE r4)
+                    raise ValueError(
+                        f"tendon {t.get('name', '?')!r} references joint "
+                        f"{jn!r} more than once")
+                seen_joints.add(ji)
                 coef[ji] += float(jc.get("coef", "1"))
             t_lo, t_hi = -_INF, _INF
             rng_s = _attr(t, d, "range")
             limited = _attr(t, d, "limited", "auto")
+            if limited == "true" and (
+                    rng_s is None
+                    or tuple(_floats(rng_s)[:2]) == (0.0, 0.0)):
+                # MuJoCo compile error; silently-unlimited diverges (ADVICE)
+                raise ValueError(
+                    f"tendon {t.get('name', '?')!r}: limited=\"true\" "
+                    "requires a usable range attribute")
             if rng_s is not None and limited in ("auto", "true"):
                 vals = _floats(rng_s)
                 if not (vals[0] == 0.0 and vals[1] == 0.0):
@@ -1085,6 +1115,14 @@ def _parse_mjcf_impl(source: str):
                         "values) is not supported")
                 if vals[0] >= 0.0:
                     springlength = float(vals[0])
+                elif vals[0] != -1.0:
+                    # only MuJoCo's exact −1 sentinel means "length at
+                    # qpos0"; any other negative is a model bug MuJoCo
+                    # rejects at compile time (ADVICE r4)
+                    raise ValueError(
+                        f"tendon {t.get('name', '?')!r}: springlength="
+                        f"{vals[0]} — negative lengths are invalid "
+                        "(only the -1 sentinel is accepted)")
             tendons.append(dict(
                 name=t.get("name", f"tendon{len(tendons)}"), coef=coef,
                 lo=t_lo, hi=t_hi,

@@ -1009,9 +1009,15 @@ def _limit_rows(q_sel, lo, hi, margin, cols, width, dtype):
     lim_margin = 10.0 * margin
     s_hi = (q_sel > hi - lim_margin)
     s_lo = (q_sel < lo + lim_margin)
-    sign = s_hi.astype(dtype) - s_lo.astype(dtype)
+    # A range narrower than 2·lim_margin puts q inside BOTH bands; the
+    # signs would cancel to a zero row while active=1 (a dynamically inert
+    # huge λ off the 1e-9 diagonal). Resolve to the NEARER bound instead.
+    both = s_hi & s_lo
+    near_hi = (hi - q_sel) < (q_sel - lo)
+    sign = jnp.where(both, jnp.where(near_hi, 1.0, -1.0),
+                     s_hi.astype(dtype) - s_lo.astype(dtype)).astype(dtype)
     lim_active = (s_hi | s_lo).astype(dtype)
-    lim_gap = jnp.where(s_lo, q_sel - lo, hi - q_sel)
+    lim_gap = jnp.where(sign < 0, q_sel - lo, hi - q_sel)
     lim_gap = jnp.where(jnp.isfinite(lim_gap), lim_gap, 1.0)
     m = q_sel.shape[0]
     J_l = jnp.zeros((m, width), dtype)
@@ -1034,9 +1040,15 @@ def _tendon_limit_rows(L, lo, hi, A, margin, dtype):
     lim_margin = 10.0 * margin
     s_hi = (L > hi - lim_margin)
     s_lo = (L < lo + lim_margin)
-    sign = s_hi.astype(dtype) - s_lo.astype(dtype)
+    # Narrow ranges (< 2·lim_margin, plausible for differential couplings)
+    # put L inside both bands — resolve to the nearer bound rather than
+    # letting the signs cancel to a zero row with active=1 (ADVICE r4).
+    both = s_hi & s_lo
+    near_hi = (hi - L) < (L - lo)
+    sign = jnp.where(both, jnp.where(near_hi, 1.0, -1.0),
+                     s_hi.astype(dtype) - s_lo.astype(dtype)).astype(dtype)
     active = (s_hi | s_lo).astype(dtype)
-    gap = jnp.where(s_lo, L - lo, hi - L)
+    gap = jnp.where(sign < 0, L - lo, hi - L)
     gap = jnp.where(jnp.isfinite(gap), gap, 1.0)
     return -sign[:, None] * jnp.asarray(A, dtype), active, gap
 

@@ -219,9 +219,15 @@ def sensor_readings(kind: str, model, specs, state, prev_state=None,
             parts.append(jnp.zeros(1, dtype) if act_force is None
                          else act_force[s.coord:s.coord + 1])
         elif s.kind == "touch":
+            # a contact_links entry is either the single owning link or a
+            # (link_a, link_b) tuple for self-collision rows — the impulse
+            # acts equal-and-opposite on both bodies, so a touch site on
+            # either reads its full normal force (MuJoCo's per-geom
+            # site-volume semantics for whole-link sites)
             rows = ([] if impulses is None or contact_links is None
                     else [i for i, l in enumerate(contact_links)
-                          if l == s.link])
+                          if (s.link in l if isinstance(l, tuple)
+                              else l == s.link)])
             if not rows:                # pre-step / no rows on this link
                 parts.append(jnp.zeros(1, dtype))
             else:

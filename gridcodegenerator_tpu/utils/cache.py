@@ -31,13 +31,26 @@ import os
 
 
 def cpu_cache_dir(root: str = "/root/repo/.jax_cache_cpu") -> str:
-    """Per-CPU-model persistent cache dir (created on first use)."""
+    """Per-CPU-model persistent cache dir (created on first use).
+
+    Fingerprint = cpuinfo flags + model name + jaxlib version. Flags alone
+    proved insufficient (r5: ``cpu_aot_loader`` machine-feature errors on
+    entries from a host with identical flags but different LLVM target
+    features — XLA derives ``prefer-no-gather``-class pseudo-features from
+    the CPU *model*, not the flag list)."""
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            lines = f.readlines()
+        flags = next((ln for ln in lines if ln.startswith("flags")), "")
+        model = next((ln for ln in lines if ln.startswith("model name")), "")
     except OSError:
-        flags = ""
-    tag = hashlib.md5(flags.encode()).hexdigest()[:10] or "unknown"
+        flags = model = ""
+    try:
+        import jaxlib
+        ver = getattr(jaxlib, "__version__", "")
+    except Exception:
+        ver = ""
+    tag = hashlib.md5((flags + model + ver).encode()).hexdigest()[:10]
     path = os.path.join(root, tag)
     os.makedirs(path, exist_ok=True)
     return path

@@ -160,6 +160,24 @@ def test_parse_rejects():
     with pytest.raises(NotImplementedError):
         mjcf_tendons(DOC.replace('springlength="0.1"',
                                  'springlength="0.1 0.3"'))
+    # MuJoCo compile-error surface this parser must not silently absorb
+    # (ADVICE r4): negative springlength other than the -1 sentinel;
+    # duplicate <joint> rows; limited="true" without a usable range;
+    # consumed-but-unimplemented attributes (dry friction etc.)
+    with pytest.raises(ValueError, match="springlength"):
+        mjcf_tendons(DOC.replace('springlength="0.1"',
+                                 'springlength="-0.5"'))
+    td = mjcf_tendons(DOC.replace('springlength="0.1"',
+                                  'springlength="-1"'))  # sentinel: L(q0)=0
+    assert td.springlength[0] == 0.0
+    with pytest.raises(ValueError, match="more than once"):
+        mjcf_tendons(DOC.replace('<joint joint="j2" coef="-1"/>',
+                                 '<joint joint="j1" coef="-1"/>'))
+    with pytest.raises(ValueError, match="limited"):
+        mjcf_tendons(DOC.replace('range="-0.4 0.4"', 'limited="true"'))
+    with pytest.raises(NotImplementedError, match="frictionloss"):
+        mjcf_tendons(DOC.replace('springlength="0.1"',
+                                 'frictionloss="0.3"'))
 
 
 def test_ball_joint_coef_rejected():
