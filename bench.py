@@ -11,10 +11,10 @@ wall-clock budget:
 
 * a watchdog thread prints the best-so-far JSON line and exits the process
   before any external timeout can kill it silently;
-* phase 0 measures the cheap-to-compile XLA vmap path (batch 2^16) and its
-  256-state golden parity FIRST, so a number + parity are on record within
-  ~1 min cold; only then is the fused Pallas kernel (2^18, then 2^20)
-  compiled and measured — a slow fused compile degrades the result to the
+* phase 0 measures the cheap-to-compile batch-last XLA path (impl="bl",
+  batch 2^16) and its 256-state golden parity FIRST, so a number + parity
+  are on record within ~1 min cold; only then is the fused Pallas kernel
+  (2^18, then 2^20) compiled and measured — a slow fused compile degrades the result to the
   phase-0 number instead of producing nothing (the r3 failure mode);
 * at most 12 kernel calls are ever in flight (~70 ms of device work); inputs
   are generated on-device (no multi-MB host->device transfers through the
@@ -200,7 +200,9 @@ def main():
                 "states": m}
 
     # ---- phase 0: XLA-path number + parity, cheap to compile ---------------
-    # The vmap/XLA route compiles in seconds even with a cold persistent
+    # The batch-last XLA route ("bl", ops/blops.py — the portable fast path,
+    # VERDICT r4 #3: the old vmap-nest phase0 measured 5.9e5 evals/s, below
+    # the 1e6 north star) compiles in seconds even with a cold persistent
     # cache, so a defensible number AND the 256-state parity are both on
     # record long before the fused kernel's (potentially cold, r3: ~190 s
     # via the tunnel's remote-compile service) compile is attempted. A slow
@@ -210,12 +212,12 @@ def main():
     B0 = 1 << (16 - shift)
     t0 = time.perf_counter()
     head, qh, qdh, uh = (np.asarray(x, np.float64)
-                         for x in run_batch(B0, "vmap"))
-    log(f"[{elapsed():.1f}s] phase0 compile+first run (B={B0}, vmap): "
+                         for x in run_batch(B0, "bl"))
+    log(f"[{elapsed():.1f}s] phase0 compile+first run (B={B0}, bl): "
         f"{time.perf_counter() - t0:.2f}s")
-    par0 = parity(head, qh, qdh, uh, "vmap")
-    med, mn = timeit(run_batch, (B0, "vmap"), reps=10, trials=2)
-    record(B0, B0 / med, "XLA vmap path", parity=par0)
+    par0 = parity(head, qh, qdh, uh, "bl")
+    med, mn = timeit(run_batch, (B0, "bl"), reps=10, trials=2)
+    record(B0, B0 / med, "batch-last XLA path", parity=par0)
     log(f"[{elapsed():.1f}s] phase0 batch={B0} median={med*1e3:.3f}ms/call "
         f"evals/sec={B0/med:.3e} ({med/B0*1e9:.1f} ns/state)")
 

@@ -151,10 +151,18 @@ def main():
     with open(args.out_jsonl, "a") as fh:
         fh.write(json.dumps({"total": total}) + "\n")
 
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             cwd=REPO, capture_output=True,
+                             text=True).stdout.strip()
+    except Exception:
+        rev = "?"
+    total["rev"] = rev
     lines = [
         "# SUITE — full-suite run record",
         "",
         f"Command: `python tools/run_suite.py -m '{args.marks}'` "
+        f"at commit `{rev}` "
         "(per-file sequential subprocesses — see module docstring for why).",
         "",
         f"**Result: {'GREEN' if total['green'] else 'RED'} — "
