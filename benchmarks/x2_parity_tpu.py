@@ -97,6 +97,25 @@ def main():
     log(f"x2 compile+run {time.perf_counter()-t0:.1f}s")
     p_x2 = parity(x2, "x2-refined")
 
+    # Oracle arm: substitute the f64-exact M⁻¹ (the GOLDEN model's, pure
+    # NumPy float64 on host, rounded to f32) — the unreachable best case of
+    # ANY M⁻¹-stage fix. If this arm's tail still misses ≤1e-6, the residual
+    # error is in the OTHER f32 stages and no M⁻¹ treatment (f32x2
+    # included) can close the north star alone.
+    qh64 = np.asarray(q, np.float64).T
+    Minv_oracle = jnp.asarray(
+        np.moveaxis(np.stack([gold.minv(qh64[k]) for k in range(P)]),
+                    0, -1), jnp.float32)
+
+    @jax.jit
+    def run_oracle(q, qd, u, Mi):
+        return blops.fd_grad_bl(model, q, qd, u, -9.81,
+                                minv_fn=lambda m, X: Mi)
+
+    oracle = run_oracle(q, qd, u, Minv_oracle)
+    jax.block_until_ready(oracle)
+    p_oracle = parity(oracle, "oracle-Minv")
+
     # throughput cost at a real batch (2^14), marginal-slope protocol
     B = 1 << int(os.environ.get("X2_SHIFT_B", "14"))
     qb = jnp.asarray(rng.uniform(-2, 2, (n, B)), jnp.float32)
@@ -120,6 +139,7 @@ def main():
     t_plain = timeit(run_plain)
     t_x2 = timeit(run_x2)
     res = {"plain_parity": p_plain, "x2_parity": p_x2,
+           "oracle_minv_parity": p_oracle,
            "batch": B,
            "plain_evals_per_sec": B / t_plain,
            "x2_evals_per_sec": B / t_x2,
