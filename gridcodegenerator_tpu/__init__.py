@@ -31,6 +31,11 @@ from .api import (
     inverse_dynamics_hessian,
     map_batched,
 )
+from .ops.df32 import (  # opt-in f32x2 extended-precision route (PARITY.md)
+    fd_grad_x2_bl,
+    refine_minv_bl,
+    x2_constants,
+)
 from .codegen import (
     CompiledFreeFlyer,
     CompiledMultiDof,

@@ -667,12 +667,16 @@ def test_equality_joint_and_world_connect():
     assert pairs == ((1, -1),)
     np.testing.assert_allclose(oa, [[0.4, 0, 0]], atol=1e-12)
     np.testing.assert_allclose(ob, [[0.8, 0, 0]], atol=1e-12)  # world, q=0
-    # unsupported equality types fail loudly
-    bad = src.replace('<joint joint1="jB" joint2="jA" '
-                      'polycoef="0.1 -2 0 0 0"/>',
-                      '<weld body1="a" body2="b"/>')
-    with pytest.raises(NotImplementedError, match="weld"):
-        g.parse_mjcf(bad)
+    # <weld> stopped being unsupported in r4 (ops/loops.py 6-row bilateral
+    # pose constraints; surfaced via mjcf_welds) — parsing must accept it
+    # and the weld accessor must expose the pair (stale r3 assertion
+    # caught by the r5 full-suite record, SUITE.md)
+    welded = src.replace('<joint joint1="jB" joint2="jA" '
+                         'polycoef="0.1 -2 0 0 0"/>',
+                         '<weld body1="a" body2="b"/>')
+    g.parse_mjcf(welded)
+    wpairs, _, _, _ = g.mjcf_welds(welded)
+    assert len(wpairs) == 1
     quad = src.replace('polycoef="0.1 -2 0 0 0"',
                        'polycoef="0.1 -2 0.3 0 0"')
     with pytest.raises(NotImplementedError, match="polycoef"):

@@ -111,7 +111,25 @@ def main():
                     help="per-file subprocess timeout (s)")
     ap.add_argument("--out-md", default=str(REPO / "SUITE.md"))
     ap.add_argument("--out-jsonl", default=str(REPO / "SUITE.jsonl"))
+    ap.add_argument("--regen", action="store_true",
+                    help="skip running; regenerate SUITE.md from the "
+                         "accumulated jsonl, keeping the LATEST record per "
+                         "file (use after re-running fixed files with "
+                         "--files)")
     args = ap.parse_args()
+
+    if args.regen:
+        latest = {}
+        wall = 0.0
+        for line in open(args.out_jsonl):
+            r = json.loads(line)
+            if "file" in r:
+                latest[r["file"]] = r
+            elif "total" in r:
+                wall += r["total"].get("wall_seconds", 0.0)
+        records = [latest[k] for k in sorted(latest)]
+        write_outputs(records, wall, args)
+        return 0 if all(r["ok"] for r in records) else 1
 
     files = ([Path(f).resolve() for f in args.files] if args.files
              else sorted((REPO / "tests").glob("test_*.py")))
@@ -135,6 +153,11 @@ def main():
         with open(args.out_jsonl, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
 
+    green = write_outputs(records, time.time() - t0, args)
+    return 0 if green else 1
+
+
+def write_outputs(records, wall_seconds, args):
     total = dict(
         files=len(records),
         passed=sum(r["passed"] for r in records),
@@ -143,7 +166,7 @@ def main():
         errors=sum(r["errors"] for r in records),
         deselected=sum(r["deselected"] for r in records),
         crashes_retried=sum(1 for r in records if "retry_of_rc" in r),
-        wall_seconds=round(time.time() - t0, 1),
+        wall_seconds=round(wall_seconds, 1),
         marks=args.marks,
         cache=cache_stats(),
         green=all(r["ok"] for r in records),
@@ -191,7 +214,7 @@ def main():
             lines.append("```\n" + r.get("tail", "") + "\n```\n")
     Path(args.out_md).write_text("\n".join(lines) + "\n")
     print(json.dumps(total), flush=True)
-    return 0 if total["green"] else 1
+    return total["green"]
 
 
 if __name__ == "__main__":
