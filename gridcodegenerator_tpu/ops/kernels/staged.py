@@ -48,14 +48,18 @@ _CAL = 3.1
 # (n=28 FD), so gate at 28 k rather than the raw ceiling
 _LANE_BUDGET = 28_000.0
 _2D_BUDGET = 3_400_000.0   # floats/tile on (8·k, 128) tiles (≥1024 states)
-# Merged (both-sides) gradient bodies ~triple their cb-independent base:
-# hardware calibration (v5e 2026-08-18, md pipeline at n=29/nv=34) — two
-# successive gate models OOM'd on real silicon ("parked output only"
-# predicted 13.6 MB vs 20.8 MB allocated at cb=9; "full per-side slope"
-# predicted 13.9 MB vs 18.0 MB at cb=5); the two measured points fit
-# real ≈ (3.2·base + per-side slopes·cb)·stack-factor. Mosaic neither
-# reuses the first side's stack nor shares its X/vaf/input copies.
-_MERGE_BASE = 3.2
+# Merged (both-sides) gradient bodies inflate their cb-independent base.
+# r4 calibration measured 3.2× on the THREE-LOOP ∂ bodies (md pipeline,
+# v5e 2026-08-18; two gate models OOM'd before that multiplier). r5: the
+# fixed-base ∂ body was restructured into ONE fused forward loop
+# (blops.rnea_grad_cols_bl — dv/da of a joint die at its last child
+# instead of living across three full passes), and hardware re-measure
+# (v5e 2026-08-21, benchmarks/staged_breakdown.py, Atlas n=28 @262k)
+# shows merged launches now compile at cb=7 AND cb=14 (the old model
+# allowed cb=2) and beat per-side: K5 49.3 ms (cb7 per-side, old
+# default) → 36.2 (cb7 merged) / 35.1 (cb14 merged); cb28 merged OOMs.
+# 1.6× matches that envelope with the reduced-liveness slope below.
+_MERGE_BASE = 1.6
 
 
 def _tile_plan(per_state: float):
@@ -73,12 +77,15 @@ def _tile_plan(per_state: float):
 
 
 def _k5_slope(n: int, extra: float, n_sides: int) -> float:
-    """Per-column (cb-proportional) K5 live-set slope, floats/state: the
-    18·n ∂-workset + n output row block, +2n when the fused −M⁻¹·∂c
-    finish is live — PER SIDE (Mosaic does not reuse the first side's
-    stack for the second, hardware-measured on the md pipeline, v5e
-    2026-08-18; see ``multidof_staged._MERGE_BASE``)."""
-    return n_sides * (19.0 * n + (2.0 * n if extra else 0.0))
+    """Per-column (cb-proportional) K5 live-set slope, floats/state — PER
+    SIDE (Mosaic does not reuse the first side's stack for the second).
+    r5, post fused-forward-loop restructure: the ∂v/∂a tensors of a joint
+    die at its last child, so only the df accumulators (6n) + the output
+    row block (n) scale with cb — 7n, vs the old three-pass 19n; +2n when
+    the fused −M⁻¹·∂c finish is live. Hardware envelope: merged cb=14
+    compiles at n=28 (26.8k modeled·_CAL ≈ the lane budget), cb=28
+    merged OOMs — both match (v5e 2026-08-21)."""
+    return n_sides * (7.0 * n + (2.0 * n if extra else 0.0))
 
 
 def _k5_per_state(n: int, cb: int, extra: float = 0.0,
@@ -131,11 +138,15 @@ def _side_plan(n: int, extra: float, cb, merge_sides: bool):
     cb1 = cb or _col_block(n, extra)
     if merge_sides:
         cbm = cb or _col_block(n, extra, n_sides=2)
+        # ≤, not <: at equal launch counts the merged body still wins —
+        # it shares each launch's X recompute and q/q̇/v/a/f (+M⁻¹) HBM
+        # reads (hardware: 36.2 vs 42.9–49.3 ms at equal/4-launch plans,
+        # Atlas 262k, v5e 2026-08-21)
         if (cbm >= 1
                 and _tile_plan(
                     _k5_per_state(n, cbm, extra, 2)) != (None, False)
                 and (cb is not None
-                     or cb1 < 1 or -(-n // cbm) < 2 * -(-n // cb1))):
+                     or cb1 < 1 or -(-n // cbm) <= 2 * -(-n // cb1))):
             return cbm, (("q", "qd"),)
     return cb1, (("q",), ("qd",))
 
