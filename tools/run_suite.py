@@ -94,6 +94,7 @@ def run_file(path: Path, marks: str, timeout: float):
 
 def cache_stats():
     try:
+        sys.path.insert(0, str(REPO))
         from gridcodegenerator_tpu.utils.cache import cpu_cache_dir
         d = Path(cpu_cache_dir())
         files = list(d.iterdir()) if d.is_dir() else []
