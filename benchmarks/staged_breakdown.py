@@ -10,8 +10,10 @@ on the lane tile, stage-launch bubbles) get attributed instead of guessed:
   K5×k column-blocked ∂ID (+fused −M⁻¹·∂c finish)
 
 ``sum(stages) ≈ total`` ⇒ no launch bubbles; the dominant stage is the
-optimization target. Optionally A/Bs the sow implementation (mask-FMA vs
-static ``at[].add``) via GRID_SOW=at. One JSON line on stdout.
+optimization target. (The static-``at[].add`` sow alternative was A/B'd
+here r5 and is rejected by Mosaic — scatter-add unimplemented — so the
+mask-FMA insertion is the only expressible form.) One JSON line on
+stdout.
 """
 
 import json
@@ -216,7 +218,6 @@ def main():
             except Exception as e:
                 sweep[tag] = {"error": f"{type(e).__name__}: {str(e)[:120]}"}
                 log(tag, "failed:", type(e).__name__, str(e)[:160])
-    rows.pop("K5_one_launch_atsow", None)
 
     total_est = (rows["K1_bias_v"] + rows["K2_minv_qdd"] + rows["K4_vaf"]
                  + rows["K5_total_est"])

@@ -1048,8 +1048,18 @@ def _parse_mjcf_impl(source: str):
             # parser): attributes this front-end consumes nowhere must not
             # silently drop — a tendon relying on dry friction would
             # otherwise simulate without it, no diagnostic (ADVICE r4).
-            for attr in ("frictionloss", "margin", "solreflimit",
-                         "solimplimit", "armature"):
+            # frictionloss/armature change dynamics whenever nonzero;
+            # the limit-solver attributes (margin, solreflimit/solimplimit)
+            # only act on an ACTIVE range constraint — a tendon without a
+            # usable range ignores them in MuJoCo too, and a <default>
+            # class restating solref-style defaults must not poison
+            # unlimited tendons (r5 review).
+            has_range = (_attr(t, d, "range") is not None
+                         or _attr(t, d, "limited", "auto") == "true")
+            unsupported = ["frictionloss", "armature"]
+            if has_range:
+                unsupported += ["margin", "solreflimit", "solimplimit"]
+            for attr in unsupported:
                 val = _attr(t, d, attr)
                 if val is not None and any(float(v) != 0.0
                                            for v in _floats(val)):

@@ -24,20 +24,10 @@ kernels and the fast XLA path).
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 
 from ..models.robot import RobotModel
-
-# A/B switch for the column-insertion primitive in the ∂ recursions
-# (BENCHMARKS.md names mask/predication arithmetic as a staged-pipeline
-# cost): "mask" = iota-mask FMA over the whole (6, w, B) block (the
-# proven default); "at" = static-index ``D.at[:, j].add(vec)`` — one
-# column touched instead of w, IF Mosaic lowers the static
-# dynamic-update-slice without a relayout. Trace-time constant.
-_SOW_AT = os.environ.get("GRID_SOW", "mask") == "at"
 
 # --------------------------------------------------------------------------
 # batch-last primitives
@@ -402,11 +392,11 @@ def rnea_grad_inner_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n) + (1,) * bnd, 1)
 
     def sow(D, i, vec):
-        """Add `vec` (6,*b) into column i of D (6,n,*b) — mask-add form
-        (Mosaic has no scatter-add; the static-index ``at`` variant is the
-        measured A/B, see ``_SOW_AT``)."""
-        if _SOW_AT:
-            return D.at[:, i].add(vec)
+        """Add `vec` (6,*b) into column i of D (6,n,*b) — mask-add form.
+        Mosaic has no scatter-add, and the static-index ``at[].add``
+        alternative is ALSO rejected by the TPU lowering (measured r5:
+        'Unimplemented primitive ... scatter-add') — the mask FMA is the
+        only expressible insertion."""
         return D + (col_iota == i).astype(D.dtype) * vec[:, None]
 
     def one_side(side):
@@ -682,8 +672,6 @@ def rnea_grad_cols_bl(model: RobotModel, X, qd, v, a, f, gravity=-9.81,
         a no-op (trace-time) when i is outside the block."""
         if not (c0 <= i < c0 + cb):
             return D
-        if _SOW_AT:
-            return D.at[:, i - c0].add(vec)
         return D + (gcol == i).astype(D.dtype) * vec[:, None]
 
     # Subtree sparsity (the reference's packed ancestor compression,

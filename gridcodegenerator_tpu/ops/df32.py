@@ -264,21 +264,34 @@ def _df_dot6(a, b):
 
 
 def df_joint_transforms_bl(model: RobotModel, consts: DFConstants, q):
-    """df X_i(q) per joint, batch-last: list of ((6,6,B) hi, lo) pairs."""
+    """df X_i(q) per joint, batch-last: list of ((6,6,B) hi, lo) pairs.
+
+    Honors the same model contract as :func:`..ops.blops
+    .joint_transforms_bl`: with static ``joint_types`` metadata the
+    prismatic branch is resolved at trace time; on a metadata-less model
+    (traced-model path) it falls back to a runtime select on the
+    ``prismatic`` mask (r5 review)."""
     n = model.n
     bshape = q.shape[1:]
     s, c = df_sincos(q)
+    static_types = bool(model.joint_types)
     out = []
     for i in range(n):
-        prism = model.joint_types[i] == "prismatic"
-        f1 = ((q[i], jnp.zeros_like(q[i])) if prism
-              else (s[0][i], s[1][i]))
+        if static_types:
+            prism = model.joint_types[i] == "prismatic"
+            f1 = ((q[i], jnp.zeros_like(q[i])) if prism
+                  else (s[0][i], s[1][i]))
+            f2 = None if prism else (c[0][i], c[1][i])
+        else:
+            pm = model.prismatic[i]
+            f1 = df_where(pm, df(q[i]), (s[0][i], s[1][i]))
+            f2 = df_where(pm, df(jnp.zeros_like(q[i])),
+                          (c[0][i], c[1][i]))
         Xb = _bcast(consts.Xb, i, bshape)
         Xs = _bcast(consts.Xs, i, bshape)
         Xi = df_add(Xb, df_mul((f1[0][None, None], f1[1][None, None]), Xs))
-        if not prism:
+        if f2 is not None:
             Xc = _bcast(consts.Xc, i, bshape)
-            f2 = (c[0][i], c[1][i])
             Xi = df_add(Xi, df_mul((f2[0][None, None], f2[1][None, None]),
                                    Xc))
         out.append(Xi)

@@ -13,7 +13,7 @@ import pytest
 import gridcodegenerator_tpu as g
 from gridcodegenerator_tpu.models import zoo
 from gridcodegenerator_tpu.ops import blops, df32
-from conftest import get_setup, random_state
+from conftest import get_setup
 
 
 def _as64(pair):
@@ -65,7 +65,7 @@ def test_df_crba_matches_f64(name):
     assert rel < 1e-11, rel
 
 
-def test_refined_minv_beats_raw(iiwa):
+def test_refined_minv_beats_raw():
     """The Newton/f32x2-residual refinement must strictly reduce the f32
     M⁻¹ error vs the f64 inverse of the f32-input mass matrix."""
     desc, _, m64 = get_setup("iiwa14")

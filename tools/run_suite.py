@@ -43,26 +43,37 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 DEFAULT_MARKS = "not slow and not tpu and not examples"
 
-_SUMMARY_RE = re.compile(
-    r"(?:(\d+) failed)?(?:, )?(?:(\d+) passed)?(?:, )?(?:(\d+) skipped)?"
-    r"(?:, )?(?:(\d+) deselected)?(?:, )?(?:(\d+) error(?:s)?)?"
-    r" in ([0-9.]+)s")
+_TIME_RE = re.compile(r" in ([0-9.]+)s")
+_TOKEN_RE = re.compile(
+    r"(\d+) (failed|passed|skipped|deselected|errors?|warnings?"
+    r"|xfailed|xpassed|rerun)")
+_TOKEN_KEY = {"failed": "failed", "passed": "passed", "skipped": "skipped",
+              "deselected": "deselected", "error": "errors",
+              "errors": "errors"}
 
 
 def parse_summary(out: str):
-    """Pull counts from pytest's final '=== N passed, M skipped in Ts ==='."""
+    """Pull counts from pytest's final '=== N passed, M skipped in Ts ==='.
+
+    Token-scan, not a rigid pattern: summary lines carry arbitrary extra
+    tokens ('2 warnings', 'xfailed', 'rerun') that a positional regex
+    silently turned into all-zero counts (r5 review: a green 841 s
+    test_envs run was recorded as 0 tests because of ', 2 warnings')."""
     counts = dict(failed=0, passed=0, skipped=0, deselected=0, errors=0,
                   seconds=0.0)
     for line in reversed(out.splitlines()):
-        if " in " not in line or "s" not in line:
+        tm = _TIME_RE.search(line)
+        if not tm:
             continue
-        m = _SUMMARY_RE.search(line.strip("= "))
-        if m and any(g is not None for g in m.groups()[:5]):
-            f, p, s, d, e, t = m.groups()
-            counts.update(failed=int(f or 0), passed=int(p or 0),
-                          skipped=int(s or 0), deselected=int(d or 0),
-                          errors=int(e or 0), seconds=float(t))
-            return counts
+        tokens = _TOKEN_RE.findall(line)
+        if not tokens:
+            continue
+        counts["seconds"] = float(tm.group(1))
+        for num, word in tokens:
+            key = _TOKEN_KEY.get(word)
+            if key:
+                counts[key] = int(num)
+        return counts
     return counts
 
 
@@ -121,14 +132,14 @@ def main():
 
     if args.regen:
         latest = {}
-        wall = 0.0
         for line in open(args.out_jsonl):
             r = json.loads(line)
             if "file" in r:
                 latest[r["file"]] = r
-            elif "total" in r:
-                wall += r["total"].get("wall_seconds", 0.0)
         records = [latest[k] for k in sorted(latest)]
+        # wall = the sum of the surviving per-file runs (summing historical
+        # 'total' rows double-counts superseded runs)
+        wall = sum(r.get("wall", 0.0) for r in records)
         write_outputs(records, wall, args)
         return 0 if all(r["ok"] for r in records) else 1
 
